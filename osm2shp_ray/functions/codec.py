@@ -1,0 +1,155 @@
+"""Image payload codecs (self-contained; no PIL/OpenCV in container).
+
+The mandated input table carries opaque image ``bytes`` with ``fmt`` in
+{"png", "jpeg"} and a per-row invariant: decoded pixels must match the
+reference decode at PSNR >= 40 dB for lossy, exactly for lossless
+(BASELINE.json input_hint). Since no image libraries exist in this
+environment, the engine ships:
+
+- a REAL minimal PNG codec (RGB8, all five scanline filters on decode,
+  filter-0 on encode, zlib + CRC chunks) — lossless, spec-conformant
+  for the subset it emits (readable by any PNG reader);
+- "jpeg" rows use a clearly-marked deterministic lossy stand-in
+  (uniform quantization, step 6 -> PSNR ~= 43 dB > 40 dB, zlib
+  entropy-coded). It is NOT a real JPEG; it stands in for the lossy
+  decode path so the Ray-side plumbing (actor-pool decode, PSNR
+  invariant checks, schema) is real and tested. Swap `encode_lossy` /
+  `decode_lossy` for a real JPEG codec in production.
+
+All codecs are deterministic and pure numpy/zlib.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QJPG_MAGIC = b"QJPG"
+_QSTEP = 6  # quantization step: RMSE ~= 6/sqrt(12) = 1.73 -> PSNR ~= 43.3 dB
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8, filter 0)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8. Supports 8-bit RGB, filters 0-4."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise ValueError("unsupported PNG subset")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = 1 + w * 3
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for r in range(h):
+        ftype = rows[r, 0]
+        line = rows[r, 1:].astype(np.int32)
+        prior = out[r - 1].astype(np.int32) if r > 0 else np.zeros(w * 3, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recursion
+            rec = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                if ftype == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    cdiag = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - cdiag
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cdiag)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cdiag)
+                    rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[r] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def encode_lossy(img: np.ndarray) -> bytes:
+    """Deterministic lossy stand-in ("jpeg" rows): quantize to step
+    _QSTEP then zlib. NOT a real JPEG — see module docstring."""
+    h, w, c = img.shape
+    q = np.clip(np.rint(img.astype(np.float64) / _QSTEP), 0, 255 // _QSTEP).astype(np.uint8)
+    payload = zlib.compress(q.tobytes(), 6)
+    return _QJPG_MAGIC + struct.pack(">IIB", w, h, _QSTEP) + payload
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _QJPG_MAGIC:
+        raise ValueError("not a QJPG payload")
+    w, h, step = struct.unpack(">IIB", data[4:13])
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+    img = np.clip(q.astype(np.int32) * step, 0, 255).astype(np.uint8)
+    return img.reshape(h, w, 3)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Format-dispatched decode (sources S1/S2 analog: one reader API,
+    format plurality behind it — SURVEY.md §2.1)."""
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpeg", "jpg", "qjpg"):
+        return decode_lossy(data)
+    raise NotImplementedError(
+        f"format {fmt!r}: real decoders for this format are not available "
+        "in this container; plug one in here")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def resize_box(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter (area-average) resize, vectorized. Multimodal
+    feature-extraction stage helper (SURVEY.md §2.8)."""
+    h, w, c = img.shape
+    ys = (np.arange(out_h + 1) * h // out_h)
+    xs = (np.arange(out_w + 1) * w // out_w)
+    integral = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    integral[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    y0, y1 = ys[:-1][:, None], ys[1:][:, None]
+    x0, x1 = xs[:-1][None, :], xs[1:][None, :]
+    area = ((y1 - y0) * (x1 - x0))[..., None]
+    s = (integral[y1, x1] - integral[y0, x1] - integral[y1, x0] + integral[y0, x0])
+    return np.clip(np.rint(s / area), 0, 255).astype(np.uint8)

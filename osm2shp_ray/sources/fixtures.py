@@ -1,0 +1,247 @@
+"""Deterministic fixture generators (seed-fixed, no external data).
+
+F1 ``images`` — the mandated input shape (BASELINE.json input_hint):
+    (image_id string, bytes binary, w int32, h int32, fmt string,
+     caption string, phash int64).
+Captions embed space-separated ``k=v`` tag tokens so that every one of
+the reference's 12 layer rules (/root/reference/osm/handler.cc:45-56),
+every is_area branch incl. the literal ``natural=woord`` typo
+(handler.cc:127-133), unnamed-place drops (handler.cc:92-94) and
+first-match-wins overlaps (handler.cc:96-104) are exercised. ``phash``
+is a Hilbert encoding of clustered (lon, lat) so synthetic data has
+realistic spatial hot cells; some phashes are duplicated to exercise
+exact dedup.
+
+F2/F3 ``nodes``/``ways`` — OSM-analog edge-case corpus for direct
+conformance (dangling refs, duplicate refs / closed rings, <2 / <3
+vertex ways, id<=0 nodes).
+
+F4 ``tiles`` — convex polygon side table for point-in-polygon.
+
+Everything is a pure function of (row index, seed): a batch can be
+generated anywhere (driver or Ray task) and always yields identical
+rows — this is what makes fixture generation parallel and the decode
+invariant checkable without storing ground-truth pixels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codec
+from ..functions.hashing import splitmix64
+from ..functions.hilbert import xy2d, PHASH_ORDER
+
+SEED = 42
+
+CAPTION_TEMPLATES = [
+    "aerial view place=city name=Alpha{k}",
+    "busy streets place=town name=Beta{k}",
+    "quiet corner place=suburb name=Gamma{k}",
+    "small houses place=village name=Delta{k}",
+    "place=city",                              # unnamed -> never exported as point
+    "long road highway=motorway",
+    "highway=trunk at dusk",
+    "highway=primary",
+    "highway=secondary",
+    "railway=rail crossing",
+    "waterway=river bend",
+    "waterway=canal",
+    "natural=water lake panorama",             # polygon rule
+    "forest natural=woord",                    # is_area via the reference's literal typo
+    "natural=land",                            # area, no matching rule
+    "landuse=residential blocks",              # area via landuse, no rule
+    "area=yes waterway=river",                 # area + line-only rule -> type mismatch, dropped
+    "junction highway=motorway railway=rail",  # first-match-wins overlap
+    "scenic photo of a lake",                  # no tags at all
+    "name=Epsilon{k} portrait",                # name but no layer tag
+]
+
+_SIZES = np.array([16, 32, 64], dtype=np.int32)
+_N_CLUSTERS = 64
+_CLUSTER_RUN = 50  # consecutive rows share a spatial cluster -> hot cells
+
+
+def ground_truth_pixels(row_idx: int, w: int, h: int) -> np.ndarray:
+    """The original pixel array for fixture row ``row_idx`` — re-derivable
+    anywhere, which is how DecodeValidate checks PSNR without shipping
+    ground truth through the pipeline."""
+    rng = np.random.default_rng(SEED * 1_000_003 + row_idx)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _cluster_lonlat(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    cluster = (idx // _CLUSTER_RUN) % _N_CLUSTERS
+    cr = np.random.default_rng(SEED)
+    centers_lon = cr.uniform(-170, 170, _N_CLUSTERS)
+    centers_lat = cr.uniform(-80, 80, _N_CLUSTERS)
+    jitter = splitmix64(idx.astype(np.uint64))
+    jlon = ((jitter & np.uint64(0xFFFF)).astype(np.float64) / 65535.0 - 0.5) * 2.0
+    jlat = (((jitter >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.float64) / 65535.0 - 0.5) * 2.0
+    return centers_lon[cluster] + jlon, centers_lat[cluster] + jlat
+
+
+def phash_of(idx: np.ndarray) -> np.ndarray:
+    """Row index -> phash: Hilbert distance of the quantized clustered
+    (lon, lat), upper bits carrying a splitmix tag. Every 37th row
+    reuses the previous multiple-of-37 row's phash (exact-dup corpus)."""
+    lon, lat = _cluster_lonlat(idx)
+    side = 1 << PHASH_ORDER
+    hx = np.clip(((lon + 180.0) / 360.0 * side).astype(np.int64), 0, side - 1)
+    hy = np.clip(((lat + 90.0) / 180.0 * side).astype(np.int64), 0, side - 1)
+    d = xy2d(PHASH_ORDER, hx.astype(np.uint64), hy.astype(np.uint64))
+    # duplicates: rows where idx % 37 == 1 copy the phash of idx-1
+    dup_src = np.where(idx % 37 == 1, idx - 1, idx)
+    if not np.array_equal(dup_src, idx):
+        lon2, lat2 = _cluster_lonlat(dup_src)
+        hx2 = np.clip(((lon2 + 180.0) / 360.0 * side).astype(np.int64), 0, side - 1)
+        hy2 = np.clip(((lat2 + 90.0) / 180.0 * side).astype(np.int64), 0, side - 1)
+        d = xy2d(PHASH_ORDER, hx2.astype(np.uint64), hy2.astype(np.uint64))
+    return d.astype(np.int64)
+
+
+def images_batch(idx: np.ndarray) -> pa.Table:
+    """Row indices -> an Arrow batch of the mandated images table."""
+    idx = np.asarray(idx, dtype=np.int64)
+    n = len(idx)
+    image_id = [f"img-{i:09d}" for i in idx]
+    w = _SIZES[idx % 3]
+    h = _SIZES[(idx // 3) % 3]
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    captions = [
+        CAPTION_TEMPLATES[i % len(CAPTION_TEMPLATES)].format(k=i // len(CAPTION_TEMPLATES))
+        for i in idx
+    ]
+    blobs = []
+    for j in range(n):
+        img = ground_truth_pixels(int(idx[j]), int(w[j]), int(h[j]))
+        blobs.append(codec.encode_png(img) if fmt[j] == "png" else codec.encode_lossy(img))
+    return pa.table({
+        "image_id": pa.array(image_id, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(h, pa.int32()),
+        "fmt": pa.array(fmt.tolist(), pa.string()),
+        "caption": pa.array(captions, pa.string()),
+        "phash": pa.array(phash_of(idx), pa.int64()),
+    })
+
+
+def images_table(n: int) -> pa.Table:
+    return images_batch(np.arange(n))
+
+
+# ------------------------------------------------------- OSM-analog F2/F3
+
+def nodes_ways_tables() -> tuple[pa.Table, pa.Table]:
+    """Hand-built edge-case corpus; see FIXTURES.md F2/F3."""
+    nodes = []
+    # a 10x10 grid of valid nodes, ids 1..100
+    for i in range(100):
+        gx, gy = i % 10, i // 10
+        nodes.append((i + 1, -10.0 + gx * 0.5, 40.0 + gy * 0.5, ""))
+    # tagged point nodes
+    nodes += [
+        (201, 1.0, 1.0, "place=city name=Metropolis"),
+        (202, 2.0, 1.0, "place=town name=Smallville"),
+        (203, 3.0, 1.0, "place=suburb name=Edge"),
+        (204, 4.0, 1.0, "place=village name=Hamlet"),
+        (205, 5.0, 1.0, "place=city"),                        # unnamed -> dropped
+        (206, 6.0, 1.0, "place=city place=town name=First"),  # first-match
+        (207, 7.0, 1.0, "highway=motorway name=NotAPoint"),   # line rule on node -> no point
+        (-5, 8.0, 1.0, "place=city name=Negative"),           # id<=0 -> dropped entirely
+        (0, 9.0, 1.0, "place=town name=Zero"),                # id==0 -> dropped
+    ]
+    nodes_t = pa.table({
+        "id": pa.array([n[0] for n in nodes], pa.int64()),
+        "lon": pa.array([n[1] for n in nodes], pa.float64()),
+        "lat": pa.array([n[2] for n in nodes], pa.float64()),
+        "tags": pa.array([n[3] for n in nodes], pa.string()),
+    })
+    ways = [
+        (1, [1, 2, 3, 4], "highway=motorway"),
+        (2, [5, 6], "highway=trunk"),
+        (3, [7, 8, 9], "highway=primary"),
+        (4, [10, 11], "highway=secondary"),
+        (5, [12, 13, 14], "railway=rail"),
+        (6, [15, 16], "waterway=river"),
+        (7, [17, 18, 19], "waterway=canal"),
+        (8, [21, 22, 32, 31, 21], "natural=water"),         # closed ring, dup ref
+        (9, [23, 24, 25], "natural=water area=yes"),        # polygon via rule + area
+        (10, [26, 27], "natural=water"),                    # polygon but 2 verts -> dropped
+        (11, [28], "highway=motorway"),                     # 1 vert line -> dropped
+        (12, [29, 30, 999], "highway=motorway"),            # dangling ref -> dropped
+        (13, [33, 34, -5], "highway=trunk"),                # ref to dropped node -> dropped
+        (14, [35, 36, 37], "highway=motorway railway=rail"),  # overlap: first match
+        (15, [38, 39, 40], "landuse=forest"),               # area, no polygon rule -> no match
+        (16, [41, 42, 43], "natural=woord"),                # area via typo, no rule -> no match
+        (17, [44, 45], "area=yes waterway=river"),          # area + line rule -> type mismatch
+        (18, [46, 47, 46], "highway=primary"),              # duplicate ref mid-way
+        (19, [48, 49, 50], ""),                             # untagged
+        (20, [51, 52, 53, 999], "natural=water"),           # polygon + dangling -> dropped
+    ]
+    ways_t = pa.table({
+        "way_id": pa.array([w[0] for w in ways], pa.int64()),
+        "node_refs": pa.array([w[1] for w in ways], pa.list_(pa.int64())),
+        "tags": pa.array([w[2] for w in ways], pa.string()),
+    })
+    return nodes_t, ways_t
+
+
+# ----------------------------------------------------------------- F4
+
+def tiles_table(n_tiles: int = 32, seed: int = SEED) -> pa.Table:
+    """Seeded convex polygons (irregular hexagons around grid centers)
+    covering the fixture extent, with overlaps."""
+    from ..functions.wkb import encode_polygons
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_tiles)))
+    ids, offs, xs, ys = [], [0], [], []
+    for t in range(n_tiles):
+        cx = -170 + (t % side + 0.5) * 340.0 / side
+        cy = -80 + (t // side + 0.5) * 160.0 / side
+        r = rng.uniform(25, 45)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        px = cx + r * np.cos(ang)
+        py = np.clip(cy + r * np.sin(ang) * 0.5, -89.9, 89.9)
+        ids.append(f"13/{t % side}/{t // side}")
+        xs.extend(px.tolist())
+        ys.extend(py.tolist())
+        offs.append(len(xs))
+    wkbs = encode_polygons(np.array(offs), np.array(xs), np.array(ys))
+    return pa.table({
+        "tile_id": pa.array(ids, pa.string()),
+        "geometry_wkb": pa.array(wkbs, pa.binary()),
+    })
+
+
+# ------------------------------------------------------------- caching
+
+FIXTURE_ROOT = "/tmp/osm2shp_ray_fixtures"
+
+
+def cached_images_parquet(n: int, use_ray: bool = True) -> str:
+    """Write (once) and return the path of an images fixture parquet
+    directory for ``n`` rows. Generation is Ray-parallel for large n
+    (each task generates a disjoint index range — pure function of row
+    index, so output is identical regardless of parallelism)."""
+    path = os.path.join(FIXTURE_ROOT, f"images_n{n}")
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    if use_ray and n > 20_000:
+        import ray.data as rd
+        (rd.range(n, override_num_blocks=max(8, n // 25_000))
+           .map_batches(lambda b: images_batch(b["id"]),
+                        batch_format="numpy", batch_size=4096)
+           .write_parquet(path))
+    else:
+        pq.write_table(images_table(n), os.path.join(path, "part-0.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
