@@ -1,0 +1,260 @@
+"""Geometry construction (M10-M12) and postprocess operators (P3-P6).
+
+M10/M11: the reference writes 1-vertex SHPT_POINT and N-vertex
+SHPT_ARC / SHPT_POLYGON objects with vertices exactly as resolved — no
+ring closing, no validation (/root/reference/osm/shapefile.cc:32-49).
+Here they become WKB columns built vectorized per batch.
+
+P3-P6 re-express mapgen.sh's GRASS chain (mapgen.sh:56-90):
+- P3 ``v.build.polylines`` -> merge_lines (endpoint union-find per group)
+- P4 ``v.generalize method=douglas threshold=T`` -> simplify_dp
+- P5 ``v.clean tool=snap,break,rmdupl`` -> snap_dedup (grid quantize +
+  keep-first — exact dedup after quantization)
+- P6 ``v.clean tool=rmline`` -> drop degenerate lines
+
+All operate on the assembled-way schema (way_id, layer_idx, xs, ys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import wkb
+from .classify import GEOM_POLYGON, LAYER_GEOM, layer_name_col
+
+
+def _list_col(batch: pa.Table, name: str) -> pa.ListArray:
+    col = batch[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def build_way_wkb_batch(batch: pa.Table) -> pa.Table:
+    """Assembled ways -> (way_id, layer string, geometry_wkb, x, y
+    centroid helper cols). Vertices verbatim (shapefile.cc:41-49)."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    layer_idx = batch["layer_idx"].to_numpy(zero_copy_only=False)
+    is_poly = LAYER_GEOM[layer_idx] == GEOM_POLYGON
+    n = len(batch)
+    blobs: list[bytes | None] = [None] * n
+    if (~is_poly).any():
+        sub = _sub_offsets(offsets, ~is_poly)
+        line_blobs = wkb.encode_linestrings(sub[0], fx[sub[1]], fy[sub[1]])
+        for i, j in enumerate(np.flatnonzero(~is_poly)):
+            blobs[j] = line_blobs[i]
+    if is_poly.any():
+        sub = _sub_offsets(offsets, is_poly)
+        poly_blobs = wkb.encode_polygons(sub[0], fx[sub[1]], fy[sub[1]])
+        for i, j in enumerate(np.flatnonzero(is_poly)):
+            blobs[j] = poly_blobs[i]
+    # representative point for spatial stages: first vertex
+    first = offsets[:-1]
+    return pa.table({
+        "way_id": batch["way_id"],
+        "layer": layer_name_col(layer_idx),
+        "geometry_wkb": pa.array(blobs, pa.binary()),
+        "x": pa.array(fx[first], pa.float64()),
+        "y": pa.array(fy[first], pa.float64()),
+    })
+
+
+def _sub_offsets(offsets: np.ndarray, mask: np.ndarray):
+    """Offsets + flat-index selector for the masked subset of features."""
+    counts = np.diff(offsets)[mask]
+    sub_off = np.concatenate(([0], np.cumsum(counts)))
+    sel = np.concatenate([np.arange(offsets[i], offsets[i + 1])
+                          for i in np.flatnonzero(mask)]) if mask.any() else np.empty(0, np.int64)
+    return sub_off, sel.astype(np.int64)
+
+
+def build_point_wkb_batch(batch: pa.Table) -> pa.Table:
+    """Exported points -> (layer string, geometry_wkb, name, x, y)."""
+    x = batch["x"].to_numpy(zero_copy_only=False)
+    y = batch["y"].to_numpy(zero_copy_only=False)
+    layer_idx = batch["layer_idx"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "layer": layer_name_col(layer_idx),
+        "geometry_wkb": pa.array(wkb.encode_points(x, y), pa.binary()),
+        "name": batch["name"],
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.float64()),
+    })
+
+
+# ------------------------------------------------------------ P4: Douglas-Peucker
+
+def dp_simplify_one(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for one polyline. Iterative stack,
+    vectorized distance kernel per segment (the GRASS v.generalize
+    method=douglas analog, mapgen.sh:59)."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        a, b = stack.pop()
+        if b <= a + 1:
+            continue
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        seg2 = dx * dx + dy * dy
+        px = x[a + 1:b] - x[a]
+        py = y[a + 1:b] - y[a]
+        if seg2 == 0.0:
+            d2 = px * px + py * py
+        else:
+            t = np.clip((px * dx + py * dy) / seg2, 0.0, 1.0)
+            ex = px - t * dx
+            ey = py - t * dy
+            d2 = ex * ex + ey * ey
+        i = int(np.argmax(d2))
+        if d2[i] > tol2:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+def simplify_batch(batch: pa.Table, tolerance: float) -> pa.Table:
+    """P4 over assembled ways (xs/ys list columns)."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    keep = np.zeros(len(fx), dtype=bool)
+    new_counts = np.empty(len(batch), dtype=np.int64)
+    for i in range(len(batch)):
+        lo, hi = offsets[i], offsets[i + 1]
+        if hi - lo < 3:
+            keep[lo:hi] = True
+            new_counts[i] = hi - lo
+            continue
+        k = dp_simplify_one(fx[lo:hi], fy[lo:hi], tolerance)
+        keep[lo:hi] = k
+        new_counts[i] = int(k.sum())
+    new_off = pa.array(np.concatenate(([0], np.cumsum(new_counts))), pa.int32())
+    out = batch.drop_columns(["xs", "ys"])
+    out = out.append_column("xs", pa.ListArray.from_arrays(new_off, pa.array(fx[keep], pa.float64())))
+    out = out.append_column("ys", pa.ListArray.from_arrays(new_off, pa.array(fy[keep], pa.float64())))
+    return out
+
+
+# ------------------------------------------------------------ P5: snap-dedup
+
+def snap_key_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Append a snap-hash column: vertices quantized to a
+    ``threshold`` grid, FNV-combined per geometry. Exact dedup after
+    quantization = groupby(snap_key).keep-first (mapgen.sh:60)."""
+    from ..functions.hashing import splitmix64
+    xs = _list_col(batch, "xs")
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = _list_col(batch, "ys").flatten().to_numpy(zero_copy_only=False)
+    qx = np.round(fx / threshold).astype(np.int64).astype(np.uint64)
+    qy = np.round(fy / threshold).astype(np.int64).astype(np.uint64)
+    vert = splitmix64(qx ^ (qy << np.uint64(32) | qy >> np.uint64(32)))
+    # order-sensitive combine: multiply by position-dependent odd constant
+    pos = (np.arange(len(vert), dtype=np.uint64)
+           - np.repeat(offsets[:-1].astype(np.uint64), np.diff(offsets)))
+    with np.errstate(over="ignore"):
+        mixed = vert * (np.uint64(2) * pos + np.uint64(1))
+    key = np.add.reduceat(mixed, offsets[:-1]) if len(batch) else np.empty(0, np.uint64)
+    # empty geometries (reduceat quirk) -> 0
+    key = np.where(np.diff(offsets) == 0, np.uint64(0), key)
+    return batch.append_column("snap_key", pa.array(key.astype(np.int64), pa.int64()))
+
+
+# ------------------------------------------------------------ P6: rmline
+
+def drop_degenerate_batch(batch: pa.Table) -> pa.Table:
+    """Remove zero-extent / <2-vertex lines (mapgen.sh:61)."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    seg_len = np.abs(np.diff(fx)) + np.abs(np.diff(fy))
+    # a geometry is degenerate if <2 vertices or total length 0
+    total = np.zeros(len(batch))
+    for i in range(len(batch)):
+        lo, hi = offsets[i], offsets[i + 1]
+        total[i] = seg_len[lo:hi - 1].sum() if hi - lo >= 2 else 0.0
+    keep = (counts >= 2) & (total > 0)
+    return batch.filter(pa.array(keep))
+
+
+# ------------------------------------------------------------ P3: polyline merge
+
+def merge_lines_group(df) -> pa.Table:
+    """Merge touching line segments within a group (layer or
+    layer x coarse-cell): endpoint-keyed union-find, then walk each
+    chain (the v.build.polylines analog, mapgen.sh:58). Partitioning
+    assumption: segments that should merge are in the same group —
+    callers group by (layer, parent_cell) so merges never cross a
+    coarse cell; document the boundary effect."""
+    import pandas as pd  # noqa: F401
+    xs_l = list(df["xs"])
+    ys_l = list(df["ys"])
+    layer_idx = df["layer_idx"].iloc[0] if len(df) else 0
+    eps = 1e-9
+
+    def key(x, y):
+        return (round(x / eps), round(y / eps))
+
+    # adjacency between segment endpoints
+    endpoint: dict[tuple, list[tuple[int, int]]] = {}
+    for i, (xa, ya) in enumerate(zip(xs_l, ys_l)):
+        for end in (0, 1):
+            k = key(xa[0 if end == 0 else -1], ya[0 if end == 0 else -1])
+            endpoint.setdefault(k, []).append((i, end))
+    used = np.zeros(len(xs_l), dtype=bool)
+    out_x, out_y, out_ids = [], [], []
+    for i in range(len(xs_l)):
+        if used[i]:
+            continue
+        # grow a chain from segment i in both directions
+        chain_x = list(xs_l[i])
+        chain_y = list(ys_l[i])
+        used[i] = True
+        for direction in (1, 0):
+            while True:
+                k = key(chain_x[-1], chain_y[-1]) if direction else key(chain_x[0], chain_y[0])
+                nxt = [(j, e) for (j, e) in endpoint.get(k, []) if not used[j]]
+                if len(nxt) != 1:
+                    break  # junction or dead end: polylines stop at junctions
+                j, e = nxt[0]
+                seg_x = list(xs_l[j])
+                seg_y = list(ys_l[j])
+                if direction:
+                    if e != 0:
+                        seg_x.reverse(); seg_y.reverse()
+                    chain_x.extend(seg_x[1:]); chain_y.extend(seg_y[1:])
+                else:
+                    if e != 1:
+                        seg_x.reverse(); seg_y.reverse()
+                    chain_x = seg_x[:-1] + chain_x; chain_y = seg_y[:-1] + chain_y
+                used[j] = True
+        out_x.append(np.asarray(chain_x))
+        out_y.append(np.asarray(chain_y))
+        out_ids.append(len(out_ids))
+    counts = np.array([len(a) for a in out_x], dtype=np.int64)
+    off = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
+    return pa.table({
+        "way_id": pa.array(np.arange(len(out_x)), pa.int64()),
+        "layer_idx": pa.array(np.full(len(out_x), layer_idx), pa.int8()),
+        "xs": pa.ListArray.from_arrays(off, pa.array(np.concatenate(out_x) if out_x else np.empty(0), pa.float64())),
+        "ys": pa.ListArray.from_arrays(off, pa.array(np.concatenate(out_y) if out_y else np.empty(0), pa.float64())),
+    })
