@@ -1,0 +1,135 @@
+"""Multimodal (image payload) stages — actor-pool map_batches over the
+opaque ``bytes`` column (SURVEY.md §2.8 'Multimodal columns').
+
+Decode is per-row by nature (each blob is an independent compressed
+stream); the vectorization lives inside the codec kernels and in
+batching: one actor call decodes ``batch_size`` images, amortizing
+actor dispatch. Memory: batch_size x concurrency x max_image_bytes
+must fit the worker heap — callers size batch_size down for large
+payloads (SURVEY.md §4 'Memory-aware').
+
+The PSNR>=40dB + caption-equality invariant (BASELINE.json input_hint)
+is checked against ground truth re-derived from the deterministic
+fixture seed — nothing but the mandated columns rides the pipeline.
+
+Audio / video framesampling are STUBS (no codecs in this container):
+real Ray-side signatures, NotImplementedError bodies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec
+
+
+class DecodeValidate:
+    """bytes -> decoded stats + invariant columns.
+
+    Emits per row: ok (decode succeeded), psnr_db (vs ground truth when
+    derivable, else NaN), mean_lum. Decode failures do not abort the
+    stream — they surface as ok=false rows (the reference instead
+    aborts on any error, osm2shp.cc:20-23; at 10^12 rows that is not an
+    option, so failures become data)."""
+
+    def __init__(self, check_ground_truth: bool = True):
+        self.check_ground_truth = check_ground_truth
+        if check_ground_truth:
+            from ..sources.fixtures import ground_truth_pixels
+            self._gt = ground_truth_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        psnr = np.full(n, np.nan)
+        mean_lum = np.full(n, np.nan)
+        for i in range(n):
+            try:
+                img = codec.decode_image(blobs[i], fmts[i])
+            except Exception:
+                continue
+            ok[i] = img.shape == (hs[i], ws[i], 3)
+            mean_lum[i] = float(img.mean())
+            if self.check_ground_truth and ok[i]:
+                row_idx = int(ids[i].rsplit("-", 1)[-1]) if ids[i].rsplit("-", 1)[-1].isdigit() else None
+                if row_idx is not None:
+                    gt = self._gt(row_idx, ws[i], hs[i])
+                    psnr[i] = codec.psnr(gt, img)
+        out = batch.drop_columns(["bytes"])
+        return (out
+                .append_column("decode_ok", pa.array(ok, pa.bool_()))
+                .append_column("psnr_db", pa.array(psnr, pa.float64()))
+                .append_column("mean_lum", pa.array(mean_lum, pa.float64())))
+
+
+class ImageFeatures:
+    """bytes -> compact feature vector: 4x4 box-resized RGB thumbnail
+    (48 dims, [0,1]) — the decode/resize/feature-extract actor stage
+    shape for embedding-style pipelines."""
+
+    def __init__(self, thumb: int = 4):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        dim = self.thumb * self.thumb * 3
+        feats = np.zeros((n, dim), dtype=np.float32)
+        for i in range(n):
+            try:
+                img = codec.decode_image(blobs[i], fmts[i])
+            except Exception:
+                continue
+            feats[i] = (codec.resize_box(img, self.thumb, self.thumb)
+                        .astype(np.float32).reshape(-1) / 255.0)
+        out = batch.drop_columns(["bytes"])
+        flat = pa.array(feats.reshape(-1), pa.float32())
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32), pa.int32())
+        return out.append_column("features", pa.ListArray.from_arrays(offs, flat))
+
+
+def decode_validate(ds, concurrency=(1, 8), batch_size: int = 1024,
+                    check_ground_truth: bool = True, num_cpus: float = 1):
+    """Autoscaling (min=1) actor pool: a fixed pool that reserves CPUs
+    next to other pools can starve the read stage on small hosts."""
+    return ds.map_batches(DecodeValidate, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=num_cpus,
+                          fn_constructor_kwargs=dict(check_ground_truth=check_ground_truth))
+
+
+def image_features(ds, concurrency=(1, 8), batch_size: int = 1024, thumb: int = 4,
+                   num_cpus: float = 1):
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=num_cpus,
+                          fn_constructor_kwargs=dict(thumb=thumb))
+
+
+class AudioFeatures:
+    """STUB: audio decoding needs codecs absent from this container.
+    The Ray-side contract (actor pool, binary in, list<float> out) is
+    identical to ImageFeatures."""
+
+    def __init__(self):
+        raise NotImplementedError(
+            "audio codecs unavailable in this container; plug a decoder "
+            "into AudioFeatures.__init__ and mirror ImageFeatures.__call__")
+
+
+class VideoFrameSample:
+    """STUB: video frame sampling needs codecs absent from this
+    container. Contract: binary in -> exploded rows (one per sampled
+    frame) with frame_idx + bytes columns."""
+
+    def __init__(self, every_n: int = 30):
+        raise NotImplementedError(
+            "video codecs unavailable in this container; plug a demuxer "
+            "in here (explode pattern: one output row per sampled frame)")

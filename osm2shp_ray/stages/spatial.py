@@ -1,0 +1,229 @@
+"""Spatial operators mandated by the north_rule (SURVEY.md §2.8):
+cell encoding, point-in-polygon tile assignment, kNN via k-ring
+expansion, raster<->vector tile assignment with salted-key skew
+mitigation, and phash-exact dedup.
+
+These have no reference counterpart (the reference's only spatial
+notion is the per-layer shapefile sink, /root/reference/osm/handler.cc:
+34-43); they are designed Ray-Data-first per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..functions import cells as cellmod
+from ..functions.hashing import bucket_of, splitmix64
+from ..functions.pip import PreparedPolygons
+from ..functions.wkb import decode_batch
+
+
+class CellEncoder:
+    """Actor-pool stage: append quadcell (H3-analog) and Hilbert-cell
+    (S2-analog) ids. State (resolution constants, any lookup tables) is
+    built once per actor in __init__ — the pattern the north_star
+    prescribes for compiled H3/S2 index state; our from-scratch index
+    is pure numpy so the state is just configuration."""
+
+    def __init__(self, res: int = config.H3_ANALOG_RES,
+                 s2_level: int = config.S2_ANALOG_LEVEL,
+                 lon_col: str = "x", lat_col: str = "y"):
+        self.res = res
+        self.s2_level = s2_level
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        h3c = cellmod.latlng_to_cell(lat, lon, self.res).astype(np.int64)
+        s2c = cellmod.latlng_to_s2ish(lat, lon, self.s2_level).astype(np.int64)
+        return (batch
+                .append_column("h3_cell", pa.array(h3c, pa.int64()))
+                .append_column("s2_cell", pa.array(s2c, pa.int64())))
+
+
+def encode_cells(ds, res: int = config.H3_ANALOG_RES,
+                 s2_level: int = config.S2_ANALOG_LEVEL,
+                 lon_col: str = "x", lat_col: str = "y",
+                 concurrency=None, batch_size: int = 65536):
+    """Cell encoding is pure config + numpy — stateless, so it runs as
+    elastic tasks (an INSTANCE of CellEncoder used as a plain
+    function), not an actor pool: fixed pools reserving CPUs alongside
+    other pools can starve the read stage on small hosts. Pass
+    ``concurrency`` only to force an actor pool."""
+    if concurrency is not None:
+        return ds.map_batches(
+            CellEncoder, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(res=res, s2_level=s2_level,
+                                       lon_col=lon_col, lat_col=lat_col))
+    fn = CellEncoder(res=res, s2_level=s2_level, lon_col=lon_col, lat_col=lat_col)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------------------ PIP tile assign
+
+def prepare_tiles(tiles_table: pa.Table) -> PreparedPolygons:
+    """Tile polygon table (tile_id, geometry_wkb) -> prepared bundle.
+    Call once on the driver; ship via ray.put (broadcast join side)."""
+    kinds, xs, ys = decode_batch(tiles_table["geometry_wkb"].to_pylist())
+    return PreparedPolygons(tiles_table["tile_id"].to_pylist(), xs, ys)
+
+
+class TileAssigner:
+    """Actor-pool PIP stage. __init__ resolves the broadcast
+    PreparedPolygons once per actor (ray.put on the driver, ray.get
+    here — the classic broadcast join, SURVEY.md §2.4); __call__ runs
+    the vectorized ray-crossing test per batch."""
+
+    def __init__(self, prepared_ref, mode: str = "first",
+                 lon_col: str = "x", lat_col: str = "y"):
+        import ray
+        self.prep = ray.get(prepared_ref) if not isinstance(prepared_ref, PreparedPolygons) else prepared_ref
+        self.tile_ids = np.asarray(self.prep.tile_ids + [""], dtype=object)
+        self.mode = mode
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        if self.mode == "first":
+            idx = self.prep.assign_first(lon, lat)
+            tid = self.tile_ids[np.where(idx < 0, len(self.tile_ids) - 1, idx)]
+            col = pa.array(tid, pa.string())
+            col = pc.if_else(pa.array(idx >= 0), col, pa.scalar(None, pa.string()))
+            return batch.append_column("tile_id", col)
+        # mode == "all": explode — one output row per containing tile
+        pts, polys = self.prep.assign_all(lon, lat)
+        sub = batch.take(pa.array(pts))
+        return sub.append_column(
+            "tile_id", pa.array(self.tile_ids[polys], pa.string()))
+
+
+def assign_tiles(ds, prepared_or_ref, mode: str = "first",
+                 lon_col: str = "x", lat_col: str = "y",
+                 concurrency=(1, 4), batch_size: int = 65536,
+                 num_cpus: float = 1):
+    """Actor pool (holds the broadcast PreparedPolygons). Autoscaling
+    (min=1) concurrency by default so a composed pipeline on a small
+    host cannot deadlock on CPU reservations."""
+    return ds.map_batches(
+        TileAssigner, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus,
+        fn_constructor_kwargs=dict(prepared_ref=prepared_or_ref, mode=mode,
+                                   lon_col=lon_col, lat_col=lat_col))
+
+
+# ------------------------------------------------------------------ kNN
+
+def knn(ds, query_lon: float, query_lat: float, k: int,
+        ring: int | None = None, res: int = config.H3_ANALOG_RES,
+        lon_col: str = "x", lat_col: str = "y", id_col: str | None = None):
+    """k nearest rows to a query point.
+
+    Scale path: when ``ring`` is given, candidates are pre-filtered to
+    the H3-analog grid_disk(query_cell, ring) — the k-ring expansion of
+    the north_star — so only candidate cells' rows are scored; the
+    caller widens ``ring`` if fewer than k rows return. Each batch then
+    emits only its local top-k (per-partition max-heap == vectorized
+    argpartition), and the global answer is the tiny sort+limit of
+    those partials. Distances are squared-degree euclidean (consistent
+    tie-breaking via id_col when given).
+    """
+    qcell = cellmod.latlng_to_cell(np.array([query_lat]), np.array([query_lon]), res)[0]
+    cand_cells = cellmod.grid_disk(int(qcell), ring).astype(np.int64) if ring is not None else None
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if cand_cells is not None and "h3_cell" in batch.schema.names:
+            mask = pc.is_in(batch["h3_cell"], value_set=pa.array(cand_cells, pa.int64()))
+            batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return batch.append_column("dist", pa.array([], pa.float64()))
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        d = (lon - query_lon) ** 2 + (lat - query_lat) ** 2
+        batch = batch.append_column("dist", pa.array(d, pa.float64()))
+        if batch.num_rows > k:
+            keep = np.argpartition(d, k)[:k]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow")
+    sort_keys = ["dist"] + ([id_col] if id_col else [])
+    return out.sort(sort_keys).limit(k)
+
+
+# ------------------------------------- raster<->vector + salted reduce
+
+def tile_histogram(ds, zoom: int, salt: int = config.DEFAULT_SALT,
+                   cell_col: str = "h3_cell"):
+    """Rows-per-raster-tile histogram with explicit skew mitigation:
+    batch-local partial counts keyed by (tile, salt) -> small shuffle ->
+    final unsalted reduce. The salt splits a hot tile's stream across
+    ``salt`` reducers (SURVEY.md §4 'Skew')."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tile = cellmod.cell_to_parent(cell, zoom).astype(np.int64)
+        s = (splitmix64(cell) % np.uint64(max(1, salt))).astype(np.int64)
+        key = tile * np.int64(salt) + s
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_salt": pa.array(uk, pa.int64()),
+            "partial_n": pa.array(counts, pa.int64()),
+        })
+
+    salted = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("tile_salt").aggregate(Sum("partial_n", alias_name="n_salted")))
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile": pc.divide(batch["tile_salt"], salt),
+            "partial_n": batch["n_salted"],
+        })
+
+    return (salted.map_batches(unsalt, batch_format="pyarrow")
+                  .groupby("tile").aggregate(Sum("partial_n", alias_name="n")))
+
+
+def raster_tile_ids(ds, zoom: int, cell_col: str = "h3_cell",
+                    out_col: str = "raster_tile"):
+    """Append a z/x/y raster tile id string per row (vector feature ->
+    raster tile assignment)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        cell = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parent = cellmod.cell_to_parent(cell, zoom)
+        x, y = cellmod.cell_xy(parent)
+        ids = np.char.add(np.char.add(np.char.add(f"{zoom}/",
+                          x.astype(str)), "/"), y.astype(str))
+        return batch.append_column(out_col, pa.array(ids.tolist(), pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ exact dedup
+
+def dedup_exact(ds, key_col: str = "phash", order_col: str = "image_id",
+                n_buckets: int = config.DEFAULT_JOIN_BUCKETS):
+    """Exact dedup: keep the row with the smallest ``order_col`` per
+    ``key_col`` value (deterministic winner). Hash-partitioned by a
+    bucket of the key so the shuffle key is dense; the per-bucket
+    keep-first is a vectorized pandas groupby-idxmin, not per-group
+    Python."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(bucket_of(keys, n_buckets), pa.int64()))
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(key_col, sort=False)[order_col].idxmin()
+        return df.loc[idx.sort_values()].drop(columns="__bucket")
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(keep_first, batch_format="pandas"))

@@ -1,0 +1,140 @@
+"""Spatial pack + image-stage tests (Ray session required)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from osm2shp_ray.functions import cells as cellmod
+from osm2shp_ray.sources import fixtures
+from osm2shp_ray.stages import images as imgstage
+from osm2shp_ray.stages import spatial
+
+
+@pytest.fixture(scope="module")
+def points_ds(ray_session):
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table({
+        "pid": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(rng.uniform(-170, 170, n), pa.float64()),
+        "y": pa.array(rng.uniform(-80, 80, n), pa.float64()),
+    })
+    return rd.from_arrow(t), t
+
+
+def test_encode_cells(points_ds):
+    ds, t = points_ds
+    out = spatial.encode_cells(ds, concurrency=2).take_batch(5000, batch_format="pyarrow")
+    lat = t["y"].to_numpy()
+    lon = t["x"].to_numpy()
+    exp = cellmod.latlng_to_cell(lat, lon, 15).astype(np.int64)
+    got = dict(zip(out["pid"].to_numpy(), out["h3_cell"].to_numpy()))
+    exp_map = dict(zip(t["pid"].to_numpy(), exp))
+    assert got == exp_map
+    assert "s2_cell" in out.schema.names
+
+
+def test_tile_assign_matches_local(points_ds, ray_session):
+    ds, t = points_ds
+    tiles = fixtures.tiles_table(16)
+    prep = spatial.prepare_tiles(tiles)
+    ref = ray.put(prep)
+    out = spatial.assign_tiles(ds, ref, concurrency=2).take_batch(5000, batch_format="pyarrow")
+    # local truth
+    idx = prep.assign_first(t["x"].to_numpy(), t["y"].to_numpy())
+    tid = np.asarray(prep.tile_ids + [None], dtype=object)[np.where(idx < 0, len(prep.tile_ids), idx)]
+    exp = dict(zip(t["pid"].to_numpy(), tid))
+    got = dict(zip(out["pid"].to_numpy(), out["tile_id"].to_pylist()))
+    assert got == exp
+    assert any(v is not None for v in got.values())
+
+
+def test_tile_assign_all_mode(points_ds, ray_session):
+    ds, t = points_ds
+    tiles = fixtures.tiles_table(16)
+    prep = spatial.prepare_tiles(tiles)
+    out = spatial.assign_tiles(ds, ray.put(prep), mode="all", concurrency=2)
+    rows = out.take_all()
+    pts, polys = prep.assign_all(t["x"].to_numpy(), t["y"].to_numpy())
+    assert len(rows) == len(pts)
+
+
+def test_knn_bruteforce_and_kring(points_ds):
+    ds, t = points_ds
+    q = (12.0, 34.0)
+    x = t["x"].to_numpy(); y = t["y"].to_numpy()
+    d = (x - q[0]) ** 2 + (y - q[1]) ** 2
+    exp = t["pid"].to_numpy()[np.argsort(d, kind="stable")[:10]]
+    got = spatial.knn(ds, q[0], q[1], 10, id_col="pid").to_pandas()
+    assert sorted(got["pid"].tolist()) == sorted(exp.tolist())
+    # k-ring pruned variant at coarse res so the disk holds enough rows
+    ds_cells = spatial.encode_cells(ds, res=4, concurrency=2)
+    got2 = spatial.knn(ds_cells, q[0], q[1], 10, ring=2, res=4, id_col="pid").to_pandas()
+    assert sorted(got2["pid"].tolist()) == sorted(exp.tolist())
+
+
+def test_tile_histogram_salted(points_ds):
+    ds, t = points_ds
+    ds_cells = spatial.encode_cells(ds, concurrency=2)
+    hist = spatial.tile_histogram(ds_cells, zoom=3, salt=4).to_pandas()
+    assert hist["n"].sum() == 5000
+    # local truth
+    cells = cellmod.latlng_to_cell(t["y"].to_numpy(), t["x"].to_numpy(), 15)
+    parents = cellmod.cell_to_parent(cells, 3).astype(np.int64)
+    import collections
+    exp = collections.Counter(parents.tolist())
+    got = dict(zip(hist["tile"], hist["n"]))
+    assert got == dict(exp)
+
+
+def test_raster_tile_ids(points_ds):
+    ds, t = points_ds
+    out = (spatial.raster_tile_ids(spatial.encode_cells(ds, concurrency=2), zoom=2)
+           .take_batch(10, batch_format="pyarrow"))
+    for v in out["raster_tile"].to_pylist():
+        z, xx, yy = v.split("/")
+        assert z == "2" and 0 <= int(xx) < 4 and 0 <= int(yy) < 4
+
+
+def test_dedup_exact(ray_session):
+    imgs = fixtures.images_table(300)
+    ds = rd.from_arrow(imgs.select(["image_id", "phash"]))
+    out = spatial.dedup_exact(ds, key_col="phash", order_col="image_id", n_buckets=8).to_pandas()
+    ph = imgs["phash"].to_numpy()
+    ids = np.asarray(imgs["image_id"].to_pylist(), dtype=object)
+    import pandas as pd
+    exp = (pd.DataFrame({"phash": ph, "image_id": ids})
+           .sort_values("image_id").groupby("phash", sort=False).first())
+    assert len(out) == len(exp)
+    assert set(out["image_id"]) == set(exp["image_id"])
+
+
+def test_decode_validate_invariants(ray_session):
+    imgs = fixtures.images_table(120)
+    ds = rd.from_arrow(imgs)
+    out = imgstage.decode_validate(ds, concurrency=2, batch_size=64).to_pandas()
+    assert out["decode_ok"].all()
+    assert (out["psnr_db"] >= 40.0).all()   # input_hint invariant
+    # caption passthrough equality
+    merged = out.merge(imgs.select(["image_id", "caption"]).to_pandas(),
+                       on="image_id", suffixes=("", "_orig"))
+    assert (merged["caption"] == merged["caption_orig"]).all()
+    assert "bytes" not in out.columns
+
+
+def test_image_features(ray_session):
+    imgs = fixtures.images_table(40)
+    out = imgstage.image_features(rd.from_arrow(imgs), concurrency=2).take_batch(40, batch_format="pyarrow")
+    feats = out["features"].to_pylist()
+    assert all(len(f) == 48 for f in feats)
+    assert any(max(f) > 0 for f in feats)
+
+
+def test_multimodal_stubs():
+    with pytest.raises(NotImplementedError):
+        imgstage.AudioFeatures()
+    with pytest.raises(NotImplementedError):
+        imgstage.VideoFrameSample()
