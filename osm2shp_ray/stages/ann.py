@@ -1,0 +1,161 @@
+"""Approximate nearest-neighbor search over an embedding column
+(SURVEY.md §2.8 'Similarity search').
+
+- brute_force_topk: the exactness baseline — numpy matmul per batch
+  against a broadcast query matrix, per-batch partial top-k, tiny
+  global reduce. O(N*d) work fully distributed; the query matrix is
+  ray.put once, never re-shipped per batch.
+- ivf_topk: the scale path — k-means-lite centroids (trained on a
+  driver-side sample), rows pre-assigned to their nearest centroid
+  (one pass), searches probe only ``nprobe`` inverted lists via a
+  cell filter; recall/latency trade documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    vals = col.to_pylist()
+    return (np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            if vals else np.empty((0, 0)))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """queries: (q, d). Returns Dataset (query_id, {id_col}, cosine)
+    with exactly k rows per query (ties broken by id asc)."""
+    import ray
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        q = _ray.get(q_ref)
+        x = _normalize(_as_matrix(batch[vec_col]))
+        if x.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = x @ q.T                       # (n, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n, nq = sims.shape
+        kk = min(k, n)
+        # per-query partial top-k (the per-partition max-heap)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        out_i = part.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(ids[out_i]),
+            "cosine": pa.array(sims[out_i, out_q], pa.float64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True])
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def train_centroids(ds, n_centroids: int, vec_col: str = "embedding",
+                    sample_limit: int = 50_000, iters: int = 8,
+                    seed: int = 9) -> np.ndarray:
+    """k-means-lite on a driver-side sample (the small, reused side —
+    materializing a bounded sample is the documented exception to
+    no-driver-loops). Returns (n_centroids, d) normalized centroids."""
+    sample = ds.limit(sample_limit).take_all()
+    x = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def assign_centroids(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Append ``ivf_cell`` (nearest-centroid index) per row — the build
+    pass of the inverted file; centroids broadcast once."""
+    import ray
+    c_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        c = _ray.get(c_ref)
+        x = _normalize(_as_matrix(batch[vec_col]))
+        cell = (np.argmax(x @ c.T, axis=1).astype(np.int64)
+                if x.size else np.empty(0, np.int64))
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id"):
+    """Search only the ``nprobe`` nearest inverted lists per query.
+    The cell filter happens batch-side (pc.is_in) so non-probed rows
+    are dropped before any matmul. Union of all queries' probe sets is
+    used for the filter; per-query probe masks applied in the kernel."""
+    import pyarrow.compute as pc
+    import ray
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]       # (q, nprobe)
+    probe_union = np.unique(probes)
+    q_ref = ray.put((qn, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        q, pr = _ray.get(q_ref)
+        mask = pc.is_in(batch["ivf_cell"], value_set=pa.array(probe_union, pa.int64()))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        x = _normalize(_as_matrix(batch[vec_col]))
+        cells = batch["ivf_cell"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = x @ q.T                      # (n, q)
+        # mask rows not in this query's probe list
+        allowed = np.zeros_like(sims, dtype=bool)
+        for qi in range(q.shape[0]):
+            allowed[:, qi] = np.isin(cells, pr[qi])
+        sims = np.where(allowed, sims, -np.inf)
+        n, nq = sims.shape
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        out_i = part.T.reshape(-1)
+        vals = sims[out_i, out_q]
+        keep = np.isfinite(vals)
+        return pa.table({
+            "query_id": pa.array(out_q[keep], pa.int64()),
+            id_col: pa.array(ids[out_i[keep]]),
+            "cosine": pa.array(vals[keep], pa.float64()),
+        })
+
+    partials = indexed_ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True])
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")

