@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the osm2shp_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship conversion+tiling pipeline on an
+image-caption fixture sized from /root/testdata/sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + §2.8); ``oracle_sql()`` pairs each SQL-expressible
+query with DuckDB SQL over the same tables (column names/types match
+exactly; aggregates rounded to 4 decimals in both engines; spatial
+keys are bit-identical int64 arithmetic).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -20,25 +18,177 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: images -> decode/validate -> entity adapter ->
+    classify -> distributed node-ref join -> geometry -> cell encode ->
+    PIP tile assign. Returns the tiled way-feature Dataset."""
+    import ray
+    import ray.data as rd
+
+    from osm2shp_ray.pipelines import adapter, convert
+    from osm2shp_ray.sources.fixtures import cached_images_parquet, tiles_table
+    from osm2shp_ray.stages import images as imgstage
+    from osm2shp_ray.stages import spatial
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    images = rd.read_parquet(cached_images_parquet(max(2000, n_docs * 4), use_ray=False))
+
+    validated = imgstage.decode_validate(images, batch_size=512)
+    ok_images = validated  # invariant columns ride along; failures stay visible
+    nodes, ways = adapter.adapt_images(images, n_buckets=32)
+    points, ways_out = convert.convert(nodes, ways, n_buckets=32)
+    prep = spatial.prepare_tiles(tiles_table(32))
+    tiled = spatial.assign_tiles(
+        spatial.encode_cells(ways_out), ray.put(prep))
+    # consume the validation branch cheaply to keep the invariant hot
+    _ = ok_images.count()
+    return tiled
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm2shp_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core relational / reference-operator analogs
+        "q01_pricing_summary": q.q01_pricing_summary,
+        "q03_top_orders": q.q03_top_orders,
+        "q_join_resolve": q.q_join_resolve,
+        "q_first_match_classify": q.q_first_match_classify,
+        "q_window_tumbling": q.q_window_tumbling,
+        "q_topk_users": q.q_topk_users,
+        # spatial pack
+        "q_cell_encode": q.q_cell_encode,
+        "q_tile_histogram": q.q_tile_histogram,
+        "q_pip_rect": q.q_pip_rect,
+        "q_knn": q.q_knn,
+        "q_snap_dedup": q.q_snap_dedup,
+        # text / dedup / similarity pack
+        "q_dedup_exact": q.q_dedup_exact,
+        "q_token_stats": q.q_token_stats,
+        "q_punct_by_source": q.q_punct_by_source,
+        "q_ann_topk": q.q_ann_topk,
+        # rows-only (non-SQL-expressible: sketches, LSH, full pipeline)
+        "q_langid_counts": q.q_langid_counts,
+        "q_simhash_docs": q.q_simhash_docs,
+        "q_minhash_pairs": q.q_minhash_pairs,
+        "q_fingerprints": q.q_fingerprints,
+        "q_embed_near_dup": q.q_embed_near_dup,
+        "q_ivf_topk": q.q_ivf_topk,
+        "q_convert_images": q.q_convert_images,
+        "q_postprocess_ways": q.q_postprocess_ways,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm2shp_ray.pipelines.queries import (CLASSIFY_RULES_SQL, KNN_Q,
+                                               LAT_MULT, LON_MULT, PIP_RECTS)
+
+    pip_case = "CASE " + " ".join(
+        f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
+        for tid, x0, y0, x1, y1 in PIP_RECTS) + " ELSE 'none' END"
+
+    pts = (f"SELECT c_custkey, "
+           f"((c_custkey * {LON_MULT}) % 360000000) / 1000000.0 - 180.0 AS x, "
+           f"((c_custkey * {LAT_MULT}) % 180000000) / 1000000.0 - 90.0 AS y "
+           f"FROM customer")
+
+    cells = (f"SELECT c_custkey, "
+             f"((c_custkey * {LON_MULT}) % 360000000) * 8192 // 360000000 AS x13, "
+             f"LEAST((180000000 - ((c_custkey * {LAT_MULT}) % 180000000)) * 8192 "
+             f"// 180000000, 8191) AS y13 FROM customer")
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q03_top_orders": """
+            SELECT l_orderkey AS o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   ANY_VALUE(o_orderdate) AS o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 10""",
+        "q_join_resolve": """
+            SELECT l_orderkey AS way_id, CAST(count(*) AS BIGINT) AS n_refs
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CASE WHEN l_partkey % 10 = 0 THEN 1 ELSE 0 END) = 0""",
+        "q_first_match_classify": f"""
+            SELECT {CLASSIFY_RULES_SQL} AS layer,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(p_partkey) AS BIGINT) AS min_key
+            FROM part GROUP BY 1""",
+        "q_window_tumbling": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id, 2""",
+        "q_topk_users": """
+            SELECT user_id, round(sum(value), 4) AS total_value,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC, user_id LIMIT 10""",
+        "q_cell_encode": f"""
+            SELECT c_custkey,
+                   13 * 288230376151711744 + y13 * 536870912 + x13 AS cell13,
+                   6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS cell6
+            FROM ({cells})""",
+        "q_tile_histogram": f"""
+            SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({cells}) GROUP BY 1""",
+        "q_pip_rect": f"""
+            SELECT {pip_case} AS tile_id, CAST(count(*) AS BIGINT) AS n
+            FROM ({pts}) GROUP BY 1""",
+        "q_knn": f"""
+            SELECT c_custkey,
+                   round((x - ({KNN_Q[0]})) * (x - ({KNN_Q[0]}))
+                       + (y - ({KNN_Q[1]})) * (y - ({KNN_Q[1]})), 6) AS dist
+            FROM ({pts})
+            ORDER BY (x - ({KNN_Q[0]})) * (x - ({KNN_Q[0]}))
+                   + (y - ({KNN_Q[1]})) * (y - ({KNN_Q[1]})), c_custkey
+            LIMIT 20""",
+        "q_snap_dedup": f"""
+            SELECT CAST(floor(x / 0.002) AS BIGINT) AS qx,
+                   CAST(floor(y / 0.002) AS BIGINT) AS qy,
+                   CAST(min(c_custkey) AS BIGINT) AS c_custkey
+            FROM ({pts}) GROUP BY 1, 2""",
+        "q_dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text""",
+        "q_token_stats": r"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang""",
+        "q_punct_by_source": """
+            SELECT source,
+                   round(avg(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                         / GREATEST(length(text), 1)), 4) AS avg_punct,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source""",
+        "q_ann_topk": """
+            WITH q AS (
+                SELECT CAST(0 AS BIGINT) AS query_id, embedding FROM embeddings WHERE vec_id = 3
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), embedding FROM embeddings WHERE vec_id = 17)
+            SELECT q.query_id, e.vec_id
+            FROM embeddings e CROSS JOIN q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) <= 10""",
+    }

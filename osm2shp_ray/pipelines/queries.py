@@ -1,0 +1,438 @@
+"""Driver-contract query implementations over the TPC-H-ish testdata
+tables, one per operator family of SURVEY.md §2 + §2.8. Each function
+takes ``sf_dir`` and returns a Dataset / DataFrame / Table whose
+column NAMES and TYPES exactly match the paired SQL in
+``__ray_entry__.oracle_sql`` (the driver hash-compares values).
+
+Float policy: aggregate outputs are rounded to 4 decimals in BOTH
+engines; integer-derived spatial keys use pure int64 arithmetic that
+is bit-identical in numpy and DuckDB (parity asserted over 200k keys
+in tests/test_queries_oracle.py).
+
+Scale notes are per-query docstrings; dimension-side broadcasts
+(ray.put once, searchsorted per batch) stand in for what would be a
+Dataset.join at truly large dimension tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.cells import latlng_to_cell, cell_to_parent
+from ..functions.pip import PreparedPolygons
+from ..stages import ann, dedup, spatial, text
+
+# integer-exact point derivation shared by the spatial queries
+LON_MULT = 2654435761
+LAT_MULT = 40503
+CELL_RES = 13
+TILE_RES = 6
+KNN_Q = (12.3456785, 34.5678905)
+
+CLASSIFY_RULES_SQL = """CASE
+  WHEN p_size = 1 THEN 'layer_size1'
+  WHEN p_brand = 'Brand#13' THEN 'layer_b13'
+  WHEN p_type = 'ECONOMY' THEN 'layer_econ'
+  WHEN p_size <= 5 THEN 'layer_small'
+  WHEN p_brand = 'Brand#2' THEN 'layer_b2'
+  ELSE 'unmatched' END"""
+
+PIP_RECTS = [
+    ("t_a", -120.0000005, -45.0000005, -20.0000005, 10.0000005),
+    ("t_b", -60.0000005, -20.0000005, 60.0000005, 60.0000005),   # overlaps t_a
+    ("t_c", 40.0000005, -80.0000005, 170.0000005, 20.0000005),
+    ("t_d", -170.0000005, 30.0000005, -100.0000005, 85.0000005),
+    ("t_e", -10.0000005, -88.0000005, 30.0000005, -30.0000005),
+]
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols, nd: int = 4) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+def custkey_lonlat(ck: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic WGS84 point per customer key — integer-grid
+    (1e-6 degree) so float expressions match SQL bit-for-bit."""
+    lon_s = (ck * LON_MULT) % 360000000
+    lat_s = (ck * LAT_MULT) % 180000000
+    return lon_s / 1e6 - 180.0, lat_s / 1e6 - 90.0
+
+
+# ---------------------------------------------------------------- A: core
+
+def q01_pricing_summary(sf_dir: str):
+    """Grouped aggregation with filter (operator family A1/A2 + M-ops)."""
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_base_price"),
+                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Mean("l_quantity", alias_name="avg_qty"),
+                        Count(alias_name="n"))).to_pandas()
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+
+
+def q03_top_orders(sf_dir: str):
+    """3-table join via broadcast small sides + grouped top-k.
+    At dimension tables too large to broadcast this becomes
+    Dataset.join; the fact table is never materialized."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)[
+            np.asarray(b["c_mktsegment"].to_pylist(), dtype=object) == "BUILDING"]
+        for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)]))
+    cutoff = datetime.datetime(1998, 6, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    okeys, odates = [], []
+    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        oc = b["o_custkey"].to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = (od < np.datetime64(cutoff)) & (
+            np.searchsorted(ckeys, oc) < len(ckeys)) & np.isin(oc, ckeys)
+        okeys.append(ok[m]); odates.append(od[m])
+    okeys = np.concatenate(okeys); odates = np.concatenate(odates)
+    order_idx = np.argsort(okeys)
+    okeys, odates = okeys[order_idx], odates[order_idx]
+    o_ref = ray.put((okeys, odates))
+
+    def li(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        ok, _ = _ray.get(o_ref)
+        m = (t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(cutoff))
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        m &= np.isin(lk, ok)
+        t = t.filter(pa.array(m))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = (lineitem.map_batches(li, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+           .sort(["revenue", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    pos = np.searchsorted(okeys, agg["o_orderkey"].to_numpy())
+    agg["o_orderdate"] = odates[pos]
+    return _round_cols(agg, ["revenue"])
+
+
+def q_join_resolve(sf_dir: str):
+    """The J1/J2 node-ref join analog: lineitems are way positions,
+    parts are nodes, parts with key%10==0 are 'missing' -> any order
+    touching one is dropped whole (completeness gate)."""
+    part = _read(sf_dir, "part", ["p_partkey"])
+    pk = np.sort(np.concatenate([
+        b["p_partkey"].to_numpy(zero_copy_only=False)
+        for b in part.iter_batches(batch_format="pyarrow", batch_size=65536)]))
+    pk = pk[pk % 10 != 0]
+    pk_ref = ray.put(pk)
+
+    def mark(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        keys = _ray.get(pk_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        resolved = np.isin(lp, keys)
+        return pa.table({
+            "way_id": t["l_orderkey"],
+            "one": pa.array(np.ones(len(lp), np.int64)),
+            "unres": pa.array((~resolved).astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    agg = (li.map_batches(mark, batch_format="pyarrow")
+           .groupby("way_id").aggregate(Sum("one", alias_name="n_refs"),
+                                        Sum("unres", alias_name="n_unres")))
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_unres"], 0))
+        return t.drop_columns(["n_unres"])
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+def q_first_match_classify(sf_dir: str):
+    """First-match-wins ordered classifier (M6/M9 analog) over part."""
+    def classify(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        ptype = np.asarray(t["p_type"].to_pylist(), dtype=object)
+        layer = np.select(
+            [size == 1, brand == "Brand#13", ptype == "ECONOMY",
+             size <= 5, brand == "Brand#2"],
+            ["layer_size1", "layer_b13", "layer_econ", "layer_small", "layer_b2"],
+            default="unmatched")
+        return pa.table({"layer": pa.array(layer.tolist(), pa.string()),
+                         "p_partkey": t["p_partkey"]})
+
+    return (_read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+            .map_batches(classify, batch_format="pyarrow")
+            .groupby("layer")
+            .aggregate(Count(alias_name="n"), Min("p_partkey", alias_name="min_key")))
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1h event-time window (streaming-shaped workload over
+    the ordered log; windows are pure key arithmetic -> groupby)."""
+    def win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "window_id": pa.array(ts // 3_600_000_000, pa.int64()),
+            "value": t["value"],
+        })
+
+    out = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+           .map_batches(win, batch_format="pyarrow")
+           .groupby(["user_id", "window_id"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+           ).to_pandas()
+    return _round_cols(out, ["total_value"])
+
+
+def q_topk_users(sf_dir: str):
+    out = (_read(sf_dir, "events", ["user_id", "value"])
+           .groupby("user_id")
+           .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n"))
+           .sort(["total_value", "user_id"], descending=[True, False])
+           .limit(10).to_pandas())
+    return _round_cols(out, ["total_value"])
+
+
+# ------------------------------------------------------------- B: spatial
+
+def _customer_points(sf_dir: str):
+    def pts(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = custkey_lonlat(ck)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "x": pa.array(lon, pa.float64()),
+                         "y": pa.array(lat, pa.float64())})
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(pts, batch_format="pyarrow"))
+
+
+def q_cell_encode(sf_dir: str):
+    """H3/S2-analog cell encode (real cells-module float path; parity
+    with the SQL integer formula asserted over 200k keys in tests)."""
+    def enc(t: pa.Table) -> pa.Table:
+        lat = t["y"].to_numpy(zero_copy_only=False)
+        lon = t["x"].to_numpy(zero_copy_only=False)
+        c13 = latlng_to_cell(lat, lon, CELL_RES)
+        c6 = cell_to_parent(c13, TILE_RES)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "cell13": pa.array(c13.astype(np.int64), pa.int64()),
+                         "cell6": pa.array(c6.astype(np.int64), pa.int64())})
+    return _customer_points(sf_dir).map_batches(enc, batch_format="pyarrow")
+
+
+def q_tile_histogram(sf_dir: str):
+    """Salted two-phase tile reduce (raster<->vector assignment)."""
+    ds = spatial.encode_cells(_customer_points(sf_dir), res=CELL_RES)
+    return spatial.tile_histogram(ds, zoom=TILE_RES, salt=4)
+
+
+def q_pip_rect(sf_dir: str):
+    """Ray-crossing PIP against ordered overlapping rectangles
+    (first-match-wins; bounds off the 1e-6 grid so boundary semantics
+    cannot differ between engines)."""
+    ids = [r[0] for r in PIP_RECTS]
+    xs = [np.array([r[1], r[3], r[3], r[1]]) for r in PIP_RECTS]
+    ys = [np.array([r[2], r[2], r[4], r[4]]) for r in PIP_RECTS]
+    prep = PreparedPolygons(ids, xs, ys)
+    tiled = spatial.assign_tiles(_customer_points(sf_dir), ray.put(prep))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"tile_id": t["tile_id"].fill_null("none")})
+
+    return (tiled.map_batches(fill, batch_format="pyarrow")
+            .groupby("tile_id").aggregate(Count(alias_name="n")))
+
+
+def q_knn(sf_dir: str):
+    """kNN to a fixed query point (per-batch partial top-k + global
+    sort/limit); squared-degree distances are bit-identical to SQL."""
+    out = spatial.knn(_customer_points(sf_dir), KNN_Q[0], KNN_Q[1], 20,
+                      id_col="c_custkey").to_pandas()
+    out = out[["c_custkey", "dist"]]
+    return _round_cols(out, ["dist"], 6)
+
+
+def q_snap_dedup(sf_dir: str):
+    """P5 snap-to-grid dedup: quantize to a 0.002-degree grid, keep
+    min key per cell (exact dedup after quantization)."""
+    def quant(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "qx": pa.array(np.floor(x / 0.002).astype(np.int64), pa.int64()),
+            "qy": pa.array(np.floor(y / 0.002).astype(np.int64), pa.int64()),
+            "c_custkey": t["c_custkey"],
+        })
+    return (_customer_points(sf_dir)
+            .map_batches(quant, batch_format="pyarrow")
+            .groupby(["qx", "qy"])
+            .aggregate(Min("c_custkey", alias_name="c_custkey")))
+
+
+# ------------------------------------------------- C: text / dedup / ANN
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = spatial.dedup_exact(ds, key_col="text", order_col="doc_id", n_buckets=32)
+    return out.select_columns(["doc_id"])
+
+
+def q_token_stats(sf_dir: str):
+    return (_read(sf_dir, "documents", ["doc_id", "text", "lang"])
+            .map_batches(text.token_count_batch, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens")))
+
+
+def q_punct_by_source(sf_dir: str):
+    out = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+           .map_batches(text.quality_score_batch, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Mean("punct_ratio", alias_name="avg_punct"),
+                      Count(alias_name="n_docs"))).to_pandas()
+    return _round_cols(out, ["avg_punct"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for two fixed query vectors; output is
+    id-only so float formatting can't break the value hash."""
+    emb = _read(sf_dir, "embeddings")
+    rows = {r["vec_id"]: r["embedding"]
+            for r in emb.take_batch(64, batch_format="pandas").to_dict("records")
+            if r["vec_id"] in (3, 17)}
+    if len(rows) < 2:  # fallback: fetch explicitly
+        allr = emb.to_pandas()
+        rows = {3: allr[allr.vec_id == 3]["embedding"].iloc[0],
+                17: allr[allr.vec_id == 17]["embedding"].iloc[0]}
+    q = np.stack([np.asarray(rows[3], dtype=np.float64),
+                  np.asarray(rows[17], dtype=np.float64)])
+    out = ann.brute_force_topk(emb, q, k=10).to_pandas()
+    return out[["query_id", "vec_id"]]
+
+
+# ----------------------------------------------------- rows-only queries
+
+def q_langid_counts(sf_dir: str):
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(text.langid_batch, batch_format="pyarrow")
+            .groupby("lang_pred").aggregate(Count(alias_name="n")))
+
+
+def q_simhash_docs(sf_dir: str):
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(dedup.simhash_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "simhash"]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.lsh_candidate_pairs(ds, threshold=0.8).select_columns(["id_a", "id_b"])
+
+
+def q_fingerprints(sf_dir: str):
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(text.fingerprint_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "fingerprint"]))
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Empty result is valid (a clean corpus has no near-dups); the
+    schema is pinned so the driver's stable-schema check always sees
+    the pair columns."""
+    df = dedup.embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.90).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def q_ivf_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings")
+    allr = emb.take_batch(32, batch_format="pandas")
+    q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in allr["embedding"].iloc[:2]])
+    cent = ann.train_centroids(emb, n_centroids=8)
+    indexed = ann.assign_centroids(emb, cent)
+    return ann.ivf_topk(indexed, cent, q, k=10).select_columns(["query_id", "vec_id"])
+
+
+def q_convert_images(sf_dir: str):
+    """Flagship conversion (rows-only: validated against the Python
+    oracle in pytest): images fixture sized from the documents table ->
+    adapter -> classify -> join -> assemble -> per-layer counts."""
+    from ..sources.fixtures import cached_images_parquet
+    from . import adapter, convert
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    n = max(2000, n_docs * 4)
+    images = rd.read_parquet(cached_images_parquet(n, use_ray=False))
+    nodes, ways = adapter.adapt_images(images, n_buckets=32)
+    points, ways_out = convert.convert(nodes, ways, n_buckets=32)
+    p = points.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    w = ways_out.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    p["kind"] = "point"
+    w["kind"] = "way"
+    return pd.concat([p, w], ignore_index=True)
+
+
+def q_postprocess_ways(sf_dir: str):
+    """P3-P6 chain (rows-only): convert -> Douglas-Peucker simplify ->
+    snap-key dedup -> degenerate drop; returns per-layer counts."""
+    from ..sources.fixtures import cached_images_parquet
+    from ..stages import geometry
+    from . import adapter, convert
+    from ..stages.classify import classify_ways_batch
+    from ..stages.join import resolve_ways
+    images = rd.read_parquet(cached_images_parquet(2000, use_ray=False))
+    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
+    assembled = resolve_ways(nodes, classified, n_buckets=16)
+    simplified = assembled.map_batches(
+        lambda t: geometry.simplify_batch(t, 0.002), batch_format="pyarrow")
+    keyed = simplified.map_batches(
+        lambda t: geometry.snap_key_batch(t, 0.002), batch_format="pyarrow")
+
+    def keep_min_way(t: pa.Table) -> pa.Table:
+        # arrow-native keep-first (pandas round-trips would turn the
+        # xs/ys list columns into tensor-extension arrays)
+        i = int(np.argmin(t["way_id"].to_numpy(zero_copy_only=False)))
+        return t.slice(i, 1)
+
+    deduped = (keyed.groupby("snap_key")
+               .map_groups(keep_min_way, batch_format="pyarrow"))
+    cleaned = deduped.map_batches(geometry.drop_degenerate_batch,
+                                  batch_format="pyarrow")
+    return cleaned.groupby("layer_idx").aggregate(Count(alias_name="n"))

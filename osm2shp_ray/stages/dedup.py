@@ -126,7 +126,9 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         trunc = 0
         if m > max_bucket:
             trunc = m - max_bucket
@@ -246,7 +248,9 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
         sh = df["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
         ids = df[id_col].to_numpy()
         ia, ib = np.triu_indices(m, k=1)
@@ -317,7 +321,9 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

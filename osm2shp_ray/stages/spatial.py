@@ -218,7 +218,16 @@ def dedup_exact(ds, key_col: str = "phash", order_col: str = "image_id",
     Python."""
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False)
-        return t.append_column("__bucket", pa.array(bucket_of(keys, n_buckets), pa.int64()))
+        if keys.dtype.kind in ("i", "u"):
+            b = bucket_of(keys, n_buckets)
+        else:  # string keys: vectorized polars hash -> bucket
+            import polars as pl
+            col = t[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = pl.from_arrow(col).hash(seed=17).to_numpy().astype(np.uint64)
+            b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         idx = df.groupby(key_col, sort=False)[order_col].idxmin()

@@ -1,0 +1,92 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare against its oracle_sql() DuckDB result —
+row count, column names, and exact values (order-insensitive)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import importlib
+    import __ray_entry__
+    importlib.reload(__ray_entry__)
+    return __ray_entry__
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+SQL_CHECKED = [
+    "q01_pricing_summary", "q03_top_orders", "q_join_resolve",
+    "q_first_match_classify", "q_window_tumbling", "q_topk_users",
+    "q_cell_encode", "q_tile_histogram", "q_pip_rect", "q_knn",
+    "q_snap_dedup", "q_dedup_exact", "q_token_stats",
+    "q_punct_by_source", "q_ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, duck, entrymod):
+    ray_df = _normalize(_to_df(entrymod.queries()[name](SF)))
+    sql_df = _normalize(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (ray_df.columns, sql_df.columns)
+    assert len(ray_df) == len(sql_df), (len(ray_df), len(sql_df))
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=True)
+
+
+ROWS_ONLY = ["q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
+             "q_fingerprints", "q_embed_near_dup", "q_ivf_topk",
+             "q_convert_images", "q_postprocess_ways"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, entrymod):
+    df = _to_df(entrymod.queries()[name](SF))
+    assert df is not None and len(df.columns) > 0
+    assert len(df) >= 0
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = _to_df(ds)
+    assert len(df) > 0
+    assert "tile_id" in df.columns and "h3_cell" in df.columns
+
+
+def test_oracle_queries_coverage(entrymod):
+    """Every oracle key has a queries() entry (driver requirement)."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    assert set(SQL_CHECKED) == o
