@@ -35,7 +35,9 @@ def entry() -> Any:
 
     validated = imgstage.decode_validate(images, batch_size=512)
     ok_images = validated  # invariant columns ride along; failures stay visible
-    nodes, ways = adapter.adapt_images(images, n_buckets=32)
+    meta = rd.read_parquet(cached_images_parquet(max(2000, n_docs * 4), use_ray=False),
+                           columns=["image_id", "caption", "phash"])
+    nodes, ways = adapter.adapt_images(meta, n_buckets=32)
     points, ways_out = convert.convert(nodes, ways, n_buckets=32)
     prep = spatial.prepare_tiles(tiles_table(32))
     tiled = spatial.assign_tiles(

@@ -121,9 +121,10 @@ def adapt_images(images_ds, n_buckets: int = 64):
             "bucket", pa.array(bucket_of(t["way_id"].to_numpy(zero_copy_only=False),
                                          n_buckets), pa.int64()))
 
-    ways = (nodes
-            .map_batches(way_membership_batch, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
+    from ..stages.util import coalesced
+    ways = (coalesced(nodes
+                      .map_batches(way_membership_batch, batch_format="pyarrow")
+                      .map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(_build_ways_group, batch_format="pandas"))
     return nodes, ways

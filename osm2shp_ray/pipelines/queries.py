@@ -398,7 +398,8 @@ def q_convert_images(sf_dir: str):
     from . import adapter, convert
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
     n = max(2000, n_docs * 4)
-    images = rd.read_parquet(cached_images_parquet(n, use_ray=False))
+    images = rd.read_parquet(cached_images_parquet(n, use_ray=False),
+                             columns=["image_id", "caption", "phash"])
     nodes, ways = adapter.adapt_images(images, n_buckets=32)
     points, ways_out = convert.convert(nodes, ways, n_buckets=32)
     p = points.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
@@ -416,7 +417,8 @@ def q_postprocess_ways(sf_dir: str):
     from . import adapter, convert
     from ..stages.classify import classify_ways_batch
     from ..stages.join import resolve_ways
-    images = rd.read_parquet(cached_images_parquet(2000, use_ray=False))
+    images = rd.read_parquet(cached_images_parquet(2000, use_ray=False),
+                             columns=["image_id", "caption", "phash"])
     nodes, ways = adapter.adapt_images(images, n_buckets=16)
     classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
     assembled = resolve_ways(nodes, classified, n_buckets=16)

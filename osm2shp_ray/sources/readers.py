@@ -1,0 +1,62 @@
+"""Input readers — the S1-S4 surface of SURVEY.md §2.1.
+
+The reference reads OSM XML (plain/.gz/.bz2) and PBF through one entry
+point with format dispatch (/root/reference/osm2shp.cc:1,16-18;
+mapgen.sh:24-33 probes extensions in order). Here the same shape: one
+``read_table(path)`` that dispatches on extension/format, returning a
+``ray.data.Dataset``:
+
+- ``.parquet`` / directory of parquet -> ray.data.read_parquet
+- ``.lance`` -> ray.data.read_lance (the mandated input format; the
+  lance library is absent from this container so the branch is gated —
+  the call raises a clear error here and works unmodified where
+  pylance is installed)
+- ``.csv`` / ``.json`` -> corresponding Ray readers (conveniences)
+
+``discover_input`` mirrors mapgen's ordered-extension probing.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_table(path: str, columns=None, **kwargs):
+    import ray.data as rd
+
+    ext = _ext(path)
+    if ext in ("parquet", ""):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if ext == "lance":
+        try:
+            return rd.read_lance(path, columns=columns, **kwargs)
+        except (ImportError, AttributeError) as e:
+            raise ImportError(
+                "read_lance requires the `lance` package, which is not "
+                "installed in this container; install pylance or convert "
+                "the table to parquet") from e
+    if ext == "csv":
+        return rd.read_csv(path, **kwargs)
+    if ext in ("json", "jsonl"):
+        return rd.read_json(path, **kwargs)
+    raise NotImplementedError(f"no reader for extension {ext!r} ({path})")
+
+
+def _ext(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    if "." not in base:
+        return ""
+    e = base.rsplit(".", 1)[-1].lower()
+    return e
+
+
+def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl")) -> str:
+    """Probe ``base.<ext>`` in priority order (mapgen.sh:24-33 analog);
+    also accepts ``base`` itself if it is a directory."""
+    if os.path.isdir(base):
+        return base
+    for e in exts:
+        cand = f"{base}.{e}"
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(f"no input found for {base} (tried {exts})")

@@ -60,7 +60,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int,
             "cosine": pa.array(sims[out_i, out_q], pa.float64()),
         })
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    from .util import coalesced
+    partials = coalesced(ds.map_batches(local_topk, batch_format="pyarrow"))
 
     def global_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", id_col], ascending=[False, True])
@@ -152,7 +153,8 @@ def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
             "cosine": pa.array(vals[keep], pa.float64()),
         })
 
-    partials = indexed_ds.map_batches(local_topk, batch_format="pyarrow")
+    from .util import coalesced
+    partials = coalesced(indexed_ds.map_batches(local_topk, batch_format="pyarrow"))
 
     def global_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", id_col], ascending=[False, True])

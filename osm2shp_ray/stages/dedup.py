@@ -25,6 +25,7 @@ import polars as pl
 import pyarrow as pa
 
 from ..functions.hashing import splitmix64
+from .util import coalesced
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -146,9 +147,9 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             out.attrs["truncated"] = trunc
         return out
 
-    bands_ds = ds.map_batches(
+    bands_ds = coalesced(ds.map_batches(
         lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands, shingle_n),
-        batch_format="pyarrow")
+        batch_format="pyarrow"))
     pairs = (bands_ds.groupby(["band_id", "band_hash"])
              .map_groups(pairs_in_group, batch_format="pandas"))
     # same pair can surface from several bands -> dedup
@@ -261,7 +262,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
                              "hamming": ham[keep]})
 
-    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = (coalesced(ds.map_batches(band_rows, batch_format="pyarrow"))
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
     return (pairs.groupby(["id_a", "id_b"])
@@ -337,7 +338,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
                              "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
                              "cosine": cs[keep]})
 
-    pairs = (ds.map_batches(bucket_rows, batch_format="pyarrow")
+    pairs = (coalesced(ds.map_batches(bucket_rows, batch_format="pyarrow"))
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
     return (pairs.groupby(["id_a", "id_b"])

@@ -95,22 +95,34 @@ class ImageFeatures:
         return out.append_column("features", pa.ListArray.from_arrays(offs, flat))
 
 
-def decode_validate(ds, concurrency=(1, 8), batch_size: int = 1024,
+def decode_validate(ds, concurrency=None, batch_size: int = 1024,
                     check_ground_truth: bool = True, num_cpus: float = 1):
-    """Autoscaling (min=1) actor pool: a fixed pool that reserves CPUs
-    next to other pools can starve the read stage on small hosts."""
-    return ds.map_batches(DecodeValidate, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
-                          num_cpus=num_cpus,
-                          fn_constructor_kwargs=dict(check_ground_truth=check_ground_truth))
+    """Default: INSTANCE-as-function -> stateless elastic tasks. The
+    instance is cloudpickled once into the task spec and cached per
+    worker process, so per-worker setup is amortized WITHOUT reserving
+    CPUs the way an actor pool does (a fixed pool starves the read
+    stage; an autoscaling pool ramps too slowly — both measured on the
+    32-CPU bench). Pass ``concurrency`` to force an actor pool (needed
+    only when setup is too heavy for per-worker init, e.g. GPU model
+    load)."""
+    if concurrency is not None:
+        return ds.map_batches(DecodeValidate, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              num_cpus=num_cpus,
+                              fn_constructor_kwargs=dict(check_ground_truth=check_ground_truth))
+    fn = DecodeValidate(check_ground_truth=check_ground_truth)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
-def image_features(ds, concurrency=(1, 8), batch_size: int = 1024, thumb: int = 4,
+def image_features(ds, concurrency=None, batch_size: int = 1024, thumb: int = 4,
                    num_cpus: float = 1):
-    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
-                          num_cpus=num_cpus,
-                          fn_constructor_kwargs=dict(thumb=thumb))
+    if concurrency is not None:
+        return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              num_cpus=num_cpus,
+                              fn_constructor_kwargs=dict(thumb=thumb))
+    return ds.map_batches(ImageFeatures(thumb=thumb), batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 class AudioFeatures:

@@ -117,7 +117,13 @@ def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None):
             "bucket", pa.array(bucket_of(t["ref"].to_numpy(zero_copy_only=False), b),
                                pa.int64()))
 
-    unioned = exploded.union(node_side).map_batches(add_ref_bucket, batch_format="pyarrow")
+    from .util import coalesced
+
+    # coalesce before the wide op: union of two deep map chains carries
+    # hundreds of tiny inherited blocks, and sort-shuffle cost is
+    # quadratic in block count (see util.shuffle_blocks)
+    unioned = coalesced(
+        exploded.union(node_side).map_batches(add_ref_bucket, batch_format="pyarrow"))
 
     attached = unioned.groupby("bucket").map_groups(
         lambda df: _attach_group(df), batch_format="pandas")

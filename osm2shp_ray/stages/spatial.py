@@ -19,6 +19,7 @@ from .. import config
 from ..functions import cells as cellmod
 from ..functions.hashing import bucket_of, splitmix64
 from ..functions.pip import PreparedPolygons
+from .util import coalesced
 from ..functions.wkb import decode_batch
 
 
@@ -76,21 +77,32 @@ def prepare_tiles(tiles_table: pa.Table) -> PreparedPolygons:
 
 
 class TileAssigner:
-    """Actor-pool PIP stage. __init__ resolves the broadcast
-    PreparedPolygons once per actor (ray.put on the driver, ray.get
-    here — the classic broadcast join, SURVEY.md §2.4); __call__ runs
-    the vectorized ray-crossing test per batch."""
+    """Broadcast PIP stage: the driver ray.put()s the PreparedPolygons
+    once; each worker resolves the ref lazily on first batch and caches
+    it (per-worker when used as an instance-function, per-actor when
+    used as an actor pool — the classic broadcast join either way,
+    SURVEY.md §2.4). __call__ runs the vectorized ray-crossing test."""
 
     def __init__(self, prepared_ref, mode: str = "first",
                  lon_col: str = "x", lat_col: str = "y"):
-        import ray
-        self.prep = ray.get(prepared_ref) if not isinstance(prepared_ref, PreparedPolygons) else prepared_ref
-        self.tile_ids = np.asarray(self.prep.tile_ids + [""], dtype=object)
+        self._ref = prepared_ref
+        self.prep = None
+        self.tile_ids = None
         self.mode = mode
         self.lon_col = lon_col
         self.lat_col = lat_col
 
+    def _resolve(self):
+        if self.prep is None:
+            if isinstance(self._ref, PreparedPolygons):
+                self.prep = self._ref
+            else:
+                import ray
+                self.prep = ray.get(self._ref)
+            self.tile_ids = np.asarray(self.prep.tile_ids + [""], dtype=object)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         if self.mode == "first":
@@ -108,16 +120,22 @@ class TileAssigner:
 
 def assign_tiles(ds, prepared_or_ref, mode: str = "first",
                  lon_col: str = "x", lat_col: str = "y",
-                 concurrency=(1, 4), batch_size: int = 65536,
+                 concurrency=None, batch_size: int = 65536,
                  num_cpus: float = 1):
-    """Actor pool (holds the broadcast PreparedPolygons). Autoscaling
-    (min=1) concurrency by default so a composed pipeline on a small
-    host cannot deadlock on CPU reservations."""
-    return ds.map_batches(
-        TileAssigner, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus,
-        fn_constructor_kwargs=dict(prepared_ref=prepared_or_ref, mode=mode,
-                                   lon_col=lon_col, lat_col=lat_col))
+    """Default: instance-as-function elastic tasks; the broadcast
+    polygons resolve once per worker (lazy ray.get, cached). Pass
+    ``concurrency`` to force an actor pool instead — measured on this
+    bench, elastic tasks beat both fixed pools (read starvation) and
+    autoscaling pools (slow ramp)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            TileAssigner, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=num_cpus,
+            fn_constructor_kwargs=dict(prepared_ref=prepared_or_ref, mode=mode,
+                                       lon_col=lon_col, lat_col=lat_col))
+    fn = TileAssigner(prepared_ref=prepared_or_ref, mode=mode,
+                      lon_col=lon_col, lat_col=lat_col)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ------------------------------------------------------------------ kNN
@@ -180,7 +198,7 @@ def tile_histogram(ds, zoom: int, salt: int = config.DEFAULT_SALT,
             "partial_n": pa.array(counts, pa.int64()),
         })
 
-    salted = (ds.map_batches(partial, batch_format="pyarrow")
+    salted = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
                 .groupby("tile_salt").aggregate(Sum("partial_n", alias_name="n_salted")))
 
     def unsalt(batch: pa.Table) -> pa.Table:
@@ -233,6 +251,6 @@ def dedup_exact(ds, key_col: str = "phash", order_col: str = "image_id",
         idx = df.groupby(key_col, sort=False)[order_col].idxmin()
         return df.loc[idx.sort_values()].drop(columns="__bucket")
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
               .groupby("__bucket")
               .map_groups(keep_first, batch_format="pandas"))

@@ -1,0 +1,54 @@
+"""Job metrics: the Ray-native replacement for the reference's four
+counters + progress prints (/root/reference/osm/handler.cc:84-85,
+108-109, 59-62: processed/exported nodes/ways, cadence logging,
+destructor totals).
+
+A single named detached-scope actor accumulates counters; stages
+report per-batch deltas fire-and-forget (one tiny remote call per
+batch — amortized over thousands of rows, never awaited in the hot
+path). ``report()`` yields the job-end summary (A4 analog).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    def __init__(self):
+        self._counters: dict[str, int] = {}
+
+    def inc(self, name: str, n: int = 1) -> None:
+        self._counters[name] = self._counters.get(name, 0) + int(n)
+
+    def inc_many(self, deltas: dict) -> None:
+        for k, v in deltas.items():
+            self._counters[k] = self._counters.get(k, 0) + int(v)
+
+    def get(self, name: str) -> int:
+        return self._counters.get(name, 0)
+
+    def report(self) -> dict:
+        return dict(sorted(self._counters.items()))
+
+
+def get_or_create(name: str = "osm2shp_metrics"):
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        return MetricsActor.options(name=name, lifetime=None).remote()
+
+
+def counted(ds, counter: str, actor=None):
+    """Wrap a dataset stage with a row counter (A1/A2 analog). The
+    remote inc is fire-and-forget; batches pass through zero-copy."""
+    handle = actor or get_or_create()
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        handle.inc.remote(counter, t.num_rows)
+        return t
+
+    return ds.map_batches(count_batch, batch_format="pyarrow")
