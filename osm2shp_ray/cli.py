@@ -1,0 +1,97 @@
+"""CLI entry point — the S3 surface (/root/reference/osm2shp.cc:12-15:
+``osm2shp <input> <base-path>``, exit 1 on wrong args; mapgen.sh adds
+discovery + postprocess + resume).
+
+    python -m osm2shp_ray convert <images-table> <out-dir> [--resume]
+    python -m osm2shp_ray mapgen  <images-table> <out-dir>
+    python -m osm2shp_ray bench   [--scaling]
+
+The CLI owns the Ray session (ray.init/shutdown); library code never
+does (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _session(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_convert(args) -> int:
+    ray = _session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines import adapter, convert
+    from .sources.readers import discover_input, read_table
+    from .state import checkpoint, metrics
+
+    path = discover_input(args.input)
+    meta = read_table(path, columns=["image_id", "caption", "phash"])
+    actor = metrics.get_or_create()
+    # count the input once, explicitly: a counted() stage inside a
+    # lineage that multiple branches re-execute would double-count
+    actor.inc.remote("processed_images", meta.count())
+    nodes, ways = adapter.adapt_images(meta)
+    points, ways_out = convert.convert(nodes, ways)
+    if args.resume:
+        checkpoint.resumable_write(points, os.path.join(args.out, "points"),
+                                   "layer", stage="points")
+        checkpoint.resumable_write(ways_out, os.path.join(args.out, "ways"),
+                                   "layer", stage="ways")
+    else:
+        points.write_parquet(os.path.join(args.out, "points"),
+                             partition_cols=["layer"])
+        ways_out.write_parquet(os.path.join(args.out, "ways"),
+                               partition_cols=["layer"])
+    # A4 analog: job-end totals (handler.cc:59-62)
+    report = ray.get(actor.report.remote())
+    print(json.dumps({"out": args.out, "metrics": report}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_mapgen(args) -> int:
+    ray = _session(args.num_cpus)
+    from .pipelines import fused, mapgen
+    from .sources.readers import discover_input, read_table
+    from .stages.geometry import build_way_wkb_batch
+
+    path = discover_input(args.input)
+    meta = read_table(path, columns=["image_id", "caption", "phash"])
+    assembled = fused.assembled_ways_fused(meta)
+    cleaned = mapgen.postprocess_lines(assembled)
+    out_ds = cleaned.map_batches(build_way_wkb_batch, batch_format="pyarrow")
+    out_ds.write_parquet(args.out, partition_cols=["layer"])
+    print(json.dumps({"out": args.out, "features": out_ds.count()}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="osm2shp_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("convert", cmd_convert), ("mapgen", cmd_mapgen)):
+        sp = sub.add_parser(name)
+        sp.add_argument("input")
+        sp.add_argument("out")
+        sp.add_argument("--resume", action="store_true")
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

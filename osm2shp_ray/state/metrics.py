@@ -44,7 +44,12 @@ def get_or_create(name: str = "osm2shp_metrics"):
 
 def counted(ds, counter: str, actor=None):
     """Wrap a dataset stage with a row counter (A1/A2 analog). The
-    remote inc is fire-and-forget; batches pass through zero-copy."""
+    remote inc is fire-and-forget; batches pass through zero-copy.
+
+    CAVEAT: attach only to a stream that is consumed exactly once.
+    Ray Data re-executes lineage per consuming branch, so a counted()
+    stage shared by two downstream pipelines increments twice — use an
+    explicit ``ds.count()`` for input totals instead."""
     handle = actor or get_or_create()
 
     def count_batch(t: pa.Table) -> pa.Table:

@@ -1,0 +1,39 @@
+"""CLI (S3 surface) test — runs the real subcommands in a subprocess
+(owns its own Ray session, like a user invocation)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.dataset as pads
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    return subprocess.run([sys.executable, "-m", "osm2shp_ray", *args],
+                          capture_output=True, text=True, cwd=REPO, env=env)
+
+
+def test_cli_convert_and_resume(tmp_path):
+    from osm2shp_ray.sources.fixtures import cached_images_parquet
+    fixture = cached_images_parquet(500, use_ray=False)
+    out = str(tmp_path / "out")
+    r = _run("convert", fixture, out, "--resume")
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["metrics"]["processed_images"] == 500
+    pts = pads.dataset(os.path.join(out, "points"), partitioning="hive").to_table()
+    assert pts.num_rows > 0
+    # rerun: resume skips everything, output unchanged
+    r2 = _run("convert", fixture, out, "--resume")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    pts2 = pads.dataset(os.path.join(out, "points"), partitioning="hive").to_table()
+    assert pts2.num_rows == pts.num_rows
+
+
+def test_cli_bad_args():
+    r = _run("convert")
+    assert r.returncode != 0
