@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q.q_token_stats,
         "q_punct_by_source": q.q_punct_by_source,
         "q_ann_topk": q.q_ann_topk,
+        "q_session_windows": q.q_session_windows,
+        "q_asof_join": q.q_asof_join,
         # rows-only (non-SQL-expressible: sketches, LSH, full pipeline)
         "q_langid_counts": q.q_langid_counts,
         "q_simhash_docs": q.q_simhash_docs,
@@ -181,6 +183,26 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(length(text), 1)), 4) AS avg_punct,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY source""",
+        "q_session_windows": r"""
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM s GROUP BY user_id, sess""",
+        "q_asof_join": """
+            SELECT e.event_id, o.o_orderdate AS asof_value
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
         "q_ann_topk": """
             WITH q AS (
                 SELECT CAST(0 AS BIGINT) AS query_id, embedding FROM embeddings WHERE vec_id = 3

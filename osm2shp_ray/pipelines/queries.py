@@ -438,3 +438,25 @@ def q_postprocess_ways(sf_dir: str):
     cleaned = deduped.map_batches(geometry.drop_degenerate_batch,
                                   batch_format="pyarrow")
     return cleaned.groupby("layer_idx").aggregate(Count(alias_name="n"))
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows (30 min) over the event log."""
+    from ..stages.temporal import session_windows
+    out = session_windows(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        gap_s=1800.0).to_pandas()
+    return _round_cols(out, ["total_value"])
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order
+    date at event time (bucketed merge_asof)."""
+    from ..stages.temporal import asof_join
+    return asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            lambda t: t.rename_columns(["user_id", "o_orderdate"]),
+            batch_format="pyarrow"),
+        key_col="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_value="o_orderdate", left_cols=["event_id"])

@@ -1,0 +1,125 @@
+"""Temporal operators over stream-shaped tables (ray_guide
+'Streaming-shaped workloads'): session windows and as-of joins.
+
+Ray Data has no event-time window/watermark machinery; both operators
+are expressed as bucket-partitioned group computations with explicit
+in-group ordering — the documented partitioning assumption is that one
+key's rows fit one group (true for per-user event streams; shard keys
+further by time range if a single key's history outgrows a worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import config
+from ..functions.hashing import bucket_of
+from .util import coalesced
+
+
+def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    gap_s: float = 1800.0, value_col: str = "value",
+                    tiebreak_col: str = "event_id",
+                    n_buckets: int | None = None):
+    """Gap-based sessionization: rows of one key, ordered by
+    (ts, tiebreak), split where the gap to the previous row exceeds
+    ``gap_s``. Emits one row per session:
+    (key, session_start, n, total_value)."""
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = df[key_col].to_numpy()
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gap = np.concatenate(([0], np.diff(ts))) > gap_s * 1e6
+        brk = new_key | gap
+        sess = np.cumsum(brk)
+        out = (pd.DataFrame({
+            key_col: keys, "__sess": sess,
+            ts_col: df[ts_col].to_numpy(),
+            value_col: df[value_col].to_numpy()})
+            .groupby([key_col, "__sess"], sort=False)
+            .agg(session_start=(ts_col, "min"), n=(ts_col, "size"),
+                 total_value=(value_col, "sum"))
+            .reset_index().drop(columns="__sess"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(sessionize, batch_format="pandas"))
+
+
+def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
+              right_value: str, n_buckets: int | None = None,
+              left_cols: list[str] | None = None):
+    """As-of (backward) join: for each left row, the greatest
+    ``right_ts`` <= ``left_ts`` among right rows with the same key;
+    left rows with no match are dropped (inner). Expressed as a
+    union-tag -> groupby(bucket(key)) -> per-group pd.merge_asof
+    (ray_guide 'As-of / range join')."""
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    left_cols = left_cols or []
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t[key_col],
+            "__ts": t[left_ts].cast(pa.timestamp("us")),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__val": pa.nulls(t.num_rows, pa.timestamp("us")),
+        }
+        for c in left_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    # the union needs identical schemas: the right side carries typed
+    # nulls for the left's carried columns
+    left_schema = left_ds.schema()  # ray Schema wrapper: .names/.types
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t[key_col],
+            "__ts": t[right_ts].cast(pa.timestamp("us")),
+            "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            "__val": t[right_value].cast(pa.timestamp("us")),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(t.num_rows, left_types[c])
+        return pa.table(cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["__key"].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    unioned = (left_ds.map_batches(prep_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(prep_right, batch_format="pyarrow"))
+               .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0].sort_values("__ts", kind="mergesort")
+        right = (df[df["__side"] == 1][["__key", "__ts", "__val"]]
+                 .sort_values("__ts", kind="mergesort"))
+        if len(left) == 0 or len(right) == 0:
+            out = left.head(0)[[*left_cols]].copy()
+            out["asof_value"] = pd.Series(dtype="datetime64[us]")
+            return out
+        merged = pd.merge_asof(left, right, on="__ts", by="__key",
+                               direction="backward", suffixes=("", "_r"))
+        merged = merged[~merged["__val_r"].isna()]
+        out = merged[[*left_cols]].copy()
+        for c in left_cols:
+            # the union carried typed nulls on the right side, which
+            # pandas widened (int64 -> float64); restore the left dtype
+            out[c] = out[c].astype(left_types[c].to_pandas_dtype())
+        out["asof_value"] = merged["__val_r"].to_numpy()
+        return out
+
+    return (coalesced(unioned).groupby("__b")
+            .map_groups(merge, batch_format="pandas"))
