@@ -105,7 +105,7 @@ def run_bench() -> dict:
     from osm2shp_ray.stages.geometry import build_way_wkb_batch
     nodes = meta.map_batches(adapter.nodes_from_images_batch, batch_format="pyarrow")
     points = convert.export_points(nodes)
-    ways_out = (fused.assembled_ways_fused(meta, n_buckets=n_buckets)
+    ways_out = (fused.assembled_ways_fused(meta, n_buckets=n_buckets, coalesce=False)
                 .map_batches(build_way_wkb_batch, batch_format="pyarrow"))
 
     # align schemas so both feature branches consume in ONE streaming
@@ -141,10 +141,15 @@ def run_bench() -> dict:
 
     t_a, feat_mat = timed(tiled.materialize)
     t_b, feat_mat = timed(tiled.materialize)
-    headline = min(t_a, t_b)
-    d_a, bad = timed(bad_ds.count)
-    d_b, bad = timed(bad_ds.count)
-    decode_sec = min(d_a, d_b)
+    t_c, feat_mat = timed(tiled.materialize)
+    headline = min(t_a, t_b, t_c)
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    if headline_only:
+        bad, decode_sec = 0, float("nan")
+    else:
+        d_a, bad = timed(bad_ds.count)
+        d_b, bad = timed(bad_ds.count)
+        decode_sec = min(d_a, d_b)
     by_kind = feat_mat.map_batches(
         lambda t: pa.table({"is_way": pcm.greater_equal(t["way_id"], 0)}),
         batch_format="pyarrow").to_pandas()
@@ -152,7 +157,7 @@ def run_bench() -> dict:
     n_points = int((~by_kind["is_way"]).sum())
 
     queries = {}
-    for name, fn in [
+    for name, fn in [] if headline_only else [
         ("q01_pricing_summary", q.q01_pricing_summary),
         ("q_join_resolve", q.q_join_resolve),
         ("q_window_tumbling", q.q_window_tumbling),
@@ -183,7 +188,8 @@ def run_bench() -> dict:
         "exported_points": n_points,
         "decode_failures": bad,
         "decode_validate_sec": round(decode_sec, 3),
-        "decode_rows_per_sec": round(n / decode_sec, 1),
+        "decode_rows_per_sec": (round(n / decode_sec, 1)
+                                if decode_sec == decode_sec else None),
     }
     ray.shutdown()
     return result
@@ -204,7 +210,8 @@ def run_scaling() -> dict:
     n = fixture_rows(SF_DIR) * factor
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_IMAGES=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_IMAGES=str(n),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, "bench.py"], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -16,7 +16,21 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .. import config
 from ..stages import classify, geometry, join
+
+
+def with_crs(ds):
+    """Stamp the CRS into the Arrow schema metadata of every block —
+    the K3 analog of the reference's hard-coded EPSG:4326 .prj writer
+    (/root/reference/osm/shapefile.cc:65-79). Parquet files written
+    from these blocks carry the metadata and any reader can recover it."""
+    meta = {b"crs": config.CRS.encode()}
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(meta)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
 
 
 def export_points(nodes_ds):
@@ -44,8 +58,8 @@ def convert(nodes_ds, ways_ds, out_dir: str | None = None,
     points = export_points(nodes_ds)
     ways_out = export_ways(nodes_ds, ways_ds, n_buckets=n_buckets)
     if out_dir:
-        points.write_parquet(f"{out_dir}/points", partition_cols=["layer"])
-        ways_out.write_parquet(f"{out_dir}/ways", partition_cols=["layer"])
+        with_crs(points).write_parquet(f"{out_dir}/points", partition_cols=["layer"])
+        with_crs(ways_out).write_parquet(f"{out_dir}/ways", partition_cols=["layer"])
     return points, ways_out
 
 

@@ -112,9 +112,14 @@ def _assemble_classify(df: pd.DataFrame) -> pa.Table:
     })
 
 
-def assembled_ways_fused(images_meta_ds, n_buckets: int | None = None):
+def assembled_ways_fused(images_meta_ds, n_buckets: int | None = None,
+                         coalesce: bool = True):
     """images meta Dataset (image_id, caption, phash) -> assembled ways
-    (way_id, layer_idx, xs, ys) with two shuffles."""
+    (way_id, layer_idx, xs, ys) with two shuffles.
+
+    ``coalesce=False`` skips the pre-shuffle repartition barrier — pass
+    it when the caller already right-sized the read blocks
+    (override_num_blocks≈cpus), where the repartition is pure overhead."""
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
     nodes = images_meta_ds.map_batches(nodes_from_images_batch, batch_format="pyarrow")
     member = nodes.map_batches(_member_side, batch_format="pyarrow")
@@ -124,8 +129,10 @@ def assembled_ways_fused(images_meta_ds, n_buckets: int | None = None):
         return t.append_column("bucket", pa.array(
             bucket_of(t["ref"].to_numpy(zero_copy_only=False), b), pa.int64()))
 
-    unioned = coalesced(member.union(node_side)
-                        .map_batches(add_ref_bucket, batch_format="pyarrow"))
+    unioned = member.union(node_side).map_batches(add_ref_bucket,
+                                                  batch_format="pyarrow")
+    if coalesce:
+        unioned = coalesced(unioned)
     attached = unioned.groupby("bucket").map_groups(_attach, batch_format="pandas")
 
     def add_way_bucket(t: pa.Table) -> pa.Table:

@@ -110,3 +110,20 @@ def test_conformance_images_adapter(ray_session):
         exp = sorted((wid, xs, ys) for wid, xs, ys in oracle.ways[layer])
         got = sorted((wid, xs, ys) for wid, _k, xs, ys in got_ways[layer])
         assert got == exp
+
+
+def test_crs_metadata_written(osm_fixture, tmp_path):
+    """K3 analog: EPSG:4326 recoverable from written parquet."""
+    import pyarrow.parquet as pq
+    import os
+    nodes_ds, ways_ds, _, _ = osm_fixture
+    out = str(tmp_path / "o")
+    convert.convert(nodes_ds, ways_ds, out_dir=out, n_buckets=4)
+    found = False
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.read_schema(os.path.join(root, f)).metadata or {}
+                assert md.get(b"crs") == b"EPSG:4326", (root, f, md)
+                found = True
+    assert found
