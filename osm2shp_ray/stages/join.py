@@ -99,23 +99,56 @@ def _attach_group(df: pd.DataFrame) -> pd.DataFrame:
     return out.drop(columns=["ref"])
 
 
-def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None):
+def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None,
+                 salt: int = 1):
     """nodes Dataset (id, lon, lat, ...) x classified ways Dataset
     (way_id, node_refs, layer_idx, geom_type) -> Dataset
-    (way_id, layer_idx, xs list<f64>, ys list<f64>) of complete ways."""
+    (way_id, layer_idx, xs list<f64>, ys list<f64>) of complete ways.
+
+    ``salt > 1`` enables hot-key mitigation for the ref shuffle: each
+    exploded ref row is salted by hash(way_id) % salt, so one node
+    referenced by millions of ways spreads across ``salt`` reducers;
+    the node side is replicated salt-fold (cheap: nodes are 24-byte
+    rows) so every salted bucket can still resolve every ref. Use when
+    the ref-degree histogram is skewed (hub nodes); output is
+    byte-identical to salt=1 (tests/test_join_salt.py)."""
     import ray.data  # noqa: F401  (Dataset methods only; no init)
 
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    s = max(1, salt)
 
     exploded = ways_classified_ds.map_batches(
         lambda t: explode_ways_batch(t), batch_format="pyarrow")
     node_side = nodes_ds.map_batches(
         lambda t: nodes_side_batch(t), batch_format="pyarrow")
 
+    if s > 1:
+        def salt_refs(t: pa.Table) -> pa.Table:
+            from ..functions.hashing import splitmix64
+            w = t["way_id"].to_numpy(zero_copy_only=False)
+            sv = (splitmix64(w.astype(np.uint64)) % np.uint64(s)).astype(np.int64)
+            return t.append_column("salt", pa.array(sv, pa.int64()))
+
+        def replicate_nodes(t: pa.Table) -> pa.Table:
+            parts = [t.append_column("salt", pa.array(
+                np.full(t.num_rows, k, np.int64))) for k in range(s)]
+            return pa.concat_tables(parts)
+
+        exploded = exploded.map_batches(salt_refs, batch_format="pyarrow")
+        node_side = node_side.map_batches(replicate_nodes, batch_format="pyarrow")
+
     def add_ref_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pa.array(bucket_of(t["ref"].to_numpy(zero_copy_only=False), b),
-                               pa.int64()))
+        refs = t["ref"].to_numpy(zero_copy_only=False)
+        if s > 1:
+            # salted key: (ref, salt) -> bucket
+            with np.errstate(over="ignore"):
+                key = refs.astype(np.uint64) * np.uint64(2654435761) \
+                    ^ t["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bcol = bucket_of(key.view(np.int64), b)
+            t = t.drop_columns(["salt"])
+        else:
+            bcol = bucket_of(refs, b)
+        return t.append_column("bucket", pa.array(bcol, pa.int64()))
 
     from .util import coalesced
 
