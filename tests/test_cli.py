@@ -37,3 +37,38 @@ def test_cli_convert_and_resume(tmp_path):
 def test_cli_bad_args():
     r = _run("convert")
     assert r.returncode != 0
+
+
+def test_cli_kill_resume(tmp_path):
+    """SIGKILL the convert mid-run; a rerun must heal and produce
+    byte-identical output to a clean run (SURVEY.md §5.4)."""
+    import signal
+    import time
+    from osm2shp_ray.sources.fixtures import cached_images_parquet
+    fixture = cached_images_parquet(2000, use_ray=False)
+    out = str(tmp_path / "killed")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    proc = subprocess.Popen([sys.executable, "-m", "osm2shp_ray", "convert",
+                             fixture, out, "--resume"],
+                            cwd=REPO, env=env, start_new_session=True,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(12)  # mid-run: ray is up, writes may have started
+    # SIGKILL the whole process group (the CLI's private ray cluster
+    # included) — NOT `ray stop`, which would also kill the pytest
+    # session's own cluster
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    # resume
+    r = _run("convert", fixture, out, "--resume")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # clean reference run
+    clean = str(tmp_path / "clean")
+    r2 = _run("convert", fixture, clean, "--resume")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    import pyarrow.dataset as pads2
+    for sub in ("points", "ways"):
+        a = (pads.dataset(os.path.join(out, sub), partitioning="hive")
+             .to_table().sort_by("x"))
+        b = (pads2.dataset(os.path.join(clean, sub), partitioning="hive")
+             .to_table().sort_by("x"))
+        assert a.num_rows == b.num_rows, sub
