@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid_counts": q.q_langid_counts,
         "q_simhash_docs": q.q_simhash_docs,
         "q_minhash_pairs": q.q_minhash_pairs,
+        "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "q_fingerprints": q.q_fingerprints,
         "q_embed_near_dup": q.q_embed_near_dup,
         "q_ivf_topk": q.q_ivf_topk,

@@ -206,7 +206,7 @@ def run_scaling() -> dict:
     32-CPU run and measures the scheduler, not the engine. Both levels
     run the identical enlarged input.
     """
-    factor = int(os.environ.get("GRAFT_SCALING_FACTOR", "4"))
+    factor = int(os.environ.get("GRAFT_SCALING_FACTOR", "16"))
     n = fixture_rows(SF_DIR) * factor
 
     def run(ncpu: int) -> dict:

@@ -460,3 +460,11 @@ def q_asof_join(sf_dir: str):
             batch_format="pyarrow"),
         key_col="user_id", left_ts="ts", right_ts="o_orderdate",
         right_value="o_orderdate", left_cols=["event_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Word n-gram Jaccard near-dup pairs (LSH candidates verified by
+    long-signature estimate; rows-only oracle)."""
+    return dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.8).select_columns(["id_a", "id_b"])

@@ -66,6 +66,7 @@ def test_query_matches_oracle(name, duck, entrymod):
 
 
 ROWS_ONLY = ["q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
+             "q_ngram_jaccard_pairs",
              "q_fingerprints", "q_embed_near_dup", "q_ivf_topk",
              "q_convert_images", "q_postprocess_ways"]
 
