@@ -254,3 +254,115 @@ def dedup_exact(ds, key_col: str = "phash", order_col: str = "image_id",
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
               .groupby("__bucket")
               .map_groups(keep_first, batch_format="pandas"))
+
+
+# ----------------------------------- partitioned PIP (large tile side)
+
+def assign_tiles_partitioned(points_ds, tiles_ds, res: int = 7,
+                             lon_col: str = "x", lat_col: str = "y",
+                             max_cover: int = 4096):
+    """Point-in-polygon when the polygon side is TOO LARGE to broadcast
+    (the scale path; `assign_tiles` is the broadcast path).
+
+    Grid-partitioned spatial join: each polygon is exploded to the
+    res-``res`` cells covering its bbox, each point to its single cell,
+    and a groupby(cell) co-groups them; the exact ray-crossing test
+    runs inside the group against only that cell's candidate polygons.
+    First-match order is tile_id-lexicographic (deterministic across
+    partitions — callers of the broadcast path get the same order by
+    sorting their tile table by tile_id).
+
+    ``max_cover`` guards degenerate polygons whose bbox covers more
+    than that many cells (logged and skipped, not silent); lower
+    ``res`` if legitimate polygons trip it.
+    Output: points that fall in >=1 polygon, with a ``tile_id`` column.
+    """
+    from ..functions.wkb import decode_batch
+
+    def explode_tiles(t: pa.Table) -> pa.Table:
+        ids = t["tile_id"].to_pylist()
+        _k, xs, ys = decode_batch(t["geometry_wkb"].to_pylist())
+        out_cell, out_id, out_wkb = [], [], []
+        wkbs = t["geometry_wkb"].to_pylist()
+        skipped = 0
+        for i in range(len(ids)):
+            c0 = cellmod.latlng_to_cell(np.array([ys[i].min()]), np.array([xs[i].min()]), res)[0]
+            c1 = cellmod.latlng_to_cell(np.array([ys[i].max()]), np.array([xs[i].max()]), res)[0]
+            x0, y0 = cellmod.cell_xy(np.array([c0]))
+            x1, y1 = cellmod.cell_xy(np.array([c1]))
+            gx = np.arange(min(x0[0], x1[0]), max(x0[0], x1[0]) + 1, dtype=np.uint64)
+            gy = np.arange(min(y0[0], y1[0]), max(y0[0], y1[0]) + 1, dtype=np.uint64)
+            if len(gx) * len(gy) > max_cover:
+                skipped += 1
+                continue
+            mx, my = np.meshgrid(gx, gy)
+            cells = ((np.uint64(res) << np.uint64(58))
+                     | (my.reshape(-1) << np.uint64(29)) | mx.reshape(-1))
+            out_cell.extend(cells.astype(np.int64).tolist())
+            out_id.extend([ids[i]] * len(cells))
+            out_wkb.extend([wkbs[i]] * len(cells))
+        if skipped:
+            print(f"assign_tiles_partitioned: skipped {skipped} polygons "
+                  f"covering > {max_cover} cells at res {res}")
+        return pa.table({
+            "__cell": pa.array(out_cell, pa.int64()),
+            "tile_id": pa.array(out_id, pa.string()),
+            "geometry_wkb": pa.array(out_wkb, pa.binary()),
+            "__side": pa.array(np.ones(len(out_cell), np.int8)),
+        })
+
+    pt_schema = points_ds.schema()
+    pt_names = list(pt_schema.names)
+    pt_types = dict(zip(pt_schema.names, pt_schema.types))
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        cell = cellmod.latlng_to_cell(lat, lon, res).astype(np.int64)
+        cols = {"__cell": pa.array(cell, pa.int64()),
+                "tile_id": pa.nulls(t.num_rows, pa.string()),
+                "geometry_wkb": pa.nulls(t.num_rows, pa.binary()),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8))}
+        for c in pt_names:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def tiles_pad(t: pa.Table) -> pa.Table:
+        for c in pt_names:
+            t = t.append_column(c, pa.nulls(t.num_rows, pt_types[c]))
+        return t
+
+    unioned = (points_ds.map_batches(prep_points, batch_format="pyarrow")
+               .union(tiles_ds.map_batches(explode_tiles, batch_format="pyarrow")
+                      .map_batches(tiles_pad, batch_format="pyarrow")))
+
+    def pip_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        polys = t.filter(pa.array(side == 1))
+        pts = t.filter(pa.array(side == 0))
+        empty = pts.slice(0, 0).select(pt_names).append_column(
+            "tile_id", pa.array([], pa.string()))
+        if polys.num_rows == 0 or pts.num_rows == 0:
+            return empty
+        # dedupe + order polygons by tile_id for deterministic first-match
+        pids = np.asarray(polys["tile_id"].to_pylist(), dtype=object)
+        order = np.argsort(pids, kind="stable")
+        seen, keep = set(), []
+        for j in order:
+            if pids[j] not in seen:
+                seen.add(pids[j])
+                keep.append(j)
+        polys = polys.take(pa.array(keep))
+        from ..functions.pip import PreparedPolygons
+        _k, xs, ys = decode_batch(polys["geometry_wkb"].to_pylist())
+        prep = PreparedPolygons(polys["tile_id"].to_pylist(), xs, ys)
+        lon = pts[lon_col].to_numpy(zero_copy_only=False)
+        lat = pts[lat_col].to_numpy(zero_copy_only=False)
+        idx = prep.assign_first(lon, lat)
+        hit = idx >= 0
+        out = pts.filter(pa.array(hit)).select(pt_names)
+        tid = np.asarray(prep.tile_ids, dtype=object)[idx[hit]]
+        return out.append_column("tile_id", pa.array(tid.tolist(), pa.string()))
+
+    return (coalesced(unioned).groupby("__cell")
+            .map_groups(pip_group, batch_format="pyarrow"))

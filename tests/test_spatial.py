@@ -138,3 +138,23 @@ def test_multimodal_stubs():
         imgstage.AudioFeatures()
     with pytest.raises(NotImplementedError):
         imgstage.VideoFrameSample()
+
+
+def test_partitioned_pip_matches_broadcast(points_ds, ray_session):
+    """The large-side grid-partitioned PIP must agree with the
+    broadcast path under tile_id-ordered first-match."""
+    import pandas as pd
+    ds, t = points_ds
+    tiles = fixtures.tiles_table(16).sort_by("tile_id")
+    # broadcast truth (tile_id order)
+    prep = spatial.prepare_tiles(tiles)
+    idx = prep.assign_first(t["x"].to_numpy(), t["y"].to_numpy())
+    hit = idx >= 0
+    exp = pd.DataFrame({
+        "pid": t["pid"].to_numpy()[hit],
+        "tile_id": np.asarray(prep.tile_ids, dtype=object)[idx[hit]]})
+    got = (spatial.assign_tiles_partitioned(ds, rd.from_arrow(tiles), res=5)
+           .to_pandas())
+    assert len(got) == len(exp)
+    merged = exp.merge(got[["pid", "tile_id"]], on="pid", suffixes=("_e", "_g"))
+    assert (merged["tile_id_e"] == merged["tile_id_g"]).all()
