@@ -29,6 +29,29 @@ from .util import coalesced
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+def _dedup_pairs(pairs_ds, n_buckets: int = 32):
+    """Dedup (id_a, id_b) pairs surfaced by multiple bands: bucket by a
+    pair hash, then one vectorized drop_duplicates per bucket — NOT a
+    groupby over the pair key itself, which would invoke Python once
+    per pair (measured: dominated the whole LSH runtime)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return t.append_column("__pb", pa.array(
+            (key % np.uint64(n_buckets)).astype(np.int64), pa.int64()))
+
+    def drop_dups(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["id_a", "id_b"])
+                  .drop_duplicates(["id_a", "id_b"])
+                  .drop(columns="__pb"))
+
+    return (pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__pb").map_groups(drop_dups, batch_format="pandas"))
+
+
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -153,8 +176,7 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = (bands_ds.groupby(["band_id", "band_hash"])
              .map_groups(pairs_in_group, batch_format="pandas"))
     # same pair can surface from several bands -> dedup
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+    return _dedup_pairs(pairs)
 
 
 def dedup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -265,8 +287,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = (coalesced(ds.map_batches(band_rows, batch_format="pyarrow"))
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+    return _dedup_pairs(pairs)
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -341,5 +362,4 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
     pairs = (coalesced(ds.map_batches(bucket_rows, batch_format="pyarrow"))
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda df: df.head(1), batch_format="pandas"))
+    return _dedup_pairs(pairs)
