@@ -53,10 +53,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
-    idat = b""
+    idat_parts: list = []   # buffer-friendly: input may be a memoryview
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
+        tag = bytes(data[pos + 4:pos + 8])
         payload = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
@@ -64,9 +64,11 @@ def decode_png(data: bytes) -> np.ndarray:
             if depth != 8 or ctype != 2 or inter != 0:
                 raise ValueError("unsupported PNG subset")
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
+    idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(
+        bytes(p) for p in idat_parts)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     stride = 1 + w * 3
     rows = raw.reshape(h, stride)

@@ -24,6 +24,24 @@ import pyarrow as pa
 from ..functions import codec
 
 
+def _binary_views(col) -> list:
+    """Zero-copy memoryview per blob (to_pylist would copy the whole
+    payload column into Python bytes; zlib/struct accept buffers)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return col.to_pylist()
+    import numpy as _np
+    bufs = col.buffers()
+    # cast to unsigned bytes: Arrow buffers expose format 'b' (signed),
+    # under which memoryview==bytes comparisons of high bytes fail
+    buf = memoryview(bufs[2]).cast("B")
+    # offsets buffer (int32 for binary); account for the array's offset
+    offs = _np.frombuffer(bufs[1], dtype=_np.int32,
+                          count=len(col) + 1, offset=col.offset * 4)
+    return [buf[offs[i]:offs[i + 1]] for i in range(len(col))]
+
+
 class DecodeValidate:
     """bytes -> decoded stats + invariant columns.
 
@@ -40,7 +58,7 @@ class DecodeValidate:
             self._gt = ground_truth_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         ids = batch["image_id"].to_pylist()
         ws = batch["w"].to_pylist()
@@ -77,7 +95,7 @@ class ImageFeatures:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = _binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         n = len(blobs)
         dim = self.thumb * self.thumb * 3
