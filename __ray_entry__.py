@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cell_encode": q.q_cell_encode,
         "q_tile_histogram": q.q_tile_histogram,
         "q_pip_rect": q.q_pip_rect,
+        "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
         "q_snap_dedup": q.q_snap_dedup,
         # text / dedup / similarity pack
@@ -154,6 +155,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
         "q_pip_rect": f"""
+            SELECT {pip_case} AS tile_id, CAST(count(*) AS BIGINT) AS n
+            FROM ({pts}) GROUP BY 1""",
+        "q_pip_partitioned": f"""
             SELECT {pip_case} AS tile_id, CAST(count(*) AS BIGINT) AS n
             FROM ({pts}) GROUP BY 1""",
         "q_knn": f"""

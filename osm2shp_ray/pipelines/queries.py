@@ -468,3 +468,34 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         threshold=0.8).select_columns(["id_a", "id_b"])
+
+
+def q_pip_partitioned(sf_dir: str):
+    """Same PIP semantics as q_pip_rect but through the grid-partitioned
+    large-tile-side join (the 10^12-scale path) — proves both paths
+    against the same SQL oracle. Points outside every tile are counted
+    as 'none' (anti-join against the matched set, broadcast-filtered)."""
+    import ray as _ray
+    from ..functions.wkb import encode_polygons
+    ids = [r[0] for r in PIP_RECTS]
+    xs, ys, offs = [], [], [0]
+    for _tid, x0, y0, x1, y1 in PIP_RECTS:
+        xs.extend([x0, x1, x1, x0]); ys.extend([y0, y0, y1, y1])
+        offs.append(len(xs))
+    tiles = pa.table({
+        "tile_id": pa.array(ids, pa.string()),
+        "geometry_wkb": pa.array(
+            encode_polygons(np.array(offs), np.array(xs), np.array(ys)),
+            pa.binary()),
+    }).sort_by("tile_id")
+    pts = _customer_points(sf_dir)
+    matched = spatial.assign_tiles_partitioned(pts, rd.from_arrow(tiles), res=4)
+    m = matched.to_pandas()
+    # 'none' bucket: customers not matched (count arithmetic — exact)
+    total = _read(sf_dir, "customer", ["c_custkey"]).count()
+    counts = m.groupby("tile_id", sort=False).size().reset_index(name="n")
+    counts["n"] = counts["n"].astype("int64")
+    none_n = total - int(counts["n"].sum())
+    out = pd.concat([counts, pd.DataFrame({"tile_id": ["none"], "n": [none_n]})],
+                    ignore_index=True)
+    return out[out["n"] > 0].reset_index(drop=True)
