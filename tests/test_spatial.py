@@ -158,3 +158,26 @@ def test_partitioned_pip_matches_broadcast(points_ds, ray_session):
     assert len(got) == len(exp)
     merged = exp.merge(got[["pid", "tile_id"]], on="pid", suffixes=("_e", "_g"))
     assert (merged["tile_id_e"] == merged["tile_id_g"]).all()
+
+
+def test_knn_auto_exact(ray_session):
+    """Auto-expanding k-ring kNN must equal brute force, including on
+    clustered data where the first ring holds fewer than k points."""
+    rng = np.random.default_rng(11)
+    # dense cluster near the query + sparse far field
+    n1, n2 = 4000, 1000
+    x = np.concatenate([rng.normal(12.0, 0.05, n1), rng.uniform(-170, 170, n2)])
+    y = np.concatenate([rng.normal(34.0, 0.05, n1), rng.uniform(-80, 80, n2)])
+    t = pa.table({"pid": pa.array(np.arange(n1 + n2), pa.int64()),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.float64())})
+    ds = spatial.encode_cells(rd.from_arrow(t))
+    d = (x - 12.0) ** 2 + (y - 34.0) ** 2
+    exp = set(np.asarray(np.argsort(d, kind="stable")[:25]).tolist())
+    got = spatial.knn_auto(ds, 12.0, 34.0, 25, id_col="pid").to_pandas()
+    assert set(got["pid"]) == exp
+    # sparse query point far from the cluster: forces ring expansion
+    d2 = (x + 150.0) ** 2 + (y - 70.0) ** 2
+    exp2 = set(np.asarray(np.argsort(d2, kind="stable")[:5]).tolist())
+    got2 = spatial.knn_auto(ds, -150.0, 70.0, 5, id_col="pid").to_pandas()
+    assert set(got2["pid"]) == exp2
