@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_match_classify": q.q_first_match_classify,
         "q_window_tumbling": q.q_window_tumbling,
         "q_topk_users": q.q_topk_users,
+        "q_supplier_by_region": q.q_supplier_by_region,
         # spatial pack
         "q_cell_encode": q.q_cell_encode,
         "q_tile_histogram": q.q_tile_histogram,
@@ -145,6 +146,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id LIMIT 10""",
+        "q_supplier_by_region": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(sum(s_acctbal), 4) AS total_bal,
+                   round(max(s_acctbal), 4) AS max_bal,
+                   round(min(s_acctbal), 4) AS min_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
         "q_cell_encode": f"""
             SELECT c_custkey,
                    13 * 288230376151711744 + y13 * 536870912 + x13 AS cell13,

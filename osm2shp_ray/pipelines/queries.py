@@ -499,3 +499,34 @@ def q_pip_partitioned(sf_dir: str):
     out = pd.concat([counts, pd.DataFrame({"tile_id": ["none"], "n": [none_n]})],
                     ignore_index=True)
     return out[out["n"] > 0].reset_index(drop=True)
+
+
+def q_supplier_by_region(sf_dir: str):
+    """region |x| nation |x| supplier via chained tiny-side broadcasts
+    (dimension-tree pattern: region+nation resolved driver-side once,
+    shipped as one lookup array)."""
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nation_to_region = {n["n_nationkey"]: region[n["n_regionkey"]]
+                        for n in _read(sf_dir, "nation").take_all()}
+    import ray as _ray
+    lut_ref = _ray.put(nation_to_region)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import ray as _r
+        lut = _r.get(lut_ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = np.asarray([lut[int(k)] for k in nk], dtype=object)
+        return pa.table({
+            "r_name": pa.array(names.tolist(), pa.string()),
+            "s_acctbal": t["s_acctbal"],
+        })
+
+    out = (_read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="total_bal"),
+                      Max("s_acctbal", alias_name="max_bal"),
+                      Min("s_acctbal", alias_name="min_bal"))).to_pandas()
+    return _round_cols(out, ["total_bal", "max_bal", "min_bal"])

@@ -49,6 +49,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "q01_pricing_summary", "q03_top_orders", "q_join_resolve",
     "q_first_match_classify", "q_window_tumbling", "q_topk_users",
+    "q_supplier_by_region",
     "q_cell_encode", "q_tile_histogram", "q_pip_rect", "q_pip_partitioned", "q_knn",
     "q_snap_dedup", "q_dedup_exact", "q_token_stats",
     "q_punct_by_source", "q_ann_topk", "q_session_windows", "q_asof_join",
