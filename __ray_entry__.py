@@ -73,7 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q.q_ann_topk,
         "q_session_windows": q.q_session_windows,
         "q_asof_join": q.q_asof_join,
-        # rows-only (non-SQL-expressible: sketches, LSH, full pipeline)
+        # sketch/LSH family — SQL-oracled: hash-bearing outputs use the
+        # md5-derived 60-bit hash and similarity outputs are
+        # EXACT-verified, so DuckDB recomputes every value
         "q_langid_counts": q.q_langid_counts,
         "q_simhash_docs": q.q_simhash_docs,
         "q_minhash_pairs": q.q_minhash_pairs,
@@ -81,6 +83,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": q.q_fingerprints,
         "q_embed_near_dup": q.q_embed_near_dup,
         "q_ivf_topk": q.q_ivf_topk,
+        # full conversion chain over SQL-derivable entities (the same
+        # engine stages as the image path, under the hard hash gate)
+        "q_convert_pipeline": q.q_convert_pipeline,
+        "q_postprocess_pipeline": q.q_postprocess_pipeline,
+        # rows-only: the mandated image-fixture paths (oracled by the
+        # pure-Python reference oracle in pytest, not SQL-expressible —
+        # ids/coords derive from Hilbert + splitmix arithmetic)
         "q_convert_images": q.q_convert_images,
         "q_postprocess_ways": q.q_postprocess_ways,
     }
@@ -88,7 +97,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import (CLASSIFY_RULES_SQL, KNN_Q,
-                                               LAT_MULT, LON_MULT, PIP_RECTS)
+                                               LAT_MULT, LON_MULT, PIP_RECTS,
+                                               _WAY_CLS_SQL)
+    from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
+
+    # --- shared fragments for the sketch-family oracles ---
+    # md5-derived 60-bit hash (exact engine parity: functions/hashing.
+    # md5_hash60)
+    def h60(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    # SimHash = per-bit signed vote of token hashes, packed (bits 60-63
+    # always vote negative -> 0, mirroring the 60-bit hash)
+    simhash_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60))
+
+    # langid: argmax of stopword hits in profile order (hits share the
+    # per-doc denominator, so comparing hits == comparing rates)
+    langs = list(LANG_PROFILES)
+    hit_cols = ", ".join(
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(LANG_PROFILES[lg]) + ")\\b')) AS h_" + lg
+        for lg in langs)
+    argmax = "CASE "
+    for i, lg in enumerate(langs):
+        conds = [f"h_{lg} >= h_{o}" for o in langs[i + 1:]] + [f"h_{lg} > 0"]
+        argmax += f"WHEN {' AND '.join(conds)} THEN '{lg}' "
+    argmax += "ELSE 'und' END"
+
+    char5_sh = ("SELECT doc_id, unnest(list_distinct(list_transform("
+                "range(1, greatest(length(lower(text))-4, 1)+1), "
+                "i -> substr(lower(text), i, 5)))) AS g FROM documents")
+    word_toks = ("SELECT doc_id, regexp_extract_all(lower(text), "
+                 "'[a-z0-9_]+') AS t FROM documents")
+    word3_sh = (f"SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN "
+                f"list_distinct(list_transform(range(1, len(t)-1), "
+                f"i -> t[i]||' '||t[i+1]||' '||t[i+2])) ELSE [] END) AS g "
+                f"FROM ({word_toks})")
+
+    def jaccard_pairs_sql(shingles: str, thr: float) -> str:
+        return f"""
+            WITH sh AS ({shingles}),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b
+            FROM inter JOIN cnt ca ON ia = ca.doc_id
+                       JOIN cnt cb ON ib = cb.doc_id
+            WHERE i::DOUBLE / (ca.c + cb.c - i) >= {thr}"""
+
+    def ann_sql(qa: int, qb: int) -> str:
+        return f"""
+            WITH q AS (
+                SELECT CAST(0 AS BIGINT) AS query_id, embedding FROM embeddings WHERE vec_id = {qa}
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), embedding FROM embeddings WHERE vec_id = {qb})
+            SELECT q.query_id, e.vec_id
+            FROM embeddings e CROSS JOIN q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) <= 10"""
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -217,16 +289,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderdate AS asof_value
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
-        "q_ann_topk": """
-            WITH q AS (
-                SELECT CAST(0 AS BIGINT) AS query_id, embedding FROM embeddings WHERE vec_id = 3
-                UNION ALL
-                SELECT CAST(1 AS BIGINT), embedding FROM embeddings WHERE vec_id = 17)
-            SELECT q.query_id, e.vec_id
-            FROM embeddings e CROSS JOIN q
-            QUALIFY row_number() OVER (
-                PARTITION BY q.query_id
-                ORDER BY list_cosine_similarity(
-                    CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
-                    e.vec_id) <= 10""",
+        "q_ann_topk": ann_sql(3, 17),
+        "q_ivf_topk": ann_sql(5, 42),
+        "q_minhash_pairs": jaccard_pairs_sql(char5_sh, 0.8),
+        "q_ngram_jaccard_pairs": jaccard_pairs_sql(word3_sh, 0.8),
+        "q_embed_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.90""",
+        "q_langid_counts": f"""
+            WITH f AS (SELECT doc_id, {hit_cols} FROM documents)
+            SELECT {argmax} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM f GROUP BY 1""",
+        "q_simhash_docs": f"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                         '[a-z0-9_]+')) AS w FROM documents),
+            h AS (SELECT doc_id, {h60('w')} AS h FROM tok),
+            s AS (SELECT doc_id, {simhash_terms} AS sh FROM h GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(s.sh, 0) AS simhash
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+        "q_fingerprints": f"""
+            WITH sh AS ({word3_sh}),
+            h AS (SELECT DISTINCT doc_id, {h60('g')} AS fp FROM sh)
+            SELECT doc_id, fp FROM h WHERE fp % {FP_MOD} = 0""",
+        "q_convert_pipeline": f"""
+            WITH {_WAY_CLS_SQL},
+            wcnt AS (SELECT layer, 'way' AS kind,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM res GROUP BY layer),
+            pcnt AS (SELECT CASE p_partkey % 16
+                              WHEN 0 THEN 'city_point' WHEN 1 THEN 'town_point'
+                              WHEN 2 THEN 'suburb_point' WHEN 3 THEN 'village_point'
+                            END AS layer,
+                            'point' AS kind, CAST(count(*) AS BIGINT) AS n
+                     FROM part WHERE p_partkey % 97 != 0
+                       AND p_partkey % 16 IN (0, 1, 2, 3)
+                     GROUP BY 1)
+            SELECT layer, kind, n FROM pcnt
+            UNION ALL SELECT layer, kind, n FROM wcnt""",
+        "q_postprocess_pipeline": f"""
+            WITH {_WAY_CLS_SQL},
+            pq AS (SELECT layer,
+              CAST(floor((((pk0 * {LON_MULT}) % 360000000)/1000000.0 - 180.0)/0.002) AS BIGINT) AS qx0,
+              CAST(floor((((pk0 * {LAT_MULT}) % 180000000)/1000000.0 -  90.0)/0.002) AS BIGINT) AS qy0,
+              CAST(floor((((pk1 * {LON_MULT}) % 360000000)/1000000.0 - 180.0)/0.002) AS BIGINT) AS qx1,
+              CAST(floor((((pk1 * {LAT_MULT}) % 180000000)/1000000.0 -  90.0)/0.002) AS BIGINT) AS qy1
+              FROM res),
+            d AS (SELECT DISTINCT layer, qx0, qy0, qx1, qy1 FROM pq
+                  WHERE NOT (qx0 = qx1 AND qy0 = qy1))
+            SELECT layer, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY layer""",
     }

@@ -45,6 +45,11 @@ def cmd_convert(args) -> int:
     actor.inc.remote("processed_images", meta.count())
     nodes, ways = adapter.adapt_images(meta)
     points, ways_out = convert.convert(nodes, ways)
+    if getattr(args, "shapefiles", False):
+        # consumed twice (parquet + shapefile export): materialize so
+        # the lineage doesn't re-execute the join per consumer
+        points = points.materialize()
+        ways_out = ways_out.materialize()
     if args.resume:
         checkpoint.resumable_write(points, os.path.join(args.out, "points"),
                                    "layer", stage="points")
@@ -55,7 +60,12 @@ def cmd_convert(args) -> int:
                              partition_cols=["layer"])
         ways_out.write_parquet(os.path.join(args.out, "ways"),
                                partition_cols=["layer"])
-    # A4 analog: job-end totals (handler.cc:59-62)
+    if getattr(args, "shapefiles", False):
+        from .sources.shapefile import export_shapefiles
+        export_shapefiles(points, ways_out,
+                          os.path.join(args.out, "shapefiles"))
+    # A4 analog: job-end totals (handler.cc:59-62) — now including
+    # dropped_ways/unresolved_refs from the J2 gate
     report = ray.get(actor.report.remote())
     print(json.dumps({"out": args.out, "metrics": report}))
     ray.shutdown()
@@ -87,6 +97,9 @@ def main(argv=None) -> int:
         sp.add_argument("input")
         sp.add_argument("out")
         sp.add_argument("--resume", action="store_true")
+        sp.add_argument("--shapefiles", action="store_true",
+                        help="also export reference-parity .shp/.dbf/.prj "
+                             "triples per layer")
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

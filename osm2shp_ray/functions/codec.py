@@ -36,13 +36,40 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8, filter 0)."""
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8).
+    ``filter_type`` selects the scanline filter for every row (0-4);
+    all five are computed vectorized from the source pixels (the
+    filters reference reconstructed bytes, which equal the source)."""
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    diag = np.zeros_like(flat)
+    diag[1:, 3:] = flat[:-1, :-3]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - diag
+        pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - diag)
+        pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                        np.where(pb_ <= pc_, up, diag))
+        filt = flat - pred
+    else:
+        raise ValueError(f"bad filter {filter_type}")
     raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 1:] = img.reshape(h, w * 3)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = (filt & 0xFF).astype(np.uint8)
     idat = zlib.compress(raw.tobytes(), 6)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -80,23 +107,41 @@ def decode_png(data: bytes) -> np.ndarray:
         prior = out[r - 1].astype(np.int32) if r > 0 else np.zeros(w * 3, np.int32)
         if ftype == 0:
             rec = line
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — fully vectorized
             rec = (line + prior) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recursion
-            rec = np.zeros(w * 3, dtype=np.int32)
-            for i in range(w * 3):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                if ftype == 1:
-                    rec[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:
-                    rec[i] = (line[i] + (a + b) // 2) & 0xFF
-                else:
-                    cdiag = prior[i - bpp] if i >= bpp else 0
-                    p = a + b - cdiag
-                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cdiag)
-                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cdiag)
-                    rec[i] = (line[i] + pred) & 0xFF
+        elif ftype == 1:  # Sub — rec[x] = sum of raw[0..x] per channel:
+            # one cumulative sum along the pixel axis (mod 256 at the end
+            # is exact: the int64 cumsum never overflows a scanline)
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
+                   .reshape(-1) & 0xFF).astype(np.int32)
+        elif ftype == 3:  # Average — left-recursive; loop over PIXELS
+            # with the 3 channels as one vector op per step (w iters,
+            # not w*3)
+            rec2 = np.empty((w, bpp), dtype=np.int32)
+            l2 = line.reshape(w, bpp)
+            p2 = prior.reshape(w, bpp)
+            a = np.zeros(bpp, dtype=np.int32)
+            for xcol in range(w):
+                a = (l2[xcol] + (a + p2[xcol]) // 2) & 0xFF
+                rec2[xcol] = a
+            rec = rec2.reshape(-1)
+        elif ftype == 4:  # Paeth — left-recursive; per-pixel loop,
+            # channels vectorized
+            rec2 = np.empty((w, bpp), dtype=np.int32)
+            l2 = line.reshape(w, bpp)
+            p2 = prior.reshape(w, bpp)
+            a = np.zeros(bpp, dtype=np.int32)
+            cdiag = np.zeros(bpp, dtype=np.int32)
+            for xcol in range(w):
+                bvec = p2[xcol]
+                p = a + bvec - cdiag
+                pa_, pb_, pc_ = np.abs(p - a), np.abs(p - bvec), np.abs(p - cdiag)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                                np.where(pb_ <= pc_, bvec, cdiag))
+                a = (l2[xcol] + pred) & 0xFF
+                rec2[xcol] = a
+                cdiag = bvec
+            rec = rec2.reshape(-1)
         else:
             raise ValueError(f"bad filter {ftype}")
         out[r] = rec.astype(np.uint8)

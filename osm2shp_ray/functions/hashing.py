@@ -77,6 +77,25 @@ def stable_id64(values) -> np.ndarray:
     return pos
 
 
+def md5_hash60(values) -> np.ndarray:
+    """60-bit hash of strings with EXACT SQL parity: equals DuckDB's
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — the first 15 hex chars
+    of the md5 digest. Used wherever a hash VALUE is part of an
+    oracle-checked query output (SimHash bit votes, fingerprints).
+
+    Vectorization note: md5 itself is per-string C code (hashlib); we
+    dictionary-encode first so repeated tokens (the common case for
+    word streams) hash once. Returns int64 (values < 2^60, so always
+    positive)."""
+    import hashlib
+    arr = values if isinstance(values, np.ndarray) else np.asarray(values, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    out = np.empty(len(uniq), dtype=np.int64)
+    for i, s in enumerate(uniq):
+        out[i] = int(hashlib.md5(str(s).encode("utf-8")).hexdigest()[:15], 16)
+    return out[inv]
+
+
 def bucket_of(keys: np.ndarray, n_buckets: int, seed: int = 0) -> np.ndarray:
     """Shuffle bucket for integer keys — avalanched so sequential ids
     spread evenly (plain ``id % B`` would correlate with generation

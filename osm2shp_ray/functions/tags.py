@@ -18,17 +18,20 @@ import pyarrow as pa
 
 
 def tags_from_map(col: pa.Array) -> pa.Array:
-    """map<string,string> -> canonical "k=v k2=v2" string column."""
-    if pa.types.is_chunked_array(col) if hasattr(pa.types, "is_chunked_array") else isinstance(col, pa.ChunkedArray):
+    """map<string,string> -> canonical "k=v k2=v2" string column.
+    Vectorized: one element-wise "k=v" join over the flattened entries,
+    then a per-row list join — both pyarrow C++ kernels."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    keys = col.keys.to_pylist()
-    items = col.items.to_pylist()
-    offs = col.offsets.to_numpy()
-    out = []
-    for i in range(len(col)):
-        lo, hi = offs[i], offs[i + 1]
-        out.append(" ".join(f"{keys[j]}={items[j]}" for j in range(lo, hi)))
-    return pa.array(out, type=pa.string())
+    kv = pc.binary_join_element_wise(col.keys, col.items.cast(pa.string()), "=")
+    offs = col.offsets
+    if offs[0].as_py() != 0:  # sliced map arrays carry a nonzero base
+        base = offs[0].as_py()
+        offs = pc.subtract(offs, base).cast(pa.int32())
+        kv = kv.slice(base)
+    rows = pa.ListArray.from_arrays(offs, kv)
+    return pc.binary_join(rows, " ")
 
 
 def tag_value(tags: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
@@ -41,7 +44,9 @@ def tag_value(tags: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
     s = pl.from_arrow(tags if isinstance(tags, (pa.Array, pa.ChunkedArray)) else pa.array(tags))
     if isinstance(s, pl.DataFrame):  # from_arrow on chunked gives Series already; guard
         s = s.to_series()
-    ext = s.str.extract(rf"(?:^|\s){_re_escape(key)}=(\S+)", 1)
+    # (\S*) not (\S+): an empty value ("landuse=") is still key-PRESENT
+    # (the reference's get_value_by_key returns "" with is_valid true)
+    ext = s.str.extract(rf"(?:^|\s){_re_escape(key)}=(\S*)", 1)
     arr = ext.to_arrow()
     return arr if isinstance(arr, pa.Array) else arr.combine_chunks()
 

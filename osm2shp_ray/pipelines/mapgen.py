@@ -27,9 +27,35 @@ THRESHOLDS = {name: (0.001 if name == "roadsmall_line" else 0.002)
 MERGE_CELL_RES = 6
 
 
-def postprocess_lines(assembled_ds, merge: bool = True):
+def _add_merge_key(t: pa.Table) -> pa.Table:
+    """(layer, coarse cell of first vertex) group key — partitions both
+    the polyline merge and the intersection break."""
+    xs = t["xs"]
+    if isinstance(xs, pa.ChunkedArray):
+        xs = xs.combine_chunks()
+    ys = t["ys"]
+    if isinstance(ys, pa.ChunkedArray):
+        ys = ys.combine_chunks()
+    off = xs.offsets.to_numpy(zero_copy_only=False)
+    first = (off - off[0])[:-1]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    cell = latlng_to_cell(fy[first], fx[first], MERGE_CELL_RES)
+    layer = t["layer_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (cell.astype(np.int64) << np.int64(4)) | layer
+    return t.append_column("merge_key", pa.array(key, pa.int64()))
+
+
+def postprocess_lines(assembled_ds, merge: bool = True,
+                      do_break: bool = True):
     """Assembled ways -> cleaned line layers (non-line layers pass
-    through untouched, the P2 point-passthrough analog)."""
+    through untouched, the P2 point-passthrough analog).
+
+    Chain per mapgen.sh:56-62: polyline merge (P3) -> Douglas-Peucker
+    (P4) -> v.clean snap,break,rmdupl (P5: intersection break inside
+    the (layer, cell) group, then snap-key dedup) -> rmline (P6).
+    ``do_break`` costs one extra (layer, cell) groupby after simplify —
+    skip it for inputs known to be planar."""
     line_idx = pa.array(
         [i for i, n in enumerate(LAYER_NAMES) if n in LINE_LAYERS], pa.int8())
 
@@ -45,23 +71,7 @@ def postprocess_lines(assembled_ds, merge: bool = True):
     rest = assembled_ds.map_batches(split_rest, batch_format="pyarrow")
 
     if merge:
-        def add_merge_key(t: pa.Table) -> pa.Table:
-            xs = t["xs"]
-            if isinstance(xs, pa.ChunkedArray):
-                xs = xs.combine_chunks()
-            ys = t["ys"]
-            if isinstance(ys, pa.ChunkedArray):
-                ys = ys.combine_chunks()
-            off = xs.offsets.to_numpy(zero_copy_only=False)
-            first = (off - off[0])[:-1]
-            fx = xs.flatten().to_numpy(zero_copy_only=False)
-            fy = ys.flatten().to_numpy(zero_copy_only=False)
-            cell = latlng_to_cell(fy[first], fx[first], MERGE_CELL_RES)
-            layer = t["layer_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-            key = (cell.astype(np.int64) << np.int64(4)) | layer
-            return t.append_column("merge_key", pa.array(key, pa.int64()))
-
-        lines = (coalesced(lines.map_batches(add_merge_key, batch_format="pyarrow"))
+        lines = (coalesced(lines.map_batches(_add_merge_key, batch_format="pyarrow"))
                  .groupby("merge_key")
                  .map_groups(_merge_group, batch_format="pandas"))
 
@@ -77,6 +87,11 @@ def postprocess_lines(assembled_ds, merge: bool = True):
         return pa.concat_tables(parts) if parts else t
 
     lines = lines.map_batches(simplify, batch_format="pyarrow")
+    if do_break:
+        lines = (coalesced(lines.map_batches(_add_merge_key,
+                                             batch_format="pyarrow"))
+                 .groupby("merge_key")
+                 .map_groups(_break_group, batch_format="pandas"))
     lines = lines.map_batches(lambda t: geometry.snap_key_batch(t, 0.002),
                               batch_format="pyarrow")
 
@@ -84,10 +99,17 @@ def postprocess_lines(assembled_ds, merge: bool = True):
         i = int(np.argmin(t["way_id"].to_numpy(zero_copy_only=False)))
         return t.slice(i, 1).drop_columns(["snap_key"])
 
-    lines = (coalesced(lines).groupby("snap_key")
+    # dedup key includes layer_idx: identical geometries in DIFFERENT
+    # line layers must both survive (the reference runs v.clean per
+    # layer independently, mapgen.sh:56-62)
+    lines = (coalesced(lines).groupby(["layer_idx", "snap_key"])
              .map_groups(keep_first, batch_format="pyarrow"))
     lines = lines.map_batches(geometry.drop_degenerate_batch, batch_format="pyarrow")
     return rest.union(lines)
+
+
+def _break_group(df) -> pa.Table:
+    return geometry.break_lines_group(df.drop(columns=["merge_key"]))
 
 
 def _merge_group(df) -> pa.Table:

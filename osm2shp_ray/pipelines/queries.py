@@ -98,48 +98,47 @@ def q01_pricing_summary(sf_dir: str):
 
 
 def q03_top_orders(sf_dir: str):
-    """3-table join via broadcast small sides + grouped top-k.
-    At dimension tables too large to broadcast this becomes
-    Dataset.join; the fact table is never materialized."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    ckeys = np.sort(np.concatenate([
-        b["c_custkey"].to_numpy(zero_copy_only=False)[
-            np.asarray(b["c_mktsegment"].to_pylist(), dtype=object) == "BUILDING"]
-        for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)]))
+    """3-table join, fully distributed: customer (filtered) semi-joins
+    orders, the filtered orders inner-join lineitem — both via the
+    reusable bucketed hash_join (stages/joins.py); nothing is
+    materialized on the driver until the 10-row result."""
+    from ..stages.joins import hash_join
     cutoff = datetime.datetime(1998, 6, 1)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    okeys, odates = [], []
-    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
-        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        oc = b["o_custkey"].to_numpy(zero_copy_only=False)
-        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
-        m = (od < np.datetime64(cutoff)) & (
-            np.searchsorted(ckeys, oc) < len(ckeys)) & np.isin(oc, ckeys)
-        okeys.append(ok[m]); odates.append(od[m])
-    okeys = np.concatenate(okeys); odates = np.concatenate(odates)
-    order_idx = np.argsort(okeys)
-    okeys, odates = okeys[order_idx], odates[order_idx]
-    o_ref = ray.put((okeys, odates))
+    cut = pa.scalar(cutoff, type=pa.timestamp("us"))
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: pa.table({
+                "o_custkey": t.filter(pc.equal(t["c_mktsegment"],
+                                               "BUILDING"))["c_custkey"]}),
+                batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+                           batch_format="pyarrow"))
+    orders_b = hash_join(orders, cust, on="o_custkey", how="left_semi",
+                         n_buckets=32).select_columns(["o_orderkey", "o_orderdate"])
 
     def li(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        ok, _ = _ray.get(o_ref)
-        m = (t["l_shipdate"].to_numpy(zero_copy_only=False) > np.datetime64(cutoff))
-        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        m &= np.isin(lk, ok)
-        t = t.filter(pa.array(m))
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    agg = (lineitem.map_batches(li, batch_format="pyarrow")
-           .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    joined = hash_join(lineitem.map_batches(li, batch_format="pyarrow"),
+                       orders_b, on="o_orderkey", n_buckets=32)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "revenue": t["revenue"],
+                         "__od_us": od})
+
+    agg = (joined.map_batches(to_us, batch_format="pyarrow")
+           .groupby(["o_orderkey", "__od_us"])
+           .aggregate(Sum("revenue", alias_name="revenue"))
            .sort(["revenue", "o_orderkey"], descending=[True, False])
            .limit(10).to_pandas())
-    pos = np.searchsorted(okeys, agg["o_orderkey"].to_numpy())
-    agg["o_orderdate"] = odates[pos]
-    return _round_cols(agg, ["revenue"])
+    agg["o_orderdate"] = agg.pop("__od_us").astype("datetime64[us]")
+    return _round_cols(agg[["o_orderkey", "revenue", "o_orderdate"]], ["revenue"])
 
 
 def q_join_resolve(sf_dir: str):
@@ -325,24 +324,30 @@ def q_punct_by_source(sf_dir: str):
     return _round_cols(out, ["avg_punct"])
 
 
+def _fetch_vecs(emb, ids: list[int]) -> np.ndarray:
+    """Fetch specific embedding rows via a streamed filter (never a
+    full-table materialization)."""
+    wanted = pa.array(ids, pa.int64())
+    rows = (emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=wanted)),
+        batch_format="pyarrow").take_all())
+    by_id = {r["vec_id"]: r["embedding"] for r in rows}
+    return np.stack([np.asarray(by_id[i], dtype=np.float64) for i in ids])
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for two fixed query vectors; output is
     id-only so float formatting can't break the value hash."""
     emb = _read(sf_dir, "embeddings")
-    rows = {r["vec_id"]: r["embedding"]
-            for r in emb.take_batch(64, batch_format="pandas").to_dict("records")
-            if r["vec_id"] in (3, 17)}
-    if len(rows) < 2:  # fallback: fetch explicitly
-        allr = emb.to_pandas()
-        rows = {3: allr[allr.vec_id == 3]["embedding"].iloc[0],
-                17: allr[allr.vec_id == 17]["embedding"].iloc[0]}
-    q = np.stack([np.asarray(rows[3], dtype=np.float64),
-                  np.asarray(rows[17], dtype=np.float64)])
+    q = _fetch_vecs(emb, [3, 17])
     out = ann.brute_force_topk(emb, q, k=10).to_pandas()
     return out[["query_id", "vec_id"]]
 
 
-# ----------------------------------------------------- rows-only queries
+# --------------------------------------- sketch / pipeline queries
+# (now SQL-oracled: hash-bearing outputs use the md5-derived 60-bit
+# hash, similarity outputs are EXACT-verified, so DuckDB can recompute
+# every value)
 
 def q_langid_counts(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -357,37 +362,50 @@ def q_simhash_docs(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """Char-5-gram near-dup pairs: MinHash-LSH candidates, EXACT
+    shingle-set Jaccard >= 0.8 verification — so the pair set equals
+    DuckDB's all-pairs exact Jaccard (the LSH prefilter's miss
+    probability at the fixture's J>=0.9 planted dups is ~1e-8)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.lsh_candidate_pairs(ds, threshold=0.8).select_columns(["id_a", "id_b"])
+    return (dedup.exact_jaccard_pairs(ds, threshold=0.8, shingle_mode="char",
+                                      shingle_n=5)
+            .select_columns(["id_a", "id_b"]))
 
 
 def q_fingerprints(sf_dir: str):
+    """Mod-p sampled word-3-gram fingerprints, exploded (doc_id, fp)
+    rows; fp is the md5-derived 60-bit shingle hash, recomputable in
+    SQL. (The winnowing-style fingerprint is a separate operator,
+    text.fingerprint_batch, property-tested in pytest.)"""
     return (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(text.fingerprint_batch, batch_format="pyarrow")
-            .select_columns(["doc_id", "fingerprint"]))
+            .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
 def q_embed_near_dup(sf_dir: str):
-    """Empty result is valid (a clean corpus has no near-dups); the
-    schema is pinned so the driver's stable-schema check always sees
-    the pair columns."""
+    """Embedding near-dup pairs: hyperplane-LSH candidates verified by
+    EXACT cosine >= 0.9. Empty result is valid (the testdata corpus
+    has no pair above cosine 0.52); the schema is pinned so the
+    driver's stable-schema check always sees the pair columns."""
     df = dedup.embedding_near_dup_pairs(
         _read(sf_dir, "embeddings"), threshold=0.90).to_pandas()
     if df.empty:
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                           "id_b": pd.Series(dtype="int64"),
-                           "cosine": pd.Series(dtype="float64")})
-    return df
+                           "id_b": pd.Series(dtype="int64")})
+    return df[["id_a", "id_b"]]
 
 
 def q_ivf_topk(sf_dir: str):
+    """IVF top-k with nprobe = n_centroids (exhaustive probing): the
+    full IVF machinery (centroid training, inverted-list assignment,
+    probe filter) with a provably exact result — equal to brute force,
+    hence SQL-oracle-able. Recall at nprobe << n_centroids is measured
+    in tests/test_text_dedup_ann.py instead."""
     emb = _read(sf_dir, "embeddings")
-    allr = emb.take_batch(32, batch_format="pandas")
-    q = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in allr["embedding"].iloc[:2]])
+    q = _fetch_vecs(emb, [5, 42])
     cent = ann.train_centroids(emb, n_centroids=8)
     indexed = ann.assign_centroids(emb, cent)
-    return ann.ivf_topk(indexed, cent, q, k=10).select_columns(["query_id", "vec_id"])
+    return (ann.ivf_topk(indexed, cent, q, k=10, nprobe=8)
+            .select_columns(["query_id", "vec_id"]))
 
 
 def q_convert_images(sf_dir: str):
@@ -433,7 +451,7 @@ def q_postprocess_ways(sf_dir: str):
         i = int(np.argmin(t["way_id"].to_numpy(zero_copy_only=False)))
         return t.slice(i, 1)
 
-    deduped = (keyed.groupby("snap_key")
+    deduped = (keyed.groupby(["layer_idx", "snap_key"])
                .map_groups(keep_min_way, batch_format="pyarrow"))
     cleaned = deduped.map_batches(geometry.drop_degenerate_batch,
                                   batch_format="pyarrow")
@@ -463,11 +481,11 @@ def q_asof_join(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Word n-gram Jaccard near-dup pairs (LSH candidates verified by
-    long-signature estimate; rows-only oracle)."""
+    """WORD-3-gram Jaccard near-dup pairs: word-shingle LSH candidates,
+    EXACT word-n-gram-set Jaccard >= 0.8 verification (SQL-equal)."""
     return dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.8).select_columns(["id_a", "id_b"])
+        n=3, threshold=0.8).select_columns(["id_a", "id_b"])
 
 
 def q_pip_partitioned(sf_dir: str):
@@ -490,15 +508,171 @@ def q_pip_partitioned(sf_dir: str):
     }).sort_by("tile_id")
     pts = _customer_points(sf_dir)
     matched = spatial.assign_tiles_partitioned(pts, rd.from_arrow(tiles), res=4)
-    m = matched.to_pandas()
-    # 'none' bucket: customers not matched (count arithmetic — exact)
+    # count DISTRIBUTED (groupby per tile); only the <=6-row histogram
+    # reaches the driver. 'none' bucket by count arithmetic — exact.
+    counts = (matched.groupby("tile_id")
+              .aggregate(Count(alias_name="n")).to_pandas())
     total = _read(sf_dir, "customer", ["c_custkey"]).count()
-    counts = m.groupby("tile_id", sort=False).size().reset_index(name="n")
-    counts["n"] = counts["n"].astype("int64")
     none_n = total - int(counts["n"].sum())
     out = pd.concat([counts, pd.DataFrame({"tile_id": ["none"], "n": [none_n]})],
                     ignore_index=True)
     return out[out["n"] > 0].reset_index(drop=True)
+
+
+# -------------------------- SQL-derivable convert/postprocess pipeline
+# The mandated image-fixture conversion (q_convert_images) is oracled
+# by the pure-Python reference oracle in pytest; these two queries run
+# the SAME engine stages (classify_nodes/ways, resolve_ways, assembly,
+# simplify, snap-dedup) over nodes/ways derived from part/lineitem with
+# SQL-expressible arithmetic, so DuckDB re-derives the exact counts —
+# full-join-pipeline parity under the driver's hard gate.
+
+# 16 tag templates indexed by p_partkey % 16: covers every classifier
+# path — named/unnamed points, every line rule, polygon rule, is_area
+# via natural/landuse/area=yes (incl. the literal 'woord' typo), and
+# the area+line-rule type-mismatch drop.
+ENTITY_TEMPLATES = np.asarray([
+    "place=city name=Na", "place=town name=Nb", "place=suburb name=Nc",
+    "place=village name=Nd", "place=city", "highway=motorway",
+    "highway=trunk", "highway=primary", "highway=secondary",
+    "railway=rail", "waterway=river", "waterway=canal", "natural=water",
+    "natural=woord", "landuse=residential", "area=yes waterway=river",
+], dtype=object)
+NEG_MOD_SQL = 97         # p_partkey % 97 == 0 -> negated node id (M1 path)
+POS_SHIFT = np.int64(4294967296)  # pos = l_linenumber * 2^32 + l_partkey
+
+# SQL fragments shared by the two oracles (way classification CASE)
+_WAY_CLS_SQL = """
+wm AS (SELECT l_orderkey AS w,
+              l_linenumber * 4294967296 + l_partkey AS pos,
+              l_partkey AS pk,
+              l_partkey % 16 AS t,
+              CASE WHEN l_partkey % 97 = 0 THEN 1 ELSE 0 END AS bad
+       FROM lineitem),
+wy AS (SELECT w, arg_min(t, pos) AS t0, CAST(count(*) AS BIGINT) AS n,
+              sum(bad) AS n_bad,
+              arg_min(pk, pos) AS pk0, arg_max(pk, pos) AS pk1
+       FROM wm GROUP BY w),
+wc AS (SELECT w, n, n_bad, pk0, pk1,
+              CASE WHEN t0 IN (12,13,14,15) THEN
+                     CASE WHEN t0 = 12 THEN 'water_area' END
+                   ELSE CASE WHEN t0 IN (5,6) THEN 'roadbig_line'
+                             WHEN t0 = 7 THEN 'roadmedium_line'
+                             WHEN t0 = 8 THEN 'roadsmall_line'
+                             WHEN t0 = 9 THEN 'railway_line'
+                             WHEN t0 IN (10,11) THEN 'water_line' END
+              END AS layer,
+              CASE WHEN t0 IN (12,13,14,15) THEN n >= 3 ELSE n >= 2 END AS vok
+       FROM wy),
+res AS (SELECT * FROM wc WHERE layer IS NOT NULL AND vok AND n_bad = 0)"""
+
+
+def sql_entities(sf_dir: str, n_buckets: int = 32):
+    """(nodes_ds, ways_ds) derived from part/lineitem with pure integer
+    arithmetic (node ids/coords/tags from p_partkey, way membership
+    from l_orderkey/l_linenumber) — every derivation mirrored in the
+    _WAY_CLS_SQL oracle fragment."""
+    from ..stages.util import coalesced
+    from .adapter import _build_ways_group
+    from ..functions.hashing import bucket_of
+
+    def part_nodes(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        ids = np.where(pk % NEG_MOD_SQL == 0, -pk, pk)
+        lon, lat = custkey_lonlat(pk)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "tags": pa.array(ENTITY_TEMPLATES[pk % 16].tolist(), pa.string()),
+        })
+
+    nodes = (_read(sf_dir, "part", ["p_partkey"])
+             .map_batches(part_nodes, batch_format="pyarrow"))
+
+    def li_members(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        w = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "way_id": pa.array(w, pa.int64()),
+            "pos": pa.array(ln * POS_SHIFT + pk, pa.int64()),
+            "ref": pa.array(np.where(pk % NEG_MOD_SQL == 0, -pk, pk), pa.int64()),
+            "tags": pa.array(ENTITY_TEMPLATES[pk % 16].tolist(), pa.string()),
+            "bucket": pa.array(bucket_of(w, n_buckets), pa.int64()),
+        })
+
+    ways = (coalesced(_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_partkey", "l_linenumber"])
+                      .map_batches(li_members, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(_build_ways_group, batch_format="pandas"))
+    return nodes, ways
+
+
+def q_convert_pipeline(sf_dir: str):
+    """Full conversion chain (classify nodes/ways -> distributed
+    node-ref join with completeness gate -> assembly) over SQL-derived
+    entities; output = per-layer feature counts, hash-matched against
+    the DuckDB re-derivation."""
+    from . import convert
+    nodes, ways = sql_entities(sf_dir)
+    points, ways_out = convert.convert(nodes, ways, n_buckets=32)
+    p = points.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    w = ways_out.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    p["kind"] = "point"
+    w["kind"] = "way"
+    out = pd.concat([p, w], ignore_index=True)
+    return out[["layer", "kind", "n"]]
+
+
+def q_postprocess_pipeline(sf_dir: str):
+    """P4/P5/P6 chain over the assembled SQL-derived ways: DP simplify
+    (endpoint-preserving, so the endpoint snap-key is DP-invariant) ->
+    per-layer endpoint-snap dedup (keep one way per snapped endpoint
+    pair) -> endpoint-degenerate drop -> per-layer counts."""
+    from ..stages import geometry
+    from ..stages.classify import classify_ways_batch, layer_name_col
+    from ..stages.join import resolve_ways
+
+    nodes, ways = sql_entities(sf_dir)
+    classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
+    assembled = resolve_ways(nodes, classified, n_buckets=32)
+    simplified = assembled.map_batches(
+        lambda t: geometry.simplify_batch(t, 0.002), batch_format="pyarrow")
+
+    def endpoint_keys(t: pa.Table) -> pa.Table:
+        xs = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        first, last = off[:-1], off[1:] - 1
+        q = lambda v: np.floor(v / 0.002).astype(np.int64)
+        return pa.table({
+            "layer_idx": t["layer_idx"],
+            "qx0": pa.array(q(fx[first]), pa.int64()),
+            "qy0": pa.array(q(fy[first]), pa.int64()),
+            "qx1": pa.array(q(fx[last]), pa.int64()),
+            "qy1": pa.array(q(fy[last]), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    deduped = (simplified.map_batches(endpoint_keys, batch_format="pyarrow")
+               .groupby(["layer_idx", "qx0", "qy0", "qx1", "qy1"])
+               .aggregate(Count(alias_name="__dup")))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.and_(pc.equal(t["qx0"], t["qx1"]),
+                                 pc.equal(t["qy0"], t["qy1"])))
+        t = t.filter(keep)
+        layer = layer_name_col(t["layer_idx"].to_numpy(zero_copy_only=False))
+        return pa.table({"layer": layer,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return (deduped.map_batches(survivors, batch_format="pyarrow")
+            .groupby("layer").aggregate(Sum("one", alias_name="n")))
 
 
 def q_supplier_by_region(sf_dir: str):

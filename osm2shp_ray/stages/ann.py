@@ -50,8 +50,13 @@ def brute_force_topk(ds, queries: np.ndarray, k: int,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n, nq = sims.shape
         kk = min(k, n)
-        # per-query partial top-k (the per-partition max-heap)
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        # per-query partial top-k (the per-partition max-heap) with the
+        # SAME tie-break as the global reduce: (-cosine, id asc) — an
+        # argpartition alone keeps an arbitrary subset of exact ties at
+        # the cut, which can disagree with the oracle on duplicate vectors
+        part = np.empty((kk, nq), dtype=np.int64)
+        for qi in range(nq):
+            part[:, qi] = np.lexsort((ids, -sims[:, qi]))[:kk]
         out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
         out_i = part.T.reshape(-1)
         return pa.table({
@@ -142,7 +147,9 @@ def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
         sims = np.where(allowed, sims, -np.inf)
         n, nq = sims.shape
         kk = min(k, n)
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        part = np.empty((kk, nq), dtype=np.int64)
+        for qi in range(nq):            # deterministic (-cosine, id) tie-break
+            part[:, qi] = np.lexsort((ids, -sims[:, qi]))[:kk]
         out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
         out_i = part.T.reshape(-1)
         vals = sims[out_i, out_q]

@@ -81,17 +81,48 @@ def shingle_hashes(texts, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return h, offsets
 
 
+def word_shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """WORD n-gram shingles -> (flat uint64 hashes, doc offsets).
+    Tokens are ASCII ``[a-zA-Z0-9_]+`` runs of the lowercased text (the
+    exact token definition the SQL oracles use); an n-gram hash is the
+    position-weighted mix of its n token hashes. Documents with fewer
+    than n tokens contribute an EMPTY shingle set (matching the SQL
+    ``CASE WHEN len(toks) >= n`` guard)."""
+    s = pl.from_arrow(texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    toks = s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    flat = pl.Series(toks.explode().drop_nulls()).hash(seed=42).to_numpy().astype(np.uint64)
+    counts = np.maximum(lens - n + 1, 0)
+    out_off = np.concatenate(([0], np.cumsum(counts)))
+    tok_off = np.concatenate(([0], np.cumsum(lens)))
+    g = np.zeros(int(out_off[-1]), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            # gather the j-th token of every shingle, vectorized across docs
+            idx = (np.arange(len(g), dtype=np.int64)
+                   - np.repeat(out_off[:-1], counts)
+                   + np.repeat(tok_off[:-1], counts) + j)
+            g = g * np.uint64(0x100000001B3) ^ splitmix64(flat[idx]) if len(g) else g
+    return g, out_off
+
+
 def minhash_signatures(texts, num_perm: int = 64, n: int = 5,
-                       seed: int = 1) -> np.ndarray:
+                       seed: int = 1, shingle_mode: str = "char") -> np.ndarray:
     """(num_docs, num_perm) uint64 MinHash signature matrix,
     batch-vectorized: (a*h+b mod p) broadcast then minimum.reduceat."""
-    h, offsets = shingle_hashes(texts, n)
+    h, offsets = (shingle_hashes(texts, n) if shingle_mode == "char"
+                  else word_shingle_hashes(texts, n))
     a, b = _perm_params(num_perm, seed)
     ndocs = len(offsets) - 1
     sig = np.empty((ndocs, num_perm), dtype=np.uint64)
     if len(h) == 0:
         sig[:] = _MERSENNE
         return sig
+    counts = np.diff(offsets)
+    empty = counts == 0
+    safe_starts = np.minimum(offsets[:-1], len(h) - 1)  # reduceat needs in-range starts
     with np.errstate(over="ignore"):
         hv = (h % _MERSENNE)
         # chunk the permutation axis to bound the (num_perm x n_shingles)
@@ -99,7 +130,8 @@ def minhash_signatures(texts, num_perm: int = 64, n: int = 5,
         for p0 in range(0, num_perm, 16):
             p1 = min(p0 + 16, num_perm)
             vals = (a[p0:p1, None] * hv[None, :] + b[p0:p1, None]) % _MERSENNE
-            sig[:, p0:p1] = np.minimum.reduceat(vals, offsets[:-1], axis=1).T
+            sig[:, p0:p1] = np.minimum.reduceat(vals, safe_starts, axis=1).T
+    sig[empty] = _MERSENNE  # empty shingle set -> sentinel signature
     return sig
 
 
@@ -108,11 +140,13 @@ def signature_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
 
 
 def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
-                    num_perm: int, bands: int, n: int = 5) -> pa.Table:
+                    num_perm: int, bands: int, n: int = 5,
+                    shingle_mode: str = "char") -> pa.Table:
     """docs -> (band_id, band_hash, doc id, signature) rows — the LSH
     explode. signature rides along (num_perm * 8 bytes) so candidate
     verification happens inside the band group without re-reading text."""
-    sig = minhash_signatures(batch[text_col], num_perm=num_perm, n=n)
+    sig = minhash_signatures(batch[text_col], num_perm=num_perm, n=n,
+                             shingle_mode=shingle_mode)
     ndocs, _ = sig.shape
     r = num_perm // bands
     band_hash = np.empty((ndocs, bands), dtype=np.uint64)
@@ -141,7 +175,7 @@ def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
 def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16,
                         shingle_n: int = 5, threshold: float = 0.7,
-                        max_bucket: int = 200):
+                        max_bucket: int = 200, shingle_mode: str = "char"):
     """Dataset of docs -> Dataset of verified near-dup pairs
     (id_a, id_b, sim) with sim = signature similarity >= threshold.
     ``max_bucket`` truncates pathological buckets (logged via the
@@ -171,7 +205,8 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     bands_ds = coalesced(ds.map_batches(
-        lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands, shingle_n),
+        lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands,
+                                  shingle_n, shingle_mode),
         batch_format="pyarrow"))
     pairs = (bands_ds.groupby(["band_id", "band_hash"])
              .map_groups(pairs_in_group, batch_format="pandas"))
@@ -179,62 +214,192 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return _dedup_pairs(pairs)
 
 
+def shingle_sets_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", shingle_mode: str = "char",
+                       n: int = 5) -> pa.Table:
+    """docs -> (id, sh list<int64>) where sh is the DISTINCT shingle
+    hash set (sorted). Set Jaccard over these hash sets equals set
+    Jaccard over the shingle strings (64-bit collisions negligible),
+    which is what the DuckDB oracles compute on the string side."""
+    h, off = (shingle_hashes(batch[text_col], n) if shingle_mode == "char"
+              else word_shingle_hashes(batch[text_col], n))
+    doc = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(off))
+    order = np.lexsort((h, doc))
+    d, hv = doc[order], h[order]
+    first = np.concatenate(([True], (d[1:] != d[:-1]) | (hv[1:] != hv[:-1]))) \
+        if len(d) else np.empty(0, bool)
+    d, hv = d[first], hv[first]
+    counts = np.bincount(d, minlength=len(batch))
+    offsets = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
+    return pa.table({
+        id_col: batch[id_col],
+        "sh": pa.ListArray.from_arrays(
+            offsets, pa.array(hv.astype(np.int64), pa.int64())),
+    })
+
+
+def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, shingle_mode: str = "char",
+                        shingle_n: int = 5, num_perm: int = 128,
+                        bands: int = 32, prefilter_margin: float = 0.2):
+    """Near-dup pairs verified by EXACT shingle-set Jaccard — the
+    SQL-oracle-equal operator: LSH narrows candidates (signature-sim
+    prefilter at threshold - margin, so the +-1/sqrt(num_perm) estimate
+    error cannot drop a true pair), then the true Jaccard is computed
+    from the candidates' distinct-shingle sets and thresholded.
+
+    Distribution: the candidate-pair set is tiny by construction; its
+    id set is collected driver-side (ids only — the broadcast-semijoin
+    small side) to filter the docs Dataset before shingle sets are
+    built, so full texts of NON-candidates never leave their blocks.
+    The two pair-side attaches are hash_joins over candidate docs only.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    import ray
+
+    from .joins import hash_join
+
+    cand = lsh_candidate_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, threshold=max(0.0, threshold - prefilter_margin),
+        shingle_mode=shingle_mode)
+    cand = cand.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+    pair_rows = cand.take_all()  # ids only; bounded by candidate count
+    if not pair_rows:
+        import pandas as pd
+        return ray.data.from_pandas(pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")}))
+    cand_ids = np.unique(np.concatenate(
+        [np.array([p["id_a"] for p in pair_rows], dtype=np.int64),
+         np.array([p["id_b"] for p in pair_rows], dtype=np.int64)]))
+    ids_ref = ray.put(cand_ids)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        wanted = _ray.get(ids_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    docsets = (ds.map_batches(only_candidates, batch_format="pyarrow")
+               .map_batches(lambda t: shingle_sets_batch(
+                   t, text_col, id_col, shingle_mode, shingle_n),
+                   batch_format="pyarrow"))
+
+    sets_a = docsets.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "sh_a": t["sh"]}),
+        batch_format="pyarrow")
+    sets_b = docsets.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "sh_b": t["sh"]}),
+        batch_format="pyarrow")
+    joined = hash_join(hash_join(cand, sets_a, on="id_a", n_buckets=16),
+                       sets_b, on="id_b", n_buckets=16)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["sh_a"]
+        b = t["sh_b"]
+        ja = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):  # pairs are few; sets are np arrays
+            sa = np.asarray(a[i].as_py(), dtype=np.int64)
+            sb = np.asarray(b[i].as_py(), dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            ja[i] = inter / union if union else 0.0
+        keep = ja >= threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)) if t.num_rows else t["id_a"],
+            "id_b": t["id_b"].filter(pa.array(keep)) if t.num_rows else t["id_b"],
+            "jaccard": pa.array(ja[keep], pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def dedup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.7, num_perm: int = 64,
                   bands: int = 16, shingle_n: int = 5,
-                  component_cap: int = 2_000_000):
+                  component_cap: int = 500_000):
     """Near-dedup keep-set: connected components over verified pairs,
     keep the min-id representative of each component; returns the
-    filtered Dataset. Components are built on the driver (union-find)
-    when the pair count is under ``component_cap`` — beyond that,
-    switch to iterative min-label propagation (documented limitation;
-    pair sets that big mean the threshold is wrong for the corpus)."""
+    filtered Dataset.
+
+    Components: driver union-find below ``component_cap`` pairs (fast
+    path), distributed min-label propagation above it
+    (stages/components.py) — no hard pair-count limit. The final
+    keep-filter broadcasts the drop-id array (sized by the number of
+    duplicates, the operator's output-scale side) and applies a
+    vectorized np.isin per batch."""
     import ray
 
     pairs = lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands,
-                                shingle_n, threshold).take_all()
-    if len(pairs) > component_cap:
-        raise RuntimeError(
-            f"{len(pairs)} candidate pairs exceeds component_cap; raise the "
-            "threshold or use min-label propagation")
-    parent: dict = {}
+                                shingle_n, threshold).materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= component_cap:
+        rows = pairs.take_all()
+        parent: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    for p in pairs:
-        a, b = find(p["id_a"]), find(p["id_b"])
-        if a != b:
-            if b < a:
-                a, b = b, a
-            parent[b] = a
-    drop = {x for x in parent if find(x) != x}
-    drop_ref = ray.put(drop)
+        for p in rows:
+            a, b = find(p["id_a"]), find(p["id_b"])
+            if a != b:
+                if b < a:
+                    a, b = b, a
+                parent[b] = a
+        drop_arr = np.array(sorted(x for x in parent if find(x) != x),
+                            dtype=np.int64)
+    else:
+        from .components import connected_components
+        cc = connected_components(pairs)
+        non_roots = cc.map_batches(
+            lambda t: pa.table({"id": t["id"].filter(
+                pc_not_equal(t["id"], t["root"]))}),
+            batch_format="pyarrow")
+        drop_arr = np.sort(np.concatenate(
+            [b["id"].to_numpy(zero_copy_only=False)
+             for b in non_roots.iter_batches(batch_format="pyarrow",
+                                             batch_size=65536)] or
+            [np.empty(0, np.int64)]))
+    drop_ref = ray.put(drop_arr)
 
     def filter_batch(t: pa.Table) -> pa.Table:
         import ray as _ray
         d = _ray.get(drop_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        keep = np.array([i not in d for i in ids], dtype=bool)
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(~np.isin(ids, d)))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def pc_not_equal(a, b):
+    import pyarrow.compute as pc
+    return pc.invert(pc.equal(a, b))
 
 
 # ------------------------------------------------------------- SimHash
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over word tokens: signed bit-vote of token
-    hashes, vectorized with a bit-unpack matrix per batch."""
+    hashes, vectorized with a bit-unpack matrix per batch.
+
+    Token hash is the md5-derived 60-bit hash (functions/hashing.
+    md5_hash60) so the per-document SimHash VALUE is reproducible in
+    SQL (the q_simhash_docs oracle re-computes the same bit votes in
+    DuckDB); bits 60-63 always vote negative and stay 0. Tokens are
+    ASCII ``[a-z0-9_]+`` runs of the lowercased text (RE2 parity)."""
+    from ..functions.hashing import md5_hash60
     s = pl.from_arrow(batch[text_col])
     if isinstance(s, pl.DataFrame):
         s = s.to_series()
-    toks = s.str.to_lowercase().str.extract_all(r"\w+")
+    toks = s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
     lens = toks.list.len().to_numpy().astype(np.int64)
-    flat = pl.Series(toks.explode().drop_nulls()).hash(seed=11).to_numpy().astype(np.uint64)
+    flat = md5_hash60(
+        toks.explode().drop_nulls().to_numpy()).astype(np.uint64)
     offsets = np.concatenate(([0], np.cumsum(lens)))
     bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
                          bitorder="little").astype(np.int32) * 2 - 1  # (n_tok, 64)
@@ -278,7 +443,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = df[id_col].to_numpy()
         ia, ib = np.triu_indices(m, k=1)
         x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
                              "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
@@ -295,12 +460,13 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
                         num_perm: int = 128, bands: int = 32):
-    """Word n-gram Jaccard near-dup: LSH candidates (high band count =
-    high recall), verified with the Jaccard *estimate* from a longer
-    signature. Exact Jaccard verification would require a text
-    self-join; the estimate's error is ~1/sqrt(num_perm) (~9%)."""
-    return lsh_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
-                               bands=bands, shingle_n=n, threshold=threshold)
+    """WORD n-gram Jaccard near-dup: LSH candidates over word-shingle
+    minhash (high band count = high recall), verified by EXACT
+    word-n-gram set Jaccard (exact_jaccard_pairs) — the semantics the
+    name promises and the DuckDB oracle computes."""
+    return exact_jaccard_pairs(ds, text_col, id_col, threshold=threshold,
+                               shingle_mode="word", shingle_n=n,
+                               num_perm=num_perm, bands=bands)
 
 
 # ------------------------------------------- embedding cosine near-dup

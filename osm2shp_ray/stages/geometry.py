@@ -196,6 +196,110 @@ def drop_degenerate_batch(batch: pa.Table) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+# ------------------------------------------------------------ P5: break
+
+def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
+    """Split lines at intersections — the ``break`` tool of
+    ``v.clean tool=snap,break,rmdupl`` (/root/reference/mapgen.sh:60).
+
+    All elementary segments in the group are tested pairwise for proper
+    crossings and T-joints (vectorized: one broadcast cross-product
+    grid over the group's segments); every line is cut at each
+    intersection point, producing one output line per cut piece. Two
+    crossing segments therefore become 4 pieces; a T-joint splits only
+    the crossed line. Collinear overlaps are left untouched (GRASS
+    resolves them in snap; our snap-dedup handles exact duplicates).
+
+    Partitioning assumption (same as merge_lines_group): crossings are
+    only found within the group (layer x coarse cell) — callers group
+    by merge_key, so crossings across cell boundaries are not split;
+    the cell resolution is the completeness/size knob.
+
+    Split-line ids derive from the parent: way_id * 256 + piece index
+    (deterministic; >=256 pieces clamp into the last id, only dedup
+    determinism is affected)."""
+    xs_l = [np.asarray(v, dtype=np.float64) for v in df["xs"]]
+    ys_l = [np.asarray(v, dtype=np.float64) for v in df["ys"]]
+    ids = df["way_id"].to_numpy() if "way_id" in df else np.arange(len(xs_l))
+    layer_idx = df["layer_idx"].to_numpy() if len(df) else np.empty(0, np.int8)
+
+    # explode to elementary segments
+    seg_feat, p0x, p0y, p1x, p1y, seg_pos = [], [], [], [], [], []
+    for i, (xa, ya) in enumerate(zip(xs_l, ys_l)):
+        for j in range(len(xa) - 1):
+            seg_feat.append(i)
+            seg_pos.append(j)
+            p0x.append(xa[j]); p0y.append(ya[j])
+            p1x.append(xa[j + 1]); p1y.append(ya[j + 1])
+    m = len(seg_feat)
+    cuts: list[list[float]] = [[] for _ in range(m)]  # t params per segment
+    if m > 1:
+        P0 = np.stack([np.array(p0x), np.array(p0y)], axis=1)   # (m,2)
+        R = np.stack([np.array(p1x) - np.array(p0x),
+                      np.array(p1y) - np.array(p0y)], axis=1)
+        # pairwise solve P0[i] + t R[i] = P0[j] + u R[j]
+        denom = R[:, None, 0] * R[None, :, 1] - R[:, None, 1] * R[None, :, 0]
+        d = P0[None, :, :] - P0[:, None, :]                      # (m,m,2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (d[:, :, 0] * R[None, :, 1] - d[:, :, 1] * R[None, :, 0]) / denom
+            u = (d[:, :, 0] * R[:, None, 1] - d[:, :, 1] * R[:, None, 0]) / denom
+        ok = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) \
+            & (u >= -eps) & (u <= 1 + eps)
+        np.fill_diagonal(ok, False)
+        ii, jj = np.nonzero(ok)
+        for a, b in zip(ii, jj):
+            tv = t[a, b]
+            if eps < tv < 1 - eps:   # interior of segment a -> cut a
+                cuts[a].append(float(tv))
+
+    # rebuild each feature with cut vertices inserted, then split;
+    # an unsplit feature keeps its original way_id
+    out_x, out_y, out_id, out_layer = [], [], [], []
+    for i in range(len(xs_l)):
+        pieces_x: list[np.ndarray] = []
+        pieces_y: list[np.ndarray] = []
+        cur_x = [xs_l[i][0]]
+        cur_y = [ys_l[i][0]]
+
+        def flush(end_x, end_y):
+            nonlocal cur_x, cur_y
+            cur_x.append(end_x)
+            cur_y.append(end_y)
+            pieces_x.append(np.asarray(cur_x))
+            pieces_y.append(np.asarray(cur_y))
+            cur_x = [end_x]
+            cur_y = [end_y]
+
+        for s in (s for s in range(m) if seg_feat[s] == i):
+            ax, ay = p0x[s], p0y[s]
+            rx, ry = p1x[s] - ax, p1y[s] - ay
+            for tv in sorted(set(cuts[s])):
+                flush(ax + tv * rx, ay + tv * ry)
+            cur_x.append(p1x[s])
+            cur_y.append(p1y[s])
+        if len(cur_x) >= 2:
+            pieces_x.append(np.asarray(cur_x))
+            pieces_y.append(np.asarray(cur_y))
+        out_x.extend(pieces_x)
+        out_y.extend(pieces_y)
+        if len(pieces_x) == 1:
+            out_id.append(int(ids[i]))
+        else:
+            out_id.extend(int(ids[i]) * 256 + min(p, 255)
+                          for p in range(len(pieces_x)))
+        out_layer.extend([layer_idx[i]] * len(pieces_x))
+    counts = np.array([len(a) for a in out_x], dtype=np.int64)
+    off = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)
+                   else np.array([0]), pa.int32())
+    flat = lambda arrs: (np.concatenate(arrs) if arrs else np.empty(0))
+    return pa.table({
+        "way_id": pa.array(out_id, pa.int64()),
+        "layer_idx": pa.array(np.asarray(out_layer, dtype=np.int8), pa.int8()),
+        "xs": pa.ListArray.from_arrays(off, pa.array(flat(out_x), pa.float64())),
+        "ys": pa.ListArray.from_arrays(off, pa.array(flat(out_y), pa.float64())),
+    })
+
+
 # ------------------------------------------------------------ P3: polyline merge
 
 def merge_lines_group(df) -> pa.Table:

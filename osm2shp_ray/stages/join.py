@@ -95,8 +95,10 @@ def _attach_group(df: pd.DataFrame) -> pd.DataFrame:
     if len(nodes):
         # deterministic winner under (rare) id collisions
         nodes = nodes.sort_values(["ref", "x", "y"]).drop_duplicates("ref", keep="first")
-    out = refs.merge(nodes, on="ref", how="left")
-    return out.drop(columns=["ref"])
+    # ref rides along so the assembly side can LOG which node ids were
+    # unresolved (the reference prints "unresolved node <ref>" per
+    # dropped way, point_database.cc:104-109)
+    return refs.merge(nodes, on="ref", how="left")
 
 
 def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None,
@@ -173,6 +175,22 @@ def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None,
     return assembled
 
 
+def _report_dropped(n_ways: int, n_refs: int, sample_refs: np.ndarray) -> None:
+    """J2 drop observability: counters on the metrics actor (visible in
+    the CLI's A4 job-end report) + a bounded sample log of the missing
+    node ids — the distributed analog of the reference's per-way
+    "unresolved node <ref>" stderr line (point_database.cc:106)."""
+    try:
+        import ray
+        ray.get_actor("osm2shp_metrics").inc_many.remote(
+            {"dropped_ways": n_ways, "unresolved_refs": n_refs})
+    except Exception:
+        pass  # no metrics actor in this session — log only
+    print(f"join: dropped {n_ways} incomplete ways "
+          f"({n_refs} unresolved refs; sample node ids: "
+          f"{sample_refs.astype(np.int64).tolist()})")
+
+
 def _assemble_arrow(df: pd.DataFrame) -> pa.Table:
     """Per-way-bucket ordered assembly + completeness gate (J2),
     emitting Arrow list columns directly (no python-object lists)."""
@@ -195,6 +213,10 @@ def _assemble_arrow(df: pd.DataFrame) -> pa.Table:
     resolved = ~np.isnan(x)
     complete = np.add.reduceat(resolved, starts) == counts
     keep_rows = np.repeat(complete, counts)
+    n_dropped = int((~complete).sum())
+    if n_dropped:
+        _report_dropped(n_dropped, int((~resolved).sum()),
+                        df["ref"].to_numpy()[order][~resolved][:5])
     kc = counts[complete]
     offsets = pa.array(np.concatenate(([0], np.cumsum(kc))), pa.int32())
     xs = pa.ListArray.from_arrays(offsets, pa.array(x[keep_rows], pa.float64()))

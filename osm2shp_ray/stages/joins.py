@@ -1,0 +1,139 @@
+"""Generic distributed hash join (union -> bucket groupby -> per-bucket
+pandas merge).
+
+This generalizes the node-ref->coordinate join of ``stages/join.py``
+(the engine's replacement for the reference's sqlite staging lookups,
+/root/reference/osm/point_database.cc:48-112) into a reusable
+``hash_join(left, right, on=...)`` for relational queries: both sides
+are tagged and unioned, bucketed by an avalanched hash of the key, and
+each bucket is joined with one C-level pandas merge.
+
+Why not ``ray.data.Dataset.join``: it exists (Ray >= 2.46) but runs on
+the hash-shuffle aggregator-actor path, which stalls on small hosts
+(spawns per-partition aggregator workers that starve the read stage —
+measured in round 1; the sort-shuffle groupby backend is reliable).
+Semantics here are a strict subset (equi-join, inner/left/semi/anti)
+expressed in the same groupby machinery every other stage uses.
+
+Scale notes: one wide exchange total (the union shuffle); bucket count
+should be ~4x cluster cores so a bucket fits a worker's heap. Key skew
+concentrates a bucket — mitigate by raising ``n_buckets`` (buckets are
+avalanched, so only true single-key hot spots concentrate; for those,
+broadcast the small side instead — see TileAssigner for the pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import config
+from ..functions.hashing import splitmix64
+from .util import coalesced
+
+
+def _key_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
+    """Avalanched combined bucket for one or more key columns (int or
+    string keys; strings hashed via polars' vectorized xxhash)."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t[k]
+            if pa.types.is_integer(col.type):
+                h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+            else:
+                import polars as pl
+                c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                h = pl.from_arrow(c).hash(seed=23).to_numpy().astype(np.uint64)
+            acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) ^ h)
+    return (acc % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_join(left_ds, right_ds, on, how: str = "inner",
+              n_buckets: int | None = None):
+    """Equi-join two Datasets on shared key column(s).
+
+    ``how``: "inner" | "left" | "left_semi" | "left_anti".
+    Key columns must have the same names on both sides (rename with a
+    map_batches first); non-key column names must be disjoint.
+    Returns a Dataset with left columns followed by right non-key
+    columns (semi/anti return left columns only).
+
+    Caveat (pandas merge): with how="left", right-side int columns
+    widen to float64 where unmatched — prefer inner/semi/anti or cast
+    downstream.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    # normalize to arrow blocks so schema() yields real pa.DataTypes
+    # (pandas-backed datasets report Python classes otherwise)
+    left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    right_ds = right_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    lsch = left_ds.schema().base_schema
+    rsch = right_ds.schema().base_schema
+    l_names = list(lsch.names)
+    r_names = list(rsch.names)
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    for k in keys:
+        if k not in l_names or k not in r_names:
+            raise ValueError(f"join key {k!r} missing from a side")
+    l_vals = [c for c in l_names if c not in keys]
+    r_vals = [c for c in r_names if c not in keys]
+    overlap = set(l_vals) & set(r_vals)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+    semi = how in ("left_semi", "left_anti")
+    out_r_vals = [] if semi else r_vals
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in l_vals:
+            cols[c] = t[c]
+        for c in out_r_vals:
+            cols[c] = pa.nulls(t.num_rows, r_types[c])
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        out = pa.table(cols)
+        return out.append_column("__jb", pa.array(_key_bucket(t, keys, b), pa.int64()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c in l_vals:
+            cols[c] = pa.nulls(t.num_rows, l_types[c])
+        for c in out_r_vals:
+            cols[c] = t[c]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        out = pa.table(cols)
+        return out.append_column("__jb", pa.array(_key_bucket(t, keys, b), pa.int64()))
+
+    unioned = coalesced(
+        left_ds.map_batches(tag_left, batch_format="pyarrow")
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow")))
+
+    out_cols = keys + l_vals + out_r_vals
+    types = {**l_types, **r_types}
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+
+    def join_group(df: pd.DataFrame) -> pa.Table:
+        # NOTE the arrow round-trip: the padded union nulls make pandas
+        # widen int columns to float64 inside the group, so the merge
+        # result is cast back to the declared schema before it leaves
+        # (inner/semi outputs are null-free, so the cast is lossless)
+        is_l = df["__side"].values == 0
+        lhs = df.loc[is_l, keys + l_vals]
+        if semi:
+            rk = df.loc[~is_l, keys].drop_duplicates()
+            flag = lhs.merge(rk.assign(__hit=1), on=keys, how="left")["__hit"].notna().values
+            out = lhs[flag if how == "left_semi" else ~flag].reset_index(drop=True)
+        else:
+            rhs = df.loc[~is_l, keys + r_vals]
+            out = lhs.merge(rhs, on=keys,
+                            how="inner" if how == "inner" else "left")[out_cols]
+        return (pa.Table.from_pandas(out, preserve_index=False)
+                .cast(out_schema))
+
+    return unioned.groupby("__jb").map_groups(join_group, batch_format="pandas")

@@ -187,23 +187,34 @@ def tile_histogram(ds, zoom: int, salt: int = config.DEFAULT_SALT,
     ``salt`` reducers (SURVEY.md §4 'Skew')."""
     from ray.data.aggregate import Sum
 
+    sv = max(1, salt)
+
     def partial(batch: pa.Table) -> pa.Table:
         cell = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         tile = cellmod.cell_to_parent(cell, zoom).astype(np.int64)
-        s = (splitmix64(cell) % np.uint64(max(1, salt))).astype(np.int64)
-        key = tile * np.int64(salt) + s
-        uk, counts = np.unique(key, return_counts=True)
+        s = (splitmix64(cell) % np.uint64(sv)).astype(np.int64)
+        # tile and salt stay SEPARATE columns: tile ids carry res<<58 in
+        # the high bits, so any tile*salt combined key overflows int64
+        # and silently splits/merges tiles. Local combine via a dense
+        # factorized index (never the raw tile value).
+        utile, inv = np.unique(tile, return_inverse=True)
+        ck = inv.astype(np.int64) * sv + s
+        counts = np.bincount(ck, minlength=len(utile) * sv)
+        nz = counts > 0
         return pa.table({
-            "tile_salt": pa.array(uk, pa.int64()),
-            "partial_n": pa.array(counts, pa.int64()),
+            "tile": pa.array(np.repeat(utile, sv)[nz], pa.int64()),
+            "__s": pa.array(np.tile(np.arange(sv, dtype=np.int64), len(utile))[nz],
+                            pa.int64()),
+            "partial_n": pa.array(counts[nz], pa.int64()),
         })
 
     salted = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
-                .groupby("tile_salt").aggregate(Sum("partial_n", alias_name="n_salted")))
+                .groupby(["tile", "__s"])
+                .aggregate(Sum("partial_n", alias_name="n_salted")))
 
     def unsalt(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "tile": pc.divide(batch["tile_salt"], salt),
+            "tile": batch["tile"],
             "partial_n": batch["n_salted"],
         })
 
@@ -405,8 +416,13 @@ def knn_auto(ds, query_lon: float, query_lat: float, k: int,
             need = int(kth / cell_h) + 2
             if need <= ring:
                 return cand
-            ring = min(need, max_ring)
-            final = knn(ds, query_lon, query_lat, k, ring=ring, res=res,
+            if need > max_ring:
+                # the coverage ring cannot be clamped without losing the
+                # exactness guarantee (the kth candidate may sit at a
+                # Chebyshev-disk corner) -> full scan, same as the <k path
+                return knn(ds, query_lon, query_lat, k, ring=None, res=res,
+                           lon_col=lon_col, lat_col=lat_col, id_col=id_col)
+            final = knn(ds, query_lon, query_lat, k, ring=need, res=res,
                         lon_col=lon_col, lat_col=lat_col, id_col=id_col)
             return final
         if ring >= max_ring:

@@ -99,6 +99,53 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("lang_conf", pa.array(best_score, pa.float64())))
 
 
+FP_MOD = 8  # mod-p sampling rate for fingerprint_modp_batch
+
+
+def fingerprint_modp_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           mod: int = FP_MOD) -> pa.Table:
+    """Mod-p sampled document fingerprint (Manber'94-style "0 mod p"
+    selection): word n-gram shingles, keep the distinct shingle hashes
+    with h % mod == 0, EXPLODED to (id, fp) rows sorted per doc.
+
+    Hash is the md5-derived 60-bit hash of the shingle string
+    ("tok1 tok2 tok3" of ASCII [a-z0-9_]+ tokens), so the fingerprint
+    VALUES are reproducible in SQL — the winnowing variant
+    (fingerprint_batch) keeps k-smallest of a rolling hash and is
+    property-tested instead."""
+    from ..functions.hashing import md5_hash60
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    df = pl.DataFrame({
+        "id": ids,
+        "t": _series(batch[text_col]).str.to_lowercase()
+             .str.extract_all(r"[a-z0-9_]+"),
+    })
+    # vectorized shingle-string build: explode a per-doc start-index
+    # range, then slice+join the token list at each start
+    ex = (df.with_columns(
+            pl.int_ranges(0, (pl.col("t").list.len().cast(pl.Int64)
+                              - (n - 1)).clip(0))  # cast first: u32 len
+              .alias("i"))                         # minus n underflows
+          .explode("i").drop_nulls("i")
+          .with_columns(pl.col("t").list.slice(pl.col("i"), n)
+                        .list.join(" ").alias("sh")))
+    if ex.height == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    h = md5_hash60(ex["sh"].to_numpy())
+    oid = ex["id"].to_numpy().astype(np.int64)
+    keep = h % mod == 0
+    oid, h = oid[keep], h[keep]
+    # distinct + sorted per doc
+    order = np.lexsort((h, oid))
+    oid, h = oid[order], h[order]
+    first = np.concatenate(([True], (oid[1:] != oid[:-1]) | (h[1:] != h[:-1]))) \
+        if len(oid) else np.empty(0, bool)
+    return pa.table({id_col: pa.array(oid[first], pa.int64()),
+                     "fp": pa.array(h[first], pa.int64())})
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       k: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: rolling hash over word

@@ -53,6 +53,12 @@ SQL_CHECKED = [
     "q_cell_encode", "q_tile_histogram", "q_pip_rect", "q_pip_partitioned", "q_knn",
     "q_snap_dedup", "q_dedup_exact", "q_token_stats",
     "q_punct_by_source", "q_ann_topk", "q_session_windows", "q_asof_join",
+    # round 2: sketch/LSH family under the SQL oracle (md5-parity
+    # hashes + exact-verified similarity) and the SQL-derivable
+    # conversion/postprocess pipelines
+    "q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
+    "q_ngram_jaccard_pairs", "q_fingerprints", "q_embed_near_dup",
+    "q_ivf_topk", "q_convert_pipeline", "q_postprocess_pipeline",
 ]
 
 
@@ -66,10 +72,7 @@ def test_query_matches_oracle(name, duck, entrymod):
                                   check_exact=True)
 
 
-ROWS_ONLY = ["q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
-             "q_ngram_jaccard_pairs",
-             "q_fingerprints", "q_embed_near_dup", "q_ivf_topk",
-             "q_convert_images", "q_postprocess_ways"]
+ROWS_ONLY = ["q_convert_images", "q_postprocess_ways"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
