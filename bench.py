@@ -168,6 +168,10 @@ def run_bench() -> dict:
         ("q_dedup_exact", q.q_dedup_exact),
         ("q_minhash_pairs", q.q_minhash_pairs),
         ("q_ann_topk", q.q_ann_topk),
+        ("q03_top_orders", q.q03_top_orders),
+        ("q_convert_pipeline", q.q_convert_pipeline),
+        ("q_ngram_jaccard_pairs", q.q_ngram_jaccard_pairs),
+        ("q_simhash_docs", q.q_simhash_docs),
     ]:
         t1 = time.time()
         res = fn(SF_DIR)

@@ -38,12 +38,20 @@ def cmd_convert(args) -> int:
     from .state import checkpoint, metrics
 
     path = discover_input(args.input)
-    meta = read_table(path, columns=["image_id", "caption", "phash"])
     actor = metrics.get_or_create()
-    # count the input once, explicitly: a counted() stage inside a
-    # lineage that multiple branches re-execute would double-count
-    actor.inc.remote("processed_images", meta.count())
-    nodes, ways = adapter.adapt_images(meta)
+    from .sources.readers import is_osm_path
+    if is_osm_path(path):
+        # the reference's native input: parse OSM XML straight to
+        # (nodes, ways) — no image adapter in this path
+        from .sources.osmxml import read_osm
+        nodes, ways = read_osm(path)
+        actor.inc.remote("processed_nodes", nodes.count())
+    else:
+        meta = read_table(path, columns=["image_id", "caption", "phash"])
+        # count the input once, explicitly: a counted() stage inside a
+        # lineage that multiple branches re-execute would double-count
+        actor.inc.remote("processed_images", meta.count())
+        nodes, ways = adapter.adapt_images(meta)
     points, ways_out = convert.convert(nodes, ways)
     if getattr(args, "shapefiles", False):
         # consumed twice (parquet + shapefile export): materialize so

@@ -178,6 +178,80 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         "in this container; plug one in here")
 
 
+# ------------------------------------------------------------- audio
+# REAL RIFF/WAVE PCM16 codec (the format is pure struct + samples; no
+# external codec needed, unlike compressed audio)
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """1-D int16 samples -> mono PCM16 WAV bytes."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, rate). Mono PCM16 subset."""
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos:pos + 4])
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if tag == b"fmt ":
+            afmt, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8:pos + 24])
+            if afmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV subset")
+        elif tag == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=ln // 2,
+                                    offset=pos + 8)
+        pos += 8 + ln + (ln & 1)
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV")
+    return samples, rate
+
+
+# ------------------------------------------------------------- video
+# Deterministic frame-container stand-in ("QVID"): per-frame zlib
+# blocks behind a length table, so sampling frame k decompresses ONLY
+# frame k (the seek property real containers provide). NOT a real
+# video codec — swap encode/decode for one in production; the Ray-side
+# stage contract (stages/audio.py VideoFrameSample) is what's real.
+
+_QVID_MAGIC = b"QVID"
+
+
+def encode_qvid(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n, h, w, 3) uint8 -> QVID bytes."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    blocks = [zlib.compress(frames[i].tobytes(), 1) for i in range(n)]
+    head = _QVID_MAGIC + struct.pack(">IIHI", w, h, fps, n)
+    table = struct.pack(f">{n}I", *(len(b) for b in blocks))
+    return head + table + b"".join(blocks)
+
+
+def qvid_info(data) -> tuple[int, int, int, int]:
+    """-> (w, h, fps, n_frames) without touching frame data."""
+    if bytes(data[:4]) != _QVID_MAGIC:
+        raise ValueError("not a QVID payload")
+    return struct.unpack(">IIHI", data[4:18])
+
+
+def decode_qvid_frame(data, idx: int) -> np.ndarray:
+    """Seek-decode ONE frame -> (h, w, 3) uint8."""
+    w, h, _fps, n = qvid_info(data)
+    if not 0 <= idx < n:
+        raise IndexError(idx)
+    lens = struct.unpack(f">{n}I", data[18:18 + 4 * n])
+    off = 18 + 4 * n + sum(lens[:idx])
+    raw = zlib.decompress(data[off:off + lens[idx]])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

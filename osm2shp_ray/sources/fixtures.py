@@ -135,6 +135,50 @@ def images_table(n: int) -> pa.Table:
     return images_batch(np.arange(n))
 
 
+# ---------------------------------------------------- F5 audio / video
+
+def audio_batch(idx: np.ndarray, rate: int = 8000) -> pa.Table:
+    """Deterministic audio-clip table (clip_id, bytes WAV, rate,
+    caption): each clip is a two-tone sine mix whose frequencies derive
+    from the row index — features (centroid, rms) are predictable."""
+    idx = np.asarray(idx, dtype=np.int64)
+    clips, f0s = [], []
+    for i in idx:
+        rng = np.random.default_rng(SEED * 7 + int(i))
+        f0 = 200.0 + (int(i) % 20) * 150.0
+        t = np.arange(int(rate * 0.5)) / rate
+        x = (0.6 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+             + 0.02 * rng.standard_normal(len(t)))
+        clips.append(codec.encode_wav(
+            np.clip(x * 20000, -32768, 32767).astype(np.int16), rate))
+        f0s.append(f0)
+    return pa.table({
+        "clip_id": pa.array([f"aud-{i:06d}" for i in idx], pa.string()),
+        "bytes": pa.array(clips, pa.binary()),
+        "rate": pa.array(np.full(len(idx), rate, np.int32), pa.int32()),
+        "f0_hz": pa.array(f0s, pa.float64()),  # ground truth for tests
+    })
+
+
+def video_batch(idx: np.ndarray, n_frames: int = 12,
+                w: int = 16, h: int = 12) -> pa.Table:
+    """Deterministic video-clip table (clip_id, bytes QVID): frame k of
+    clip i is the ground_truth_pixels of row (i*1000 + k), so sampled
+    frames are verifiable without storing them."""
+    idx = np.asarray(idx, dtype=np.int64)
+    blobs = []
+    for i in idx:
+        frames = np.stack([ground_truth_pixels(int(i) * 1000 + k, w, h)
+                           for k in range(n_frames)])
+        blobs.append(codec.encode_qvid(frames, fps=6))
+    return pa.table({
+        "clip_id": pa.array([f"vid-{i:06d}" for i in idx], pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "n_frames": pa.array(np.full(len(idx), n_frames, np.int32), pa.int32()),
+    })
+
+
 # ------------------------------------------------------- OSM-analog F2/F3
 
 def nodes_ways_tables() -> tuple[pa.Table, pa.Table]:

@@ -1,0 +1,136 @@
+"""OSM XML reader — the reference's native input format (S1:
+/root/reference/osm2shp.cc:16-18 parses OSM XML; mapgen.sh:24-33
+probes `.osm`, `.osm.gz`, `.osm.bz2`).
+
+Format (public OSM XML schema): `<node id lat lon><tag k v/></node>`,
+`<way id><nd ref/><tag k v/></way>`. Tags normalize to the engine's
+canonical "k=v k2=v2" string column (functions/tags.py).
+
+Parallelism note: XML is not byte-range-splittable (an element can
+straddle any offset), so ONE streaming parser per FILE is the unit of
+parallelism — `read_osm` turns each file into a sequence of Arrow
+batches via `ray.data.from_items` over per-file parse tasks when given
+a directory, or a single streamed file otherwise. The parse itself is
+expat-backed iterparse (C speed); at 100 TB scale the mandated input
+is Lance/parquet (readers.py) and OSM XML is the ingest/parity path,
+mirroring how the reference is actually fed.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import os
+from xml.etree.ElementTree import iterparse
+
+import numpy as np
+import pyarrow as pa
+
+
+def _open_stream(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def _tags_str(elem) -> str:
+    return " ".join(f"{t.get('k')}={t.get('v')}"
+                    for t in elem.findall("tag"))
+
+
+def parse_osm_xml(path: str, batch_rows: int = 65536):
+    """Stream one OSM XML file -> yields ("node"|"way", pa.Table)
+    batches. Memory-bounded: elements are cleared as soon as consumed
+    (the iterparse idiom), so arbitrarily large files stream."""
+    n_ids: list[int] = []
+    n_lon: list[float] = []
+    n_lat: list[float] = []
+    n_tags: list[str] = []
+    w_ids: list[int] = []
+    w_refs: list[list[int]] = []
+    w_tags: list[str] = []
+
+    def node_batch():
+        t = pa.table({
+            "id": pa.array(np.asarray(n_ids, dtype=np.int64), pa.int64()),
+            "lon": pa.array(np.asarray(n_lon, dtype=np.float64), pa.float64()),
+            "lat": pa.array(np.asarray(n_lat, dtype=np.float64), pa.float64()),
+            "tags": pa.array(n_tags, pa.string()),
+        })
+        n_ids.clear(); n_lon.clear(); n_lat.clear(); n_tags.clear()
+        return t
+
+    def way_batch():
+        t = pa.table({
+            "way_id": pa.array(np.asarray(w_ids, dtype=np.int64), pa.int64()),
+            "node_refs": pa.array(w_refs, pa.list_(pa.int64())),
+            "tags": pa.array(w_tags, pa.string()),
+        })
+        w_ids.clear(); w_refs.clear(); w_tags.clear()
+        return t
+
+    with _open_stream(path) as f:
+        for _event, elem in iterparse(f, events=("end",)):
+            if elem.tag == "node":
+                n_ids.append(int(elem.get("id")))
+                n_lon.append(float(elem.get("lon")))
+                n_lat.append(float(elem.get("lat")))
+                n_tags.append(_tags_str(elem))
+                elem.clear()
+                if len(n_ids) >= batch_rows:
+                    yield "node", node_batch()
+            elif elem.tag == "way":
+                w_ids.append(int(elem.get("id")))
+                w_refs.append([int(nd.get("ref"))
+                               for nd in elem.findall("nd")])
+                w_tags.append(_tags_str(elem))
+                elem.clear()
+                if len(w_ids) >= batch_rows:
+                    yield "way", way_batch()
+            elif elem.tag in ("osm", "relation", "bounds"):
+                elem.clear()  # relations are out of scope (reference
+                # ignores them too: handler has node/way callbacks only)
+    if n_ids:
+        yield "node", node_batch()
+    if w_ids:
+        yield "way", way_batch()
+
+
+def read_osm(path: str, batch_rows: int = 65536):
+    """OSM XML file or directory of files -> (nodes_ds, ways_ds)
+    ray.data Datasets with the engine's canonical schemas.
+
+    Each FILE parses in one Ray task (XML is not offset-splittable);
+    a directory of per-extract files is the parallel form, exactly how
+    planet-scale OSM dumps ship (per-region extracts)."""
+    import ray
+    import ray.data as rd
+
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if ".osm" in f] if os.path.isdir(path) else [path])
+    if not files:
+        raise FileNotFoundError(f"no .osm files under {path}")
+
+    @ray.remote(num_returns=2)
+    def parse_one(p: str):
+        nt, wt = [], []
+        for k, t in parse_osm_xml(p, batch_rows):
+            (nt if k == "node" else wt).append(t)
+        return (pa.concat_tables(nt) if nt else None,
+                pa.concat_tables(wt) if wt else None)
+
+    refs = [parse_one.remote(p) for p in files]
+    nodes = [t for t in ray.get([r[0] for r in refs]) if t is not None]
+    ways = [t for t in ray.get([r[1] for r in refs]) if t is not None]
+    empty_nodes = pa.table({"id": pa.array([], pa.int64()),
+                            "lon": pa.array([], pa.float64()),
+                            "lat": pa.array([], pa.float64()),
+                            "tags": pa.array([], pa.string())})
+    empty_ways = pa.table({"way_id": pa.array([], pa.int64()),
+                           "node_refs": pa.array([], pa.list_(pa.int64())),
+                           "tags": pa.array([], pa.string())})
+    nodes_ds = rd.from_arrow(nodes or [empty_nodes])
+    ways_ds = rd.from_arrow(ways or [empty_ways])
+    return nodes_ds, ways_ds

@@ -50,7 +50,18 @@ def _ext(path: str) -> str:
     return e
 
 
-def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl")) -> str:
+def is_osm_path(path: str) -> bool:
+    """True for the reference's native inputs: .osm / .osm.gz /
+    .osm.bz2 (osm2shp.cc:16-18; mapgen.sh:24-33). These parse via
+    sources/osmxml.py into (nodes, ways) Datasets — two tables, so
+    they go through ``osmxml.read_osm`` rather than read_table."""
+    base = os.path.basename(path.rstrip("/"))
+    return (base.endswith(".osm") or base.endswith(".osm.gz")
+            or base.endswith(".osm.bz2"))
+
+
+def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl",
+                                    "osm", "osm.gz", "osm.bz2")) -> str:
     """Probe ``base.<ext>`` in priority order (mapgen.sh:24-33 analog);
     also accepts ``base`` itself if it is a directory."""
     if os.path.isdir(base):

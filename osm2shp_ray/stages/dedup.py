@@ -204,10 +204,14 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             out.attrs["truncated"] = trunc
         return out
 
-    bands_ds = coalesced(ds.map_batches(
+    # coalesce BEFORE the signature map: a single-file parquet read is
+    # one block, which would serialize the (expensive) minhash compute
+    # on one core; ~1 block/core parallelizes it. The band rows inherit
+    # that block count, which is already right for the groupby.
+    bands_ds = coalesced(ds).map_batches(
         lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands,
                                   shingle_n, shingle_mode),
-        batch_format="pyarrow"))
+        batch_format="pyarrow")
     pairs = (bands_ds.groupby(["band_id", "band_hash"])
              .map_groups(pairs_in_group, batch_format="pandas"))
     # same pair can surface from several bands -> dedup
@@ -240,8 +244,9 @@ def shingle_sets_batch(batch: pa.Table, text_col: str = "text",
 
 def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, shingle_mode: str = "char",
-                        shingle_n: int = 5, num_perm: int = 128,
-                        bands: int = 32, prefilter_margin: float = 0.2):
+                        shingle_n: int = 5, num_perm: int = 64,
+                        bands: int = 16, prefilter_margin: float = 0.2,
+                        small_cap: int = 50_000):
     """Near-dup pairs verified by EXACT shingle-set Jaccard — the
     SQL-oracle-equal operator: LSH narrows candidates (signature-sim
     prefilter at threshold - margin, so the +-1/sqrt(num_perm) estimate
@@ -253,7 +258,14 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     small side) to filter the docs Dataset before shingle sets are
     built, so full texts of NON-candidates never leave their blocks.
     The two pair-side attaches are hash_joins over candidate docs only.
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Recall: with r = num_perm/bands = 4 rows/band, a pair at true
+    Jaccard J is missed by all 16 bands with prob (1 - J^4)^16 — at
+    J = threshold+0.1 = 0.9 that is ~2e-6, and the signature prefilter
+    at threshold - margin sits >3 sigma below (sigma = 1/sqrt(64)),
+    so the exact verify sees every plausible pair. Raise num_perm/
+    bands for corpora dense just above threshold."""
     import ray
 
     from .joins import hash_join
@@ -262,8 +274,11 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ds, text_col, id_col, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, threshold=max(0.0, threshold - prefilter_margin),
         shingle_mode=shingle_mode)
+    # materialize: cand is consumed twice (id collection + the join
+    # side) — without this the whole LSH pipeline re-executes per
+    # consumer (Ray re-runs lineage for each branch)
     cand = cand.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow").materialize()
 
     pair_rows = cand.take_all()  # ids only; bounded by candidate count
     if not pair_rows:
@@ -286,6 +301,31 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                .map_batches(lambda t: shingle_sets_batch(
                    t, text_col, id_col, shingle_mode, shingle_n),
                    batch_format="pyarrow"))
+
+    if len(pair_rows) <= small_cap:
+        # fast path: candidate count is bounded-small, so the 4 fixed
+        # shuffle barriers of the two distributed joins cost more than
+        # the work; verify on the driver from the (candidate-only,
+        # shingle-set-sized) collected rows. Above the cap, fall
+        # through to the fully distributed join path.
+        import pandas as pd
+        by_id = {r[id_col]: np.asarray(r["sh"], dtype=np.int64)
+                 for r in docsets.take_all()}
+        ia, ib, jac = [], [], []
+        for p in pair_rows:
+            sa = by_id.get(p["id_a"])
+            sb = by_id.get(p["id_b"])
+            if sa is None or sb is None:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                ia.append(p["id_a"]); ib.append(p["id_b"]); jac.append(j)
+        return ray.data.from_pandas(pd.DataFrame({
+            "id_a": pd.Series(ia, dtype="int64"),
+            "id_b": pd.Series(ib, dtype="int64"),
+            "jaccard": pd.Series(jac, dtype="float64")}))
 
     sets_a = docsets.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sh_a": t["sh"]}),
@@ -449,7 +489,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
                              "hamming": ham[keep]})
 
-    pairs = (coalesced(ds.map_batches(band_rows, batch_format="pyarrow"))
+    pairs = (coalesced(ds).map_batches(band_rows, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
     return _dedup_pairs(pairs)
@@ -459,7 +499,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        num_perm: int = 128, bands: int = 32):
+                        num_perm: int = 64, bands: int = 16):
     """WORD n-gram Jaccard near-dup: LSH candidates over word-shingle
     minhash (high band count = high recall), verified by EXACT
     word-n-gram set Jaccard (exact_jaccard_pairs) — the semantics the
@@ -525,7 +565,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
                              "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
                              "cosine": cs[keep]})
 
-    pairs = (coalesced(ds.map_batches(bucket_rows, batch_format="pyarrow"))
+    pairs = (coalesced(ds).map_batches(bucket_rows, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
     return _dedup_pairs(pairs)

@@ -12,8 +12,8 @@ The PSNR>=40dB + caption-equality invariant (BASELINE.json input_hint)
 is checked against ground truth re-derived from the deterministic
 fixture seed — nothing but the mandated columns rides the pipeline.
 
-Audio / video framesampling are STUBS (no codecs in this container):
-real Ray-side signatures, NotImplementedError bodies.
+Audio / video stages live in stages/audio.py (real WAV codec + DSP;
+video frame sampling over a seekable frame-container stand-in).
 """
 
 from __future__ import annotations
@@ -143,23 +143,6 @@ def image_features(ds, concurrency=None, batch_size: int = 1024, thumb: int = 4,
                           batch_size=batch_size)
 
 
-class AudioFeatures:
-    """STUB: audio decoding needs codecs absent from this container.
-    The Ray-side contract (actor pool, binary in, list<float> out) is
-    identical to ImageFeatures."""
-
-    def __init__(self):
-        raise NotImplementedError(
-            "audio codecs unavailable in this container; plug a decoder "
-            "into AudioFeatures.__init__ and mirror ImageFeatures.__call__")
-
-
-class VideoFrameSample:
-    """STUB: video frame sampling needs codecs absent from this
-    container. Contract: binary in -> exploded rows (one per sampled
-    frame) with frame_idx + bytes columns."""
-
-    def __init__(self, every_n: int = 30):
-        raise NotImplementedError(
-            "video codecs unavailable in this container; plug a demuxer "
-            "in here (explode pattern: one output row per sampled frame)")
+# Audio / video stages live in stages/audio.py: AudioFeatures is real
+# end-to-end (RIFF/WAVE PCM16 codec + DSP features); VideoFrameSample
+# seek-decodes sampled frames from the QVID frame-container stand-in.

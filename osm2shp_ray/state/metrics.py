@@ -16,17 +16,33 @@ import pyarrow as pa
 import ray
 
 
+# A3 progress cadence (handler.cc:84-85,108-109: a line every 100k
+# nodes / 10k ways): counters matching a suffix log when their value
+# crosses a cadence boundary. Batch deltas make crossings approximate
+# to within one batch — same observable behavior, no per-row cost.
+CADENCE_SUFFIX = {"_images": 100_000, "_nodes": 100_000, "_ways": 10_000}
+
+
 @ray.remote(num_cpus=0)
 class MetricsActor:
     def __init__(self):
         self._counters: dict[str, int] = {}
 
+    def _bump(self, name: str, n: int) -> None:
+        old = self._counters.get(name, 0)
+        new = old + int(n)
+        self._counters[name] = new
+        for suffix, step in CADENCE_SUFFIX.items():
+            if name.endswith(suffix) and old // step != new // step:
+                print(f"[metrics] {name}: {new}")
+                break
+
     def inc(self, name: str, n: int = 1) -> None:
-        self._counters[name] = self._counters.get(name, 0) + int(n)
+        self._bump(name, n)
 
     def inc_many(self, deltas: dict) -> None:
         for k, v in deltas.items():
-            self._counters[k] = self._counters.get(k, 0) + int(v)
+            self._bump(k, v)
 
     def get(self, name: str) -> int:
         return self._counters.get(name, 0)

@@ -136,6 +136,11 @@ def test_exact_jaccard_pairs_matches_bruteforce(ray_session):
         rd.from_pandas(df), threshold=0.6, shingle_mode="word",
         shingle_n=3).take_all()}
     assert got == want and (3, 7) in got
+    # the distributed join path (small_cap=0) returns the same set
+    got_dist = {(r["id_a"], r["id_b"]) for r in exact_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.6, shingle_mode="word",
+        shingle_n=3, small_cap=0).take_all()}
+    assert got_dist == want
 
 
 # --------------------------------------------------------- codec filters

@@ -133,11 +133,12 @@ def test_image_features(ray_session):
     assert any(max(f) > 0 for f in feats)
 
 
-def test_multimodal_stubs():
-    with pytest.raises(NotImplementedError):
-        imgstage.AudioFeatures()
-    with pytest.raises(NotImplementedError):
-        imgstage.VideoFrameSample()
+def test_multimodal_audio_video_moved():
+    """Audio/video stages are real now (stages/audio.py, round 2);
+    the old stubs are gone from stages/images.py."""
+    assert not hasattr(imgstage, "AudioFeatures")
+    from osm2shp_ray.stages.audio import AudioFeatures, VideoFrameSample
+    assert AudioFeatures and VideoFrameSample
 
 
 def test_partitioned_pip_matches_broadcast(points_ds, ray_session):
