@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": q.q_fingerprints,
         "q_embed_near_dup": q.q_embed_near_dup,
         "q_ivf_topk": q.q_ivf_topk,
+        # composed corpus-cleaning chain (langid + quality + tokens +
+        # exact dedup in one streaming pass)
+        "q_corpus_filter": q.q_corpus_filter,
         # full conversion chain over SQL-derivable entities (the same
         # engine stages as the image path, under the hard hash gate)
         "q_convert_pipeline": q.q_convert_pipeline,
@@ -302,6 +305,19 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (SELECT doc_id, {hit_cols} FROM documents)
             SELECT {argmax} AS lang_pred, CAST(count(*) AS BIGINT) AS n
             FROM f GROUP BY 1""",
+        "q_corpus_filter": rf"""
+            WITH f AS (SELECT doc_id, text, {hit_cols},
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS n_tokens,
+                  length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) AS punct_ratio
+                FROM documents),
+            sel AS (SELECT doc_id, text FROM f
+                    WHERE ({argmax}) = 'en' AND n_tokens >= 30
+                      AND punct_ratio <= 0.08)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM sel GROUP BY text""",
         "q_simhash_docs": f"""
             WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
                          '[a-z0-9_]+')) AS w FROM documents),

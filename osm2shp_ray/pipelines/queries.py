@@ -519,6 +519,30 @@ def q_pip_partitioned(sf_dir: str):
     return out[out["n"] > 0].reset_index(drop=True)
 
 
+def q_corpus_filter(sf_dir: str):
+    """Composed training-corpus cleaning pipeline — the operators a
+    100-TB data curation job chains: language-ID gate (en), token-count
+    floor, punctuation-ratio cap, then exact dedup keep-min. One
+    streaming pass computes all three per-doc signals; only survivors
+    enter the dedup shuffle. Output: surviving doc_ids (SQL-oracled
+    end-to-end)."""
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(text.token_count_batch, batch_format="pyarrow")
+          .map_batches(text.quality_score_batch, batch_format="pyarrow")
+          .map_batches(text.langid_batch, batch_format="pyarrow"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.equal(t["lang_pred"], "en"),
+                            pc.greater_equal(t["n_tokens"], 30)),
+                    pc.less_equal(t["punct_ratio"], 0.08))
+        return t.filter(m).select(["doc_id", "text"])
+
+    survivors = ds.map_batches(keep, batch_format="pyarrow")
+    return (spatial.dedup_exact(survivors, key_col="text",
+                                order_col="doc_id", n_buckets=16)
+            .select_columns(["doc_id"]))
+
+
 # -------------------------- SQL-derivable convert/postprocess pipeline
 # The mandated image-fixture conversion (q_convert_images) is oracled
 # by the pure-Python reference oracle in pytest; these two queries run

@@ -10,6 +10,8 @@ notion is the per-layer shapefile sink, /root/reference/osm/handler.cc:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -377,6 +379,84 @@ def assign_tiles_partitioned(points_ds, tiles_ds, res: int = 7,
 
     return (coalesced(unioned).groupby("__cell")
             .map_groups(pip_group, batch_format="pyarrow"))
+
+
+def write_cell_partitioned(ds, path: str, res: int = 6,
+                           lon_col: str = "x", lat_col: str = "y"):
+    """Write ``ds`` as parquet partitioned by a coarse quad-cell column
+    — the storage layout that makes spatial queries prunable AT THE
+    READ (kNN / PIP touch only candidate-cell partitions instead of
+    scanning everything). Returns the partition column name."""
+    col = f"cell{res}"
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        c = cellmod.latlng_to_cell(lat, lon, res).astype(np.int64)
+        return t.append_column(col, pa.array(c, pa.int64()))
+
+    ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        path, partition_cols=[col])
+    return col
+
+
+def knn_partitioned(path: str, query_lon: float, query_lat: float, k: int,
+                    res: int = 6, max_ring: int = 16,
+                    lon_col: str = "x", lat_col: str = "y",
+                    id_col: str | None = None):
+    """Exact kNN over a cell-partitioned parquet dataset (written by
+    write_cell_partitioned): each k-ring expansion READS ONLY the
+    candidate cells' partitions (parquet partition filter — hive
+    pruning), so cost scales with the k-ring's data, not the table.
+    Same auto-expanding exactness logic as knn_auto: grow the disk
+    until >= k candidates, then cover the kth distance; falls back to
+    the full dataset only past ``max_ring``."""
+    import math
+
+    import ray.data as rd
+
+    col = f"cell{res}"
+    qcell = cellmod.latlng_to_cell(np.array([query_lat]),
+                                   np.array([query_lon]), res)[0]
+    cell_h = 180.0 / (1 << res)
+
+    def read_ring(ring: int | None):
+        if ring is None:
+            return rd.read_parquet(path)
+        cand = cellmod.grid_disk(int(qcell), ring).astype(np.int64)
+        # explicit partition-directory pruning: only candidate cells'
+        # directories are even LISTED, let alone read (arrow filter
+        # pushdown on hive columns is unreliable in this Ray version)
+        import glob as _glob
+        files = [f for c in cand
+                 for f in _glob.glob(os.path.join(path, f"{col}={c}", "*.parquet"))]
+        if not files:
+            return None
+        return rd.read_parquet(files)
+
+    ring = 1
+    while True:
+        cand_ds = read_ring(ring)
+        rows = (knn(cand_ds, query_lon, query_lat, k, lon_col=lon_col,
+                    lat_col=lat_col, id_col=id_col).take(k)
+                if cand_ds is not None else [])
+        if len(rows) >= k:
+            kth = math.sqrt(rows[-1]["dist"])
+            need = int(kth / cell_h) + 2
+            if need <= ring:
+                return rows
+            if need > max_ring:
+                return knn(read_ring(None), query_lon, query_lat, k,
+                           lon_col=lon_col, lat_col=lat_col,
+                           id_col=id_col).take(k)
+            cover = read_ring(need)
+            return knn(cover if cover is not None else read_ring(None),
+                       query_lon, query_lat, k,
+                       lon_col=lon_col, lat_col=lat_col, id_col=id_col).take(k)
+        if ring >= max_ring:
+            return knn(read_ring(None), query_lon, query_lat, k,
+                       lon_col=lon_col, lat_col=lat_col, id_col=id_col).take(k)
+        ring *= 4
 
 
 def knn_auto(ds, query_lon: float, query_lat: float, k: int,

@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
     "q_ngram_jaccard_pairs", "q_fingerprints", "q_embed_near_dup",
     "q_ivf_topk", "q_convert_pipeline", "q_postprocess_pipeline",
+    "q_corpus_filter",
 ]
 
 

@@ -205,6 +205,32 @@ def test_snap_dedup_is_layer_aware(ray_session):
     assert sorted(out["layer_idx"].tolist()) == sorted([i_big, i_rail])
 
 
+# -------------------------------------------- partition-pruned kNN
+
+def test_knn_partitioned_matches_full_scan(ray_session, tmp_path):
+    import ray.data as rd
+    from osm2shp_ray.stages import spatial
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "pid": np.arange(5000),
+        "x": rng.uniform(-60, 60, 5000),
+        "y": rng.uniform(-30, 30, 5000),
+    })
+    path = str(tmp_path / "pts")
+    col = spatial.write_cell_partitioned(rd.from_pandas(df), path, res=5)
+    assert col == "cell5"
+    import os
+    assert len(os.listdir(path)) > 4     # actually partitioned
+    qx, qy = 10.3, 5.7
+    got = spatial.knn_partitioned(path, qx, qy, 15, res=5, id_col="pid")
+    want = spatial.knn(rd.from_pandas(df), qx, qy, 15, id_col="pid").take(15)
+    assert [r["pid"] for r in got] == [r["pid"] for r in want]
+    # far-corner query exercises ring expansion across partitions
+    got2 = spatial.knn_partitioned(path, -59.9, -29.9, 5, res=5, id_col="pid")
+    want2 = spatial.knn(rd.from_pandas(df), -59.9, -29.9, 5, id_col="pid").take(5)
+    assert [r["pid"] for r in got2] == [r["pid"] for r in want2]
+
+
 # ----------------------------------------------------- P5 break
 
 def test_break_crossing_segments():
