@@ -92,9 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_postprocess_pipeline": q.q_postprocess_pipeline,
         # rows-only: the mandated image-fixture paths (oracled by the
         # pure-Python reference oracle in pytest, not SQL-expressible —
-        # ids/coords derive from Hilbert + splitmix arithmetic)
+        # ids/coords derive from Hilbert + splitmix arithmetic), and
+        # the audio/video multimodal stages (codec DSP, no SQL analog)
         "q_convert_images": q.q_convert_images,
         "q_postprocess_ways": q.q_postprocess_ways,
+        "q_audio_features": q.q_audio_features,
+        "q_video_frames": q.q_video_frames,
     }
 
 

@@ -91,8 +91,16 @@ def cmd_mapgen(args) -> int:
     assembled = fused.assembled_ways_fused(meta)
     cleaned = mapgen.postprocess_lines(assembled)
     out_ds = cleaned.map_batches(build_way_wkb_batch, batch_format="pyarrow")
-    out_ds.write_parquet(args.out, partition_cols=["layer"])
-    print(json.dumps({"out": args.out, "features": out_ds.count()}))
+    if args.resume:
+        from .state import checkpoint
+        written = checkpoint.resumable_write(out_ds, args.out, "layer",
+                                             stage="mapgen")
+        print(json.dumps({"out": args.out,
+                          "written_partitions": len(written),
+                          **checkpoint.manifest_metrics(args.out)}))
+    else:
+        out_ds.write_parquet(args.out, partition_cols=["layer"])
+        print(json.dumps({"out": args.out, "features": out_ds.count()}))
     ray.shutdown()
     return 0
 

@@ -519,6 +519,49 @@ def q_pip_partitioned(sf_dir: str):
     return out[out["n"] > 0].reset_index(drop=True)
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio surface (rows-only: WAV decode + DSP features
+    have no SQL analog): deterministic clip fixture sized from the
+    documents table -> AudioFeatures -> per-tone-bucket aggregate."""
+    from ..sources.fixtures import audio_batch
+    from ..stages.audio import audio_features
+    n = _read(sf_dir, "documents", ["doc_id"]).count()
+    clips = rd.from_arrow(audio_batch(np.arange(min(n, 200))))
+    feats = audio_features(clips, batch_size=64)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        f0 = t["f0_hz"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tone_bucket": pa.array((f0 // 500).astype(np.int64), pa.int64()),
+            "rms": t["rms"], "ok": t["audio_ok"],
+        })
+
+    out = (feats.map_batches(bucket, batch_format="pyarrow")
+           .groupby("tone_bucket")
+           .aggregate(Count(alias_name="n_clips"),
+                      Mean("rms", alias_name="mean_rms"))).to_pandas()
+    return _round_cols(out, ["mean_rms"])
+
+
+def q_video_frames(sf_dir: str):
+    """Multimodal video surface (rows-only): frame-sample 40 clips
+    (every 5th of 12 frames), decode each sampled frame through the
+    ordinary image path, count decoded frames per clip."""
+    from ..sources.fixtures import video_batch
+    from ..stages.audio import sample_video_frames
+    from ..stages import images as imgstage
+    clips = rd.from_arrow(video_batch(np.arange(40)))
+    frames = sample_video_frames(clips, every_n=5, id_cols=("clip_id",))
+    validated = imgstage.decode_validate(frames, batch_size=64,
+                                         check_ground_truth=False)
+
+    def ok_only(t: pa.Table) -> pa.Table:
+        return t.filter(t["decode_ok"]).select(["clip_id"])
+
+    return (validated.map_batches(ok_only, batch_format="pyarrow")
+            .groupby("clip_id").aggregate(Count(alias_name="n_frames")))
+
+
 def q_corpus_filter(sf_dir: str):
     """Composed training-corpus cleaning pipeline — the operators a
     100-TB data curation job chains: language-ID gate (en), token-count

@@ -86,20 +86,33 @@ class VideoFrameSample:
         out_ids: dict[str, list] = {c: [] for c in id_vals}
         out_idx: list[int] = []
         out_png: list[bytes] = []
+        out_img_id: list[str] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
         for i, blob in enumerate(blobs):
             try:
-                _w, _h, _fps, nf = codec.qvid_info(blob)
+                w, h, _fps, nf = codec.qvid_info(blob)
             except Exception:
                 continue
+            base = (id_vals[self.id_cols[0]][i]
+                    if self.id_cols and self.id_cols[0] in id_vals else str(i))
             for k in range(0, nf, self.every_n):
                 frame = codec.decode_qvid_frame(blob, k)
                 out_idx.append(k)
                 out_png.append(codec.encode_png(frame))
+                out_img_id.append(f"{base}#{k}")
+                out_w.append(w)
+                out_h.append(h)
                 for c in out_ids:
                     out_ids[c].append(id_vals[c][i])
+        # full image-row schema (input_hint shape): sampled frames feed
+        # any downstream image stage unchanged
         cols: dict = {c: pa.array(v) for c, v in out_ids.items()}
         cols["frame_idx"] = pa.array(out_idx, pa.int64())
+        cols["image_id"] = pa.array(out_img_id, pa.string())
         cols["bytes"] = pa.array(out_png, pa.binary())
+        cols["w"] = pa.array(np.asarray(out_w, dtype=np.int32), pa.int32())
+        cols["h"] = pa.array(np.asarray(out_h, dtype=np.int32), pa.int32())
         cols["fmt"] = pa.array(["png"] * len(out_png), pa.string())
         return pa.table(cols)
 

@@ -73,7 +73,8 @@ def test_query_matches_oracle(name, duck, entrymod):
                                   check_exact=True)
 
 
-ROWS_ONLY = ["q_convert_images", "q_postprocess_ways"]
+ROWS_ONLY = ["q_convert_images", "q_postprocess_ways",
+             "q_audio_features", "q_video_frames"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
