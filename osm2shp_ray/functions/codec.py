@@ -44,6 +44,12 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if filter_type == 0:   # hot path: no predictor arrays needed
+        raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+        raw[:, 1:] = img.reshape(h, w * 3)
+        idat = zlib.compress(raw.tobytes(), 6)
+        return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+                + _chunk(b"IEND", b""))
     flat = img.reshape(h, w * 3).astype(np.int32)
     left = np.zeros_like(flat)
     left[:, 3:] = flat[:, :-3]
@@ -51,9 +57,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     up[1:] = flat[:-1]
     diag = np.zeros_like(flat)
     diag[1:, 3:] = flat[:-1, :-3]
-    if filter_type == 0:
-        filt = flat
-    elif filter_type == 1:
+    if filter_type == 1:
         filt = flat - left
     elif filter_type == 2:
         filt = flat - up

@@ -382,11 +382,14 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_embed_near_dup(sf_dir: str):
-    """Embedding near-dup pairs: hyperplane-LSH candidates verified by
-    EXACT cosine >= 0.9. Empty result is valid (the testdata corpus
-    has no pair above cosine 0.52); the schema is pinned so the
-    driver's stable-schema check always sees the pair columns."""
-    df = dedup.embedding_near_dup_pairs(
+    """Embedding near-dup pairs at cosine >= 0.9 via the EXACT blocked
+    all-pairs operator (ann.exact_cosine_pairs) — provably equal to
+    the SQL oracle at any fixture (the hyperplane-LSH variant,
+    dedup.embedding_near_dup_pairs, is the subquadratic scale path
+    with a documented recall model, planted-corpus-tested in pytest).
+    Empty result is valid; the schema is pinned for the driver's
+    stable-schema check."""
+    df = ann.exact_cosine_pairs(
         _read(sf_dir, "embeddings"), threshold=0.90).to_pandas()
     if df.empty:
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),

@@ -72,13 +72,21 @@ def parse_osm_xml(path: str, batch_rows: int = 65536):
         return t
 
     with _open_stream(path) as f:
-        for _event, elem in iterparse(f, events=("end",)):
+        # capture the root on its start event and clear it after each
+        # consumed element: elem.clear() alone empties the element but
+        # the root's CHILD LIST still references it, so a planet-scale
+        # file would accumulate O(n) empty Elements (review finding)
+        root = None
+        for event, elem in iterparse(f, events=("start", "end")):
+            if event == "start":
+                if root is None:
+                    root = elem
+                continue
             if elem.tag == "node":
                 n_ids.append(int(elem.get("id")))
                 n_lon.append(float(elem.get("lon")))
                 n_lat.append(float(elem.get("lat")))
                 n_tags.append(_tags_str(elem))
-                elem.clear()
                 if len(n_ids) >= batch_rows:
                     yield "node", node_batch()
             elif elem.tag == "way":
@@ -86,12 +94,15 @@ def parse_osm_xml(path: str, batch_rows: int = 65536):
                 w_refs.append([int(nd.get("ref"))
                                for nd in elem.findall("nd")])
                 w_tags.append(_tags_str(elem))
-                elem.clear()
                 if len(w_ids) >= batch_rows:
                     yield "way", way_batch()
-            elif elem.tag in ("osm", "relation", "bounds"):
-                elem.clear()  # relations are out of scope (reference
-                # ignores them too: handler has node/way callbacks only)
+            # relations are ignored (the reference has node/way
+            # callbacks only); any completed top-level element is
+            # dropped from the root's child list below
+            if root is not None and elem.tag in ("node", "way",
+                                                 "relation", "bounds"):
+                root.clear()  # drops processed children; tag/nd stay
+                # attached to their parent until the parent completes
     if n_ids:
         yield "node", node_batch()
     if w_ids:
@@ -108,22 +119,13 @@ def read_osm(path: str, batch_rows: int = 65536):
     import ray
     import ray.data as rd
 
+    from .readers import is_osm_path
+
     files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
-              if ".osm" in f] if os.path.isdir(path) else [path])
+              if is_osm_path(f)] if os.path.isdir(path) else [path])
     if not files:
         raise FileNotFoundError(f"no .osm files under {path}")
 
-    @ray.remote(num_returns=2)
-    def parse_one(p: str):
-        nt, wt = [], []
-        for k, t in parse_osm_xml(p, batch_rows):
-            (nt if k == "node" else wt).append(t)
-        return (pa.concat_tables(nt) if nt else None,
-                pa.concat_tables(wt) if wt else None)
-
-    refs = [parse_one.remote(p) for p in files]
-    nodes = [t for t in ray.get([r[0] for r in refs]) if t is not None]
-    ways = [t for t in ray.get([r[1] for r in refs]) if t is not None]
     empty_nodes = pa.table({"id": pa.array([], pa.int64()),
                             "lon": pa.array([], pa.float64()),
                             "lat": pa.array([], pa.float64()),
@@ -131,6 +133,18 @@ def read_osm(path: str, batch_rows: int = 65536):
     empty_ways = pa.table({"way_id": pa.array([], pa.int64()),
                            "node_refs": pa.array([], pa.list_(pa.int64())),
                            "tags": pa.array([], pa.string())})
-    nodes_ds = rd.from_arrow(nodes or [empty_nodes])
-    ways_ds = rd.from_arrow(ways or [empty_ways])
+
+    @ray.remote(num_returns=2)
+    def parse_one(p: str):
+        nt, wt = [], []
+        for k, t in parse_osm_xml(p, batch_rows):
+            (nt if k == "node" else wt).append(t)
+        return (pa.concat_tables(nt) if nt else empty_nodes,
+                pa.concat_tables(wt) if wt else empty_ways)
+
+    refs = [parse_one.remote(p) for p in files]
+    # from_arrow_refs: parsed blocks stay in the OBJECT STORE — the
+    # driver never materializes the tables (review finding)
+    nodes_ds = rd.from_arrow_refs([r[0] for r in refs])
+    ways_ds = rd.from_arrow_refs([r[1] for r in refs])
     return nodes_ds, ways_ds

@@ -39,7 +39,11 @@ NAME_FIELD_LEN = 64  # shapefile.cc:23: DBF name field width
 
 
 class ShapefileWriter:
-    """Streaming appender for one layer (one .shp/.shx/.dbf/.prj set).
+    """STREAMING appender for one layer (one .shp/.shx/.dbf/.prj set):
+    records go to disk as they arrive; only the (tiny) .shx offset
+    table and the running bbox stay in memory. Headers carry
+    placeholders that close() backfills via seek (file length, bbox,
+    DBF record count) — so memory is O(1) in layer size.
 
     Usage: w = ShapefileWriter(base, SHPT_ARC, with_name=False);
     w.add(xs, ys[, name]) per feature; w.close().
@@ -49,9 +53,22 @@ class ShapefileWriter:
         self.base = base
         self.shp_type = shp_type
         self.with_name = with_name
-        self._records: list[bytes] = []
-        self._names: list[str] = []
+        self._n = 0
+        self._lengths: list[int] = []   # content words per record (shx)
         self._bbox = [np.inf, np.inf, -np.inf, -np.inf]
+        self._shp = open(base + ".shp", "wb")
+        self._shp.write(self._header(0))
+        self._dbf = open(base + ".dbf", "wb")
+        self._fields = ([(b"name", b"C", NAME_FIELD_LEN)] if with_name
+                        else [(b"id", b"N", 10)])  # DBF needs >=1 field
+        self._rec_len = 1 + sum(f[2] for f in self._fields)
+        self._dbf.write(struct.pack("<4Bi2H20x", 3, 99, 1, 1, 0,
+                                    32 + 32 * len(self._fields) + 1,
+                                    self._rec_len))
+        for fname, ftype, flen in self._fields:
+            self._dbf.write(struct.pack("<11s c 4x B B 14x",
+                                        fname, ftype, flen, 0))
+        self._dbf.write(b"\x0d")
 
     def add(self, xs: np.ndarray, ys: np.ndarray, name: str | None = None):
         xs = np.asarray(xs, dtype=np.float64)
@@ -68,63 +85,42 @@ class ShapefileWriter:
             content = struct.pack(
                 "<i4d2i i", self.shp_type, xs.min(), ys.min(), xs.max(),
                 ys.max(), 1, len(xs), 0) + pts.tobytes()
-        self._records.append(content)
+        self._n += 1
+        self._lengths.append(len(content) // 2)
+        self._shp.write(struct.pack(">ii", self._n, len(content) // 2))
+        self._shp.write(content)
         if self.with_name:
-            self._names.append(name or "")
+            # the reference truncates names to the field width
+            # (shapefile.cc:23-30)
+            val = (name or "")[:NAME_FIELD_LEN].encode(
+                "utf-8", "replace")[:NAME_FIELD_LEN]
+            self._dbf.write(b" " + val.ljust(NAME_FIELD_LEN, b" "))
+        else:
+            self._dbf.write(b" " + str(self._n).rjust(10).encode())
 
     def close(self) -> None:
-        self._write_shp_shx()
-        self._write_dbf()
+        total_words = 50 + sum(4 + ln for ln in self._lengths)
+        self._shp.seek(0)
+        self._shp.write(self._header(total_words))
+        self._shp.close()
+        self._dbf.write(b"\x1a")
+        self._dbf.seek(4)
+        self._dbf.write(struct.pack("<i", self._n))
+        self._dbf.close()
+        with open(self.base + ".shx", "wb") as f:
+            f.write(self._header(50 + 4 * self._n))
+            pos_words = 50
+            for ln in self._lengths:
+                f.write(struct.pack(">ii", pos_words, ln))
+                pos_words += 4 + ln
         with open(self.base + ".prj", "w") as f:
             f.write(WGS84_WKT)
 
     def _header(self, total_words: int) -> bytes:
-        bbox = self._bbox if self._records else [0.0, 0.0, 0.0, 0.0]
+        bbox = self._bbox if self._n else [0.0, 0.0, 0.0, 0.0]
         return (struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, total_words)
                 + struct.pack("<ii", 1000, self.shp_type)
                 + struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0))
-
-    def _write_shp_shx(self) -> None:
-        offsets, lengths = [], []
-        pos_words = 50  # header = 100 bytes = 50 words
-        for content in self._records:
-            clen = len(content) // 2
-            offsets.append(pos_words)
-            lengths.append(clen)
-            pos_words += 4 + clen  # 8-byte record header + content
-        with open(self.base + ".shp", "wb") as f:
-            f.write(self._header(pos_words))
-            for i, content in enumerate(self._records):
-                f.write(struct.pack(">ii", i + 1, lengths[i]))
-                f.write(content)
-        with open(self.base + ".shx", "wb") as f:
-            f.write(self._header(50 + 4 * len(self._records)))
-            for off, ln in zip(offsets, lengths):
-                f.write(struct.pack(">ii", off, ln))
-
-    def _write_dbf(self) -> None:
-        n = len(self._records)
-        if self.with_name:
-            fields = [(b"name", b"C", NAME_FIELD_LEN)]
-        else:  # DBF needs >=1 field; the reference's line layers carry
-            fields = [(b"id", b"N", 10)]  # no attributes -> synthetic id
-        rec_len = 1 + sum(f[2] for f in fields)
-        hdr_len = 32 + 32 * len(fields) + 1
-        with open(self.base + ".dbf", "wb") as f:
-            f.write(struct.pack("<4Bi2H20x", 3, 99, 1, 1, n, hdr_len, rec_len))
-            for fname, ftype, flen in fields:
-                f.write(struct.pack("<11s c 4x B B 14x", fname, ftype, flen, 0))
-            f.write(b"\x0d")
-            for i in range(n):
-                if self.with_name:
-                    # the reference truncates names to the field width
-                    # (shapefile.cc:23-30)
-                    val = self._names[i][:NAME_FIELD_LEN].encode(
-                        "utf-8", "replace")[:NAME_FIELD_LEN]
-                    f.write(b" " + val.ljust(NAME_FIELD_LEN, b" "))
-                else:
-                    f.write(b" " + str(i + 1).rjust(10).encode())
-            f.write(b"\x1a")
 
 
 def export_layer(ds, base: str, shp_type: int, with_name: bool = False,

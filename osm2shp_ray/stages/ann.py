@@ -75,6 +75,46 @@ def brute_force_topk(ds, queries: np.ndarray, k: int,
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+def exact_cosine_pairs(ds, threshold: float, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """EXACT all-pairs cosine near-dup: Dataset of (id_a, id_b) with
+    cosine >= threshold, id_a < id_b.
+
+    Distributed blocked matmul: the normalized matrix + ids are
+    broadcast once (ray.put); each batch multiplies its block against
+    the full matrix and keeps qualifying pairs where the partner id is
+    GREATER than the row id (each unordered pair emitted exactly once).
+    O(n^2 d) compute spread over the blocks; worker memory is the
+    O(n*d) broadcast — use the LSH path (dedup.embedding_near_dup_
+    pairs) beyond broadcastable n. This is the provably-SQL-equal
+    operator behind q_embed_near_dup; the LSH path trades its
+    documented recall model for subquadratic cost."""
+    import ray
+
+    rows = ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows])
+    mat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                               for r in rows])) if rows else np.empty((0, 0))
+    ref = ray.put((ids, mat))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        all_ids, all_mat = _ray.get(ref)
+        x = _normalize(_as_matrix(batch[vec_col]))
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        if x.size == 0 or all_mat.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        sims = x @ all_mat.T                      # (b, n)
+        hit = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+        bi, ai = np.nonzero(hit)
+        return pa.table({"id_a": pa.array(bids[bi], pa.int64()),
+                         "id_b": pa.array(all_ids[ai], pa.int64())})
+
+    return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
 def train_centroids(ds, n_centroids: int, vec_col: str = "embedding",
                     sample_limit: int = 50_000, iters: int = 8,
                     seed: int = 9) -> np.ndarray:

@@ -106,8 +106,11 @@ class VideoFrameSample:
                 for c in out_ids:
                     out_ids[c].append(id_vals[c][i])
         # full image-row schema (input_hint shape): sampled frames feed
-        # any downstream image stage unchanged
-        cols: dict = {c: pa.array(v) for c, v in out_ids.items()}
+        # any downstream image stage unchanged. Id columns keep the
+        # INPUT column's type — pa.array([]) would infer null and break
+        # block concatenation when a batch yields zero frames
+        cols: dict = {c: pa.array(v, type=batch[c].type)
+                      for c, v in out_ids.items()}
         cols["frame_idx"] = pa.array(out_idx, pa.int64())
         cols["image_id"] = pa.array(out_img_id, pa.string())
         cols["bytes"] = pa.array(out_png, pa.binary())

@@ -122,7 +122,12 @@ def minhash_signatures(texts, num_perm: int = 64, n: int = 5,
         return sig
     counts = np.diff(offsets)
     empty = counts == 0
-    safe_starts = np.minimum(offsets[:-1], len(h) - 1)  # reduceat needs in-range starts
+    # reduceat over NON-EMPTY docs' starts only: empty segments are
+    # zero-width, so each non-empty start's segment still ends exactly
+    # at the next non-empty start (clamping starts instead would steal
+    # the last shingle from the doc PRECEDING a trailing empty doc —
+    # a real signature-corruption bug caught in review)
+    ne_starts = offsets[:-1][~empty]
     with np.errstate(over="ignore"):
         hv = (h % _MERSENNE)
         # chunk the permutation axis to bound the (num_perm x n_shingles)
@@ -130,7 +135,9 @@ def minhash_signatures(texts, num_perm: int = 64, n: int = 5,
         for p0 in range(0, num_perm, 16):
             p1 = min(p0 + 16, num_perm)
             vals = (a[p0:p1, None] * hv[None, :] + b[p0:p1, None]) % _MERSENNE
-            sig[:, p0:p1] = np.minimum.reduceat(vals, safe_starts, axis=1).T
+            if len(ne_starts):
+                sig[~empty, p0:p1] = np.minimum.reduceat(
+                    vals, ne_starts, axis=1).T
     sig[empty] = _MERSENNE  # empty shingle set -> sentinel signature
     return sig
 
@@ -391,14 +398,16 @@ def dedup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                 if b < a:
                     a, b = b, a
                 parent[b] = a
-        drop_arr = np.array(sorted(x for x in parent if find(x) != x),
-                            dtype=np.int64)
+        # native dtype (ids may be strings): np.isin handles object
+        # arrays; do NOT coerce to int64
+        drop_arr = np.array(sorted(x for x in parent if find(x) != x))
     else:
+        import pyarrow.compute as pc
         from .components import connected_components
         cc = connected_components(pairs)
         non_roots = cc.map_batches(
             lambda t: pa.table({"id": t["id"].filter(
-                pc_not_equal(t["id"], t["root"]))}),
+                pc.not_equal(t["id"], t["root"]))}),
             batch_format="pyarrow")
         drop_arr = np.sort(np.concatenate(
             [b["id"].to_numpy(zero_copy_only=False)
@@ -414,11 +423,6 @@ def dedup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return t.filter(pa.array(~np.isin(ids, d)))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
-
-
-def pc_not_equal(a, b):
-    import pyarrow.compute as pc
-    return pc.invert(pc.equal(a, b))
 
 
 # ------------------------------------------------------------- SimHash

@@ -86,6 +86,18 @@ def test_connected_components_chain_and_clusters(ray_session):
     assert got == _cc_reference(edges)
 
 
+def test_connected_components_random_graph(ray_session):
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 120, size=(400, 2)) if a != b]
+    df = pd.DataFrame({"id_a": [e[0] for e in edges],
+                       "id_b": [e[1] for e in edges]})
+    from osm2shp_ray.stages.components import connected_components
+    got = {r["id"]: r["root"]
+           for r in connected_components(_rds(df), n_buckets=8).take_all()}
+    assert got == _cc_reference(edges)
+
+
 def test_dedup_minhash_distributed_path_matches_driver(ray_session):
     """Same corpus through the driver union-find path and the
     distributed label-propagation path (cap=0 forces it)."""
@@ -141,6 +153,38 @@ def test_exact_jaccard_pairs_matches_bruteforce(ray_session):
         rd.from_pandas(df), threshold=0.6, shingle_mode="word",
         shingle_n=3, small_cap=0).take_all()}
     assert got_dist == want
+
+
+def test_minhash_signature_stable_under_trailing_empty_docs():
+    """Regression (review finding): a trailing empty-shingle doc must
+    not steal the preceding doc's last shingle from the reduceat."""
+    from osm2shp_ray.stages.dedup import minhash_signatures
+    alone = minhash_signatures(["a b c d"], num_perm=8, n=3,
+                               shingle_mode="word")
+    with_empty = minhash_signatures(["a b c d", ""], num_perm=8, n=3,
+                                    shingle_mode="word")
+    sandwiched = minhash_signatures(["", "a b c d", "", "a b c d", ""],
+                                    num_perm=8, n=3, shingle_mode="word")
+    assert np.array_equal(alone[0], with_empty[0])
+    assert np.array_equal(sandwiched[1], alone[0])
+    assert np.array_equal(sandwiched[3], alone[0])
+
+
+def test_exact_cosine_pairs_matches_numpy(ray_session):
+    import ray.data as rd
+    from osm2shp_ray.stages.ann import exact_cosine_pairs
+    rng = np.random.default_rng(9)
+    V = rng.standard_normal((60, 16))
+    V[41] = V[7] + 0.01 * rng.standard_normal(16)   # planted near-dup
+    V[55] = V[12]                                   # exact dup
+    df = pd.DataFrame({"vec_id": np.arange(60), "embedding": list(V)})
+    got = {(r["id_a"], r["id_b"]) for r in exact_cosine_pairs(
+        _rds(df), threshold=0.95).take_all()}
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(60, 1)
+    want = {(int(a), int(b)) for a, b in zip(*iu) if S[a, b] >= 0.95}
+    assert got == want and (7, 41) in got and (12, 55) in got
 
 
 # --------------------------------------------------------- codec filters
