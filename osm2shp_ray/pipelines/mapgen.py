@@ -52,10 +52,10 @@ def postprocess_lines(assembled_ds, merge: bool = True,
     through untouched, the P2 point-passthrough analog).
 
     Chain per mapgen.sh:56-62: polyline merge (P3) -> Douglas-Peucker
-    (P4) -> v.clean snap,break,rmdupl (P5: intersection break inside
-    the (layer, cell) group, then snap-key dedup) -> rmline (P6).
-    ``do_break`` costs one extra (layer, cell) groupby after simplify —
-    skip it for inputs known to be planar."""
+    (P4) -> v.clean snap,break,rmdupl (P5: DISTRIBUTED intersection
+    break — segment-level cell cover, geometry.break_lines — then
+    snap-key dedup) -> rmline (P6). ``do_break`` costs two extra
+    shuffles after simplify — skip it for inputs known to be planar."""
     line_idx = pa.array(
         [i for i, n in enumerate(LAYER_NAMES) if n in LINE_LAYERS], pa.int8())
 
@@ -88,10 +88,10 @@ def postprocess_lines(assembled_ds, merge: bool = True,
 
     lines = lines.map_batches(simplify, batch_format="pyarrow")
     if do_break:
-        lines = (coalesced(lines.map_batches(_add_merge_key,
-                                             batch_format="pyarrow"))
-                 .groupby("merge_key")
-                 .map_groups(_break_group, batch_format="pandas"))
+        # distributed break: segment-level cell cover finds a crossing
+        # wherever it lies (grouping whole FEATURES by their first
+        # vertex would miss crossings of long multi-cell polylines)
+        lines = geometry.break_lines(lines)
     lines = lines.map_batches(lambda t: geometry.snap_key_batch(t, 0.002),
                               batch_format="pyarrow")
 
@@ -106,10 +106,6 @@ def postprocess_lines(assembled_ds, merge: bool = True,
              .map_groups(keep_first, batch_format="pyarrow"))
     lines = lines.map_batches(geometry.drop_degenerate_batch, batch_format="pyarrow")
     return rest.union(lines)
-
-
-def _break_group(df) -> pa.Table:
-    return geometry.break_lines_group(df.drop(columns=["merge_key"]))
 
 
 def _merge_group(df) -> pa.Table:

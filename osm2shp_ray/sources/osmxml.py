@@ -126,25 +126,34 @@ def read_osm(path: str, batch_rows: int = 65536):
     if not files:
         raise FileNotFoundError(f"no .osm files under {path}")
 
-    empty_nodes = pa.table({"id": pa.array([], pa.int64()),
-                            "lon": pa.array([], pa.float64()),
-                            "lat": pa.array([], pa.float64()),
-                            "tags": pa.array([], pa.string())})
-    empty_ways = pa.table({"way_id": pa.array([], pa.int64()),
-                           "node_refs": pa.array([], pa.list_(pa.int64())),
-                           "tags": pa.array([], pa.string())})
+    empty = {
+        "node": pa.table({"id": pa.array([], pa.int64()),
+                          "lon": pa.array([], pa.float64()),
+                          "lat": pa.array([], pa.float64()),
+                          "tags": pa.array([], pa.string())}),
+        "way": pa.table({"way_id": pa.array([], pa.int64()),
+                         "node_refs": pa.array([], pa.list_(pa.int64())),
+                         "tags": pa.array([], pa.string())}),
+    }
 
-    @ray.remote(num_returns=2)
-    def parse_one(p: str):
-        nt, wt = [], []
+    # streaming generator task: each yielded batch becomes its OWN
+    # object-store block the moment it is parsed — the task never holds
+    # a whole file's tables (parse_osm_xml is batch-bounded), and one
+    # big file still produces many downstream blocks. One pass per
+    # kind: re-parsing trades double parse CPU for bounded memory.
+    @ray.remote(num_returns="dynamic")
+    def parse_kind(p: str, kind: str):
+        n = 0
         for k, t in parse_osm_xml(p, batch_rows):
-            (nt if k == "node" else wt).append(t)
-        return (pa.concat_tables(nt) if nt else empty_nodes,
-                pa.concat_tables(wt) if wt else empty_ways)
+            if k == kind:
+                n += 1
+                yield t
+        if n == 0:
+            yield empty[kind]
 
-    refs = [parse_one.remote(p) for p in files]
-    # from_arrow_refs: parsed blocks stay in the OBJECT STORE — the
-    # driver never materializes the tables (review finding)
-    nodes_ds = rd.from_arrow_refs([r[0] for r in refs])
-    ways_ds = rd.from_arrow_refs([r[1] for r in refs])
-    return nodes_ds, ways_ds
+    def build(kind: str):
+        gens = ray.get([parse_kind.remote(p, kind) for p in files])
+        refs = [r for g in gens for r in g]  # ObjectRefs, values stay put
+        return rd.from_arrow_refs(refs)
+
+    return build("node"), build("way")

@@ -52,12 +52,17 @@ def _ext(path: str) -> str:
 
 def is_osm_path(path: str) -> bool:
     """True for the reference's native inputs: .osm / .osm.gz /
-    .osm.bz2 (osm2shp.cc:16-18; mapgen.sh:24-33). These parse via
+    .osm.bz2 files, or a DIRECTORY containing any (the per-extract
+    parallel form). osm2shp.cc:16-18; mapgen.sh:24-33. These parse via
     sources/osmxml.py into (nodes, ways) Datasets — two tables, so
     they go through ``osmxml.read_osm`` rather than read_table."""
     base = os.path.basename(path.rstrip("/"))
-    return (base.endswith(".osm") or base.endswith(".osm.gz")
-            or base.endswith(".osm.bz2"))
+    if (base.endswith(".osm") or base.endswith(".osm.gz")
+            or base.endswith(".osm.bz2")):
+        return True
+    if os.path.isdir(path):
+        return any(is_osm_path(f) for f in os.listdir(path))
+    return False
 
 
 def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl",

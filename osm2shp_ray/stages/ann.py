@@ -30,6 +30,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_ids(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Row indices of the top-kk by (-sim, id asc): argpartition to the
+    cut, widen to include exact ties at the kth value, lexsort only
+    that candidate slice."""
+    n = len(s)
+    if n > kk:
+        cut = s[np.argpartition(-s, kk - 1)[kk - 1]]
+        cand = np.flatnonzero(s >= cut)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], -s[cand]))[:kk]
+    return cand[order]
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int,
                      vec_col: str = "embedding", id_col: str = "vec_id"):
     """queries: (q, d). Returns Dataset (query_id, {id_col}, cosine)
@@ -51,12 +65,13 @@ def brute_force_topk(ds, queries: np.ndarray, k: int,
         n, nq = sims.shape
         kk = min(k, n)
         # per-query partial top-k (the per-partition max-heap) with the
-        # SAME tie-break as the global reduce: (-cosine, id asc) — an
-        # argpartition alone keeps an arbitrary subset of exact ties at
-        # the cut, which can disagree with the oracle on duplicate vectors
+        # SAME tie-break as the global reduce: (-cosine, id asc).
+        # argpartition narrows to the top kk PLUS every row tied with
+        # the kth value, then only that slice is lexsorted — O(n) scan
+        # + O(c log c) on the cut slice, never a full per-query sort
         part = np.empty((kk, nq), dtype=np.int64)
         for qi in range(nq):
-            part[:, qi] = np.lexsort((ids, -sims[:, qi]))[:kk]
+            part[:, qi] = _topk_ids(sims[:, qi], ids, kk)
         out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
         out_i = part.T.reshape(-1)
         return pa.table({
@@ -189,7 +204,7 @@ def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
         kk = min(k, n)
         part = np.empty((kk, nq), dtype=np.int64)
         for qi in range(nq):            # deterministic (-cosine, id) tie-break
-            part[:, qi] = np.lexsort((ids, -sims[:, qi]))[:kk]
+            part[:, qi] = _topk_ids(sims[:, qi], ids, kk)
         out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
         out_i = part.T.reshape(-1)
         vals = sims[out_i, out_q]

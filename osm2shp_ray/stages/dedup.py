@@ -13,8 +13,10 @@ large, driver union-find below a cap.
 Scale notes: at 10^12 rows the bands groupby is the wide exchange —
 the band key is (band_id, band_hash) which is uniformly distributed by
 construction (hash values), so no salting is needed; pathological
-all-identical corpora degenerate to one bucket per band, which the
-``max_bucket`` guard truncates with a logged count (no silent cap).
+all-identical corpora degenerate to one bucket per band, where the
+``max_bucket`` guard switches pair enumeration to star-linking against
+the bucket's min-id member (connectivity preserved for dedup, O(m)
+output, logged via print + metrics counter — never silent).
 """
 
 from __future__ import annotations
@@ -28,6 +30,20 @@ from ..functions.hashing import splitmix64
 from .util import coalesced
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _log_star_bucket(m: int) -> None:
+    """Observability for the over-full-bucket star fallback (never a
+    silent cap): worker log line + metrics counter when available."""
+    try:
+        import ray
+        ray.get_actor("osm2shp_metrics").inc_many.remote(
+            {"lsh_star_buckets": 1, "lsh_star_members": m})
+    except Exception:
+        pass
+    print(f"lsh: bucket of {m} members exceeded max_bucket -> "
+          f"star-linked to its min-id member (connectivity preserved, "
+          f"full pair enumeration skipped)")
 
 def _dedup_pairs(pairs_ds, n_buckets: int = 32):
     """Dedup (id_a, id_b) pairs surfaced by multiple bands: bucket by a
@@ -182,11 +198,21 @@ def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
 def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16,
                         shingle_n: int = 5, threshold: float = 0.7,
-                        max_bucket: int = 200, shingle_mode: str = "char"):
+                        max_bucket: int | None = 200,
+                        shingle_mode: str = "char"):
     """Dataset of docs -> Dataset of verified near-dup pairs
     (id_a, id_b, sim) with sim = signature similarity >= threshold.
-    ``max_bucket`` truncates pathological buckets (logged via the
-    truncated_buckets column of the emitted marker rows, not silent)."""
+
+    ``max_bucket`` bounds per-bucket pair enumeration: a bucket with
+    m > max_bucket members switches from all-pairs (O(m^2) output) to
+    STAR-LINKING — every member is verified against the bucket's min-id
+    member only (O(m) output). The star preserves the CONNECTIVITY the
+    dedup keep-set needs (mutually-similar members all link to one
+    center), but not full pair enumeration — pass max_bucket=None when
+    the full pair set is the contract (exact_jaccard_pairs does; its
+    output is inherently quadratic in duplicate-cluster size). Star
+    fallbacks are logged (print + 'lsh_star_buckets' metrics counter),
+    never silent."""
 
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
@@ -194,22 +220,25 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "sim": pd.Series(dtype="float64")})
-        trunc = 0
-        if m > max_bucket:
-            trunc = m - max_bucket
-            df = df.iloc[:max_bucket]
-            m = max_bucket
         sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
         ids = df[id_col].to_numpy()
+        if max_bucket is not None and m > max_bucket:
+            _log_star_bucket(m)
+            center = int(np.argmin(ids))
+            others = np.flatnonzero(np.arange(m) != center)
+            sims = (sig[others] == sig[center]).mean(axis=1)
+            keep = sims >= threshold
+            oa = ids[others[keep]]
+            return pd.DataFrame({
+                "id_a": np.minimum(oa, ids[center]),
+                "id_b": np.maximum(oa, ids[center]),
+                "sim": sims[keep]})
         ia, ib = np.triu_indices(m, k=1)
         sims = (sig[ia] == sig[ib]).mean(axis=1)
         keep = sims >= threshold
-        out = pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                            "sim": sims[keep]})
-        if trunc:
-            out.attrs["truncated"] = trunc
-        return out
+        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                             "sim": sims[keep]})
 
     # coalesce BEFORE the signature map: a single-file parquet read is
     # one block, which would serialize the (expensive) minhash compute
@@ -253,7 +282,8 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, shingle_mode: str = "char",
                         shingle_n: int = 5, num_perm: int = 64,
                         bands: int = 16, prefilter_margin: float = 0.2,
-                        small_cap: int = 50_000):
+                        small_cap: int = 50_000,
+                        max_bucket: int | None = None):
     """Near-dup pairs verified by EXACT shingle-set Jaccard — the
     SQL-oracle-equal operator: LSH narrows candidates (signature-sim
     prefilter at threshold - margin, so the +-1/sqrt(num_perm) estimate
@@ -277,10 +307,14 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from .joins import hash_join
 
+    # max_bucket=None: the pair-set contract is EXACT, so no bucket may
+    # fall back to star-linking — the output (and cost) is inherently
+    # quadratic in the largest duplicate cluster; set a cap consciously
+    # for corpora where that is unacceptable (forfeits SQL equality)
     cand = lsh_candidate_pairs(
         ds, text_col, id_col, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, threshold=max(0.0, threshold - prefilter_margin),
-        shingle_mode=shingle_mode)
+        shingle_mode=shingle_mode, max_bucket=max_bucket)
     # materialize: cand is consumed twice (id collection + the join
     # side) — without this the whole LSH pipeline re-executes per
     # consumer (Ray re-runs lineage for each branch)

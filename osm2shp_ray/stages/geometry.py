@@ -198,6 +198,61 @@ def drop_degenerate_batch(batch: pa.Table) -> pa.Table:
 
 # ------------------------------------------------------------ P5: break
 
+def _pairwise_cuts(p0x, p0y, p1x, p1y, eps: float = 1e-12,
+                   chunk: int = 2048) -> list[list[float]]:
+    """Interior cut parameters t per segment from all-pairs segment
+    intersection (proper crossings + T-joints). The pair grid is
+    evaluated in row CHUNKS so temporaries are O(chunk * m), never
+    O(m^2) — a dense cell cannot OOM the worker (compute stays O(m^2),
+    which is what the caller's cell partitioning bounds)."""
+    m = len(p0x)
+    cuts: list[list[float]] = [[] for _ in range(m)]
+    if m < 2:
+        return cuts
+    P0 = np.stack([np.asarray(p0x, dtype=np.float64),
+                   np.asarray(p0y, dtype=np.float64)], axis=1)
+    R = np.stack([np.asarray(p1x, dtype=np.float64) - P0[:, 0],
+                  np.asarray(p1y, dtype=np.float64) - P0[:, 1]], axis=1)
+    for c0 in range(0, m, chunk):
+        c1 = min(c0 + chunk, m)
+        Rc = R[c0:c1]
+        d = P0[None, :, :] - P0[c0:c1, None, :]          # (c, m, 2)
+        denom = Rc[:, None, 0] * R[None, :, 1] - Rc[:, None, 1] * R[None, :, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (d[:, :, 0] * R[None, :, 1] - d[:, :, 1] * R[None, :, 0]) / denom
+            u = (d[:, :, 0] * Rc[:, None, 1] - d[:, :, 1] * Rc[:, None, 0]) / denom
+        ok = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) \
+            & (u >= -eps) & (u <= 1 + eps) & (t > eps) & (t < 1 - eps)
+        ii, jj = np.nonzero(ok)
+        for a, b in zip(ii, jj):
+            if c0 + a != b:              # skip self-pair
+                cuts[c0 + a].append(float(t[a, b]))
+    return cuts
+
+
+def _rebuild_split(xs: np.ndarray, ys: np.ndarray,
+                   cuts_by_seg: dict[int, list[float]]):
+    """One polyline + per-segment interior cut params -> list of
+    (xs, ys) pieces, cut at every intersection point."""
+    pieces: list[tuple[list, list]] = []
+    cur_x = [xs[0]]
+    cur_y = [ys[0]]
+    for s in range(len(xs) - 1):
+        ax, ay = xs[s], ys[s]
+        rx, ry = xs[s + 1] - ax, ys[s + 1] - ay
+        for tv in sorted(set(cuts_by_seg.get(s, ()))):
+            px, py = ax + tv * rx, ay + tv * ry
+            cur_x.append(px)
+            cur_y.append(py)
+            pieces.append((cur_x, cur_y))
+            cur_x, cur_y = [px], [py]
+        cur_x.append(xs[s + 1])
+        cur_y.append(ys[s + 1])
+    if len(cur_x) >= 2:
+        pieces.append((cur_x, cur_y))
+    return pieces
+
+
 def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     """Split lines at intersections — the ``break`` tool of
     ``v.clean tool=snap,break,rmdupl`` (/root/reference/mapgen.sh:60).
@@ -223,71 +278,30 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     ids = df["way_id"].to_numpy() if "way_id" in df else np.arange(len(xs_l))
     layer_idx = df["layer_idx"].to_numpy() if len(df) else np.empty(0, np.int8)
 
-    # explode to elementary segments
-    seg_feat, p0x, p0y, p1x, p1y, seg_pos = [], [], [], [], [], []
-    for i, (xa, ya) in enumerate(zip(xs_l, ys_l)):
-        for j in range(len(xa) - 1):
-            seg_feat.append(i)
-            seg_pos.append(j)
-            p0x.append(xa[j]); p0y.append(ya[j])
-            p1x.append(xa[j + 1]); p1y.append(ya[j + 1])
-    m = len(seg_feat)
-    cuts: list[list[float]] = [[] for _ in range(m)]  # t params per segment
-    if m > 1:
-        P0 = np.stack([np.array(p0x), np.array(p0y)], axis=1)   # (m,2)
-        R = np.stack([np.array(p1x) - np.array(p0x),
-                      np.array(p1y) - np.array(p0y)], axis=1)
-        # pairwise solve P0[i] + t R[i] = P0[j] + u R[j]
-        denom = R[:, None, 0] * R[None, :, 1] - R[:, None, 1] * R[None, :, 0]
-        d = P0[None, :, :] - P0[:, None, :]                      # (m,m,2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (d[:, :, 0] * R[None, :, 1] - d[:, :, 1] * R[None, :, 0]) / denom
-            u = (d[:, :, 0] * R[:, None, 1] - d[:, :, 1] * R[:, None, 0]) / denom
-        ok = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) \
-            & (u >= -eps) & (u <= 1 + eps)
-        np.fill_diagonal(ok, False)
-        ii, jj = np.nonzero(ok)
-        for a, b in zip(ii, jj):
-            tv = t[a, b]
-            if eps < tv < 1 - eps:   # interior of segment a -> cut a
-                cuts[a].append(float(tv))
+    # explode to elementary segments (seg_bounds[i] = first segment
+    # index of feature i, so per-feature rebuild is a slice, not a scan)
+    nseg = np.array([max(len(a) - 1, 0) for a in xs_l], dtype=np.int64)
+    seg_bounds = np.concatenate(([0], np.cumsum(nseg)))
+    p0x = np.concatenate([a[:-1] for a in xs_l]) if len(xs_l) else np.empty(0)
+    p0y = np.concatenate([a[:-1] for a in ys_l]) if len(ys_l) else np.empty(0)
+    p1x = np.concatenate([a[1:] for a in xs_l]) if len(xs_l) else np.empty(0)
+    p1y = np.concatenate([a[1:] for a in ys_l]) if len(ys_l) else np.empty(0)
+    cuts = _pairwise_cuts(p0x, p0y, p1x, p1y, eps)
 
     # rebuild each feature with cut vertices inserted, then split;
     # an unsplit feature keeps its original way_id
     out_x, out_y, out_id, out_layer = [], [], [], []
     for i in range(len(xs_l)):
-        pieces_x: list[np.ndarray] = []
-        pieces_y: list[np.ndarray] = []
-        cur_x = [xs_l[i][0]]
-        cur_y = [ys_l[i][0]]
-
-        def flush(end_x, end_y):
-            nonlocal cur_x, cur_y
-            cur_x.append(end_x)
-            cur_y.append(end_y)
-            pieces_x.append(np.asarray(cur_x))
-            pieces_y.append(np.asarray(cur_y))
-            cur_x = [end_x]
-            cur_y = [end_y]
-
-        for s in (s for s in range(m) if seg_feat[s] == i):
-            ax, ay = p0x[s], p0y[s]
-            rx, ry = p1x[s] - ax, p1y[s] - ay
-            for tv in sorted(set(cuts[s])):
-                flush(ax + tv * rx, ay + tv * ry)
-            cur_x.append(p1x[s])
-            cur_y.append(p1y[s])
-        if len(cur_x) >= 2:
-            pieces_x.append(np.asarray(cur_x))
-            pieces_y.append(np.asarray(cur_y))
-        out_x.extend(pieces_x)
-        out_y.extend(pieces_y)
-        if len(pieces_x) == 1:
-            out_id.append(int(ids[i]))
-        else:
-            out_id.extend(int(ids[i]) * 256 + min(p, 255)
-                          for p in range(len(pieces_x)))
-        out_layer.extend([layer_idx[i]] * len(pieces_x))
+        lo = int(seg_bounds[i])
+        by_seg = {s - lo: cuts[s] for s in range(lo, int(seg_bounds[i + 1]))
+                  if cuts[s]}
+        pieces = _rebuild_split(xs_l[i], ys_l[i], by_seg)
+        for p, (px, py) in enumerate(pieces):
+            out_x.append(np.asarray(px))
+            out_y.append(np.asarray(py))
+            out_id.append(int(ids[i]) if len(pieces) == 1
+                          else int(ids[i]) * 256 + min(p, 255))
+            out_layer.append(layer_idx[i])
     counts = np.array([len(a) for a in out_x], dtype=np.int64)
     off = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)
                    else np.array([0]), pa.int32())
@@ -298,6 +312,163 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
         "xs": pa.ListArray.from_arrays(off, pa.array(flat(out_x), pa.float64())),
         "ys": pa.ListArray.from_arrays(off, pa.array(flat(out_y), pa.float64())),
     })
+
+
+def break_lines(ds, res: int = 9, eps: float = 1e-12,
+                n_buckets: int = 64):
+    """DISTRIBUTED intersection break (P5 ``break``, mapgen.sh:60) —
+    correct wherever the crossing lies, unlike a per-feature grouping:
+
+    1. explode features to elementary segments; each segment is
+       duplicated into EVERY res-``res`` cell its bbox covers (so any
+       two segments that intersect share at least the cell containing
+       the intersection point — full-cover, not corner sampling);
+    2. groupby(cell): all-pairs segment solve (chunked, memory-bounded)
+       emits (way_id, seg_idx, t) cut rows; a pair co-covered by two
+       cells emits the same cut twice — deduped at rebuild;
+    3. cut rows union the original features, groupby(way bucket),
+       rebuild + split each way at its cuts.
+
+    Two shuffles total; cell ``res`` is the group-size knob (finer =
+    smaller O(m^2) cells, more duplicated boundary segments)."""
+    import pyarrow.compute as pc
+
+    from ..functions.cells import latlng_to_cell, cell_xy
+    from ..functions.hashing import bucket_of
+    from .util import coalesced
+
+    def explode_segments(t: pa.Table) -> pa.Table:
+        xs = _list_col(t, "xs")
+        ys = _list_col(t, "ys")
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        nseg = np.maximum(np.diff(off) - 1, 0)
+        wid = np.repeat(t["way_id"].to_numpy(zero_copy_only=False), nseg)
+        ends = np.cumsum(nseg)
+        sidx = (np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
+                - np.repeat(ends - nseg, nseg))
+        v0 = np.repeat(off[:-1], nseg) + sidx
+        ax, ay = fx[v0], fy[v0]
+        bx, by = fx[v0 + 1], fy[v0 + 1]
+        # full bbox cell cover per segment (vectorized rectangle fill);
+        # NOTE the cell y axis runs opposite to latitude, so min/max the
+        # CELL coordinates of the two corners, not the lat/lon corners
+        c_a = latlng_to_cell(np.minimum(ay, by), np.minimum(ax, bx), res)
+        c_b = latlng_to_cell(np.maximum(ay, by), np.maximum(ax, bx), res)
+        xa, ya = cell_xy(c_a)
+        xb, yb = cell_xy(c_b)
+        x0 = np.minimum(xa, xb)
+        y0 = np.minimum(ya, yb)
+        nx = (np.maximum(xa, xb) - x0 + np.uint64(1)).astype(np.int64)
+        ny = (np.maximum(ya, yb) - y0 + np.uint64(1)).astype(np.int64)
+        counts = nx * ny
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(counts)), counts)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(counts) - counts, counts))
+        cx = x0.astype(np.int64)[row] + within % nx[row]
+        cy = y0.astype(np.int64)[row] + within // nx[row]
+        cell = ((np.uint64(res) << np.uint64(58))
+                | (cy.astype(np.uint64) << np.uint64(29))
+                | cx.astype(np.uint64)).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "way_id": pa.array(wid[row], pa.int64()),
+            "seg_idx": pa.array(sidx[row], pa.int64()),
+            "ax": pa.array(ax[row], pa.float64()),
+            "ay": pa.array(ay[row], pa.float64()),
+            "bx": pa.array(bx[row], pa.float64()),
+            "by": pa.array(by[row], pa.float64()),
+        })
+
+    def cuts_in_cell(df) -> pa.Table:
+        cuts = _pairwise_cuts(df["ax"].to_numpy(), df["ay"].to_numpy(),
+                              df["bx"].to_numpy(), df["by"].to_numpy(), eps)
+        wid = df["way_id"].to_numpy()
+        sid = df["seg_idx"].to_numpy()
+        ow, os_, ot = [], [], []
+        for i, ts in enumerate(cuts):
+            for tv in ts:
+                ow.append(wid[i]); os_.append(sid[i]); ot.append(tv)
+        return pa.table({
+            "way_id": pa.array(np.asarray(ow, dtype=np.int64), pa.int64()),
+            "seg_idx": pa.array(np.asarray(os_, dtype=np.int64), pa.int64()),
+            "t": pa.array(np.asarray(ot, dtype=np.float64), pa.float64()),
+        })
+
+    cut_rows = (coalesced(ds.map_batches(explode_segments,
+                                         batch_format="pyarrow"))
+                .groupby("cell").map_groups(cuts_in_cell,
+                                            batch_format="pandas"))
+
+    def tag_cuts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "way_id": t["way_id"],
+            "layer_idx": pa.nulls(t.num_rows, pa.int8()),
+            "xs": pa.nulls(t.num_rows, pa.list_(pa.float64())),
+            "ys": pa.nulls(t.num_rows, pa.list_(pa.float64())),
+            "seg_idx": t["seg_idx"],
+            "t": t["t"],
+            "__side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    def tag_feats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "way_id": t["way_id"],
+            "layer_idx": t["layer_idx"],
+            "xs": t["xs"],
+            "ys": t["ys"],
+            "seg_idx": pa.nulls(t.num_rows, pa.int64()),
+            "t": pa.nulls(t.num_rows, pa.float64()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__wb", pa.array(
+            bucket_of(t["way_id"].to_numpy(zero_copy_only=False), n_buckets),
+            pa.int64()))
+
+    unioned = coalesced(
+        ds.map_batches(tag_feats, batch_format="pyarrow")
+        .union(cut_rows.map_batches(tag_cuts, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def rebuild_group(df) -> pa.Table:
+        feats = df[df["__side"] == 0]
+        cuts = df[df["__side"] == 1]
+        cuts_by_way: dict = {}
+        for w, s, tv in zip(cuts["way_id"], cuts["seg_idx"], cuts["t"]):
+            cuts_by_way.setdefault(w, {}).setdefault(int(s), []).append(
+                float(tv))
+        out_x, out_y, out_id, out_layer = [], [], [], []
+        for _, row in feats.iterrows():
+            xs = np.asarray(row["xs"], dtype=np.float64)
+            ys = np.asarray(row["ys"], dtype=np.float64)
+            pieces = _rebuild_split(xs, ys, cuts_by_way.get(row["way_id"], {}))
+            for p, (px, py) in enumerate(pieces):
+                out_x.append(np.asarray(px))
+                out_y.append(np.asarray(py))
+                out_id.append(int(row["way_id"]) if len(pieces) == 1
+                              else int(row["way_id"]) * 256 + min(p, 255))
+                out_layer.append(row["layer_idx"])
+        counts = np.array([len(a) for a in out_x], dtype=np.int64)
+        offs = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)
+                        else np.array([0]), pa.int32())
+        flat = lambda arrs: (np.concatenate(arrs) if arrs else np.empty(0))
+        return pa.table({
+            "way_id": pa.array(out_id, pa.int64()),
+            "layer_idx": pa.array(np.asarray(out_layer, dtype=np.int8),
+                                  pa.int8()),
+            "xs": pa.ListArray.from_arrays(offs, pa.array(flat(out_x),
+                                                          pa.float64())),
+            "ys": pa.ListArray.from_arrays(offs, pa.array(flat(out_y),
+                                                          pa.float64())),
+        })
+
+    return unioned.groupby("__wb").map_groups(rebuild_group,
+                                              batch_format="pandas")
 
 
 # ------------------------------------------------------------ P3: polyline merge

@@ -303,6 +303,26 @@ def test_break_crossing_segments():
     assert break_lines_group(df3).num_rows == 1
 
 
+def test_break_lines_distributed_cross_cell(ray_session):
+    """Review regression: a crossing between lines whose FIRST vertices
+    sit in different coarse cells must still split (the old grouping by
+    first-vertex cell missed it)."""
+    import ray.data as rd
+    from osm2shp_ray.stages.geometry import break_lines
+    # A runs 40 degrees east, crossing B near its far end; B is local.
+    t = pa.table({
+        "way_id": pa.array([1, 2], pa.int64()),
+        "layer_idx": pa.array([0, 0], pa.int8()),
+        "xs": pa.array([[-30.0, 10.0], [5.0, 5.0]], pa.list_(pa.float64())),
+        "ys": pa.array([[3.0, 3.0], [0.0, 6.0]], pa.list_(pa.float64())),
+    })
+    out = break_lines(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 4
+    cross = (5.0, 3.0)
+    for _, r in out.iterrows():
+        assert cross in list(zip(r["xs"], r["ys"]))
+
+
 def test_postprocess_breaks_at_intersections(ray_session):
     import ray.data as rd
     from osm2shp_ray.pipelines.mapgen import postprocess_lines
