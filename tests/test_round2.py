@@ -323,6 +323,38 @@ def test_break_lines_distributed_cross_cell(ray_session):
         assert cross in list(zip(r["xs"], r["ys"]))
 
 
+def test_break_lines_matches_single_group_reference(ray_session):
+    """Distributed break (cell-covered segments) must produce exactly
+    the same piece multiset as the single-group kernel, which sees
+    every pair by construction — catches any cell-cover gap."""
+    import ray.data as rd
+    from osm2shp_ray.stages.geometry import break_lines, break_lines_group
+    rng = np.random.default_rng(31)
+    n = 40
+    cx = rng.uniform(-2.0, 2.0, n)
+    cy = rng.uniform(-2.0, 2.0, n)
+    dx = rng.uniform(-1.5, 1.5, n)
+    dy = rng.uniform(-1.5, 1.5, n)
+    xs = [[cx[i], cx[i] + dx[i]] for i in range(n)]
+    ys = [[cy[i], cy[i] + dy[i]] for i in range(n)]
+    t = pa.table({
+        "way_id": pa.array(np.arange(n), pa.int64()),
+        "layer_idx": pa.array(np.zeros(n, np.int8), pa.int8()),
+        "xs": pa.array(xs, pa.list_(pa.float64())),
+        "ys": pa.array(ys, pa.list_(pa.float64())),
+    })
+    dist = break_lines(rd.from_arrow(t), res=9).to_pandas()
+    ref = break_lines_group(pd.DataFrame({
+        "way_id": np.arange(n), "layer_idx": np.zeros(n, np.int8),
+        "xs": [np.asarray(v) for v in xs],
+        "ys": [np.asarray(v) for v in ys]})).to_pandas()
+    key = lambda df: sorted(
+        (int(r["way_id"]), tuple(np.round(r["xs"], 9)), tuple(np.round(r["ys"], 9)))
+        for _, r in df.iterrows())
+    assert len(ref) > n          # randomized soup actually crosses
+    assert key(dist) == key(ref)
+
+
 def test_postprocess_breaks_at_intersections(ray_session):
     import ray.data as rd
     from osm2shp_ray.pipelines.mapgen import postprocess_lines
