@@ -91,6 +91,8 @@ def cmd_mapgen(args) -> int:
     assembled = fused.assembled_ways_fused(meta)
     cleaned = mapgen.postprocess_lines(assembled)
     out_ds = cleaned.map_batches(build_way_wkb_batch, batch_format="pyarrow")
+    if getattr(args, "shapefiles", False):
+        out_ds = out_ds.materialize()  # consumed twice (write + export)
     if args.resume:
         from .state import checkpoint
         written = checkpoint.resumable_write(out_ds, args.out, "layer",
@@ -101,6 +103,16 @@ def cmd_mapgen(args) -> int:
     else:
         out_ds.write_parquet(args.out, partition_cols=["layer"])
         print(json.dumps({"out": args.out, "features": out_ds.count()}))
+    if getattr(args, "shapefiles", False):
+        # P7 parity: mapgen's observable output is one .shp per line
+        # layer (mapgen.sh:63,72,81,90 v.out.ogr)
+        from .sources.shapefile import SHPT_ARC, export_layer
+        sdir = os.path.join(args.out, "shapefiles")
+        os.makedirs(sdir, exist_ok=True)
+        from .pipelines.mapgen import LINE_LAYERS
+        for layer in LINE_LAYERS:
+            export_layer(out_ds.filter(expr=f"layer == '{layer}'"),
+                         os.path.join(sdir, layer), SHPT_ARC)
     ray.shutdown()
     return 0
 
