@@ -28,8 +28,9 @@ MERGE_CELL_RES = 6
 
 
 def _add_merge_key(t: pa.Table) -> pa.Table:
-    """(layer, coarse cell of first vertex) group key — partitions both
-    the polyline merge and the intersection break."""
+    """(layer, coarse cell of first vertex) group key for the polyline
+    MERGE (the break uses segment-level cell cover instead,
+    geometry.break_lines)."""
     xs = t["xs"]
     if isinstance(xs, pa.ChunkedArray):
         xs = xs.combine_chunks()

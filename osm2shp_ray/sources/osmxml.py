@@ -122,7 +122,9 @@ def read_osm(path: str, batch_rows: int = 65536):
     from .readers import is_osm_path
 
     files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
-              if is_osm_path(f)] if os.path.isdir(path) else [path])
+              if is_osm_path(os.path.join(path, f))
+              and os.path.isfile(os.path.join(path, f))]
+             if os.path.isdir(path) else [path])
     if not files:
         raise FileNotFoundError(f"no .osm files under {path}")
 
@@ -151,9 +153,12 @@ def read_osm(path: str, batch_rows: int = 65536):
         if n == 0:
             yield empty[kind]
 
-    def build(kind: str):
-        gens = ray.get([parse_kind.remote(p, kind) for p in files])
-        refs = [r for g in gens for r in g]  # ObjectRefs, values stay put
-        return rd.from_arrow_refs(refs)
-
-    return build("node"), build("way")
+    # submit BOTH kinds for all files up front so the parse tasks run
+    # concurrently; the ray.get blocks only for ref ENUMERATION (values
+    # stay in the object store), and wall time is the slowest task, not
+    # node-pass-then-way-pass serial
+    n_refs = [parse_kind.remote(p, "node") for p in files]
+    w_refs = [parse_kind.remote(p, "way") for p in files]
+    nodes_ds = rd.from_arrow_refs([r for g in ray.get(n_refs) for r in g])
+    ways_ds = rd.from_arrow_refs([r for g in ray.get(w_refs) for r in g])
+    return nodes_ds, ways_ds

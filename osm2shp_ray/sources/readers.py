@@ -61,7 +61,11 @@ def is_osm_path(path: str) -> bool:
             or base.endswith(".osm.bz2")):
         return True
     if os.path.isdir(path):
-        return any(is_osm_path(f) for f in os.listdir(path))
+        # recurse on FULL paths (bare basenames would resolve isdir
+        # against the CWD) and only count actual files
+        return any(is_osm_path(os.path.join(path, f))
+                   and os.path.isfile(os.path.join(path, f))
+                   for f in os.listdir(path))
     return False
 
 

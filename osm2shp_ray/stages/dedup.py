@@ -206,13 +206,15 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ``max_bucket`` bounds per-bucket pair enumeration: a bucket with
     m > max_bucket members switches from all-pairs (O(m^2) output) to
     STAR-LINKING — every member is verified against the bucket's min-id
-    member only (O(m) output). The star preserves the CONNECTIVITY the
-    dedup keep-set needs (mutually-similar members all link to one
-    center), but not full pair enumeration — pass max_bucket=None when
-    the full pair set is the contract (exact_jaccard_pairs does; its
-    output is inherently quadratic in duplicate-cluster size). Star
-    fallbacks are logged (print + 'lsh_star_buckets' metrics counter),
-    never silent."""
+    member only (O(m) output). The star preserves connectivity for the
+    common huge-bucket case (a near-duplicate CLUSTER, where every
+    member is similar to every other, center included); it can miss
+    pairs in adversarial buckets where two members are similar to each
+    other but neither is similar to the min-id member — raise
+    max_bucket, or pass max_bucket=None when the full pair set is the
+    contract (exact_jaccard_pairs does; its output is inherently
+    quadratic in duplicate-cluster size). Star fallbacks are logged
+    (print + 'lsh_star_buckets' metrics counter), never silent."""
 
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)

@@ -265,10 +265,13 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     the crossed line. Collinear overlaps are left untouched (GRASS
     resolves them in snap; our snap-dedup handles exact duplicates).
 
-    Partitioning assumption (same as merge_lines_group): crossings are
-    only found within the group (layer x coarse cell) — callers group
-    by merge_key, so crossings across cell boundaries are not split;
-    the cell resolution is the completeness/size knob.
+    This is the SINGLE-GROUP kernel (all features of one group, every
+    pair considered — callers pass ONE layer per group; the reference
+    cleans layers independently) — used directly on small inputs and
+    as the ground truth the distributed ``break_lines`` is
+    equivalence-tested against; production mapgen uses ``break_lines``,
+    which finds a crossing wherever it lies and keys its groups by
+    (cell, layer).
 
     Split-line ids derive from the parent: way_id * 256 + piece index
     (deterministic; >=256 pieces clamp into the last id, only dedup
@@ -314,28 +317,69 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     })
 
 
+def _dda_cells(ax, ay, bx, by, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact grid-traversal cover of one segment (Amanatides-Woo walk):
+    the cells the segment actually passes through — O(nx+ny), not the
+    O(nx*ny) bbox rectangle. Returns (cx, cy) int64 arrays."""
+    cw = 360.0 / (1 << res)  # cell width in lon degrees (2^res x 2^res
+    ch = 180.0 / (1 << res)  # grid over 360x180 — functions/cells.py)
+    # walk in continuous cell coordinates
+    x0, y0 = (ax + 180.0) / cw, (90.0 - ay) / ch
+    x1, y1 = (bx + 180.0) / cw, (90.0 - by) / ch
+    cx, cy = int(x0), int(y0)
+    ex, ey = int(x1), int(y1)
+    out = [(cx, cy)]
+    dx, dy = x1 - x0, y1 - y0
+    sx = 1 if dx > 0 else -1
+    sy = 1 if dy > 0 else -1
+    tmx = ((cx + (sx > 0)) - x0) / dx if dx else np.inf
+    tmy = ((cy + (sy > 0)) - y0) / dy if dy else np.inf
+    tdx = abs(1.0 / dx) if dx else np.inf
+    tdy = abs(1.0 / dy) if dy else np.inf
+    for _ in range(4 * (abs(ex - cx) + abs(ey - cy) + 2)):
+        if cx == ex and cy == ey:
+            break
+        if tmx < tmy:
+            cx += sx
+            tmx += tdx
+        else:
+            cy += sy
+            tmy += tdy
+        out.append((cx, cy))
+    arr = np.asarray(out, dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
 def break_lines(ds, res: int = 9, eps: float = 1e-12,
                 n_buckets: int = 64):
     """DISTRIBUTED intersection break (P5 ``break``, mapgen.sh:60) —
     correct wherever the crossing lies, unlike a per-feature grouping:
 
     1. explode features to elementary segments; each segment is
-       duplicated into EVERY res-``res`` cell its bbox covers (so any
-       two segments that intersect share at least the cell containing
-       the intersection point — full-cover, not corner sampling);
-    2. groupby(cell): all-pairs segment solve (chunked, memory-bounded)
-       emits (way_id, seg_idx, t) cut rows; a pair co-covered by two
-       cells emits the same cut twice — deduped at rebuild;
+       duplicated into every res-``res`` cell it PASSES THROUGH
+       (vectorized bbox fill for short segments, exact grid-traversal
+       walk for spans > 4 cells — a crossing point lies ON both
+       segments, so both cover its cell);
+    2. groupby(cell x layer): all-pairs segment solve (chunked,
+       memory-bounded) emits (way_id, seg_idx, t) cut rows — layer is
+       part of the key because the reference cleans each layer
+       INDEPENDENTLY (mapgen.sh:56-62): a road never splits at a
+       railway crossing. A pair co-covered by two cells emits the same
+       cut twice — deduped at rebuild;
     3. cut rows union the original features, groupby(way bucket),
        rebuild + split each way at its cuts.
 
+    The input is materialized first: it feeds BOTH the segment-explode
+    branch and the rebuild union, and unmaterialized lineage would
+    re-execute the whole upstream chain per consumer.
+
     Two shuffles total; cell ``res`` is the group-size knob (finer =
     smaller O(m^2) cells, more duplicated boundary segments)."""
-    import pyarrow.compute as pc
-
     from ..functions.cells import latlng_to_cell, cell_xy
     from ..functions.hashing import bucket_of
     from .util import coalesced
+
+    ds = ds.materialize()
 
     def explode_segments(t: pa.Table) -> pa.Table:
         xs = _list_col(t, "xs")
@@ -346,15 +390,15 @@ def break_lines(ds, res: int = 9, eps: float = 1e-12,
         fy = ys.flatten().to_numpy(zero_copy_only=False)
         nseg = np.maximum(np.diff(off) - 1, 0)
         wid = np.repeat(t["way_id"].to_numpy(zero_copy_only=False), nseg)
+        lay = np.repeat(t["layer_idx"].to_numpy(zero_copy_only=False), nseg)
         ends = np.cumsum(nseg)
         sidx = (np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
                 - np.repeat(ends - nseg, nseg))
         v0 = np.repeat(off[:-1], nseg) + sidx
         ax, ay = fx[v0], fy[v0]
         bx, by = fx[v0 + 1], fy[v0 + 1]
-        # full bbox cell cover per segment (vectorized rectangle fill);
-        # NOTE the cell y axis runs opposite to latitude, so min/max the
-        # CELL coordinates of the two corners, not the lat/lon corners
+        # cell cover per segment. NOTE the cell y axis runs opposite to
+        # latitude, so min/max the CELL coordinates of the corners.
         c_a = latlng_to_cell(np.minimum(ay, by), np.minimum(ax, bx), res)
         c_b = latlng_to_cell(np.maximum(ay, by), np.maximum(ax, bx), res)
         xa, ya = cell_xy(c_a)
@@ -363,18 +407,35 @@ def break_lines(ds, res: int = 9, eps: float = 1e-12,
         y0 = np.minimum(ya, yb)
         nx = (np.maximum(xa, xb) - x0 + np.uint64(1)).astype(np.int64)
         ny = (np.maximum(ya, yb) - y0 + np.uint64(1)).astype(np.int64)
-        counts = nx * ny
+        span = nx * ny
+        small = span <= 4   # bbox fill == traversal for tiny spans
+        counts = np.where(small, span, 0)
         total = int(counts.sum())
         row = np.repeat(np.arange(len(counts)), counts)
         within = (np.arange(total, dtype=np.int64)
                   - np.repeat(np.cumsum(counts) - counts, counts))
-        cx = x0.astype(np.int64)[row] + within % nx[row]
-        cy = y0.astype(np.int64)[row] + within // nx[row]
-        cell = ((np.uint64(res) << np.uint64(58))
-                | (cy.astype(np.uint64) << np.uint64(29))
-                | cx.astype(np.uint64)).astype(np.int64)
+        cx = x0.astype(np.int64)[row] + within % np.maximum(nx[row], 1)
+        cy = y0.astype(np.int64)[row] + within // np.maximum(nx[row], 1)
+        rows = [row]
+        cxs = [cx]
+        cys = [cy]
+        for i in np.flatnonzero(~small):   # rare long segments: exact
+            tx, ty = _dda_cells(ax[i], ay[i], bx[i], by[i], res)  # walk
+            rows.append(np.full(len(tx), i, dtype=np.int64))
+            cxs.append(tx)
+            cys.append(ty)
+        row = np.concatenate(rows)
+        cx = np.concatenate(cxs)
+        cy = np.concatenate(cys)
+        # group key packed from raw coords + layer (per-layer
+        # independent cleaning); NEVER multiply a res-tagged cell id —
+        # the res<<58 high bits overflow int64 (the tile_histogram
+        # salt-bug class)
+        key = ((cy.astype(np.int64) << np.int64(33))
+               | (cx.astype(np.int64) << np.int64(4))
+               | (lay[row].astype(np.int64) & 15))
         return pa.table({
-            "cell": pa.array(cell, pa.int64()),
+            "cell": pa.array(key, pa.int64()),
             "way_id": pa.array(wid[row], pa.int64()),
             "seg_idx": pa.array(sidx[row], pa.int64()),
             "ax": pa.array(ax[row], pa.float64()),

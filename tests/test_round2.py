@@ -323,6 +323,55 @@ def test_break_lines_distributed_cross_cell(ray_session):
         assert cross in list(zip(r["xs"], r["ys"]))
 
 
+def test_break_lines_is_layer_independent(ray_session):
+    """A road crossing a railway must NOT split either (the reference
+    cleans each layer independently, mapgen.sh:56-62)."""
+    import ray.data as rd
+    from osm2shp_ray.stages.geometry import break_lines
+    t = pa.table({
+        "way_id": pa.array([1, 2], pa.int64()),
+        "layer_idx": pa.array([0, 3], pa.int8()),     # different layers
+        "xs": pa.array([[-1.0, 1.0], [0.0, 0.0]], pa.list_(pa.float64())),
+        "ys": pa.array([[0.0, 0.0], [-1.0, 1.0]], pa.list_(pa.float64())),
+    })
+    out = break_lines(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["way_id"]) == [1, 2]            # untouched
+    # same geometry, same layer -> 4 pieces
+    t2 = t.set_column(1, "layer_idx", pa.array([0, 0], pa.int8()))
+    assert len(break_lines(rd.from_arrow(t2)).to_pandas()) == 4
+
+
+def test_break_lines_long_diagonal_dda_cover(ray_session):
+    """A long diagonal segment (span >> 4 cells, the grid-traversal
+    path) must still find a crossing deep along its length."""
+    import ray.data as rd
+    from osm2shp_ray.stages.geometry import break_lines
+    t = pa.table({
+        "way_id": pa.array([1, 2], pa.int64()),
+        "layer_idx": pa.array([0, 0], pa.int8()),
+        # 20-degree diagonal crossed by a short vertical at (7, 7)
+        "xs": pa.array([[-3.0, 17.0], [7.0, 7.0]], pa.list_(pa.float64())),
+        "ys": pa.array([[-3.0, 17.0], [6.5, 7.5]], pa.list_(pa.float64())),
+    })
+    out = break_lines(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        assert (7.0, 7.0) in [(round(x, 9), round(y, 9))
+                              for x, y in zip(r["xs"], r["ys"])]
+
+
+def test_is_osm_path_cwd_independent(tmp_path, monkeypatch):
+    d = tmp_path / "inputs" / "extracts"
+    d.mkdir(parents=True)
+    (d / "a.osm").write_text("<osm/>")
+    from osm2shp_ray.sources.readers import is_osm_path
+    monkeypatch.chdir(tmp_path)
+    assert is_osm_path(str(d))
+    assert not is_osm_path(str(tmp_path / "inputs"))  # only a subDIR inside
+    monkeypatch.chdir(d)
+    assert is_osm_path(str(d))                        # same answer anywhere
+
+
 def test_break_lines_matches_single_group_reference(ray_session):
     """Distributed break (cell-covered segments) must produce exactly
     the same piece multiset as the single-group kernel, which sees
