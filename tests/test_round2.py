@@ -379,24 +379,33 @@ def test_break_lines_matches_single_group_reference(ray_session):
     import ray.data as rd
     from osm2shp_ray.stages.geometry import break_lines, break_lines_group
     rng = np.random.default_rng(31)
-    n = 40
+    n = 60
     cx = rng.uniform(-2.0, 2.0, n)
     cy = rng.uniform(-2.0, 2.0, n)
     dx = rng.uniform(-1.5, 1.5, n)
     dy = rng.uniform(-1.5, 1.5, n)
+    dx[:6] *= 8.0   # a few LONG segments exercise the DDA cover path
+    dy[:6] *= 8.0
+    layers = (np.arange(n) % 2).astype(np.int8)   # two layers
     xs = [[cx[i], cx[i] + dx[i]] for i in range(n)]
     ys = [[cy[i], cy[i] + dy[i]] for i in range(n)]
     t = pa.table({
         "way_id": pa.array(np.arange(n), pa.int64()),
-        "layer_idx": pa.array(np.zeros(n, np.int8), pa.int8()),
+        "layer_idx": pa.array(layers, pa.int8()),
         "xs": pa.array(xs, pa.list_(pa.float64())),
         "ys": pa.array(ys, pa.list_(pa.float64())),
     })
     dist = break_lines(rd.from_arrow(t), res=9).to_pandas()
-    ref = break_lines_group(pd.DataFrame({
-        "way_id": np.arange(n), "layer_idx": np.zeros(n, np.int8),
-        "xs": [np.asarray(v) for v in xs],
-        "ys": [np.asarray(v) for v in ys]})).to_pandas()
+    # ground truth: the single-group kernel run PER LAYER (the
+    # reference's independence contract)
+    refs = []
+    for lay in (0, 1):
+        m = layers == lay
+        refs.append(break_lines_group(pd.DataFrame({
+            "way_id": np.arange(n)[m], "layer_idx": layers[m],
+            "xs": [np.asarray(xs[i]) for i in np.flatnonzero(m)],
+            "ys": [np.asarray(ys[i]) for i in np.flatnonzero(m)]})).to_pandas())
+    ref = pd.concat(refs, ignore_index=True)
     key = lambda df: sorted(
         (int(r["way_id"]), tuple(np.round(r["xs"], 9)), tuple(np.round(r["ys"], 9)))
         for _, r in df.iterrows())
