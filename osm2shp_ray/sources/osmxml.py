@@ -153,12 +153,31 @@ def read_osm(path: str, batch_rows: int = 65536):
         if n == 0:
             yield empty[kind]
 
-    # submit BOTH kinds for all files up front so the parse tasks run
+    # .pbf files decode blob-parallel via sources/osmpbf.py (the
+    # format's native split unit); XML files get one streaming parse
+    # task per kind. Submit everything up front so tasks run
     # concurrently; the ray.get blocks only for ref ENUMERATION (values
-    # stay in the object store), and wall time is the slowest task, not
-    # node-pass-then-way-pass serial
-    n_refs = [parse_kind.remote(p, "node") for p in files]
-    w_refs = [parse_kind.remote(p, "way") for p in files]
-    nodes_ds = rd.from_arrow_refs([r for g in ray.get(n_refs) for r in g])
-    ways_ds = rd.from_arrow_refs([r for g in ray.get(w_refs) for r in g])
+    # stay in the object store).
+    pbf = [p for p in files if p.endswith(".pbf")]
+    xml = [p for p in files if not p.endswith(".pbf")]
+    n_parts, w_parts = [], []
+    if pbf:
+        from .osmpbf import read_osm_pbf
+        for p in pbf:
+            nd, wd = read_osm_pbf(p)
+            n_parts.append(nd)
+            w_parts.append(wd)
+    if xml:
+        n_refs = [parse_kind.remote(p, "node") for p in xml]
+        w_refs = [parse_kind.remote(p, "way") for p in xml]
+        n_parts.append(rd.from_arrow_refs(
+            [r for g in ray.get(n_refs) for r in g]))
+        w_parts.append(rd.from_arrow_refs(
+            [r for g in ray.get(w_refs) for r in g]))
+    nodes_ds = n_parts[0]
+    ways_ds = w_parts[0]
+    for nd in n_parts[1:]:
+        nodes_ds = nodes_ds.union(nd)
+    for wd in w_parts[1:]:
+        ways_ds = ways_ds.union(wd)
     return nodes_ds, ways_ds

@@ -58,7 +58,7 @@ def is_osm_path(path: str) -> bool:
     they go through ``osmxml.read_osm`` rather than read_table."""
     base = os.path.basename(path.rstrip("/"))
     if (base.endswith(".osm") or base.endswith(".osm.gz")
-            or base.endswith(".osm.bz2")):
+            or base.endswith(".osm.bz2") or base.endswith(".osm.pbf")):
         return True
     if os.path.isdir(path):
         # recurse on FULL paths (bare basenames would resolve isdir
@@ -70,7 +70,8 @@ def is_osm_path(path: str) -> bool:
 
 
 def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl",
-                                    "osm", "osm.gz", "osm.bz2")) -> str:
+                                    "osm", "osm.pbf", "osm.gz",
+                                    "osm.bz2")) -> str:
     """Probe ``base.<ext>`` in priority order (mapgen.sh:24-33 analog);
     also accepts ``base`` itself if it is a directory."""
     if os.path.isdir(base):

@@ -1,0 +1,70 @@
+"""OSM PBF codec (S2): varint/zigzag primitives, blob framing, dense
+node + way round-trips against the edge-case fixture corpus, blob
+scan-parallel reads, and convert() equality vs the in-memory tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm2shp_ray.sources import osmpbf
+from osm2shp_ray.sources.fixtures import nodes_ways_tables
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 62, 500, dtype=np.uint64),
+        np.array([0, 1, 127, 128, (1 << 64) - 1], dtype=np.uint64)])
+    assert np.array_equal(osmpbf.decode_varints(
+        np.frombuffer(osmpbf.encode_varints(vals), np.uint8)), vals)
+    s = rng.integers(-(1 << 60), 1 << 60, 300)
+    assert np.array_equal(osmpbf.unzigzag(osmpbf.zigzag(s)), s)
+
+
+@pytest.fixture(scope="module")
+def pbf_file(tmp_path_factory):
+    nodes_t, ways_t = nodes_ways_tables()
+    path = str(tmp_path_factory.mktemp("pbf") / "map.osm.pbf")
+    # small block_rows forces multiple blobs (the parallel split unit)
+    n_blocks = osmpbf.write_osm_pbf(path, nodes_t, ways_t, block_rows=40)
+    assert n_blocks >= 3
+    return path, nodes_t, ways_t
+
+
+def test_blob_scan(pbf_file):
+    path, _n, _w = pbf_file
+    blobs = osmpbf.scan_blobs(path)
+    assert blobs[0][2] == "OSMHeader"
+    assert sum(1 for _o, _s, t in blobs if t == "OSMData") >= 3
+
+
+def test_pbf_roundtrip_tables(pbf_file, ray_session):
+    path, nodes_t, ways_t = pbf_file
+    nodes, ways = osmpbf.read_osm_pbf(path)
+    nd = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    ref = nodes_t.to_pandas().sort_values("id").reset_index(drop=True)
+    assert nd["id"].tolist() == ref["id"].tolist()
+    # coords survive at the PBF's fixed 1e-7-degree precision
+    assert np.allclose(nd["lon"], ref["lon"], atol=1e-6)
+    assert np.allclose(nd["lat"], ref["lat"], atol=1e-6)
+    assert nd["tags"].tolist() == ref["tags"].tolist()
+    wd = ways.to_pandas().sort_values("way_id").reset_index(drop=True)
+    wref = ways_t.to_pandas().sort_values("way_id").reset_index(drop=True)
+    assert wd["way_id"].tolist() == wref["way_id"].tolist()
+    assert [list(r) for r in wd["node_refs"]] == \
+        [list(r) for r in wref["node_refs"]]
+    assert wd["tags"].tolist() == wref["tags"].tolist()
+
+
+def test_pbf_drives_convert(pbf_file, ray_session):
+    import ray.data as rd
+    from osm2shp_ray.pipelines import convert
+    from osm2shp_ray.sources.osmxml import read_osm
+    path, nodes_t, ways_t = pbf_file
+    nodes, ways = read_osm(path)       # dispatches to the PBF reader
+    p1, w1 = convert.convert(nodes, ways, n_buckets=4)
+    p2, w2 = convert.convert(rd.from_arrow(nodes_t), rd.from_arrow(ways_t),
+                             n_buckets=4)
+    count = lambda ds: sorted((r["layer"],) for r in ds.take_all())
+    assert count(p1) == count(p2)
+    assert count(w1) == count(w2)
