@@ -150,6 +150,33 @@ def _len_field(tag_field: int, payload: bytes) -> bytes:
 
 # ------------------------------------------------------------- decode
 
+def _dense_tags(kv: np.ndarray, sarr: np.ndarray, n_nodes: int) -> list[str]:
+    """DenseNodes keys_vals stream (interleaved string ids, 0 ends a
+    node) -> one "k=v k2=v2" string per node, VECTORIZED: pair strings
+    built with numpy object concatenation, per-node join via a polars
+    group_by (the hot ingest path must not loop per tag)."""
+    if len(kv) == 0:
+        return [""] * n_nodes
+    is_end = kv == 0
+    node_of = np.concatenate(([0], np.cumsum(is_end)[:-1]))
+    seg_start = np.concatenate(([0], np.flatnonzero(is_end) + 1))[node_of]
+    local = np.arange(len(kv)) - seg_start
+    keys_m = (~is_end) & (local % 2 == 0)
+    pair_node = node_of[keys_m]
+    pairs = (sarr[kv[keys_m]].astype(object) + "="
+             + sarr[kv[np.flatnonzero(keys_m) + 1]].astype(object))
+    if len(pairs) == 0:
+        return [""] * n_nodes
+    import polars as pl
+    joined = (pl.DataFrame({"node": pair_node, "pair": pairs.astype(str)})
+              .group_by("node", maintain_order=False)
+              .agg(pl.col("pair").str.join(" ")))
+    out = [""] * n_nodes
+    for node, s in zip(joined["node"], joined["pair"]):
+        out[node] = s
+    return out
+
+
 def _decode_block(data) -> tuple[pa.Table, pa.Table]:
     """One OSMData PrimitiveBlock -> (nodes table, ways table) in the
     engine's canonical schemas (tags normalized to "k=v k2=v2")."""
@@ -195,21 +222,7 @@ def _decode_block(data) -> tuple[pa.Table, pa.Table]:
                 n_ids.append(ids)
                 n_lat.append(NANO * (lat_off + gran * lats))
                 n_lon.append(NANO * (lon_off + gran * lons))
-                # keys_vals: interleaved string ids, 0 terminates a node
-                if len(kv):
-                    tags, cur = [], []
-                    i = 0
-                    while i < len(kv):
-                        if kv[i] == 0:
-                            tags.append(" ".join(cur))
-                            cur = []
-                            i += 1
-                        else:
-                            cur.append(f"{sarr[kv[i]]}={sarr[kv[i + 1]]}")
-                            i += 2
-                    n_tags.extend(tags)
-                else:
-                    n_tags.extend([""] * len(ids))
+                n_tags.extend(_dense_tags(kv, sarr, len(ids)))
             elif f == 3:    # Way
                 wid, keys, vals, refs = 0, np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
                 for ff, _w, vv in iter_fields(v):
@@ -304,12 +317,16 @@ def read_osm_pbf(path: str):
 # reader — and any spec-conformant reader — accepts)
 
 def _string_table(strings: list[str]) -> tuple[bytes, dict]:
-    idx = {"": 0}
+    """Index 0 is RESERVED as the DenseNodes keys_vals delimiter (the
+    spec stores an unreferenced empty string there) — every real
+    string, INCLUDING an empty tag value, gets an index >= 1."""
+    entries = [""]
+    idx: dict[str, int] = {}
     for s in strings:
         if s not in idx:
-            idx[s] = len(idx)
-    payload = b"".join(_len_field(1, s.encode("utf-8"))
-                       for s in sorted(idx, key=idx.get))
+            idx[s] = len(entries)
+            entries.append(s)
+    payload = b"".join(_len_field(1, s.encode("utf-8")) for s in entries)
     return payload, idx
 
 

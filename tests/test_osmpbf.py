@@ -56,6 +56,47 @@ def test_pbf_roundtrip_tables(pbf_file, ray_session):
     assert wd["tags"].tolist() == wref["tags"].tolist()
 
 
+def test_pbf_random_roundtrip(tmp_path, ray_session):
+    """Randomized corpus: ids/coords on the PBF's exact 1e-7 grid,
+    random tag multiplicities (0-3 per entity) -> byte-exact
+    round-trip."""
+    rng = np.random.default_rng(17)
+    n = 5000
+    ids = np.sort(rng.choice(np.arange(1, 10_000_000), n, replace=False))
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, n) / 1e7
+    lat = rng.integers(-900_000_000, 900_000_000, n) / 1e7
+    vocab = ["highway", "name", "place", "x1", "landuse"]
+    vals = ["motorway", "Alpha", "city", "v2", "residential", ""]
+    def tags():
+        k = rng.integers(0, 4)
+        return " ".join(f"{rng.choice(vocab)}={rng.choice(vals)}"
+                        for _ in range(k))
+    nodes_t = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "tags": pa.array([tags() for _ in range(n)], pa.string()),
+    })
+    ways_t = pa.table({
+        "way_id": pa.array(np.arange(1, 301), pa.int64()),
+        "node_refs": pa.array([rng.choice(ids, rng.integers(2, 9)).tolist()
+                               for _ in range(300)], pa.list_(pa.int64())),
+        "tags": pa.array([tags() for _ in range(300)], pa.string()),
+    })
+    path = str(tmp_path / "rand.osm.pbf")
+    osmpbf.write_osm_pbf(path, nodes_t, ways_t, block_rows=1024)
+    nodes, ways = osmpbf.read_osm_pbf(path)
+    nd = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    assert nd["id"].tolist() == ids.tolist()
+    assert np.allclose(nd["lon"], lon, atol=5e-8)   # exact 1e-7 grid
+    assert np.allclose(nd["lat"], lat, atol=5e-8)
+    assert nd["tags"].tolist() == nodes_t["tags"].to_pylist()
+    wd = ways.to_pandas().sort_values("way_id").reset_index(drop=True)
+    assert wd["tags"].tolist() == ways_t["tags"].to_pylist()
+    assert [list(r) for r in wd["node_refs"]] == \
+        [list(r) for r in ways_t["node_refs"].to_pylist()]
+
+
 def test_pbf_drives_convert(pbf_file, ray_session):
     import ray.data as rd
     from osm2shp_ray.pipelines import convert
