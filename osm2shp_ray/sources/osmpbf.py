@@ -177,6 +177,12 @@ def _dense_tags(kv: np.ndarray, sarr: np.ndarray, n_nodes: int) -> list[str]:
     return out
 
 
+def _to_i64(v: int) -> int:
+    """Protobuf int64 varints arrive as raw unsigned magnitudes; map
+    the two's-complement range back (negative lat_offset/way ids)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _decode_block(data) -> tuple[pa.Table, pa.Table]:
     """One OSMData PrimitiveBlock -> (nodes table, ways table) in the
     engine's canonical schemas (tags normalized to "k=v k2=v2")."""
@@ -192,9 +198,9 @@ def _decode_block(data) -> tuple[pa.Table, pa.Table]:
         elif f == 17:
             gran = v
         elif f == 19:
-            lat_off = v
+            lat_off = _to_i64(v)
         elif f == 20:
-            lon_off = v
+            lon_off = _to_i64(v)
     sarr = np.asarray(strings, dtype=object)
 
     n_ids, n_lon, n_lat, n_tags = [], [], [], []
@@ -205,7 +211,25 @@ def _decode_block(data) -> tuple[pa.Table, pa.Table]:
 
     for g in groups:
         for f, _wt, v in iter_fields(g):
-            if f == 2:      # DenseNodes
+            if f == 1:      # plain (non-dense) Node — legal alternative
+                nid, klist, vlist = 0, np.empty(0, np.int64), np.empty(0, np.int64)
+                nlat = nlon = 0
+                for ff, _w, vv in iter_fields(v):
+                    if ff == 1:   # Node.id is sint64 (zigzag)
+                        nid = int(unzigzag(np.array([vv], dtype=np.uint64))[0])
+                    elif ff == 2:
+                        klist = decode_varints(np.frombuffer(vv, np.uint8)).astype(np.int64)
+                    elif ff == 3:
+                        vlist = decode_varints(np.frombuffer(vv, np.uint8)).astype(np.int64)
+                    elif ff == 8:
+                        nlat = unzigzag(np.array([vv], dtype=np.uint64))[0]
+                    elif ff == 9:
+                        nlon = unzigzag(np.array([vv], dtype=np.uint64))[0]
+                n_ids.append(np.array([nid], dtype=np.int64))
+                n_lat.append(np.array([NANO * (lat_off + gran * int(nlat))]))
+                n_lon.append(np.array([NANO * (lon_off + gran * int(nlon))]))
+                n_tags.append(kv_to_tags(klist, vlist))
+            elif f == 2:      # DenseNodes
                 ids = lats = lons = None
                 kv = np.empty(0, dtype=np.int64)
                 for ff, _w, vv in iter_fields(v):
@@ -226,8 +250,8 @@ def _decode_block(data) -> tuple[pa.Table, pa.Table]:
             elif f == 3:    # Way
                 wid, keys, vals, refs = 0, np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
                 for ff, _w, vv in iter_fields(v):
-                    if ff == 1:
-                        wid = vv
+                    if ff == 1:           # Way.id is int64
+                        wid = _to_i64(vv)
                     elif ff == 2:
                         keys = decode_varints(np.frombuffer(vv, np.uint8)).astype(np.int64)
                     elif ff == 3:
@@ -290,6 +314,26 @@ def scan_blobs(path: str) -> list[tuple[int, int, str]]:
     return out
 
 
+SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+
+
+def _check_header(path: str, off: int, size: int) -> None:
+    """Spec mandate: refuse files whose OSMHeader declares a required
+    feature this reader does not implement (e.g. HistoricalInformation
+    — silently reading such a file would emit wrong data)."""
+    with open(path, "rb") as f:
+        f.seek(off)
+        payload = f.read(size)
+    header = _decompress_blob(payload)
+    required = [bytes(v).decode() for ff, _wt, v in iter_fields(header)
+                if ff == 4]
+    unsupported = [r for r in required if r not in SUPPORTED_FEATURES]
+    if unsupported:
+        raise NotImplementedError(
+            f"{path}: PBF declares required features {unsupported} this "
+            f"reader does not implement (supported: {sorted(SUPPORTED_FEATURES)})")
+
+
 def read_osm_pbf(path: str):
     """.osm.pbf -> (nodes_ds, ways_ds): one Ray task per OSMData blob
     (the format's native split unit); blocks land in the object store
@@ -297,7 +341,11 @@ def read_osm_pbf(path: str):
     import ray
     import ray.data as rd
 
-    blobs = [(o, s) for o, s, t in scan_blobs(path) if t == "OSMData"]
+    scanned = scan_blobs(path)
+    for o, s, t in scanned:
+        if t == "OSMHeader":
+            _check_header(path, o, s)
+    blobs = [(o, s) for o, s, t in scanned if t == "OSMData"]
 
     @ray.remote(num_returns=2)
     def decode(off: int, size: int):
@@ -372,7 +420,7 @@ def write_osm_pbf(path: str, nodes: pa.Table, ways: pa.Table,
         kvs = [tags_of(chunk["tags"], i) for i in range(chunk.num_rows)]
         strings = [x for kv in kvs for pair in kv for x in pair]
         st, idx = _string_table(strings)
-        group = b""
+        parts = []   # join once: += on bytes is O(n^2) per block
         for i in range(chunk.num_rows):
             refs = np.asarray(chunk["node_refs"][i].as_py(), dtype=np.int64)
             way = (_field(1, 0)
@@ -383,8 +431,8 @@ def write_osm_pbf(path: str, nodes: pa.Table, ways: pa.Table,
                    + _packed(3, np.asarray([idx[v] for _, v in kvs[i]],
                                            dtype=np.uint64))
                    + _packed(8, zigzag(np.diff(refs, prepend=0))))
-            group += _len_field(3, way)
-        blocks.append(_len_field(1, st) + _len_field(2, group))
+            parts.append(_len_field(3, way))
+        blocks.append(_len_field(1, st) + _len_field(2, b"".join(parts)))
 
     with open(path, "wb") as f:
         header_block = _len_field(4, b"DenseNodes")  # required_features

@@ -97,6 +97,46 @@ def test_pbf_random_roundtrip(tmp_path, ray_session):
         [list(r) for r in ways_t["node_refs"].to_pylist()]
 
 
+def test_plain_node_group_and_negative_offset():
+    """Spec coverage: non-dense Node messages and a negative
+    lat_offset (int64 two's-complement varint) decode correctly."""
+    st, idx = osmpbf._string_table(["place", "city"])
+    node = (osmpbf._field(1, 0) + osmpbf.encode_varints(osmpbf.zigzag([42]))
+            + osmpbf._packed(2, np.array([idx["place"]], np.uint64))
+            + osmpbf._packed(3, np.array([idx["city"]], np.uint64))
+            + osmpbf._field(8, 0) + osmpbf.encode_varints(osmpbf.zigzag([500_000_000]))
+            + osmpbf._field(9, 0) + osmpbf.encode_varints(osmpbf.zigzag([100_000_000])))
+    group = osmpbf._len_field(1, node)
+    neg_off = -1_000_000_000  # -1 degree offset in nanodegrees
+    block = (osmpbf._len_field(1, st) + osmpbf._len_field(2, group)
+             + osmpbf._field(19, 0)
+             + osmpbf.encode_varints(np.array([neg_off & ((1 << 64) - 1)],
+                                              dtype=np.uint64)))
+    nodes, ways = osmpbf._decode_block(block)
+    assert nodes["id"].to_pylist() == [42]
+    assert nodes["tags"].to_pylist() == ["place=city"]
+    assert abs(nodes["lat"][0].as_py() - (50.0 - 1.0)) < 1e-9
+    assert abs(nodes["lon"][0].as_py() - 10.0) < 1e-9
+    assert ways.num_rows == 0
+
+
+def test_required_features_rejection(tmp_path, ray_session):
+    import struct as _s
+    import zlib as _z
+    path = str(tmp_path / "hist.osm.pbf")
+    payload = osmpbf._len_field(4, b"HistoricalInformation")
+    z = _z.compress(payload)
+    blob = (osmpbf._field(2, 0)
+            + osmpbf.encode_varints(np.array([len(payload)], np.uint64))
+            + osmpbf._len_field(3, z))
+    bh = (osmpbf._len_field(1, b"OSMHeader") + osmpbf._field(3, 0)
+          + osmpbf.encode_varints(np.array([len(blob)], np.uint64)))
+    with open(path, "wb") as f:
+        f.write(_s.pack(">I", len(bh)) + bh + blob)
+    with pytest.raises(NotImplementedError, match="HistoricalInformation"):
+        osmpbf.read_osm_pbf(path)
+
+
 def test_pbf_drives_convert(pbf_file, ray_session):
     import ray.data as rd
     from osm2shp_ray.pipelines import convert
