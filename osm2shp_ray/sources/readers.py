@@ -73,8 +73,8 @@ def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl",
                                     "osm", "osm.pbf", "osm.gz",
                                     "osm.bz2")) -> str:
     """Probe ``base.<ext>`` in priority order (mapgen.sh:24-33 analog);
-    also accepts ``base`` itself if it is a directory."""
-    if os.path.isdir(base):
+    an existing path (file or directory) is accepted as-is."""
+    if os.path.exists(base):
         return base
     for e in exts:
         cand = f"{base}.{e}"

@@ -31,6 +31,56 @@ def pbf_file(tmp_path_factory):
     return path, nodes_t, ways_t
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(0, (1 << 64) - 1), max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_varint_roundtrip_property(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        got = osmpbf.decode_varints(
+            np.frombuffer(osmpbf.encode_varints(arr), np.uint8))
+        assert np.array_equal(got, arr)
+
+    @given(st.lists(st.integers(-(1 << 63), (1 << 63) - 1), max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_zigzag_roundtrip_property(vals):
+        arr = np.array(vals, dtype=np.int64)
+        assert np.array_equal(osmpbf.unzigzag(osmpbf.zigzag(arr)), arr)
+
+    _token = st.text(
+        alphabet=st.characters(blacklist_characters=" =",
+                               blacklist_categories=("Cs", "Zs", "Cc")),
+        min_size=1, max_size=12)
+
+    @given(st.lists(st.tuples(_token, _token), max_size=6))
+    @settings(max_examples=30, deadline=None)
+    def test_unicode_tags_roundtrip_property(pairs):
+        tags = " ".join(f"{k}={v}" for k, v in pairs)
+        nodes_t = pa.table({"id": pa.array([7], pa.int64()),
+                            "lon": pa.array([1.0]), "lat": pa.array([2.0]),
+                            "tags": pa.array([tags], pa.string())})
+        ways_t = pa.table({"way_id": pa.array([], pa.int64()),
+                           "node_refs": pa.array([], pa.list_(pa.int64())),
+                           "tags": pa.array([], pa.string())})
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.osm.pbf")
+            osmpbf.write_osm_pbf(p, nodes_t, ways_t)
+            blobs = osmpbf.scan_blobs(p)
+            for off, size, t in blobs:
+                if t != "OSMData":
+                    continue
+                with open(p, "rb") as f:
+                    f.seek(off)
+                    nt, _wt = osmpbf._decode_block(
+                        osmpbf._decompress_blob(f.read(size)))
+                assert nt["tags"].to_pylist() == [tags]
+except ImportError:
+    pass
+
+
 def test_blob_scan(pbf_file):
     path, _n, _w = pbf_file
     blobs = osmpbf.scan_blobs(path)
@@ -135,6 +185,24 @@ def test_required_features_rejection(tmp_path, ray_session):
         f.write(_s.pack(">I", len(bh)) + bh + blob)
     with pytest.raises(NotImplementedError, match="HistoricalInformation"):
         osmpbf.read_osm_pbf(path)
+
+
+def test_cli_convert_from_pbf(pbf_file, tmp_path):
+    """End-to-end: the user CLI converts a .osm.pbf input directly
+    (subprocess — the CLI owns its own Ray session)."""
+    import os
+    import subprocess
+    import sys
+    path, _n, _w = pbf_file
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "osm2shp_ray", "convert", path, out,
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert os.path.isdir(os.path.join(out, "points"))
+    assert os.path.isdir(os.path.join(out, "ways"))
 
 
 def test_pbf_drives_convert(pbf_file, ray_session):
