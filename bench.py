@@ -172,6 +172,7 @@ def run_bench() -> dict:
         ("q_convert_pipeline", q.q_convert_pipeline),
         ("q_ngram_jaccard_pairs", q.q_ngram_jaccard_pairs),
         ("q_simhash_docs", q.q_simhash_docs),
+        ("q_corpus_filter", q.q_corpus_filter),
     ]:
         t1 = time.time()
         res = fn(SF_DIR)
