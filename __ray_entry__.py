@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_resolve": q.q_join_resolve,
         "q_first_match_classify": q.q_first_match_classify,
         "q_window_tumbling": q.q_window_tumbling,
+        "q_window_sliding": q.q_window_sliding,
         "q_topk_users": q.q_topk_users,
         "q_supplier_by_region": q.q_supplier_by_region,
         # spatial pack
@@ -219,6 +220,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id, 2""",
+        "q_window_sliding": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 900) AS BIGINT) - i AS window_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) s
+            GROUP BY user_id, 2""",
         "q_topk_users": """
             SELECT user_id, round(sum(value), 4) AS total_value,
                    CAST(count(*) AS BIGINT) AS n

@@ -214,6 +214,35 @@ def q_window_tumbling(sf_dir: str):
     return _round_cols(out, ["total_value"])
 
 
+def q_window_sliding(sf_dir: str):
+    """SLIDING 1h event-time window advancing every 15 min: each event
+    belongs to size/slide = 4 windows, materialized by a x4 row explode
+    before the groupby (the standard streaming-sliding-window shape —
+    completes the tumbling/session/sliding trio)."""
+    K = 4           # size 3600s / slide 900s
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        slot = ts // 900_000_000
+        n = t.num_rows
+        return pa.table({
+            "user_id": pa.array(np.repeat(
+                t["user_id"].to_numpy(zero_copy_only=False), K)),
+            "window_id": pa.array(
+                np.repeat(slot, K) - np.tile(np.arange(K, dtype=np.int64), n),
+                pa.int64()),
+            "value": pa.array(np.repeat(
+                t["value"].to_numpy(zero_copy_only=False), K), pa.float64()),
+        })
+
+    out = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+           .map_batches(win, batch_format="pyarrow")
+           .groupby(["user_id", "window_id"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+           ).to_pandas()
+    return _round_cols(out, ["total_value"])
+
+
 def q_topk_users(sf_dir: str):
     out = (_read(sf_dir, "events", ["user_id", "value"])
            .groupby("user_id")

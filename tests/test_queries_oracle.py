@@ -56,6 +56,7 @@ SQL_CHECKED = [
     # round 2: sketch/LSH family under the SQL oracle (md5-parity
     # hashes + exact-verified similarity) and the SQL-derivable
     # conversion/postprocess pipelines
+    "q_window_sliding",
     "q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
     "q_ngram_jaccard_pairs", "q_fingerprints", "q_embed_near_dup",
     "q_ivf_topk", "q_convert_pipeline", "q_postprocess_pipeline",
