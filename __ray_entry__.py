@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_tumbling": q.q_window_tumbling,
         "q_window_sliding": q.q_window_sliding,
         "q_topk_users": q.q_topk_users,
+        "q_topk_per_group": q.q_topk_per_group,
+        "q_quantiles_by_user": q.q_quantiles_by_user,
+        "q_customers_without_orders": q.q_customers_without_orders,
         "q_supplier_by_region": q.q_supplier_by_region,
         # spatial pack
         "q_cell_encode": q.q_cell_encode,
@@ -232,6 +235,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id LIMIT 10""",
+        "q_topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) <= 2""",
+        "q_quantiles_by_user": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id""",
+        "q_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-09-01')""",
         "q_supplier_by_region": """
             SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
                    round(sum(s_acctbal), 4) AS total_bal,

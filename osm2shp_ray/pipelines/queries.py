@@ -252,6 +252,69 @@ def q_topk_users(sf_dir: str):
     return _round_cols(out, ["total_value"])
 
 
+def q_topk_per_group(sf_dir: str):
+    """GROUPED top-k (top-2 orders per customer by totalprice):
+    bucketed groupby + one vectorized sort + group-head per bucket —
+    the per-group analog of the global top-k."""
+    from ..functions.hashing import bucket_of
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", pa.array(
+            bucket_of(t["o_custkey"].to_numpy(zero_copy_only=False), 32),
+            pa.int64()))
+
+    def head2(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True])
+               .groupby("o_custkey", sort=False).head(2))
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+           .map_batches(bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(head2, batch_format="pandas")).to_pandas()
+    return _round_cols(out, ["o_totalprice"])
+
+
+def q_quantiles_by_user(sf_dir: str):
+    """Per-group quantiles (median + p95 of event value per user):
+    exact per-group linear interpolation inside a bucketed groupby —
+    numpy's 'linear' percentile is the same formula as SQL
+    quantile_cont, so values hash-match."""
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["value"]
+        out = pd.DataFrame({
+            "p50": g.quantile(0.5, interpolation="linear"),
+            "p95": g.quantile(0.95, interpolation="linear"),
+            "n": g.size().astype("int64"),
+        }).reset_index()
+        return out
+
+    out = (_read(sf_dir, "events", ["user_id", "value"])
+           .groupby("user_id").map_groups(quant, batch_format="pandas")
+           ).to_pandas()
+    return _round_cols(out, ["p50", "p95"])
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join under the hash gate: customers with no order since
+    1998-09-01, via the generic hash_join(how="left_anti") — the
+    semi/anti family's oracle-checked face (q03 exercises left_semi).
+    Schema pinned for the empty-result case."""
+    from ..stages.joins import hash_join
+    cut = pa.scalar(datetime.datetime(1998, 9, 1), type=pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(lambda t: pa.table({
+                  "c_custkey": t.filter(pc.greater_equal(
+                      t["o_orderdate"], cut))["o_custkey"]}),
+                  batch_format="pyarrow"))
+    df = hash_join(cust, orders, on="c_custkey", how="left_anti",
+                   n_buckets=32).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return df
+
+
 # ------------------------------------------------------------- B: spatial
 
 def _customer_points(sf_dir: str):

@@ -56,7 +56,8 @@ SQL_CHECKED = [
     # round 2: sketch/LSH family under the SQL oracle (md5-parity
     # hashes + exact-verified similarity) and the SQL-derivable
     # conversion/postprocess pipelines
-    "q_window_sliding",
+    "q_window_sliding", "q_topk_per_group", "q_quantiles_by_user",
+    "q_customers_without_orders",
     "q_langid_counts", "q_simhash_docs", "q_minhash_pairs",
     "q_ngram_jaccard_pairs", "q_fingerprints", "q_embed_near_dup",
     "q_ivf_topk", "q_convert_pipeline", "q_postprocess_pipeline",
