@@ -269,7 +269,9 @@ def q_topk_per_group(sf_dir: str):
                .groupby("o_custkey", sort=False).head(2))
         return out[["o_custkey", "o_orderkey", "o_totalprice"]]
 
-    out = (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    from ..stages.util import coalesced
+    out = (coalesced(_read(sf_dir, "orders",
+                           ["o_custkey", "o_orderkey", "o_totalprice"]))
            .map_batches(bucket, batch_format="pyarrow")
            .groupby("__b").map_groups(head2, batch_format="pandas")).to_pandas()
     return _round_cols(out, ["o_totalprice"])
@@ -277,9 +279,18 @@ def q_topk_per_group(sf_dir: str):
 
 def q_quantiles_by_user(sf_dir: str):
     """Per-group quantiles (median + p95 of event value per user):
-    exact per-group linear interpolation inside a bucketed groupby —
-    numpy's 'linear' percentile is the same formula as SQL
-    quantile_cont, so values hash-match."""
+    HASH-BUCKETED groupby (one kernel call per bucket, never per
+    group — millions of users must not mean millions of Python calls)
+    with a vectorized pandas per-bucket groupby-quantile; numpy/pandas
+    'linear' interpolation is the same formula as SQL quantile_cont,
+    so values hash-match."""
+    from ..functions.hashing import bucket_of
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", pa.array(
+            bucket_of(t["user_id"].to_numpy(zero_copy_only=False), 32),
+            pa.int64()))
+
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("user_id", sort=False)["value"]
         out = pd.DataFrame({
@@ -289,8 +300,10 @@ def q_quantiles_by_user(sf_dir: str):
         }).reset_index()
         return out
 
-    out = (_read(sf_dir, "events", ["user_id", "value"])
-           .groupby("user_id").map_groups(quant, batch_format="pandas")
+    from ..stages.util import coalesced
+    out = (coalesced(_read(sf_dir, "events", ["user_id", "value"]))
+           .map_batches(bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(quant, batch_format="pandas")
            ).to_pandas()
     return _round_cols(out, ["p50", "p95"])
 
