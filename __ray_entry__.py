@@ -293,8 +293,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text""",
         "q_token_stats": r"""
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   CAST(sum(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                             END) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang""",
         "q_punct_by_source": """
@@ -338,8 +338,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY 1""",
         "q_corpus_filter": rf"""
             WITH f AS (SELECT doc_id, text, {hit_cols},
-                  CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                       ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                   END AS n_tokens,
                   length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
                     / greatest(length(text), 1) AS punct_ratio

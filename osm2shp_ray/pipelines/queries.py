@@ -144,29 +144,64 @@ def q03_top_orders(sf_dir: str):
 def q_join_resolve(sf_dir: str):
     """The J1/J2 node-ref join analog: lineitems are way positions,
     parts are nodes, parts with key%10==0 are 'missing' -> any order
-    touching one is dropped whole (completeness gate)."""
-    part = _read(sf_dir, "part", ["p_partkey"])
-    pk = np.sort(np.concatenate([
-        b["p_partkey"].to_numpy(zero_copy_only=False)
-        for b in part.iter_batches(batch_format="pyarrow", batch_size=65536)]))
-    pk = pk[pk % 10 != 0]
-    pk_ref = ray.put(pk)
+    touching one is dropped whole (completeness gate).
 
-    def mark(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        keys = _ray.get(pk_ref)
-        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
-        resolved = np.isin(lp, keys)
+    Fully distributed (no driver-side key array): good part keys and
+    lineitem refs are co-bucketed by an avalanched key hash (the
+    hash_join exchange), each bucket marks its refs resolved against
+    only that bucket's keys and PARTIALLY aggregates per way, then a
+    small second groupby sums the partials and applies the gate."""
+    from ..stages.joins import _key_bucket
+    from ..stages.util import coalesced
+
+    n_buckets = 32
+    part = _read(sf_dir, "part", ["p_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def good_keys(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        k = k[k % 10 != 0]
+        kt = pa.table({"key": pa.array(k, pa.int64())})
         return pa.table({
-            "way_id": t["l_orderkey"],
-            "one": pa.array(np.ones(len(lp), np.int64)),
-            "unres": pa.array((~resolved).astype(np.int64)),
+            "key": kt["key"],
+            "way_id": pa.nulls(len(k), pa.int64()),
+            "__side": pa.array(np.ones(len(k), np.int8)),
+            "__jb": pa.array(_key_bucket(kt, ["key"], n_buckets), pa.int64()),
         })
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    agg = (li.map_batches(mark, batch_format="pyarrow")
-           .groupby("way_id").aggregate(Sum("one", alias_name="n_refs"),
-                                        Sum("unres", alias_name="n_unres")))
+    def refs(t: pa.Table) -> pa.Table:
+        kt = pa.table({"key": t["l_partkey"]})
+        return pa.table({
+            "key": t["l_partkey"],
+            "way_id": t["l_orderkey"],
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__jb": pa.array(_key_bucket(kt, ["key"], n_buckets), pa.int64()),
+        })
+
+    unioned = coalesced(
+        li.map_batches(refs, batch_format="pyarrow")
+        .union(part.map_batches(good_keys, batch_format="pyarrow")))
+
+    partial_schema = pa.schema([("way_id", pa.int64()),
+                                ("n_refs", pa.int64()),
+                                ("n_unres", pa.int64())])
+
+    def resolve_bucket(df: pd.DataFrame) -> pa.Table:
+        is_k = df["__side"].values == 1
+        good = df.loc[is_k, "key"].values
+        r = df.loc[~is_k]
+        unres = ~np.isin(r["key"].values, good)
+        out = (r.assign(__u=unres.astype(np.int64))
+               .groupby("way_id", as_index=False)
+               .agg(n_refs=("key", "size"), n_unres=("__u", "sum")))
+        return (pa.Table.from_pandas(out[["way_id", "n_refs", "n_unres"]],
+                                     preserve_index=False)
+                .cast(partial_schema))
+
+    agg = (unioned.groupby("__jb")
+           .map_groups(resolve_bucket, batch_format="pandas")
+           .groupby("way_id").aggregate(Sum("n_refs", alias_name="n_refs"),
+                                        Sum("n_unres", alias_name="n_unres")))
 
     def gate(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["n_unres"], 0))
@@ -853,21 +888,29 @@ def q_postprocess_pipeline(sf_dir: str):
 def q_supplier_by_region(sf_dir: str):
     """region |x| nation |x| supplier via chained tiny-side broadcasts
     (dimension-tree pattern: region+nation resolved driver-side once,
-    shipped as one lookup array)."""
+    shipped as one dense (nationkey -> region-name index) array; sound
+    only because region/nation are fixed 5/25-row dimension tables —
+    anything bigger belongs in ``hash_join``)."""
     region = {r["r_regionkey"]: r["r_name"]
               for r in _read(sf_dir, "region").take_all()}
-    nation_to_region = {n["n_nationkey"]: region[n["n_regionkey"]]
-                        for n in _read(sf_dir, "nation").take_all()}
+    nations = _read(sf_dir, "nation").take_all()
+    names = pa.array(sorted({region[n["n_regionkey"]] for n in nations}),
+                     pa.string())
+    name_idx = {n: i for i, n in enumerate(names.to_pylist())}
+    key_to_idx = np.full(max(n["n_nationkey"] for n in nations) + 1, -1,
+                         dtype=np.int32)
+    for n in nations:
+        key_to_idx[n["n_nationkey"]] = name_idx[region[n["n_regionkey"]]]
     import ray as _ray
-    lut_ref = _ray.put(nation_to_region)
+    lut_ref = _ray.put((key_to_idx, names))
 
     def tag(t: pa.Table) -> pa.Table:
         import ray as _r
-        lut = _r.get(lut_ref)
+        key_to_idx, names = _r.get(lut_ref)
         nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        names = np.asarray([lut[int(k)] for k in nk], dtype=object)
+        # factorize/take: one vectorized gather, no per-row dict lookups
         return pa.table({
-            "r_name": pa.array(names.tolist(), pa.string()),
+            "r_name": names.take(pa.array(key_to_idx[nk], pa.int32())),
             "s_acctbal": t["s_acctbal"],
         })
 

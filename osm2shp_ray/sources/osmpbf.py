@@ -163,8 +163,12 @@ def _dense_tags(kv: np.ndarray, sarr: np.ndarray, n_nodes: int) -> list[str]:
     local = np.arange(len(kv)) - seg_start
     keys_m = (~is_end) & (local % 2 == 0)
     pair_node = node_of[keys_m]
+    val_idx = np.flatnonzero(keys_m) + 1
+    if len(val_idx) and (val_idx[-1] >= len(kv) or (kv[val_idx] == 0).any()):
+        raise ValueError("truncated DenseNodes keys_vals: key id with no "
+                         f"following value id (stream length {len(kv)})")
     pairs = (sarr[kv[keys_m]].astype(object) + "="
-             + sarr[kv[np.flatnonzero(keys_m) + 1]].astype(object))
+             + sarr[kv[val_idx]].astype(object))
     if len(pairs) == 0:
         return [""] * n_nodes
     import polars as pl

@@ -19,9 +19,32 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    vals = col.to_pylist()
-    return (np.stack([np.asarray(v, dtype=np.float64) for v in vals])
-            if vals else np.empty((0, 0)))
+    """(n, d) float64 matrix from a list-of-float Arrow column,
+    zero-copy from the value buffer (no per-row to_pylist)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray tensor extension (from_numpy paths): its to_numpy is the
+        # dense (n, d) view; object fallback for ragged chunk layouts
+        m = np.asarray(col.to_numpy(zero_copy_only=False))
+        if m.dtype == object:
+            m = np.stack([np.asarray(v) for v in m])
+        return m.reshape(n, -1).astype(np.float64, copy=False)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.flatten()
+    else:
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column")
+        flat = pc.list_flatten(col)
+    m = flat.to_numpy(zero_copy_only=False).reshape(n, d)
+    return m.astype(np.float64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -9,8 +9,8 @@ in O(diameter) rounds; dedup-cluster diameters are tiny):
 
     labels(v) <- min(v, neighbors(v))
     repeat: labels(v) <- min(labels(v), min over edges (u,v) of labels(u))
-    until sum(labels) stops decreasing  (labels only ever decrease, so
-    an unchanged sum IS the fixed point)
+    until the label checksum stops changing (labels only ever decrease,
+    so an unchanged checksum IS the fixed point; see _label_checksum)
 
 Each round is one hash_join (edges x labels) + one groupby-min — both
 on the PAIR graph, which is orders of magnitude smaller than the
@@ -24,22 +24,53 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import splitmix64
 from .joins import hash_join
 from .util import coalesced
+
+
+def _label_checksum(labels_ds) -> tuple[int, int]:
+    """Fixpoint detector that works for int AND string node ids and
+    cannot overflow: sum of 64-bit avalanched label hashes, carried as
+    two exact 32-bit-partial int64 sums (each < 2^63 for < 2^31 rows
+    per block aggregate). Labels only ever decrease, so an unchanged
+    checksum is the fixed point up to a 2^-64 hash-sum collision per
+    round (replaces the raw sum(label), which overflowed for 63-bit
+    int ids and did not exist for string ids)."""
+    def h(t: pa.Table) -> pa.Table:
+        col = t["label"]
+        if pa.types.is_integer(col.type):
+            v = splitmix64(
+                col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            import polars as pl
+            v = splitmix64(
+                pl.from_arrow(col.combine_chunks()
+                              if isinstance(col, pa.ChunkedArray) else col)
+                .hash(seed=7).to_numpy().astype(np.uint64))
+        return pa.table({
+            "lo": pa.array((v & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "hi": pa.array((v >> np.uint64(32)).astype(np.int64)),
+        })
+
+    s = labels_ds.map_batches(h, batch_format="pyarrow").sum(["lo", "hi"])
+    return (s["sum(lo)"], s["sum(hi)"])
 
 
 def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
                          n_buckets: int = 64, max_iters: int = 64):
     """Edge Dataset (id_a, id_b) -> Dataset (id, root) for every node
-    that appears in an edge; root = min node id of its component."""
+    that appears in an edge; root = min node id of its component.
+    Node ids keep their native Arrow type (int64 corpora and string
+    doc-id corpora both work; "min" is the type's natural order)."""
     from ray.data.aggregate import Min
 
     def directed(t: pa.Table) -> pa.Table:
-        a = t[id_a].to_numpy(zero_copy_only=False)
-        b = t[id_b].to_numpy(zero_copy_only=False)
+        a = t[id_a].combine_chunks() if isinstance(t[id_a], pa.ChunkedArray) else t[id_a]
+        b = t[id_b].combine_chunks() if isinstance(t[id_b], pa.ChunkedArray) else t[id_b]
         return pa.table({
-            "src": pa.array(np.concatenate([a, b]), pa.int64()),
-            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "src": pa.chunked_array([a, b]),
+            "dst": pa.chunked_array([b, a]),
         })
 
     edges = coalesced(pairs_ds.map_batches(directed, batch_format="pyarrow")).materialize()
@@ -55,7 +86,7 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
               .union(edges.map_batches(nbr_rows, batch_format="pyarrow"))
               .groupby("src").aggregate(Min("cand", alias_name="label"))
               .materialize())
-    total = labels.sum("label")
+    total = _label_checksum(labels)
 
     for _ in range(max_iters):
         # propagate: label(u) flows across each edge (u, v) as a
@@ -69,7 +100,7 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
                                  batch_format="pyarrow")
         labels = (prop.union(cur).groupby("src")
                   .aggregate(Min("cand", alias_name="label")).materialize())
-        new_total = labels.sum("label")
+        new_total = _label_checksum(labels)
         if new_total == total:
             break
         total = new_total

@@ -52,10 +52,16 @@ def _dedup_pairs(pairs_ds, n_buckets: int = 32):
     per pair (measured: dominated the whole LSH runtime)."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        def h(col):
+            if pa.types.is_integer(col.type):
+                return splitmix64(
+                    col.to_numpy(zero_copy_only=False).astype(np.uint64))
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return pl.from_arrow(c).hash(seed=23).to_numpy().astype(np.uint64)
+
         with np.errstate(over="ignore"):
-            key = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+            key = splitmix64(
+                h(t["id_a"]) * np.uint64(0x9E3779B97F4A7C15) ^ h(t["id_b"]))
         return t.append_column("__pb", pa.array(
             (key % np.uint64(n_buckets)).astype(np.int64), pa.int64()))
 
@@ -292,11 +298,15 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     error cannot drop a true pair), then the true Jaccard is computed
     from the candidates' distinct-shingle sets and thresholded.
 
-    Distribution: the candidate-pair set is tiny by construction; its
-    id set is collected driver-side (ids only — the broadcast-semijoin
-    small side) to filter the docs Dataset before shingle sets are
-    built, so full texts of NON-candidates never leave their blocks.
-    The two pair-side attaches are hash_joins over candidate docs only.
+    Distribution: only the candidate-pair COUNT reaches the driver.
+    At or below ``small_cap`` pairs, the ids are collected (bounded by
+    the cap) and broadcast to filter the docs Dataset, and the verify
+    runs driver-side — the fixed shuffle barriers of the joins would
+    dominate. Above the cap, everything stays distributed: the
+    candidate-id set is itself a Dataset, candidate docs are selected
+    with a left_semi ``hash_join``, and the two pair-side attaches are
+    hash_joins over candidate docs only — full texts of NON-candidates
+    never reach the pair verify either way.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Recall: with r = num_perm/bands = 4 rows/band, a pair at true
@@ -323,35 +333,38 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     cand = cand.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow").materialize()
 
-    pair_rows = cand.take_all()  # ids only; bounded by candidate count
-    if not pair_rows:
+    n_pairs = cand.count()  # a scalar, never the rows
+    if n_pairs == 0:
         import pandas as pd
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
             "jaccard": pd.Series(dtype="float64")}))
-    cand_ids = np.unique(np.concatenate(
-        [np.array([p["id_a"] for p in pair_rows], dtype=np.int64),
-         np.array([p["id_b"] for p in pair_rows], dtype=np.int64)]))
-    ids_ref = ray.put(cand_ids)
 
-    def only_candidates(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        wanted = _ray.get(ids_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, wanted)))
+    shingles = lambda d: d.map_batches(
+        lambda t: shingle_sets_batch(t, text_col, id_col, shingle_mode,
+                                     shingle_n),
+        batch_format="pyarrow")
 
-    docsets = (ds.map_batches(only_candidates, batch_format="pyarrow")
-               .map_batches(lambda t: shingle_sets_batch(
-                   t, text_col, id_col, shingle_mode, shingle_n),
-                   batch_format="pyarrow"))
-
-    if len(pair_rows) <= small_cap:
-        # fast path: candidate count is bounded-small, so the 4 fixed
-        # shuffle barriers of the two distributed joins cost more than
-        # the work; verify on the driver from the (candidate-only,
-        # shingle-set-sized) collected rows. Above the cap, fall
-        # through to the fully distributed join path.
+    if n_pairs <= small_cap:
+        # fast path: candidate count is bounded-small (<= small_cap by
+        # the check above), so the 4 fixed shuffle barriers of the two
+        # distributed joins cost more than the work; collect the pair
+        # ids, broadcast-filter the docs, verify on the driver.
         import pandas as pd
+        pair_rows = cand.take_all()
+        cand_ids = np.unique(np.concatenate(
+            [np.array([p["id_a"] for p in pair_rows], dtype=np.int64),
+             np.array([p["id_b"] for p in pair_rows], dtype=np.int64)]))
+        ids_ref = ray.put(cand_ids)
+
+        def only_candidates(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            wanted = _ray.get(ids_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, wanted)))
+
+        docsets = shingles(ds.map_batches(only_candidates,
+                                          batch_format="pyarrow"))
         by_id = {r[id_col]: np.asarray(r["sh"], dtype=np.int64)
                  for r in docsets.take_all()}
         ia, ib, jac = [], [], []
@@ -370,6 +383,17 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "id_b": pd.Series(ib, dtype="int64"),
             "jaccard": pd.Series(jac, dtype="float64")}))
 
+    # distributed path: the candidate-id set stays a Dataset and docs
+    # are selected with a semijoin — nothing pair-shaped on the driver
+    ids_ds = cand.map_batches(
+        lambda t: pa.table({id_col: pa.chunked_array([
+            t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])}),
+        batch_format="pyarrow")
+    docsets = shingles(hash_join(
+        ds.map_batches(lambda t: t.select([id_col, text_col]),
+                       batch_format="pyarrow"),
+        ids_ds, on=id_col, how="left_semi", n_buckets=16))
+
     sets_a = docsets.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sh_a": t["sh"]}),
         batch_format="pyarrow")
@@ -380,19 +404,34 @@ def exact_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                        sets_b, on="id_b", n_buckets=16)
 
     def verify(t: pa.Table) -> pa.Table:
-        a = t["sh_a"]
-        b = t["sh_b"]
-        ja = np.empty(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):  # pairs are few; sets are np arrays
-            sa = np.asarray(a[i].as_py(), dtype=np.int64)
-            sb = np.asarray(b[i].as_py(), dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            ja[i] = inter / union if union else 0.0
+        # vectorized per-batch exact Jaccard: both list columns flatten
+        # to (row, shingle) structured keys; one structured intersect1d
+        # + a bincount gives every row's intersection size at once
+        import pyarrow.compute as pc
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                             "jaccard": pa.array([], pa.float64())})
+        dt = np.dtype([("r", np.int64), ("v", np.int64)])
+
+        def keyed(col):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            k = np.empty(len(vals), dtype=dt)
+            k["r"] = np.repeat(np.arange(n), lens)
+            k["v"] = vals
+            return k, lens
+
+        ka, na = keyed(t["sh_a"])
+        kb, nb = keyed(t["sh_b"])
+        common = np.intersect1d(ka, kb, assume_unique=True)
+        inter = np.bincount(common["r"], minlength=n)
+        union = na + nb - inter
+        ja = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = ja >= threshold
         return pa.table({
-            "id_a": t["id_a"].filter(pa.array(keep)) if t.num_rows else t["id_a"],
-            "id_b": t["id_b"].filter(pa.array(keep)) if t.num_rows else t["id_b"],
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
             "jaccard": pa.array(ja[keep], pa.float64()),
         })
 

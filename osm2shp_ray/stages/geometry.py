@@ -273,9 +273,12 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     which finds a crossing wherever it lies and keys its groups by
     (cell, layer).
 
-    Split-line ids derive from the parent: way_id * 256 + piece index
-    (deterministic; >=256 pieces clamp into the last id, only dedup
-    determinism is affected)."""
+    Split-line ids derive from the parent but live in a DISJOINT id
+    space: -(way_id << 20 | piece) — negative, so a piece id can never
+    collide with a genuine way id (the pipeline only admits ids > 0,
+    mirroring the reference's id>0 gate). Requires way_id < 2^43 and
+    < 2^20 pieces per way (a way has <= ~2000 vertices, so the piece
+    count bound is structural, not a clamp)."""
     xs_l = [np.asarray(v, dtype=np.float64) for v in df["xs"]]
     ys_l = [np.asarray(v, dtype=np.float64) for v in df["ys"]]
     ids = df["way_id"].to_numpy() if "way_id" in df else np.arange(len(xs_l))
@@ -303,7 +306,7 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
             out_x.append(np.asarray(px))
             out_y.append(np.asarray(py))
             out_id.append(int(ids[i]) if len(pieces) == 1
-                          else int(ids[i]) * 256 + min(p, 255))
+                          else -((int(ids[i]) << 20) | p))
             out_layer.append(layer_idx[i])
     counts = np.array([len(a) for a in out_x], dtype=np.int64)
     off = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)
@@ -512,7 +515,7 @@ def break_lines(ds, res: int = 9, eps: float = 1e-12,
                 out_x.append(np.asarray(px))
                 out_y.append(np.asarray(py))
                 out_id.append(int(row["way_id"]) if len(pieces) == 1
-                              else int(row["way_id"]) * 256 + min(p, 255))
+                              else -((int(row["way_id"]) << 20) | p))
                 out_layer.append(row["layer_idx"])
         counts = np.array([len(a) for a in out_x], dtype=np.int64)
         offs = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)

@@ -60,9 +60,9 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     Returns a Dataset with left columns followed by right non-key
     columns (semi/anti return left columns only).
 
-    Caveat (pandas merge): with how="left", right-side int columns
-    widen to float64 where unmatched — prefer inner/semi/anti or cast
-    downstream.
+    With how="left", unmatched right-side columns come back as typed
+    Arrow nulls (not NaN-widened floats) — int64 values survive exactly
+    at any magnitude.
     """
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -118,22 +118,30 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     types = {**l_types, **r_types}
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
 
-    def join_group(df: pd.DataFrame) -> pa.Table:
-        # NOTE the arrow round-trip: the padded union nulls make pandas
-        # widen int columns to float64 inside the group, so the merge
-        # result is cast back to the declared schema before it leaves
-        # (inner/semi outputs are null-free, so the cast is lossless)
-        is_l = df["__side"].values == 0
-        lhs = df.loc[is_l, keys + l_vals]
+    def join_group(t: pa.Table) -> pa.Table:
+        # split sides in ARROW and drop each side's padded null columns
+        # BEFORE any pandas conversion: converting the padded union
+        # block whole would widen int64-with-null to float64 and
+        # silently corrupt keys/values above 2^53. After the split both
+        # sides are null-free, so the numpy-backed merge is exact; only
+        # how="left" (which creates real nulls) uses Arrow-backed
+        # pandas dtypes so unmatched rows stay typed nulls, not NaN.
+        import pyarrow.compute as pc
+        is_l = pc.equal(t["__side"], 0)
+        tm = pd.ArrowDtype if how == "left" else None
+        lhs = t.filter(is_l).select(keys + l_vals).to_pandas(types_mapper=tm)
+        rt = t.filter(pc.invert(is_l)).select(keys if semi else keys + r_vals)
         if semi:
-            rk = df.loc[~is_l, keys].drop_duplicates()
-            flag = lhs.merge(rk.assign(__hit=1), on=keys, how="left")["__hit"].notna().values
+            rk = rt.to_pandas().drop_duplicates()
+            flag = (lhs.merge(rk.assign(__hit=1), on=keys, how="left")
+                    ["__hit"].notna().values)
             out = lhs[flag if how == "left_semi" else ~flag].reset_index(drop=True)
         else:
-            rhs = df.loc[~is_l, keys + r_vals]
+            rhs = rt.to_pandas(types_mapper=tm)
             out = lhs.merge(rhs, on=keys,
                             how="inner" if how == "inner" else "left")[out_cols]
         return (pa.Table.from_pandas(out, preserve_index=False)
                 .cast(out_schema))
 
-    return unioned.groupby("__jb").map_groups(join_group, batch_format="pandas")
+    return unioned.groupby("__jb").map_groups(join_group,
+                                              batch_format="pyarrow")

@@ -293,35 +293,47 @@ def assign_tiles_partitioned(points_ds, tiles_ds, res: int = 7,
     from ..functions.wkb import decode_batch
 
     def explode_tiles(t: pa.Table) -> pa.Table:
-        ids = t["tile_id"].to_pylist()
+        # one batched corner-cell computation for ALL polygons, then a
+        # flat arange/repeat meshgrid fill — no per-polygon kernel calls
+        n = t.num_rows
         _k, xs, ys = decode_batch(t["geometry_wkb"].to_pylist())
-        out_cell, out_id, out_wkb = [], [], []
-        wkbs = t["geometry_wkb"].to_pylist()
-        skipped = 0
-        for i in range(len(ids)):
-            c0 = cellmod.latlng_to_cell(np.array([ys[i].min()]), np.array([xs[i].min()]), res)[0]
-            c1 = cellmod.latlng_to_cell(np.array([ys[i].max()]), np.array([xs[i].max()]), res)[0]
-            x0, y0 = cellmod.cell_xy(np.array([c0]))
-            x1, y1 = cellmod.cell_xy(np.array([c1]))
-            gx = np.arange(min(x0[0], x1[0]), max(x0[0], x1[0]) + 1, dtype=np.uint64)
-            gy = np.arange(min(y0[0], y1[0]), max(y0[0], y1[0]) + 1, dtype=np.uint64)
-            if len(gx) * len(gy) > max_cover:
-                skipped += 1
-                continue
-            mx, my = np.meshgrid(gx, gy)
-            cells = ((np.uint64(res) << np.uint64(58))
-                     | (my.reshape(-1) << np.uint64(29)) | mx.reshape(-1))
-            out_cell.extend(cells.astype(np.int64).tolist())
-            out_id.extend([ids[i]] * len(cells))
-            out_wkb.extend([wkbs[i]] * len(cells))
+        min_x = np.array([v.min() for v in xs]) if n else np.empty(0)
+        max_x = np.array([v.max() for v in xs]) if n else np.empty(0)
+        min_y = np.array([v.min() for v in ys]) if n else np.empty(0)
+        max_y = np.array([v.max() for v in ys]) if n else np.empty(0)
+        c0 = cellmod.latlng_to_cell(min_y, min_x, res)
+        c1 = cellmod.latlng_to_cell(max_y, max_x, res)
+        x0, y0 = cellmod.cell_xy(c0)
+        x1, y1 = cellmod.cell_xy(c1)
+        gx0 = np.minimum(x0, x1).astype(np.int64)
+        gx1 = np.maximum(x0, x1).astype(np.int64)
+        gy0 = np.minimum(y0, y1).astype(np.int64)
+        gy1 = np.maximum(y0, y1).astype(np.int64)
+        nx = gx1 - gx0 + 1
+        ny = gy1 - gy0 + 1
+        ncells = nx * ny
+        keep = ncells <= max_cover
+        skipped = int(n - keep.sum())
         if skipped:
             print(f"assign_tiles_partitioned: skipped {skipped} polygons "
                   f"covering > {max_cover} cells at res {res}")
+        poly = np.flatnonzero(keep)
+        counts = ncells[poly]
+        tot = int(counts.sum())
+        rep = np.repeat(np.arange(len(poly)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(poly) else np.empty(0, np.int64)
+        local = np.arange(tot, dtype=np.int64) - np.repeat(starts, counts)
+        src = poly[rep]
+        cx = (gx0[src] + local % nx[src]).astype(np.uint64)
+        cy = (gy0[src] + local // nx[src]).astype(np.uint64)
+        cells = ((np.uint64(res) << np.uint64(58))
+                 | (cy << np.uint64(29)) | cx).astype(np.int64)
+        take = pa.array(src, pa.int64())
         return pa.table({
-            "__cell": pa.array(out_cell, pa.int64()),
-            "tile_id": pa.array(out_id, pa.string()),
-            "geometry_wkb": pa.array(out_wkb, pa.binary()),
-            "__side": pa.array(np.ones(len(out_cell), np.int8)),
+            "__cell": pa.array(cells, pa.int64()),
+            "tile_id": t["tile_id"].take(take),
+            "geometry_wkb": t["geometry_wkb"].take(take),
+            "__side": pa.array(np.ones(tot, np.int8)),
         })
 
     pt_schema = points_ds.schema()
