@@ -94,22 +94,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine stages as the image path, under the hard hash gate)
         "q_convert_pipeline": q.q_convert_pipeline,
         "q_postprocess_pipeline": q.q_postprocess_pipeline,
-        # rows-only: the mandated image-fixture paths (oracled by the
-        # pure-Python reference oracle in pytest, not SQL-expressible —
-        # ids/coords derive from Hilbert + splitmix arithmetic), and
-        # the audio/video multimodal stages (codec DSP, no SQL analog)
+        # image-fixture conversion + audio/video multimodal stages —
+        # SQL-oracled via engine-independent fixture side tables
+        # (entities / clip metadata written at fixture time)
         "q_convert_images": q.q_convert_images,
-        "q_postprocess_ways": q.q_postprocess_ways,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
+        # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
+        # multi-vertex pseudo-random geometry has no closed SQL form;
+        # the same chain IS hash-gated over SQL-derivable 2-vertex
+        # entities by q_postprocess_pipeline, and DP itself by pytest)
+        "q_postprocess_ways": q.q_postprocess_ways,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from osm2shp_ray.pipelines.queries import (CLASSIFY_RULES_SQL, KNN_Q,
+    from osm2shp_ray.pipelines.queries import (AUDIO_CLIPS_N,
+                                               CLASSIFY_RULES_SQL,
+                                               CONVERT_IMAGES_N, KNN_Q,
                                                LAT_MULT, LON_MULT, PIP_RECTS,
+                                               VIDEO_CLIPS_N, VIDEO_EVERY_N,
                                                _WAY_CLS_SQL)
+    from osm2shp_ray.sources.fixtures import (cached_audio_meta_parquet,
+                                              cached_entities_parquet,
+                                              cached_video_meta_parquet)
     from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
+
+    # the image/audio/video oracles read engine-independent fixture
+    # side tables (the q_convert_pipeline pattern with the input shape
+    # materialized); written here so the SQL is runnable regardless of
+    # whether the paired query ran first. Pure numpy, no Ray.
+    from osm2shp_ray.pipelines.queries import POSTPROCESS_IMAGES_N
+    entities_pq = cached_entities_parquet(CONVERT_IMAGES_N)
+    entities2k_pq = cached_entities_parquet(POSTPROCESS_IMAGES_N)
+    audio_meta_pq = cached_audio_meta_parquet(AUDIO_CLIPS_N)
+    video_meta_pq = cached_video_meta_parquet(VIDEO_CLIPS_N)
+
+    def img_entities(path: str) -> str:
+        return ("SELECT *, regexp_extract_all(caption, '[^ ]+=[^ ]*') AS tl "
+                f"FROM read_parquet('{path}')")
+
+    # shared way-side classify chain over an `e` entities CTE: way tags
+    # from the min-pos member, is_area (incl. 'woord'), vertex filter,
+    # first-match rule scan in declaration order, completeness gate
+    IMG_WAY_CLS = """
+            w AS (SELECT way_id, arg_min(caption, pos) AS cap0,
+                         count(*) AS n_refs,
+                         sum(CASE WHEN id <= 0 THEN 1 ELSE 0 END) AS n_bad
+                  FROM e GROUP BY way_id),
+            wt AS (SELECT way_id, n_refs, n_bad,
+                          regexp_extract_all(cap0, '[^ ]+=[^ ]*') AS tl FROM w),
+            wg AS (SELECT *, (list_contains(tl, 'area=yes')
+                              OR len(list_filter(tl, x -> x LIKE 'landuse=%')) > 0
+                              OR list_contains(tl, 'natural=land')
+                              OR list_contains(tl, 'natural=water')
+                              OR list_contains(tl, 'natural=woord')) AS is_area
+                   FROM wt),
+            wl AS (
+              SELECT way_id, CASE WHEN is_area THEN
+                       CASE WHEN list_contains(tl, 'natural=water') THEN 'water_area' END
+                     ELSE
+                       CASE WHEN list_contains(tl, 'highway=motorway') THEN 'roadbig_line'
+                            WHEN list_contains(tl, 'highway=trunk') THEN 'roadbig_line'
+                            WHEN list_contains(tl, 'highway=primary') THEN 'roadmedium_line'
+                            WHEN list_contains(tl, 'highway=secondary') THEN 'roadsmall_line'
+                            WHEN list_contains(tl, 'railway=rail') THEN 'railway_line'
+                            WHEN list_contains(tl, 'waterway=river') THEN 'water_line'
+                            WHEN list_contains(tl, 'waterway=canal') THEN 'water_line'
+                       END END AS layer
+              FROM wg
+              WHERE NOT ((is_area AND n_refs < 3) OR n_refs < 2) AND n_bad = 0)"""
 
     # --- shared fragments for the sketch-family oracles ---
     # md5-derived 60-bit hash (exact engine parity: functions/hashing.
@@ -386,4 +440,126 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT DISTINCT layer, qx0, qy0, qx1, qy1 FROM pq
                   WHERE NOT (qx0 = qx1 AND qy0 = qy1))
             SELECT layer, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY layer""",
+        # the mandated image-fixture conversion, oracled over the
+        # engine-independent entities side table: tags re-parsed from
+        # raw captions IN SQL, first-match classify (rule order =
+        # handler.cc declaration order), is_area incl. the 'woord'
+        # typo, vertex filter, way tags from the min-pos member, and
+        # the completeness gate (any negated-id member drops the way)
+        "q_convert_images": f"""
+            WITH e AS ({img_entities(entities_pq)}),
+            pcnt AS (
+              SELECT layer, CAST(count(*) AS BIGINT) AS n, 'point' AS kind FROM (
+                SELECT CASE WHEN list_contains(tl, 'place=city') THEN 'city_point'
+                            WHEN list_contains(tl, 'place=town') THEN 'town_point'
+                            WHEN list_contains(tl, 'place=suburb') THEN 'suburb_point'
+                            WHEN list_contains(tl, 'place=village') THEN 'village_point'
+                       END AS layer
+                FROM e
+                WHERE id > 0 AND len(list_filter(tl, x -> x LIKE 'name=%')) > 0)
+              WHERE layer IS NOT NULL GROUP BY layer),
+            {IMG_WAY_CLS},
+            wcnt AS (SELECT layer, CAST(count(*) AS BIGINT) AS n, 'way' AS kind
+                     FROM wl WHERE layer IS NOT NULL GROUP BY layer)
+            SELECT layer, n, kind FROM pcnt
+            UNION ALL SELECT layer, n, kind FROM wcnt""",
+        # P4-P6 over the image fixture: Douglas-Peucker mirrored
+        # EXACTLY by a recursive CTE — the DP keep set is the set of
+        # all segment endpoints the recursion ever creates; argmax
+        # ties break to the FIRST index (list_position = first match,
+        # np.argmax = first max); same double arithmetic incl. the
+        # clamped projection, so d2 > tol^2 lands on the same side.
+        # Snap-dedup groups by the quantized vertex sequence itself
+        # (the engine's snap_key is a 64-bit hash of exactly that);
+        # the degenerate test runs on the min-way_id representative's
+        # simplified floats, as the engine's keep_min_way does.
+        "q_postprocess_ways": f"""
+            WITH RECURSIVE e AS ({img_entities(entities2k_pq)}),
+            {IMG_WAY_CLS},
+            ways AS (
+              SELECT l.way_id, l.layer,
+                     list(e.lon ORDER BY e.pos) AS xs,
+                     list(e.lat ORDER BY e.pos) AS ys
+              FROM wl l JOIN e USING (way_id)
+              WHERE l.layer IS NOT NULL
+              GROUP BY l.way_id, l.layer),
+            ways3 AS (SELECT *, len(xs) AS nv FROM ways WHERE len(xs) >= 3),
+            seg AS (
+              SELECT way_id, 1 AS a, nv AS b FROM ways3
+              UNION ALL
+              SELECT way_id,
+                     CASE sd WHEN 0 THEN a ELSE m END AS a,
+                     CASE sd WHEN 0 THEN m ELSE b END AS b
+              FROM (
+                SELECT way_id, a, b,
+                       a + list_position(d2s, list_max(d2s)) AS m,
+                       list_max(d2s) AS dmax
+                FROM (
+                  SELECT way_id, a, b,
+                    CASE WHEN seg2 = 0
+                      THEN list_transform(range(1, b - a), j ->
+                             pxs[j]*pxs[j] + pys[j]*pys[j])
+                      ELSE list_transform(range(1, b - a), j ->
+                             (pxs[j] - greatest(0.0, least(1.0,
+                                (pxs[j]*dx + pys[j]*dy)/seg2)) * dx)
+                           * (pxs[j] - greatest(0.0, least(1.0,
+                                (pxs[j]*dx + pys[j]*dy)/seg2)) * dx)
+                           + (pys[j] - greatest(0.0, least(1.0,
+                                (pxs[j]*dx + pys[j]*dy)/seg2)) * dy)
+                           * (pys[j] - greatest(0.0, least(1.0,
+                                (pxs[j]*dx + pys[j]*dy)/seg2)) * dy))
+                    END AS d2s
+                  FROM (
+                    SELECT s.way_id, s.a, s.b,
+                           w.xs[s.b] - w.xs[s.a] AS dx,
+                           w.ys[s.b] - w.ys[s.a] AS dy,
+                           (w.xs[s.b] - w.xs[s.a]) * (w.xs[s.b] - w.xs[s.a])
+                         + (w.ys[s.b] - w.ys[s.a]) * (w.ys[s.b] - w.ys[s.a]) AS seg2,
+                           list_transform(range(s.a + 1, s.b),
+                                          i -> w.xs[i] - w.xs[s.a]) AS pxs,
+                           list_transform(range(s.a + 1, s.b),
+                                          i -> w.ys[i] - w.ys[s.a]) AS pys
+                    FROM seg s JOIN ways3 w USING (way_id)
+                    WHERE s.b > s.a + 1))) q
+              CROSS JOIN (SELECT unnest([0, 1]) AS sd)
+              WHERE dmax > 0.002 * 0.002),
+            kept AS (SELECT DISTINCT way_id, a AS i FROM seg
+                     UNION SELECT way_id, b AS i FROM seg),
+            simp3 AS (SELECT way_id, list(i ORDER BY i) AS ks
+                      FROM kept GROUP BY way_id),
+            sgeom AS (
+              SELECT w.way_id, w.layer,
+                     list_transform(s.ks, i -> w.xs[i]) AS fx,
+                     list_transform(s.ks, i -> w.ys[i]) AS fy
+              FROM ways3 w JOIN simp3 s USING (way_id)
+              UNION ALL
+              SELECT way_id, layer, xs, ys FROM ways WHERE len(xs) < 3),
+            keyed AS (
+              SELECT way_id, layer, fx, fy,
+                     list_transform(fx, v -> CAST(round(v / 0.002) AS BIGINT)) AS qx,
+                     list_transform(fy, v -> CAST(round(v / 0.002) AS BIGINT)) AS qy
+              FROM sgeom),
+            grp AS (SELECT layer, qx, qy, min(way_id) AS rep
+                    FROM keyed GROUP BY layer, qx, qy),
+            repg AS (SELECT g.layer, k.fx, k.fy
+                     FROM grp g JOIN keyed k ON k.way_id = g.rep
+                       AND k.layer = g.layer AND k.qx = g.qx AND k.qy = g.qy)
+            SELECT layer, CAST(count(*) AS BIGINT) AS n FROM repg
+            WHERE len(fx) >= 2
+              AND list_sum(list_transform(range(1, len(fx)), j ->
+                    abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
+            GROUP BY layer""",
+        # audio/video: aggregates re-derived from fixture ground-truth
+        # metadata (per-clip rms computed by the GENERATOR from the
+        # exact int16 samples it encodes; PCM16 decode is lossless)
+        "q_audio_features": f"""
+            SELECT CAST(floor(f0_hz / 500) AS BIGINT) AS tone_bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   round(avg(rms), 4) AS mean_rms
+            FROM read_parquet('{audio_meta_pq}') GROUP BY 1""",
+        "q_video_frames": f"""
+            SELECT clip_id,
+                   CAST((n_frames + {VIDEO_EVERY_N} - 1) // {VIDEO_EVERY_N}
+                        AS BIGINT) AS n_frames
+            FROM read_parquet('{video_meta_pq}')""",
     }

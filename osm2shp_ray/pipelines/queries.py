@@ -551,14 +551,22 @@ def q_ivf_topk(sf_dir: str):
             .select_columns(["query_id", "vec_id"]))
 
 
+CONVERT_IMAGES_N = 4000  # fixed (not sf-scaled): the oracle SQL is a
+# static string, so it must know the fixture size; see oracle_sql()
+
+
 def q_convert_images(sf_dir: str):
-    """Flagship conversion (rows-only: validated against the Python
-    oracle in pytest): images fixture sized from the documents table ->
-    adapter -> classify -> join -> assemble -> per-layer counts."""
-    from ..sources.fixtures import cached_images_parquet
+    """Flagship conversion over the mandated image fixture: adapter ->
+    classify -> distributed join -> assemble -> per-layer counts.
+    SQL-oracled via the engine-independent entities side table
+    (sources/fixtures.cached_entities_parquet): DuckDB re-parses tags
+    from raw captions and re-derives classify + completeness-gate
+    counts."""
+    from ..sources.fixtures import (cached_entities_parquet,
+                                    cached_images_parquet)
     from . import adapter, convert
-    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
-    n = max(2000, n_docs * 4)
+    n = CONVERT_IMAGES_N
+    cached_entities_parquet(n)  # side input for the SQL oracle
     images = rd.read_parquet(cached_images_parquet(n, use_ray=False),
                              columns=["image_id", "caption", "phash"])
     nodes, ways = adapter.adapt_images(images, n_buckets=32)
@@ -570,23 +578,47 @@ def q_convert_images(sf_dir: str):
     return pd.concat([p, w], ignore_index=True)
 
 
+POSTPROCESS_IMAGES_N = 2000  # fixed for the static-oracle reason
+
+
 def q_postprocess_ways(sf_dir: str):
-    """P3-P6 chain (rows-only): convert -> Douglas-Peucker simplify ->
-    snap-key dedup -> degenerate drop; returns per-layer counts."""
-    from ..sources.fixtures import cached_images_parquet
+    """P4-P6 chain over the image fixture, SQL-oracled: convert ->
+    Douglas-Peucker simplify -> snap-key dedup -> degenerate drop ->
+    per-layer counts. The oracle mirrors DP EXACTLY with a recursive
+    CTE over the entities side table (the DP keep set is the set of
+    all segment endpoints the recursion ever creates; argmax ties
+    break to the first index in both engines), quantizes with the same
+    double arithmetic, and dedups by the quantized vertex sequence
+    itself (the engine's snap_key is a hash of exactly that
+    sequence)."""
+    from ..sources.fixtures import (cached_entities_parquet,
+                                    cached_images_parquet)
     from ..stages import geometry
     from . import adapter, convert
     from ..stages.classify import classify_ways_batch
     from ..stages.join import resolve_ways
-    images = rd.read_parquet(cached_images_parquet(2000, use_ray=False),
-                             columns=["image_id", "caption", "phash"])
+    cached_entities_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "caption", "phash"])
     nodes, ways = adapter.adapt_images(images, n_buckets=16)
     classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
     assembled = resolve_ways(nodes, classified, n_buckets=16)
     simplified = assembled.map_batches(
         lambda t: geometry.simplify_batch(t, 0.002), batch_format="pyarrow")
-    keyed = simplified.map_batches(
-        lambda t: geometry.snap_key_batch(t, 0.002), batch_format="pyarrow")
+
+    def add_name(t: pa.Table) -> pa.Table:
+        # dedup per SINK layer, not per rule index: two rules can feed
+        # one sink (motorway+trunk -> roadbig_line) and the reference
+        # dedups whole sinks (mapgen.sh processes one layer file)
+        from ..stages.classify import layer_name_col
+        li = t["layer_idx"].to_numpy(zero_copy_only=False)
+        return t.append_column("layer", layer_name_col(li))
+
+    keyed = (simplified
+             .map_batches(lambda t: geometry.snap_key_batch(t, 0.002),
+                          batch_format="pyarrow")
+             .map_batches(add_name, batch_format="pyarrow"))
 
     def keep_min_way(t: pa.Table) -> pa.Table:
         # arrow-native keep-first (pandas round-trips would turn the
@@ -594,11 +626,11 @@ def q_postprocess_ways(sf_dir: str):
         i = int(np.argmin(t["way_id"].to_numpy(zero_copy_only=False)))
         return t.slice(i, 1)
 
-    deduped = (keyed.groupby(["layer_idx", "snap_key"])
+    deduped = (keyed.groupby(["layer", "snap_key"])
                .map_groups(keep_min_way, batch_format="pyarrow"))
     cleaned = deduped.map_batches(geometry.drop_degenerate_batch,
                                   batch_format="pyarrow")
-    return cleaned.groupby("layer_idx").aggregate(Count(alias_name="n"))
+    return cleaned.groupby("layer").aggregate(Count(alias_name="n"))
 
 
 def q_session_windows(sf_dir: str):
@@ -662,14 +694,22 @@ def q_pip_partitioned(sf_dir: str):
     return out[out["n"] > 0].reset_index(drop=True)
 
 
+AUDIO_CLIPS_N = 200   # fixed for the same static-oracle reason
+VIDEO_CLIPS_N = 40
+VIDEO_EVERY_N = 5
+
+
 def q_audio_features(sf_dir: str):
-    """Multimodal audio surface (rows-only: WAV decode + DSP features
-    have no SQL analog): deterministic clip fixture sized from the
-    documents table -> AudioFeatures -> per-tone-bucket aggregate."""
-    from ..sources.fixtures import audio_batch
+    """Multimodal audio surface, SQL-oracled: WAV decode + DSP rms per
+    clip, aggregated per nominal-tone bucket; DuckDB re-derives the
+    aggregate from the fixture's ground-truth metadata (the per-clip
+    rms is computed by the GENERATOR from the exact int16 samples it
+    encodes — PCM16 is lossless, so engine DSP must match bit-exact)."""
+    from ..sources.fixtures import audio_batch, cached_audio_meta_parquet
     from ..stages.audio import audio_features
-    n = _read(sf_dir, "documents", ["doc_id"]).count()
-    clips = rd.from_arrow(audio_batch(np.arange(min(n, 200))))
+    n = AUDIO_CLIPS_N
+    cached_audio_meta_parquet(n)  # side input for the SQL oracle
+    clips = rd.from_arrow(audio_batch(np.arange(n)))
     feats = audio_features(clips, batch_size=64)
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -687,14 +727,17 @@ def q_audio_features(sf_dir: str):
 
 
 def q_video_frames(sf_dir: str):
-    """Multimodal video surface (rows-only): frame-sample 40 clips
+    """Multimodal video surface, SQL-oracled: frame-sample 40 clips
     (every 5th of 12 frames), decode each sampled frame through the
-    ordinary image path, count decoded frames per clip."""
-    from ..sources.fixtures import video_batch
+    ordinary image path, count decoded frames per clip; DuckDB derives
+    the expected counts from the fixture's clip-metadata side table."""
+    from ..sources.fixtures import cached_video_meta_parquet, video_batch
     from ..stages.audio import sample_video_frames
     from ..stages import images as imgstage
-    clips = rd.from_arrow(video_batch(np.arange(40)))
-    frames = sample_video_frames(clips, every_n=5, id_cols=("clip_id",))
+    cached_video_meta_parquet(VIDEO_CLIPS_N)  # side input for the oracle
+    clips = rd.from_arrow(video_batch(np.arange(VIDEO_CLIPS_N)))
+    frames = sample_video_frames(clips, every_n=VIDEO_EVERY_N,
+                                 id_cols=("clip_id",))
     validated = imgstage.decode_validate(frames, batch_size=64,
                                          check_ground_truth=False)
 

@@ -137,6 +137,19 @@ def images_table(n: int) -> pa.Table:
 
 # ---------------------------------------------------- F5 audio / video
 
+def _audio_samples(i: int, rate: int = 8000) -> tuple[np.ndarray, float]:
+    """The deterministic int16 waveform of clip ``i`` (shared by the
+    clip generator AND the oracle-side metadata writer, so both always
+    describe the same samples)."""
+    rng = np.random.default_rng(SEED * 7 + int(i))
+    f0 = 200.0 + (int(i) % 20) * 150.0
+    t = np.arange(int(rate * 0.5)) / rate
+    x = (0.6 * np.sin(2 * np.pi * f0 * t)
+         + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+         + 0.02 * rng.standard_normal(len(t)))
+    return np.clip(x * 20000, -32768, 32767).astype(np.int16), f0
+
+
 def audio_batch(idx: np.ndarray, rate: int = 8000) -> pa.Table:
     """Deterministic audio-clip table (clip_id, bytes WAV, rate,
     caption): each clip is a two-tone sine mix whose frequencies derive
@@ -144,14 +157,8 @@ def audio_batch(idx: np.ndarray, rate: int = 8000) -> pa.Table:
     idx = np.asarray(idx, dtype=np.int64)
     clips, f0s = [], []
     for i in idx:
-        rng = np.random.default_rng(SEED * 7 + int(i))
-        f0 = 200.0 + (int(i) % 20) * 150.0
-        t = np.arange(int(rate * 0.5)) / rate
-        x = (0.6 * np.sin(2 * np.pi * f0 * t)
-             + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
-             + 0.02 * rng.standard_normal(len(t)))
-        clips.append(codec.encode_wav(
-            np.clip(x * 20000, -32768, 32767).astype(np.int16), rate))
+        samples, f0 = _audio_samples(int(i), rate)
+        clips.append(codec.encode_wav(samples, rate))
         f0s.append(f0)
     return pa.table({
         "clip_id": pa.array([f"aud-{i:06d}" for i in idx], pa.string()),
@@ -289,3 +296,99 @@ def cached_images_parquet(n: int, use_ray: bool = True) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+# ------------------------------------------------ SQL-oracle side tables
+#
+# Engine-independent relational views of the fixtures, written at
+# fixture time so the driver's DuckDB oracle can re-derive expected
+# aggregates (the q_convert_pipeline pattern) for the image/audio/video
+# query family. Derivations use only the pure kernels in functions/
+# (independently parity-tested: 200k-key int-parity for cells, Hilbert
+# round-trip) plus the adapter CONTRACT constants restated below —
+# never the Ray pipeline under test (pipelines/adapter.py, stages/*).
+
+_ADAPTER_NEG_MOD = 97     # contract: splitmix(id) % 97 == 0 -> id negated
+_ADAPTER_CELL_RES = 12    # contract: coarse cell scoping a way
+_ADAPTER_SUBGROUPS = 4    # contract: ways per cell
+_ADAPTER_POS_C = np.uint64(0x5851F42D4C957F2D)
+
+
+def _atomic_parquet(table: pa.Table, path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def cached_entities_parquet(n: int) -> str:
+    """The adapter-contract relational view of images fixture ``n``:
+    one row per image with (id, lon, lat, caption, way_id, pos) — the
+    node identity/geometry plus its way membership. DuckDB re-derives
+    classify/join/count aggregates from this table (tags parsed from
+    the raw caption IN SQL, so even tag parsing is independently
+    re-done on the oracle side)."""
+    path = os.path.join(FIXTURE_ROOT, f"entities_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    from ..functions.cells import latlng_to_cell
+    from ..functions.hashing import stable_id64
+    from ..functions.hilbert import phash_to_lonlat
+    idx = np.arange(n, dtype=np.int64)
+    ids = stable_id64([f"img-{i:09d}" for i in idx])
+    neg = splitmix64(ids.astype(np.uint64)) % np.uint64(_ADAPTER_NEG_MOD) == 0
+    ids = np.where(neg, -ids, ids)
+    lon, lat = phash_to_lonlat(phash_of(idx))
+    captions = [
+        CAPTION_TEMPLATES[i % len(CAPTION_TEMPLATES)].format(k=i // len(CAPTION_TEMPLATES))
+        for i in idx
+    ]
+    cell = latlng_to_cell(lat, lon, _ADAPTER_CELL_RES)
+    sub = splitmix64(np.abs(ids).astype(np.uint64)) % np.uint64(_ADAPTER_SUBGROUPS)
+    way_id = (splitmix64(cell ^ (sub + np.uint64(1))) >> np.uint64(1)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        pos = (splitmix64(np.abs(ids).astype(np.uint64) ^ _ADAPTER_POS_C)
+               >> np.uint64(1)).astype(np.int64)
+    return _atomic_parquet(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "caption": pa.array(captions, pa.string()),
+        "way_id": pa.array(way_id, pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    }), path)
+
+
+def cached_audio_meta_parquet(n: int, rate: int = 8000) -> str:
+    """Per-clip ground truth for the audio fixture: nominal tone and
+    the RMS of the exact int16 samples the WAV encodes (computed here
+    from the generator's own waveform, x = int16/32768, in float64 —
+    PCM16 decode is lossless, so the engine's DSP must reproduce it
+    bit-exactly)."""
+    path = os.path.join(FIXTURE_ROOT, f"audio_meta_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    rms, f0s = [], []
+    for i in range(n):
+        samples, f0 = _audio_samples(i, rate)
+        x = samples.astype(np.float64) / 32768.0
+        rms.append(float(np.sqrt(np.mean(x * x))))
+        f0s.append(f0)
+    return _atomic_parquet(pa.table({
+        "clip_id": pa.array([f"aud-{i:06d}" for i in range(n)], pa.string()),
+        "f0_hz": pa.array(f0s, pa.float64()),
+        "rms": pa.array(rms, pa.float64()),
+    }), path)
+
+
+def cached_video_meta_parquet(n: int, n_frames: int = 12) -> str:
+    """Per-clip frame counts for the video fixture (the sampler's
+    expected output size is pure arithmetic over this)."""
+    path = os.path.join(FIXTURE_ROOT, f"video_meta_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    return _atomic_parquet(pa.table({
+        "clip_id": pa.array([f"vid-{i:06d}" for i in range(n)], pa.string()),
+        "n_frames": pa.array(np.full(n, n_frames, np.int32), pa.int32()),
+    }), path)

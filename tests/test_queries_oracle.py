@@ -62,6 +62,11 @@ SQL_CHECKED = [
     "q_ngram_jaccard_pairs", "q_fingerprints", "q_embed_near_dup",
     "q_ivf_topk", "q_convert_pipeline", "q_postprocess_pipeline",
     "q_corpus_filter",
+    # round 3: the image/audio/video family under the SQL oracle via
+    # engine-independent fixture side tables (entities + clip
+    # metadata; DP mirrored by a recursive CTE)
+    "q_convert_images", "q_postprocess_ways",
+    "q_audio_features", "q_video_frames",
 ]
 
 
@@ -75,15 +80,7 @@ def test_query_matches_oracle(name, duck, entrymod):
                                   check_exact=True)
 
 
-ROWS_ONLY = ["q_convert_images", "q_postprocess_ways",
-             "q_audio_features", "q_video_frames"]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, entrymod):
-    df = _to_df(entrymod.queries()[name](SF))
-    assert df is not None and len(df.columns) > 0
-    assert len(df) >= 0
+ROWS_ONLY: list = []  # round 3: every query is SQL-oracled
 
 
 def test_entry_smoke(entrymod):
