@@ -156,6 +156,33 @@ def run_bench() -> dict:
     n_ways = int(by_kind["is_way"].sum())
     n_points = int((~by_kind["is_way"]).sum())
 
+    # mandated-format read path: the same meta-column scan the headline
+    # performs, through the vendored Lance v2 fragment reader vs
+    # parquet (both column-pruned at the read, both consumed by the
+    # same aggregate). Lance dataset is converted once and cached.
+    if headline_only:
+        lance_sec = parquet_scan_sec = float("nan")
+    else:
+        from osm2shp_ray.sources import lancefmt
+        lance_path = fixture + ".lance"
+        if not os.path.exists(os.path.join(lance_path, "_versions",
+                                           "1.manifest")):
+            lancefmt.write_lance(
+                rd.read_parquet(fixture,
+                                override_num_blocks=max(8, NUM_CPUS)),
+                lance_path)
+        meta_cols = ["image_id", "caption", "phash"]
+        l_a, _ = timed(lambda: lancefmt.read_lance(
+            lance_path, columns=meta_cols).sum("phash"))
+        l_b, _ = timed(lambda: lancefmt.read_lance(
+            lance_path, columns=meta_cols).sum("phash"))
+        lance_sec = min(l_a, l_b)
+        p_a, _ = timed(lambda: rd.read_parquet(
+            fixture, columns=meta_cols).sum("phash"))
+        p_b, _ = timed(lambda: rd.read_parquet(
+            fixture, columns=meta_cols).sum("phash"))
+        parquet_scan_sec = min(p_a, p_b)
+
     queries = {}
     for name, fn in [] if headline_only else [
         ("q01_pricing_summary", q.q01_pricing_summary),
@@ -195,6 +222,11 @@ def run_bench() -> dict:
         "decode_validate_sec": round(decode_sec, 3),
         "decode_rows_per_sec": (round(n / decode_sec, 1)
                                 if decode_sec == decode_sec else None),
+        "lance_meta_scan_sec": (round(lance_sec, 3)
+                                if lance_sec == lance_sec else None),
+        "parquet_meta_scan_sec": (round(parquet_scan_sec, 3)
+                                  if parquet_scan_sec == parquet_scan_sec
+                                  else None),
     }
     ray.shutdown()
     return result

@@ -7,10 +7,11 @@ mapgen.sh:24-33 probes extensions in order). Here the same shape: one
 ``ray.data.Dataset``:
 
 - ``.parquet`` / directory of parquet -> ray.data.read_parquet
-- ``.lance`` -> ray.data.read_lance (the mandated input format; the
-  lance library is absent from this container so the branch is gated —
-  the call raises a clear error here and works unmodified where
-  pylance is installed)
+- ``.lance`` -> ray.data.read_lance where pylance is installed, else
+  the vendored Lance v2 fragment reader (sources/lancefmt.py — the
+  mandated input format per BASELINE.json input_hint; the lance
+  library is absent from this container, so the engine ships its own
+  spec-subset reader the way osmpbf ships its protobuf subset)
 - ``.csv`` / ``.json`` -> corresponding Ray readers (conveniences)
 
 ``discover_input`` mirrors mapgen's ordered-extension probing.
@@ -29,12 +30,11 @@ def read_table(path: str, columns=None, **kwargs):
         return rd.read_parquet(path, columns=columns, **kwargs)
     if ext == "lance":
         try:
+            import lance  # noqa: F401  # prefer real pylance when present
             return rd.read_lance(path, columns=columns, **kwargs)
-        except (ImportError, AttributeError) as e:
-            raise ImportError(
-                "read_lance requires the `lance` package, which is not "
-                "installed in this container; install pylance or convert "
-                "the table to parquet") from e
+        except ImportError:
+            from .lancefmt import read_lance
+            return read_lance(path, columns=columns)
     if ext == "csv":
         return rd.read_csv(path, **kwargs)
     if ext in ("json", "jsonl"):
