@@ -69,7 +69,8 @@ def _attach(df: pd.DataFrame) -> pd.DataFrame:
     if len(nodes):
         nodes = nodes.sort_values(["ref", "x", "y"]).drop_duplicates("ref", keep="first")
     out = refs.merge(nodes, on="ref", how="left")
-    return out.drop(columns=["ref"])
+    from ..stages.util import arrow_table
+    return arrow_table(out.drop(columns=["ref"]))
 
 
 def _assemble_classify(df: pd.DataFrame) -> pa.Table:

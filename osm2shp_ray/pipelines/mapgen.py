@@ -5,9 +5,13 @@ export, with threshold 0.002 (0.001 for roadsmall_line, mapgen.sh:86).
 
 Ray-native shape: everything operates on the assembled-way Dataset
 (way_id, layer_idx, xs, ys). The polyline merge groups by
-(layer, coarse cell): merges never cross a coarse cell boundary — the
-partitioning assumption that makes the merge distributable; cell
-resolution is the knob trading merge completeness vs partition size.
+(layer, coarse cell) — distributable, but on its own it never merges
+across a coarse cell boundary. A second BOUNDARY-STITCH pass closes
+that gap (the reference merges whole layers, mapgen.sh:58): merged
+polylines become graph nodes, exact shared-endpoint keys become edges
+(within-cell sharing is already merged, so surviving edges are the
+cross-boundary ones), distributed connected components label the
+cross-cell chains, and each component re-merges with the same kernel.
 """
 
 from __future__ import annotations
@@ -48,15 +52,18 @@ def _add_merge_key(t: pa.Table) -> pa.Table:
 
 
 def postprocess_lines(assembled_ds, merge: bool = True,
-                      do_break: bool = True):
+                      do_break: bool = True, stitch: bool = True):
     """Assembled ways -> cleaned line layers (non-line layers pass
     through untouched, the P2 point-passthrough analog).
 
-    Chain per mapgen.sh:56-62: polyline merge (P3) -> Douglas-Peucker
+    Chain per mapgen.sh:56-62: polyline merge (P3: per-cell merge +
+    boundary stitch, so chains crossing coarse-cell borders merge like
+    the reference's whole-layer v.build.polylines) -> Douglas-Peucker
     (P4) -> v.clean snap,break,rmdupl (P5: DISTRIBUTED intersection
     break — segment-level cell cover, geometry.break_lines — then
     snap-key dedup) -> rmline (P6). ``do_break`` costs two extra
-    shuffles after simplify — skip it for inputs known to be planar."""
+    shuffles after simplify — skip it for inputs known to be planar;
+    ``stitch=False`` skips the boundary pass (per-cell merge only)."""
     line_idx = pa.array(
         [i for i, n in enumerate(LAYER_NAMES) if n in LINE_LAYERS], pa.int8())
 
@@ -75,6 +82,8 @@ def postprocess_lines(assembled_ds, merge: bool = True,
         lines = (coalesced(lines.map_batches(_add_merge_key, batch_format="pyarrow"))
                  .groupby("merge_key")
                  .map_groups(_merge_group, batch_format="pandas"))
+        if stitch:
+            lines = stitch_lines(lines)
 
     def simplify(t: pa.Table) -> pa.Table:
         # per-layer threshold: split batch by threshold class
@@ -116,3 +125,106 @@ def _merge_group(df) -> pa.Table:
     ids = base + np.arange(out.num_rows, dtype=np.int64)
     return out.set_column(out.schema.get_field_index("way_id"), "way_id",
                           pa.array(ids, pa.int64()))
+
+
+_STITCH_EPS = 1e-9  # MUST equal merge_lines_group's endpoint key eps
+
+
+def stitch_lines(lines_ds):
+    """Boundary-stitch pass after the per-cell merge: re-merges chains
+    that the (layer, cell) partitioning left split at cell borders.
+
+    Polylines are nodes; an exact shared-endpoint key (the same
+    round(x/eps) quantization as the merge kernel) between two
+    polylines is an edge. Within-cell shareable endpoints were already
+    merged, so the edge set is only border crossings plus junctions —
+    orders of magnitude smaller than the feature set. Distributed
+    connected components (stages/components.py) label the chains; the
+    (id -> root) map is ids-only and broadcast (the bounded small side
+    — its size is the number of border-crossing features), and each
+    component re-merges with the same kernel, which re-applies the
+    junction rules over the component's complete neighborhood (every
+    endpoint-sharing polyline is IN the component by construction).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix64
+    from ..stages.components import connected_components
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        xs = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        first = off[:-1]
+        last = off[1:] - 1
+        idx = np.concatenate([first, last])
+        wid = np.tile(t["way_id"].to_numpy(zero_copy_only=False), 2)
+        lay = np.tile(t["layer_idx"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64), 2)
+        return pa.table({
+            "qx": pa.array(np.round(fx[idx] / _STITCH_EPS).astype(np.int64)),
+            "qy": pa.array(np.round(fy[idx] / _STITCH_EPS).astype(np.int64)),
+            "lay": pa.array(lay, pa.int64()),
+            "way_id": pa.array(wid, pa.int64()),
+        })
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["way_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.full(len(ids) - 1, ids[0])),
+                         "id_b": pa.array(ids[1:])})
+
+    edges = (coalesced(lines_ds.map_batches(endpoints, batch_format="pyarrow"))
+             .groupby(["lay", "qx", "qy"])
+             .map_groups(make_edges, batch_format="pyarrow")
+             .materialize())
+    if edges.count() == 0:
+        return lines_ds
+
+    labels = connected_components(edges).take_all()  # ids only: the
+    # number of border-crossing polylines, not features or vertices
+    member_ids = np.array([r["id"] for r in labels], dtype=np.int64)
+    roots = np.array([r["root"] for r in labels], dtype=np.int64)
+    order = np.argsort(member_ids)
+    lut_ref = ray.put((member_ids[order], roots[order]))
+
+    def add_root(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids_s, roots_s = _ray.get(lut_ref)
+        w = t["way_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids_s, w)
+        pos = np.clip(pos, 0, max(len(ids_s) - 1, 0))
+        hit = (len(ids_s) > 0) & (ids_s[pos] == w)
+        root = np.where(hit, roots_s[pos], np.int64(-1))
+        return t.append_column("stitch_root", pa.array(root, pa.int64()))
+
+    # materialize: the labeled set feeds two consumers (members +
+    # pass-through); without this the whole upstream merge re-executes
+    # once per consumer (Ray lineage)
+    labeled = lines_ds.map_batches(add_root, batch_format="pyarrow").materialize()
+    rest = labeled.map_batches(
+        lambda t: t.filter(pc.equal(t["stitch_root"], -1))
+                   .drop_columns(["stitch_root"]),
+        batch_format="pyarrow")
+    members = labeled.map_batches(
+        lambda t: t.filter(pc.not_equal(t["stitch_root"], -1)),
+        batch_format="pyarrow")
+
+    def merge_component(df) -> pa.Table:
+        out = geometry.merge_lines_group(df)
+        root = np.uint64(np.int64(df["stitch_root"].iloc[0]))
+        base = np.int64((splitmix64(np.array([root]))[0]
+                         >> np.uint64(17)) << np.uint64(16))
+        ids = base + np.arange(out.num_rows, dtype=np.int64)
+        return out.set_column(out.schema.get_field_index("way_id"),
+                              "way_id", pa.array(ids, pa.int64()))
+
+    merged = (members.groupby("stitch_root")
+              .map_groups(merge_component, batch_format="pandas"))
+    return rest.union(merged)

@@ -299,10 +299,11 @@ def q_topk_per_group(sf_dir: str):
             pa.int64()))
 
     def head2(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.util import arrow_table
         out = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                               ascending=[True, False, True])
                .groupby("o_custkey", sort=False).head(2))
-        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+        return arrow_table(out[["o_custkey", "o_orderkey", "o_totalprice"]])
 
     from ..stages.util import coalesced
     out = (coalesced(_read(sf_dir, "orders",
@@ -328,12 +329,13 @@ def q_quantiles_by_user(sf_dir: str):
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("user_id", sort=False)["value"]
+        from ..stages.util import arrow_table
         out = pd.DataFrame({
             "p50": g.quantile(0.5, interpolation="linear"),
             "p95": g.quantile(0.95, interpolation="linear"),
             "n": g.size().astype("int64"),
         }).reset_index()
-        return out
+        return arrow_table(out)
 
     from ..stages.util import coalesced
     out = (coalesced(_read(sf_dir, "events", ["user_id", "value"]))

@@ -106,9 +106,10 @@ def brute_force_topk(ds, queries: np.ndarray, k: int,
     from .util import coalesced
     partials = coalesced(ds.map_batches(local_topk, batch_format="pyarrow"))
 
-    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def global_topk(df: pd.DataFrame) -> pa.Table:
+        from .util import arrow_table
         df = df.sort_values(["cosine", id_col], ascending=[False, True])
-        return df.head(k)
+        return arrow_table(df.head(k))
 
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
@@ -241,8 +242,9 @@ def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
     from .util import coalesced
     partials = coalesced(indexed_ds.map_batches(local_topk, batch_format="pyarrow"))
 
-    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def global_topk(df: pd.DataFrame) -> pa.Table:
+        from .util import arrow_table
         df = df.sort_values(["cosine", id_col], ascending=[False, True])
-        return df.head(k)
+        return arrow_table(df.head(k))
 
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -27,7 +27,7 @@ import polars as pl
 import pyarrow as pa
 
 from ..functions.hashing import splitmix64
-from .util import coalesced
+from .util import arrow_table, coalesced
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -65,10 +65,10 @@ def _dedup_pairs(pairs_ds, n_buckets: int = 32):
         return t.append_column("__pb", pa.array(
             (key % np.uint64(n_buckets)).astype(np.int64), pa.int64()))
 
-    def drop_dups(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["id_a", "id_b"])
-                  .drop_duplicates(["id_a", "id_b"])
-                  .drop(columns="__pb"))
+    def drop_dups(df: pd.DataFrame) -> pa.Table:
+        return arrow_table(df.sort_values(["id_a", "id_b"])
+                           .drop_duplicates(["id_a", "id_b"])
+                           .drop(columns="__pb"))
 
     return (pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__pb").map_groups(drop_dups, batch_format="pandas"))
@@ -224,10 +224,17 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
+        if m >= 64:
+            # heavy LSH buckets are the skew signal; observing every
+            # (band, hash) group would be one remote call per bucket
+            from ..state.metrics import observe_partition
+            observe_partition("lsh_band_bucket",
+                              int(df["band_hash"].iloc[0]), m)
         if m < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
+            return arrow_table(pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64")}))
         sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
         ids = df[id_col].to_numpy()
         if max_bucket is not None and m > max_bucket:
@@ -237,16 +244,17 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             sims = (sig[others] == sig[center]).mean(axis=1)
             keep = sims >= threshold
             oa = ids[others[keep]]
-            return pd.DataFrame({
+            return arrow_table(pd.DataFrame({
                 "id_a": np.minimum(oa, ids[center]),
                 "id_b": np.maximum(oa, ids[center]),
-                "sim": sims[keep]})
+                "sim": sims[keep]}))
         ia, ib = np.triu_indices(m, k=1)
         sims = (sig[ia] == sig[ib]).mean(axis=1)
         keep = sims >= threshold
-        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                             "sim": sims[keep]})
+        return arrow_table(pd.DataFrame({
+            "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+            "sim": sims[keep]}))
 
     # coalesce BEFORE the signature map: a single-file parquet read is
     # one block, which would serialize the (expensive) minhash compute
@@ -555,18 +563,20 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+            return arrow_table(pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64")}))
         sh = df["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
         ids = df[id_col].to_numpy()
         ia, ib = np.triu_indices(m, k=1)
         x = sh[ia] ^ sh[ib]
         ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                             "hamming": ham[keep]})
+        return arrow_table(pd.DataFrame({
+            "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+            "hamming": ham[keep]}))
 
     pairs = (coalesced(ds).map_batches(band_rows, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])
@@ -633,9 +643,10 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+            return arrow_table(pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64")}))
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -645,9 +656,10 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
         ia, ib = np.triu_indices(m, k=1)
         cs = sims[ia, ib]
         keep = cs >= threshold
-        return pd.DataFrame({"id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-                             "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-                             "cosine": cs[keep]})
+        return arrow_table(pd.DataFrame({
+            "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+            "cosine": cs[keep]}))
 
     pairs = (coalesced(ds).map_batches(bucket_rows, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])

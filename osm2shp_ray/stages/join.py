@@ -89,6 +89,9 @@ def nodes_side_batch(batch: pa.Table) -> pa.Table:
 def _attach_group(df: pd.DataFrame) -> pd.DataFrame:
     """Per-ref-bucket coordinate attach: hash-join refs against the
     node rows of the same bucket (pandas C-level merge)."""
+    if len(df):
+        from ..state.metrics import observe_partition
+        observe_partition("join_ref_bucket", df["bucket"].iloc[0], len(df))
     is_node = df["way_id"].values == _NODE_MARK
     nodes = df.loc[is_node, ["ref", "x", "y"]]
     refs = df.loc[~is_node, ["ref", "way_id", "pos", "layer_idx"]]
@@ -98,7 +101,8 @@ def _attach_group(df: pd.DataFrame) -> pd.DataFrame:
     # ref rides along so the assembly side can LOG which node ids were
     # unresolved (the reference prints "unresolved node <ref>" per
     # dropped way, point_database.cc:104-109)
-    return refs.merge(nodes, on="ref", how="left")
+    from .util import arrow_table
+    return arrow_table(refs.merge(nodes, on="ref", how="left"))
 
 
 def resolve_ways(nodes_ds, ways_classified_ds, n_buckets: int | None = None,

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 from .. import config
 from ..functions.hashing import bucket_of
-from .util import coalesced
+from .util import arrow_table, coalesced
 
 
 def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
@@ -50,7 +50,7 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
                  total_value=(value_col, "sum"))
             .reset_index().drop(columns="__sess"))
         out["n"] = out["n"].astype(np.int64)
-        return out
+        return arrow_table(out)
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(sessionize, batch_format="pandas"))
@@ -109,7 +109,7 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
         if len(left) == 0 or len(right) == 0:
             out = left.head(0)[[*left_cols]].copy()
             out["asof_value"] = pd.Series(dtype="datetime64[us]")
-            return out
+            return arrow_table(out)
         merged = pd.merge_asof(left, right, on="__ts", by="__key",
                                direction="backward", suffixes=("", "_r"))
         merged = merged[~merged["__val_r"].isna()]
@@ -119,7 +119,7 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
             # pandas widened (int64 -> float64); restore the left dtype
             out[c] = out[c].astype(left_types[c].to_pandas_dtype())
         out["asof_value"] = merged["__val_r"].to_numpy()
-        return out
+        return arrow_table(out)
 
     return (coalesced(unioned).groupby("__b")
             .map_groups(merge, batch_format="pandas"))

@@ -3,6 +3,21 @@
 from __future__ import annotations
 
 
+def arrow_table(df) -> "object":
+    """pandas group-kernel output -> Arrow block. Group kernels that
+    return pandas leave pandas-backed blocks in the stream; when those
+    feed another sort-shuffle, Ray unifies mixed pandas/arrow schemas
+    per reduce task (the bench-tail 'Failed to hash the schemas' /
+    'RefBundle with a different schema' warnings). Uniform Arrow
+    blocks keep schema unification trivial. The b'pandas' schema
+    metadata from_pandas attaches is stripped: ANY schema metadata
+    makes pa.Schema unhashable (metadata is a dict), which is exactly
+    the 'Failed to hash the schemas' warning."""
+    import pyarrow as pa
+    return pa.Table.from_pandas(df, preserve_index=False) \
+             .replace_schema_metadata(None)
+
+
 def shuffle_blocks(factor: int = 1) -> int:
     """Target block count for inputs to wide ops (sort/groupby).
 
@@ -20,7 +35,18 @@ def shuffle_blocks(factor: int = 1) -> int:
     return max(16, cpus * factor)
 
 
+def _strip_meta(t):
+    # parquet files written by pandas stamp b'pandas' schema metadata
+    # on every read block; metadata-bearing schemas are unhashable and
+    # trip Ray's per-reduce schema unification (see arrow_table). O(1)
+    # per batch — replaces the schema pointer, never touches data.
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def coalesced(ds, factor: int = 1):
     """Coalesce ``ds`` to shuffle_blocks() blocks (no full shuffle) —
-    call immediately before a groupby/sort on a deep map chain."""
-    return ds.repartition(shuffle_blocks(factor))
+    call immediately before a groupby/sort on a deep map chain. Also
+    strips schema metadata so the shuffle's schema dedup stays
+    hashable."""
+    return (ds.map_batches(_strip_meta, batch_format="pyarrow")
+            .repartition(shuffle_blocks(factor)))

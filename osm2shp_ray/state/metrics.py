@@ -27,6 +27,7 @@ CADENCE_SUFFIX = {"_images": 100_000, "_nodes": 100_000, "_ways": 10_000}
 class MetricsActor:
     def __init__(self):
         self._counters: dict[str, int] = {}
+        self._partitions: dict[str, dict] = {}
 
     def _bump(self, name: str, n: int) -> None:
         old = self._counters.get(name, 0)
@@ -47,8 +48,26 @@ class MetricsActor:
     def get(self, name: str) -> int:
         return self._counters.get(name, 0)
 
+    def observe_partition(self, family: str, bucket: int, rows: int) -> None:
+        """Per-partition row histogram for a shuffle family (SURVEY
+        §7.4.5: at 100 TB, skew you can't see is skew you can't
+        salt). Keyed by bucket so re-observations accumulate."""
+        h = self._partitions.setdefault(family, {})
+        h[bucket] = h.get(bucket, 0) + int(rows)
+
     def report(self) -> dict:
-        return dict(sorted(self._counters.items()))
+        out: dict = dict(sorted(self._counters.items()))
+        for fam in sorted(self._partitions):
+            vals = sorted(self._partitions[fam].values())
+            n = len(vals)
+            total = sum(vals)
+            mean = total / n
+            out[f"skew[{fam}]"] = {
+                "partitions": n, "rows": total, "max": vals[-1],
+                "median": vals[n // 2],
+                "max_over_mean": round(vals[-1] / mean, 2) if mean else 0.0,
+            }
+        return out
 
 
 def get_or_create(name: str = "osm2shp_metrics"):
@@ -56,6 +75,19 @@ def get_or_create(name: str = "osm2shp_metrics"):
         return ray.get_actor(name)
     except ValueError:
         return MetricsActor.options(name=name, lifetime=None).remote()
+
+
+def observe_partition(family: str, bucket, rows: int) -> None:
+    """Fire-and-forget per-partition observation from inside a group
+    kernel; no-op when no metrics actor exists (bare query runs).
+    Callers bound call volume: per-bucket shuffles (~n_buckets calls)
+    observe every group; high-cardinality groupbys (LSH bands) observe
+    only heavy groups."""
+    try:
+        ray.get_actor("osm2shp_metrics").observe_partition.remote(
+            family, int(bucket), int(rows))
+    except Exception:
+        pass
 
 
 def counted(ds, counter: str, actor=None):

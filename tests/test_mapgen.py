@@ -74,7 +74,9 @@ def test_reader_dispatch(tmp_path):
         readers.discover_input(str(tmp_path / "missing"))
     with pytest.raises(NotImplementedError):
         readers.read_table("x.xml")
-    with pytest.raises(ImportError):
+    # .lance now dispatches to the vendored reader (tests/test_lance.py);
+    # a nonexistent dataset is a clear FileNotFoundError, not ImportError
+    with pytest.raises(FileNotFoundError):
         readers.read_table("x.lance")
 
 

@@ -68,3 +68,83 @@ def test_break_piece_ids_disjoint():
     assert (ids < 0).all()
     assert len(np.unique(ids)) == 4
     assert set(-ids >> 20) == {7, 8}
+
+
+def test_stitch_merges_across_cell_boundary(ray_session):
+    # res-6 cells are 5.625 deg; lon=0 is a cell border. Two touching
+    # segments whose first vertices fall in different cells stay split
+    # by the per-cell merge and MUST be joined by the stitch pass.
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.pipelines.mapgen import postprocess_lines, stitch_lines
+
+    def ways_table():
+        off = pa.array([0, 2, 4, 6], type=pa.int32())
+        xs = pa.ListArray.from_arrays(off, pa.array(
+            [-0.1, 0.0, 0.0, 0.1, 3.0, 3.2], pa.float64()))
+        ys = pa.ListArray.from_arrays(off, pa.array(
+            [10.0, 10.05, 10.05, 10.0, -20.0, -20.0], pa.float64()))
+        # shared vertex (0.0, 10.05) deviates > tol from the chord, so
+        # Douglas-Peucker keeps it and the merged chain stays 3 points
+        return pa.table({
+            "way_id": pa.array([1, 2, 3], pa.int64()),
+            "layer_idx": pa.array(np.array([0, 0, 0], np.int8), pa.int8()),
+            "xs": xs, "ys": ys,
+        })
+
+    out = postprocess_lines(rd.from_arrow(ways_table()),
+                            merge=True, do_break=False).take_all()
+    assert len(out) == 2  # boundary chain merged; isolated segment kept
+    lens = sorted(len(r["xs"]) for r in out)
+    assert lens == [2, 3]
+    merged = next(r for r in out if len(r["xs"]) == 3)
+    assert sorted(merged["xs"]) == [-0.1, 0.0, 0.1]
+
+    # stitch alone is a no-op when nothing crosses
+    iso = ways_table().slice(2, 1)
+    assert len(stitch_lines(rd.from_arrow(iso)).take_all()) == 1
+
+
+def test_skew_histogram_detects_hot_key(ray_session):
+    # SURVEY 7.4.5: per-partition row histograms from the metrics
+    # actor. A hub node referenced by every way concentrates one join
+    # bucket; the report must expose it, and salting must spread it.
+    import ray
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.state import metrics
+    from osm2shp_ray.stages.join import resolve_ways
+
+    n_ways, n_cold = 400, 50
+    nodes = pd.DataFrame({
+        "id": np.arange(1, n_cold + 2),
+        "lon": np.linspace(-10, 10, n_cold + 1),
+        "lat": np.linspace(40, 50, n_cold + 1),
+        "tags": [""] * (n_cold + 1),
+    })
+    refs = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * n_ways + 1, 2), pa.int32()),
+        pa.array(np.column_stack([
+            np.full(n_ways, 1),                       # hub: node 1 in EVERY way
+            2 + np.arange(n_ways) % n_cold,
+        ]).reshape(-1), pa.int64()))
+    ways = pa.table({
+        "way_id": pa.array(np.arange(1000, 1000 + n_ways), pa.int64()),
+        "node_refs": refs,
+        "layer_idx": pa.array(np.zeros(n_ways, np.int8), pa.int8()),
+        "geom_type": pa.array(np.ones(n_ways, np.int8), pa.int8()),
+    })
+
+    def ratio(salt):
+        actor = metrics.get_or_create()
+        assert resolve_ways(rd.from_pandas(nodes), rd.from_arrow(ways),
+                            n_buckets=8, salt=salt).count() == n_ways
+        rep = ray.get(actor.report.remote())
+        ray.kill(actor)  # fresh histogram per phase
+        return rep["skew[join_ref_bucket]"]
+
+    hot = ratio(salt=1)
+    assert hot["partitions"] <= 8 and hot["rows"] >= 2 * n_ways
+    assert hot["max_over_mean"] > 2.0  # the hub bucket sticks out
+    salted = ratio(salt=8)
+    assert salted["max_over_mean"] < hot["max_over_mean"]
