@@ -109,13 +109,23 @@ def parse_osm_xml(path: str, batch_rows: int = 65536):
         yield "way", way_batch()
 
 
-def read_osm(path: str, batch_rows: int = 65536):
+def read_osm(path: str, batch_rows: int = 65536,
+             single_pass: bool = True, scratch_dir: str | None = None):
     """OSM XML file or directory of files -> (nodes_ds, ways_ds)
     ray.data Datasets with the engine's canonical schemas.
 
     Each FILE parses in one Ray task (XML is not offset-splittable);
     a directory of per-extract files is the parallel form, exactly how
-    planet-scale OSM dumps ship (per-region extracts)."""
+    planet-scale OSM dumps ship (per-region extracts).
+
+    ``single_pass=True`` (default): each file is parsed ONCE, with
+    node/way batches streamed through ParquetWriters into a scratch
+    directory, then both sides come back as ordinary parallel
+    ``read_parquet`` datasets (column-prunable, re-readable). Expat
+    parsing dominates XML ingest cost, so one parse + a parquet
+    round-trip beats the ``single_pass=False`` mode (two streaming
+    parses per file, no scratch I/O — use it where scratch disk is
+    scarcer than CPU)."""
     import ray
     import ray.data as rd
 
@@ -158,6 +168,30 @@ def read_osm(path: str, batch_rows: int = 65536):
     # task per kind. Submit everything up front so tasks run
     # concurrently; the ray.get blocks only for ref ENUMERATION (values
     # stay in the object store).
+    @ray.remote
+    def parse_once(p: str, out_dir: str) -> tuple[str, str]:
+        """Single streaming parse -> scratch parquet per kind (lazy
+        ParquetWriters, so memory stays batch-bounded)."""
+        import uuid
+
+        import pyarrow.parquet as pq
+        base = uuid.uuid4().hex[:12]
+        paths = {k: os.path.join(out_dir, f"{base}-{k}.parquet")
+                 for k in ("node", "way")}
+        writers: dict = {}
+        try:
+            for k, t in parse_osm_xml(p, batch_rows):
+                if k not in writers:
+                    writers[k] = pq.ParquetWriter(paths[k], t.schema)
+                writers[k].write_table(t)
+            for k in ("node", "way"):
+                if k not in writers:
+                    pq.write_table(empty[k], paths[k])
+        finally:
+            for w in writers.values():
+                w.close()
+        return paths["node"], paths["way"]
+
     pbf = [p for p in files if p.endswith(".pbf")]
     xml = [p for p in files if not p.endswith(".pbf")]
     n_parts, w_parts = [], []
@@ -167,7 +201,14 @@ def read_osm(path: str, batch_rows: int = 65536):
             nd, wd = read_osm_pbf(p)
             n_parts.append(nd)
             w_parts.append(wd)
-    if xml:
+    if xml and single_pass:
+        scratch = scratch_dir or os.path.join(
+            "/tmp", "osm2shp_ray_scratch", "xml")
+        os.makedirs(scratch, exist_ok=True)
+        pairs = ray.get([parse_once.remote(p, scratch) for p in xml])
+        n_parts.append(rd.read_parquet([n for n, _ in pairs]))
+        w_parts.append(rd.read_parquet([w for _, w in pairs]))
+    elif xml:
         n_refs = [parse_kind.remote(p, "node") for p in xml]
         w_refs = [parse_kind.remote(p, "way") for p in xml]
         n_parts.append(rd.from_arrow_refs(

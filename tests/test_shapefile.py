@@ -73,9 +73,13 @@ def test_export_shapefiles_matches_wkb(ray_session, tmp_path):
 
 
 def test_read_table_lance_dispatch(ray_session, monkeypatch, tmp_path):
-    """S1/S2 contract: a .lance path dispatches to ray.data.read_lance
-    with columns passed through (pylance is absent here, so the real
-    call is mocked; the dispatch + kwargs surface is what we own)."""
+    """S1/S2 contract: with pylance importable, a .lance path
+    dispatches to ray.data.read_lance with columns passed through
+    (mocked — pylance is absent here); WITHOUT it, the vendored
+    reader serves the path (full coverage in tests/test_lance.py)."""
+    import sys
+    import types
+
     import ray.data as rd
     from osm2shp_ray.sources import readers
     calls = {}
@@ -84,14 +88,14 @@ def test_read_table_lance_dispatch(ray_session, monkeypatch, tmp_path):
         calls["path"], calls["columns"] = path, columns
         return rd.range(3)
 
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
     monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
     ds = readers.read_table("/data/images.lance", columns=["image_id", "phash"])
     assert calls == {"path": "/data/images.lance",
                      "columns": ["image_id", "phash"]}
     assert ds.count() == 3
-    # and the missing-lib path raises the documented ImportError
-    def broken(path, columns=None, **kw):
-        raise ImportError("no lance")
-    monkeypatch.setattr(rd, "read_lance", broken, raising=False)
-    with pytest.raises(ImportError, match="pylance"):
-        readers.read_table("/data/images.lance")
+    # without pylance the vendored reader serves the path: a missing
+    # dataset is a clear FileNotFoundError, not an ImportError
+    monkeypatch.delitem(sys.modules, "lance")
+    with pytest.raises(FileNotFoundError, match="lance"):
+        readers.read_table(str(tmp_path / "missing.lance"))
