@@ -198,6 +198,20 @@ def drop_degenerate_batch(batch: pa.Table) -> pa.Table:
 
 # ------------------------------------------------------------ P5: break
 
+def _piece_id(way_id: int, piece: int) -> int:
+    """Deterministic NEGATIVE id for piece ``piece`` of ``way_id`` —
+    see break_lines_group's docstring for the id-space contract. Both
+    break kernels (single-group and distributed) MUST use this same
+    function: the equivalence tests compare their outputs."""
+    from ..functions.hashing import splitmix64
+    with np.errstate(over="ignore"):
+        v = splitmix64(np.array(
+            [np.uint64(way_id & 0xFFFFFFFFFFFFFFFF)
+             ^ (np.uint64(piece) * np.uint64(0x9E3779B97F4A7C15))],
+            dtype=np.uint64))[0]
+    return -int(v >> np.uint64(2)) - 1
+
+
 def _pairwise_cuts(p0x, p0y, p1x, p1y, eps: float = 1e-12,
                    chunk: int = 2048) -> list[list[float]]:
     """Interior cut parameters t per segment from all-pairs segment
@@ -274,11 +288,13 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
     (cell, layer).
 
     Split-line ids derive from the parent but live in a DISJOINT id
-    space: -(way_id << 20 | piece) — negative, so a piece id can never
-    collide with a genuine way id (the pipeline only admits ids > 0,
-    mirroring the reference's id>0 gate). Requires way_id < 2^43 and
-    < 2^20 pieces per way (a way has <= ~2000 vertices, so the piece
-    count bound is structural, not a clamp)."""
+    space: -(splitmix64(way_id, piece) >> 2) - 1 — negative, so a
+    piece id can never collide with a genuine way id (the pipeline
+    only admits ids > 0, mirroring the reference's id>0 gate), and
+    avalanched so it works for ANY int64 parent id (mapgen's merged
+    polylines carry synthetic wrapped ids; a structural shift would
+    overflow). Deterministic; cross-piece collisions are 2^-62-scale
+    and only perturb dedup keep-min tie-breaks."""
     xs_l = [np.asarray(v, dtype=np.float64) for v in df["xs"]]
     ys_l = [np.asarray(v, dtype=np.float64) for v in df["ys"]]
     ids = df["way_id"].to_numpy() if "way_id" in df else np.arange(len(xs_l))
@@ -306,7 +322,7 @@ def break_lines_group(df, eps: float = 1e-12) -> pa.Table:
             out_x.append(np.asarray(px))
             out_y.append(np.asarray(py))
             out_id.append(int(ids[i]) if len(pieces) == 1
-                          else -((int(ids[i]) << 20) | p))
+                          else _piece_id(int(ids[i]), p))
             out_layer.append(layer_idx[i])
     counts = np.array([len(a) for a in out_x], dtype=np.int64)
     off = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)
@@ -515,7 +531,7 @@ def break_lines(ds, res: int = 9, eps: float = 1e-12,
                 out_x.append(np.asarray(px))
                 out_y.append(np.asarray(py))
                 out_id.append(int(row["way_id"]) if len(pieces) == 1
-                              else -((int(row["way_id"]) << 20) | p))
+                              else _piece_id(int(row["way_id"]), p))
                 out_layer.append(row["layer_idx"])
         counts = np.array([len(a) for a in out_x], dtype=np.int64)
         offs = pa.array(np.concatenate(([0], np.cumsum(counts))) if len(counts)

@@ -62,12 +62,16 @@ def test_break_piece_ids_disjoint():
         "xs": [np.array([-1.0, 1.0]), np.array([0.0, 0.0])],
         "ys": [np.array([0.0, 0.0]), np.array([-1.0, 1.0])],
     })
+    from osm2shp_ray.stages.geometry import _piece_id
     out = break_lines_group(df)
     ids = out["way_id"].to_numpy(zero_copy_only=False)
     assert len(ids) == 4
     assert (ids < 0).all()
     assert len(np.unique(ids)) == 4
-    assert set(-ids >> 20) == {7, 8}
+    assert set(ids) == {_piece_id(w, p) for w in (7, 8) for p in (0, 1)}
+    # any int64 parent id (incl. mapgen's wrapped synthetic merge ids)
+    # maps into the negative space without overflow
+    assert _piece_id(-(1 << 62) - 5, 3) < 0 and _piece_id((1 << 62), 0) < 0
 
 
 def test_stitch_merges_across_cell_boundary(ray_session):
