@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
+        # mandated Lance format end-to-end (vendored reader/writer)
+        "q_lance_scan": q.q_lance_scan,
         # full conversion chain over SQL-derivable entities (the same
         # engine stages as the image path, under the hard hash gate)
         "q_convert_pipeline": q.q_convert_pipeline,
@@ -390,6 +392,12 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (SELECT doc_id, {hit_cols} FROM documents)
             SELECT {argmax} AS lang_pred, CAST(count(*) AS BIGINT) AS n
             FROM f GROUP BY 1""",
+        "q_lance_scan": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source""",
         "q_corpus_filter": rf"""
             WITH f AS (SELECT doc_id, text, {hit_cols},
                   CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0

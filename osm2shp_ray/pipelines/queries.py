@@ -750,6 +750,33 @@ def q_video_frames(sf_dir: str):
             .groupby("clip_id").aggregate(Count(alias_name="n_frames")))
 
 
+def q_lance_scan(sf_dir: str):
+    """The mandated input format under the driver's hash gate: the
+    documents table is converted once (cached by row count) to a
+    vendored-Lance dataset (sources/lancefmt.py), read back through
+    ``read_lance`` with COLUMN-PRUNED parallel fragment reads, and
+    aggregated per source — the oracle runs the same aggregate over
+    the original parquet view, so the whole write->read->prune->agg
+    Lance path must be value-exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources import lancefmt
+    src = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(src).num_rows
+    cache = f"/tmp/osm2shp_ray_fixtures/documents_n{n}.lance"
+    if not os.path.exists(os.path.join(cache, "_versions", "1.manifest")):
+        lancefmt.write_lance(
+            rd.read_parquet(src, override_num_blocks=8), cache)
+    ds = lancefmt.read_lance(cache, columns=["doc_id", "source", "n_chars"])
+    return (ds.groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="min_doc"),
+                       Max("doc_id", alias_name="max_doc"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
 def q_corpus_filter(sf_dir: str):
     """Composed training-corpus cleaning pipeline — the operators a
     100-TB data curation job chains: language-ID gate (en), token-count

@@ -196,14 +196,76 @@ def ivf_topk(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int,
              id_col: str = "vec_id"):
     """Search only the ``nprobe`` nearest inverted lists per query.
     The cell filter happens batch-side (pc.is_in) so non-probed rows
-    are dropped before any matmul. Union of all queries' probe sets is
-    used for the filter; per-query probe masks applied in the kernel."""
-    import pyarrow.compute as pc
-    import ray
+    are dropped before any matmul — every block is still READ; for
+    the storage-pruned variant see ``ivf_topk_partitioned``. Union of
+    all queries' probe sets is used for the filter; per-query probe
+    masks applied in the kernel."""
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]       # (q, nprobe)
     probe_union = np.unique(probes)
+    return _ivf_search(indexed_ds, qn, probes, probe_union, k,
+                       vec_col, id_col)
+
+
+def build_ivf_index(ds, centroids: np.ndarray, path: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Materialize the inverted file as CELL-PARTITIONED parquet (one
+    hive directory per ivf_cell): the search then reads ONLY the
+    probed lists from storage — filesystem-level partition pruning,
+    the 10^12-row path where reading every block to filter it is not
+    an option. Build is one assign pass + one partitioned write."""
+    indexed = assign_centroids(ds, centroids, vec_col)
+    (indexed.map_batches(lambda t: t.select([id_col, vec_col, "ivf_cell"]),
+                         batch_format="pyarrow")
+     .write_parquet(path, partition_cols=["ivf_cell"]))
+    return path
+
+
+def ivf_topk_partitioned(index_path: str, centroids: np.ndarray,
+                         queries: np.ndarray, k: int, nprobe: int = 4,
+                         vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF search over the on-disk partitioned index built by
+    ``build_ivf_index``: only ``ivf_cell=<probe>`` directories are
+    opened (non-probed lists never leave storage). Each probed cell
+    reads as its own parallel dataset, tagged with its cell id (the
+    hive write moved the column into the path), then the identical
+    exact (-cosine, id asc) partial/global top-k runs. Results match
+    ``ivf_topk`` bit-for-bit on the same index (tested)."""
+    import os
+
+    import ray.data as rd
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    probe_union = np.unique(probes)
+    parts = []
+    for c in probe_union:
+        d = os.path.join(index_path, f"ivf_cell={int(c)}")
+        if not os.path.exists(d):
+            continue  # empty inverted list: nothing was assigned there
+        cell_ds = rd.read_parquet(d, columns=[id_col, vec_col])
+        parts.append(cell_ds.map_batches(
+            lambda t, _c=int(c): t.append_column(
+                "ivf_cell", pa.array(np.full(t.num_rows, _c, np.int64))),
+            batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return _ivf_search(ds, qn, probes, probe_union, k, vec_col, id_col)
+
+
+def _ivf_search(indexed_ds, qn: np.ndarray, probes: np.ndarray,
+                probe_union: np.ndarray, k: int,
+                vec_col: str, id_col: str):
+    """Shared probe/top-k kernel for both IVF variants."""
+    import pyarrow.compute as pc
+    import ray
     q_ref = ray.put((qn, probes))
 
     def local_topk(batch: pa.Table) -> pa.Table:

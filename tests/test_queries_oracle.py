@@ -64,9 +64,10 @@ SQL_CHECKED = [
     "q_corpus_filter",
     # round 3: the image/audio/video family under the SQL oracle via
     # engine-independent fixture side tables (entities + clip
-    # metadata; DP mirrored by a recursive CTE)
+    # metadata; DP mirrored by a recursive CTE), and the mandated
+    # Lance format end-to-end (vendored write->pruned read->agg)
     "q_convert_images", "q_postprocess_ways",
-    "q_audio_features", "q_video_frames",
+    "q_audio_features", "q_video_frames", "q_lance_scan",
 ]
 
 

@@ -152,3 +152,37 @@ def test_skew_histogram_detects_hot_key(ray_session):
     assert hot["max_over_mean"] > 2.0  # the hub bucket sticks out
     salted = ratio(salt=8)
     assert salted["max_over_mean"] < hot["max_over_mean"]
+
+
+def test_ivf_partitioned_matches_scan(ray_session, tmp_path):
+    # the on-disk partitioned inverted file must return EXACTLY what
+    # the scan-and-filter variant returns on the same index, and both
+    # must be exact at nprobe = n_centroids
+    import ray.data as rd
+    from osm2shp_ray.stages import ann
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ann.train_centroids(emb, n_centroids=8)
+    rows = emb.take_all()
+    queries = np.stack([np.asarray(rows[3]["embedding"], dtype=np.float64),
+                        np.asarray(rows[11]["embedding"], dtype=np.float64)])
+
+    idx_path = str(tmp_path / "ivf_index")
+    ann.build_ivf_index(emb, cents, idx_path)
+    import os
+    cells = [d for d in os.listdir(idx_path) if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2  # genuinely partitioned on disk
+
+    def key(rows_):
+        return sorted((r["query_id"], r["vec_id"], round(r["cosine"], 12))
+                      for r in rows_)
+
+    scan = ann.ivf_topk(ann.assign_centroids(emb, cents), cents, queries,
+                        k=5, nprobe=3)
+    part = ann.ivf_topk_partitioned(idx_path, cents, queries, k=5, nprobe=3)
+    assert key(part.take_all()) == key(scan.take_all())
+
+    # exactness: nprobe = all cells == brute force
+    brute = ann.brute_force_topk(emb, queries, k=5)
+    full = ann.ivf_topk_partitioned(idx_path, cents, queries, k=5, nprobe=8)
+    assert key(full.take_all()) == key(brute.take_all())
