@@ -765,7 +765,10 @@ def q_lance_scan(sf_dir: str):
     from ..sources import lancefmt
     src = f"{sf_dir}/documents.parquet"
     n = pq.read_metadata(src).num_rows
-    cache = f"/tmp/osm2shp_ray_fixtures/documents_n{n}.lance"
+    # cache key carries the sf-dir name AND the row count: different
+    # scale factors can share a row count with different content
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = f"/tmp/osm2shp_ray_fixtures/documents_{tag}_n{n}.lance"
     if not os.path.exists(os.path.join(cache, "_versions", "1.manifest")):
         lancefmt.write_lance(
             rd.read_parquet(src, override_num_blocks=8), cache)

@@ -86,3 +86,18 @@ def test_read_osm_directory(ray_session, xml_files):
     d, nodes_t, _ = xml_files
     nodes, ways = read_osm(str(d))  # 3 files -> 3 parse tasks
     assert nodes.count() == 3 * nodes_t.num_rows
+
+
+def test_read_osm_single_pass_equals_double(ray_session, xml_files, tmp_path):
+    # the single-pass (scratch parquet) and double-parse modes must
+    # yield identical tables
+    d, _nodes_t, _ways_t = xml_files
+    n1, w1 = read_osm(str(d / "map.osm"), single_pass=True,
+                      scratch_dir=str(tmp_path))
+    n2, w2 = read_osm(str(d / "map.osm"), single_pass=False)
+    key_n = lambda rows: sorted((r["id"], r["lon"], r["lat"], r["tags"])
+                                for r in rows)
+    key_w = lambda rows: sorted((r["way_id"], tuple(r["node_refs"]), r["tags"])
+                                for r in rows)
+    assert key_n(n1.take_all()) == key_n(n2.take_all())
+    assert key_w(w1.take_all()) == key_w(w2.take_all())
