@@ -164,13 +164,8 @@ def run_bench() -> dict:
         lance_sec = parquet_scan_sec = float("nan")
     else:
         from osm2shp_ray.sources import lancefmt
-        lance_path = fixture + ".lance"
-        if not os.path.exists(os.path.join(lance_path, "_versions",
-                                           "1.manifest")):
-            lancefmt.write_lance(
-                rd.read_parquet(fixture,
-                                override_num_blocks=max(8, NUM_CPUS)),
-                lance_path)
+        lance_path = lancefmt.ensure_lance_cache(
+            fixture, fixture + ".lance", num_fragments=max(8, NUM_CPUS))
         meta_cols = ["image_id", "caption", "phash"]
         l_a, _ = timed(lambda: lancefmt.read_lance(
             lance_path, columns=meta_cols).sum("phash"))

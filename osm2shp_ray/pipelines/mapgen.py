@@ -79,9 +79,20 @@ def postprocess_lines(assembled_ds, merge: bool = True,
     rest = assembled_ds.map_batches(split_rest, batch_format="pyarrow")
 
     if merge:
-        lines = (coalesced(lines.map_batches(_add_merge_key, batch_format="pyarrow"))
-                 .groupby("merge_key")
-                 .map_groups(_merge_group, batch_format="pandas"))
+        keyed = coalesced(
+            lines.map_batches(_add_merge_key, batch_format="pyarrow"))
+        if stitch:
+            # two consumers (stop-key scan + merge groupby) and the
+            # correctness pre-pass below need the same blocks once
+            keyed = keyed.materialize()
+            stop_ref = _cross_group_stop_keys(keyed)
+        else:
+            stop_ref = None
+        import functools
+        lines = (keyed.groupby("merge_key")
+                 .map_groups(functools.partial(_merge_group,
+                                               stop_ref=stop_ref),
+                             batch_format="pandas"))
         if stitch:
             lines = stitch_lines(lines)
 
@@ -118,8 +129,67 @@ def postprocess_lines(assembled_ds, merge: bool = True,
     return rest.union(lines)
 
 
-def _merge_group(df) -> pa.Table:
-    out = geometry.merge_lines_group(df)
+def _cross_group_stop_keys(keyed_ds):
+    """Endpoint keys whose segment-ends span MORE THAN ONE merge group
+    — at such a node the per-cell kernel's local degree can differ
+    from the global degree (a junction's third branch may start in
+    another cell), so pass 1 must not merge through it; the stitch
+    pass, whose components contain every sharer, decides with the
+    complete view. Returns a ray.put ref of the (lay, kx, ky) set —
+    ids-only and bounded by cross-cell endpoints (logged); at extreme
+    scale this broadcast becomes a semijoin, same dual as elsewhere."""
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        xs = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
+        ys = t["ys"].combine_chunks() if isinstance(t["ys"], pa.ChunkedArray) else t["ys"]
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        fx = xs.flatten().to_numpy(zero_copy_only=False)
+        fy = ys.flatten().to_numpy(zero_copy_only=False)
+        idx = np.concatenate([off[:-1], off[1:] - 1])
+        lay = np.tile(t["layer_idx"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64), 2)
+        grp = np.tile(t["merge_key"].to_numpy(zero_copy_only=False), 2)
+        # same quantization as the merge kernel's endpoint key
+        qx = np.round(fx[idx] / 1e-9).astype(np.int64)
+        qy = np.round(fy[idx] / 1e-9).astype(np.int64)
+        with np.errstate(over="ignore"):
+            kb = (splitmix64(qx.astype(np.uint64)
+                             ^ splitmix64(qy.astype(np.uint64))
+                             ^ lay.astype(np.uint64))
+                  % np.uint64(64)).astype(np.int64)
+        return pa.table({
+            "lay": pa.array(lay), "qx": pa.array(qx), "qy": pa.array(qy),
+            "grp": pa.array(grp), "__kb": pa.array(kb),
+        })
+
+    def cross_in_bucket(df) -> pa.Table:
+        nun = df.groupby(["lay", "qx", "qy"])["grp"].nunique()
+        hit = nun[nun > 1].reset_index()[["lay", "qx", "qy"]]
+        return pa.Table.from_pandas(hit, preserve_index=False).cast(
+            pa.schema([("lay", pa.int64()), ("qx", pa.int64()),
+                       ("qy", pa.int64())]))
+
+    rows = (keyed_ds.map_batches(endpoint_rows, batch_format="pyarrow")
+            .groupby("__kb").map_groups(cross_in_bucket,
+                                        batch_format="pandas")
+            .take_all())
+    stop = {(r["lay"], r["qx"], r["qy"]) for r in rows}
+    if stop:
+        print(f"mapgen: {len(stop)} cross-cell endpoint keys excluded "
+              f"from the per-cell merge (stitch decides them)")
+    return ray.put(stop)
+
+
+def _merge_group(df, stop_ref=None) -> pa.Table:
+    stop = None
+    if stop_ref is not None:
+        import ray
+        stop = ray.get(stop_ref)
+    out = geometry.merge_lines_group(df, stop_keys=stop)
     # unique deterministic ids across groups: derive from the group key
     base = np.int64(df["merge_key"].iloc[0]) << np.int64(16) if len(df) else np.int64(0)
     ids = base + np.arange(out.num_rows, dtype=np.int64)
@@ -151,6 +221,11 @@ def stitch_lines(lines_ds):
 
     from ..functions.hashing import splitmix64
     from ..stages.components import connected_components
+
+    # materialize ONCE up front: the edges pipeline and the labeled
+    # split below are two consumers, and without this the upstream
+    # per-cell merge shuffle re-executes for each (Ray lineage)
+    lines_ds = lines_ds.materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
         xs = t["xs"].combine_chunks() if isinstance(t["xs"], pa.ChunkedArray) else t["xs"]
@@ -204,9 +279,8 @@ def stitch_lines(lines_ds):
         root = np.where(hit, roots_s[pos], np.int64(-1))
         return t.append_column("stitch_root", pa.array(root, pa.int64()))
 
-    # materialize: the labeled set feeds two consumers (members +
-    # pass-through); without this the whole upstream merge re-executes
-    # once per consumer (Ray lineage)
+    # materialize: the labeled set itself feeds two consumers
+    # (members + pass-through)
     labeled = lines_ds.map_batches(add_root, batch_format="pyarrow").materialize()
     rest = labeled.map_batches(
         lambda t: t.filter(pc.equal(t["stitch_root"], -1))

@@ -186,10 +186,14 @@ def q_join_resolve(sf_dir: str):
                                 ("n_refs", pa.int64()),
                                 ("n_unres", pa.int64())])
 
-    def resolve_bucket(df: pd.DataFrame) -> pa.Table:
-        is_k = df["__side"].values == 1
-        good = df.loc[is_k, "key"].values
-        r = df.loc[~is_k]
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        # split sides in ARROW before pandas: the key-side rows carry
+        # null way_id, and a whole-block pandas conversion would widen
+        # int64 way_id to float64, corrupting ids above 2^53 (the
+        # joins.py join_group lesson)
+        is_k = pc.equal(t["__side"], 1)
+        good = t.filter(is_k)["key"].to_numpy(zero_copy_only=False)
+        r = t.filter(pc.invert(is_k)).select(["key", "way_id"]).to_pandas()
         unres = ~np.isin(r["key"].values, good)
         out = (r.assign(__u=unres.astype(np.int64))
                .groupby("way_id", as_index=False)
@@ -199,7 +203,7 @@ def q_join_resolve(sf_dir: str):
                 .cast(partial_schema))
 
     agg = (unioned.groupby("__jb")
-           .map_groups(resolve_bucket, batch_format="pandas")
+           .map_groups(resolve_bucket, batch_format="pyarrow")
            .groupby("way_id").aggregate(Sum("n_refs", alias_name="n_refs"),
                                         Sum("n_unres", alias_name="n_unres")))
 
@@ -763,15 +767,14 @@ def q_lance_scan(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..sources import lancefmt
+    from ..sources.fixtures import FIXTURE_ROOT
     src = f"{sf_dir}/documents.parquet"
     n = pq.read_metadata(src).num_rows
     # cache key carries the sf-dir name AND the row count: different
     # scale factors can share a row count with different content
     tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = f"/tmp/osm2shp_ray_fixtures/documents_{tag}_n{n}.lance"
-    if not os.path.exists(os.path.join(cache, "_versions", "1.manifest")):
-        lancefmt.write_lance(
-            rd.read_parquet(src, override_num_blocks=8), cache)
+    cache = lancefmt.ensure_lance_cache(
+        src, os.path.join(FIXTURE_ROOT, f"documents_{tag}_n{n}.lance"))
     ds = lancefmt.read_lance(cache, columns=["doc_id", "source", "n_chars"])
     return (ds.groupby("source")
             .aggregate(Count(alias_name="n_docs"),

@@ -366,7 +366,7 @@ def cached_audio_meta_parquet(n: int, rate: int = 8000) -> str:
     from the generator's own waveform, x = int16/32768, in float64 —
     PCM16 decode is lossless, so the engine's DSP must reproduce it
     bit-exactly)."""
-    path = os.path.join(FIXTURE_ROOT, f"audio_meta_n{n}.parquet")
+    path = os.path.join(FIXTURE_ROOT, f"audio_meta_n{n}_r{rate}.parquet")
     if os.path.exists(path):
         return path
     rms, f0s = [], []
@@ -385,7 +385,7 @@ def cached_audio_meta_parquet(n: int, rate: int = 8000) -> str:
 def cached_video_meta_parquet(n: int, n_frames: int = 12) -> str:
     """Per-clip frame counts for the video fixture (the sampler's
     expected output size is pure arithmetic over this)."""
-    path = os.path.join(FIXTURE_ROOT, f"video_meta_n{n}.parquet")
+    path = os.path.join(FIXTURE_ROOT, f"video_meta_n{n}_f{n_frames}.parquet")
     if os.path.exists(path):
         return path
     return _atomic_parquet(pa.table({

@@ -265,6 +265,20 @@ def write_lance(data, path: str, rows_per_fragment: int = 1 << 20) -> str:
     return path
 
 
+def ensure_lance_cache(src_parquet: str, dest: str,
+                       num_fragments: int = 8) -> str:
+    """Convert a parquet file/dir to a Lance dataset at ``dest`` once
+    (the manifest doubles as the completeness marker; write_lance
+    writes it LAST, after every fragment, and atomically). Shared by
+    q_lance_scan and bench.py so the convert-once logic cannot
+    drift."""
+    if not os.path.exists(os.path.join(dest, "_versions", "1.manifest")):
+        import ray.data as rd
+        write_lance(rd.read_parquet(src_parquet,
+                                    override_num_blocks=num_fragments), dest)
+    return dest
+
+
 # ------------------------------------------------------------- reader
 
 def read_fragment(path: str, columns=None) -> pa.Table:

@@ -110,7 +110,7 @@ def parse_osm_xml(path: str, batch_rows: int = 65536):
 
 
 def read_osm(path: str, batch_rows: int = 65536,
-             single_pass: bool = True, scratch_dir: str | None = None):
+             single_pass: bool = False, scratch_dir: str | None = None):
     """OSM XML file or directory of files -> (nodes_ds, ways_ds)
     ray.data Datasets with the engine's canonical schemas.
 
@@ -118,14 +118,18 @@ def read_osm(path: str, batch_rows: int = 65536,
     a directory of per-extract files is the parallel form, exactly how
     planet-scale OSM dumps ship (per-region extracts).
 
-    ``single_pass=True`` (default): each file is parsed ONCE, with
-    node/way batches streamed through ParquetWriters into a scratch
-    directory, then both sides come back as ordinary parallel
-    ``read_parquet`` datasets (column-prunable, re-readable). Expat
-    parsing dominates XML ingest cost, so one parse + a parquet
-    round-trip beats the ``single_pass=False`` mode (two streaming
-    parses per file, no scratch I/O — use it where scratch disk is
-    scarcer than CPU)."""
+    ``single_pass=True``: each file is parsed ONCE, with node/way
+    batches streamed through ParquetWriters into ``scratch_dir``, then
+    both sides come back as ordinary parallel ``read_parquet``
+    datasets (column-prunable, re-readable). Expat parsing dominates
+    XML ingest, so one parse + a parquet round-trip beats the default
+    two-parse mode on CPU — but the scratch dir MUST be visible to
+    every node (shared filesystem / fsspec path): the parse task
+    writes where it runs and the read tasks run anywhere. The scratch
+    files persist for the lazy Datasets' lifetime (caller owns
+    cleanup). The default double-parse mode keeps everything in the
+    object store — cluster-safe with zero scratch — at the cost of a
+    second parse per file."""
     import ray
     import ray.data as rd
 
@@ -202,8 +206,12 @@ def read_osm(path: str, batch_rows: int = 65536,
             n_parts.append(nd)
             w_parts.append(wd)
     if xml and single_pass:
-        scratch = scratch_dir or os.path.join(
-            "/tmp", "osm2shp_ray_scratch", "xml")
+        if scratch_dir is None:
+            raise ValueError(
+                "single_pass=True needs scratch_dir= on SHARED storage "
+                "(parse tasks write where they run; read tasks run "
+                "anywhere)")
+        scratch = scratch_dir
         os.makedirs(scratch, exist_ok=True)
         pairs = ray.get([parse_once.remote(p, scratch) for p in xml])
         n_parts.append(rd.read_parquet([n for n, _ in pairs]))

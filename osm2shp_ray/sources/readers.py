@@ -33,6 +33,11 @@ def read_table(path: str, columns=None, **kwargs):
             import lance  # noqa: F401  # prefer real pylance when present
             return rd.read_lance(path, columns=columns, **kwargs)
         except ImportError:
+            if kwargs:
+                raise TypeError(
+                    "the vendored lance reader supports only columns=; "
+                    f"got extra kwargs {sorted(kwargs)} (install pylance "
+                    "for the full ray.data.read_lance surface)")
             from .lancefmt import read_lance
             return read_lance(path, columns=columns)
     if ext == "csv":

@@ -553,13 +553,20 @@ def break_lines(ds, res: int = 9, eps: float = 1e-12,
 
 # ------------------------------------------------------------ P3: polyline merge
 
-def merge_lines_group(df) -> pa.Table:
+def merge_lines_group(df, stop_keys=None) -> pa.Table:
     """Merge touching line segments within a group (layer or
-    layer x coarse-cell): endpoint-keyed union-find, then walk each
-    chain (the v.build.polylines analog, mapgen.sh:58). Partitioning
-    assumption: segments that should merge are in the same group —
-    callers group by (layer, parent_cell) so merges never cross a
-    coarse cell; document the boundary effect."""
+    layer x coarse-cell): endpoint-keyed walk, chains stop at
+    junctions (the v.build.polylines analog, mapgen.sh:58).
+
+    ``stop_keys``: optional set of (layer_idx, kx, ky) endpoint keys
+    the chain must NEVER merge through — the per-cell pass feeds the
+    CROSS-GROUP endpoint keys here, because a node whose ends live in
+    more than one group has an incomplete local view (local degree 2
+    can be global degree 3: a junction whose third branch starts in
+    another cell). Those nodes are resolved by the boundary stitch,
+    whose components contain every sharer by construction. Callers
+    with a complete view (single-group use, stitch components) pass
+    None and get plain local-degree semantics."""
     import pandas as pd  # noqa: F401
     xs_l = list(df["xs"])
     ys_l = list(df["ys"])
@@ -587,9 +594,17 @@ def merge_lines_group(df) -> pa.Table:
         for direction in (1, 0):
             while True:
                 k = key(chain_x[-1], chain_y[-1]) if direction else key(chain_x[0], chain_y[0])
-                nxt = [(j, e) for (j, e) in endpoint.get(k, []) if not used[j]]
-                if len(nxt) != 1:
-                    break  # junction or dead end: polylines stop at junctions
+                if stop_keys is not None and (int(layer_idx), k[0], k[1]) in stop_keys:
+                    break  # cross-group node: the stitch pass decides
+                all_ends = endpoint.get(k, [])
+                nxt = [(j, e) for (j, e) in all_ends if not used[j]]
+                # junction test uses the TOTAL degree at the node, not
+                # the unused count: once an earlier chain consumed one
+                # branch of a T, the unused count at the junction drops
+                # to 1 and an unused-only test would merge straight
+                # through it (order-dependent wrong output)
+                if len(all_ends) != 2 or len(nxt) != 1:
+                    break  # junction or dead end: polylines stop there
                 j, e = nxt[0]
                 seg_x = list(xs_l[j])
                 seg_y = list(ys_l[j])

@@ -62,9 +62,11 @@ class MetricsActor:
             n = len(vals)
             total = sum(vals)
             mean = total / n
+            median = (vals[n // 2] if n % 2
+                      else (vals[n // 2 - 1] + vals[n // 2]) / 2)
             out[f"skew[{fam}]"] = {
                 "partitions": n, "rows": total, "max": vals[-1],
-                "median": vals[n // 2],
+                "median": median,
                 "max_over_mean": round(vals[-1] / mean, 2) if mean else 0.0,
             }
         return out

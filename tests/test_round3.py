@@ -186,3 +186,53 @@ def test_ivf_partitioned_matches_scan(ray_session, tmp_path):
     brute = ann.brute_force_topk(emb, queries, k=5)
     full = ann.ivf_topk_partitioned(idx_path, cents, queries, k=5, nprobe=8)
     assert key(full.take_all()) == key(brute.take_all())
+
+
+def test_cross_cell_junction_stays_split(ray_session):
+    # T-junction at v whose third branch STARTS in another res-6 cell:
+    # per-cell merge alone would see local degree 2 at v and fuse
+    # W1+W2 through the junction (the reference's whole-layer merge
+    # sees degree 3 and keeps all three). The cross-group stop keys +
+    # stitch must reproduce the reference: 3 separate lines.
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.pipelines.mapgen import postprocess_lines
+
+    v = (0.0, 10.05)
+    off = pa.array([0, 2, 4, 6], type=pa.int32())
+    xs = pa.ListArray.from_arrays(off, pa.array(
+        [-0.1, v[0], -0.05, v[0], 0.1, v[0]], pa.float64()))
+    ys = pa.ListArray.from_arrays(off, pa.array(
+        [10.0, v[1], 10.2, v[1], 10.0, v[1]], pa.float64()))
+    ways = pa.table({
+        "way_id": pa.array([1, 2, 3], pa.int64()),   # W1, W2 first-vertex
+        "layer_idx": pa.array(np.zeros(3, np.int8), pa.int8()),  # cell A;
+        "xs": xs, "ys": ys,                          # W3 first-vertex cell B
+    })
+    out = postprocess_lines(rd.from_arrow(ways), merge=True,
+                            do_break=False).take_all()
+    assert len(out) == 3
+    assert sorted(len(r["xs"]) for r in out) == [2, 2, 2]
+
+
+def test_merge_kernel_junction_uses_total_degree():
+    # 3 segments meeting at one node, all in ONE group: every row
+    # order must yield 3 chains — the old unused-count test merged two
+    # of them once the first chain consumed a branch
+    import itertools
+    from osm2shp_ray.stages.geometry import merge_lines_group
+
+    segs = {
+        "A": ([-1.0, 0.0], [0.0, 0.0]),
+        "B": ([0.0, 1.0], [0.0, 0.0]),
+        "C": ([0.0, 0.0], [0.0, 1.0]),
+    }
+    for order in itertools.permutations("ABC"):
+        df = pd.DataFrame({
+            "way_id": [ord(c) for c in order],
+            "layer_idx": np.zeros(3, np.int8),
+            "xs": [np.asarray(segs[c][0]) for c in order],
+            "ys": [np.asarray(segs[c][1]) for c in order],
+        })
+        out = merge_lines_group(df)
+        assert out.num_rows == 3, order
