@@ -30,6 +30,15 @@ THRESHOLDS = {name: (0.001 if name == "roadsmall_line" else 0.002)
               for name in LINE_LAYERS}
 MERGE_CELL_RES = 6
 
+# rule index -> FIRST rule index of the same sink: the reference
+# post-processes one FILE per sink layer (mapgen.sh:63-90), so
+# motorway and trunk ways both live in roadbig_line and may merge /
+# dedup with each other; the engine canonicalizes layer_idx to the
+# sink representative before the line chain (layer NAMES are
+# unchanged — LAYER_NAMES[canon] is the same sink name).
+_SINK_CANON = np.array(
+    [LAYER_NAMES.index(n) for n in LAYER_NAMES], dtype=np.int8)
+
 
 def _add_merge_key(t: pa.Table) -> pa.Table:
     """(layer, coarse cell of first vertex) group key for the polyline
@@ -75,7 +84,14 @@ def postprocess_lines(assembled_ds, merge: bool = True,
         import pyarrow.compute as pc
         return t.filter(pc.invert(pc.is_in(t["layer_idx"], value_set=line_idx)))
 
-    lines = assembled_ds.map_batches(split_lines, batch_format="pyarrow")
+    def canon_sink(t: pa.Table) -> pa.Table:
+        li = t["layer_idx"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("layer_idx"),
+                            "layer_idx",
+                            pa.array(_SINK_CANON[li], pa.int8()))
+
+    lines = (assembled_ds.map_batches(split_lines, batch_format="pyarrow")
+             .map_batches(canon_sink, batch_format="pyarrow"))
     rest = assembled_ds.map_batches(split_rest, batch_format="pyarrow")
 
     if merge:

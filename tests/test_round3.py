@@ -236,3 +236,28 @@ def test_merge_kernel_junction_uses_total_degree():
         })
         out = merge_lines_group(df)
         assert out.num_rows == 3, order
+
+
+def test_merge_unifies_rules_of_one_sink(ray_session):
+    # motorway (rule 0) and trunk (rule 1) both live in the
+    # roadbig_line SINK; the reference post-processes one file per
+    # sink, so their touching segments must merge into one chain
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.pipelines.mapgen import postprocess_lines
+
+    off = pa.array([0, 2, 4], type=pa.int32())
+    xs = pa.ListArray.from_arrays(off, pa.array(
+        [1.0, 1.5, 1.5, 2.0], pa.float64()))
+    ys = pa.ListArray.from_arrays(off, pa.array(
+        [10.0, 10.3, 10.3, 10.0], pa.float64()))
+    ways = pa.table({
+        "way_id": pa.array([1, 2], pa.int64()),
+        "layer_idx": pa.array(np.array([0, 1], np.int8), pa.int8()),
+        "xs": xs, "ys": ys,
+    })
+    out = postprocess_lines(rd.from_arrow(ways), merge=True,
+                            do_break=False).take_all()
+    assert len(out) == 1
+    assert len(out[0]["xs"]) == 3
+    assert out[0]["layer_idx"] == 0  # canonical roadbig_line index
