@@ -386,70 +386,104 @@ def _packed(field: int, vals: np.ndarray) -> bytes:
     return _len_field(field, encode_varints(vals))
 
 
+def _tags_of(col, i):
+    s = col[i].as_py()
+    return [tuple(tok.split("=", 1)) for tok in s.split() if "=" in tok]
+
+
+def _encode_node_block(chunk: pa.Table) -> bytes:
+    """One DenseNodes PrimitiveBlock payload (uncompressed)."""
+    kvs = [_tags_of(chunk["tags"], i) for i in range(chunk.num_rows)]
+    strings = [x for kv in kvs for pair in kv for x in pair]
+    st, idx = _string_table(strings)
+    ids = chunk["id"].to_numpy(zero_copy_only=False)
+    lat = np.round(chunk["lat"].to_numpy(zero_copy_only=False) / NANO
+                   / GRANULARITY).astype(np.int64)
+    lon = np.round(chunk["lon"].to_numpy(zero_copy_only=False) / NANO
+                   / GRANULARITY).astype(np.int64)
+    kv_stream: list[int] = []
+    for kv in kvs:
+        for k, v in kv:
+            kv_stream.extend((idx[k], idx[v]))
+        kv_stream.append(0)
+    dense = (_packed(1, zigzag(np.diff(ids, prepend=0)))
+             + _packed(8, zigzag(np.diff(lat, prepend=0)))
+             + _packed(9, zigzag(np.diff(lon, prepend=0)))
+             + _packed(10, np.asarray(kv_stream, dtype=np.uint64)))
+    group = _len_field(2, dense)
+    return _len_field(1, st) + _len_field(2, group)
+
+
+def _encode_way_block(chunk: pa.Table) -> bytes:
+    """One Ways PrimitiveBlock payload (uncompressed)."""
+    kvs = [_tags_of(chunk["tags"], i) for i in range(chunk.num_rows)]
+    strings = [x for kv in kvs for pair in kv for x in pair]
+    st, idx = _string_table(strings)
+    parts = []   # join once: += on bytes is O(n^2) per block
+    for i in range(chunk.num_rows):
+        refs = np.asarray(chunk["node_refs"][i].as_py(), dtype=np.int64)
+        way = (_field(1, 0)
+               + encode_varints(np.array([chunk["way_id"][i].as_py()],
+                                         dtype=np.uint64))
+               + _packed(2, np.asarray([idx[k] for k, _ in kvs[i]],
+                                       dtype=np.uint64))
+               + _packed(3, np.asarray([idx[v] for _, v in kvs[i]],
+                                       dtype=np.uint64))
+               + _packed(8, zigzag(np.diff(refs, prepend=0))))
+        parts.append(_len_field(3, way))
+    return _len_field(1, st) + _len_field(2, b"".join(parts))
+
+
+def _blob_frame(btype: str, payload: bytes) -> bytes:
+    """BlobHeader + Blob framing for one (type, raw payload) pair:
+    zlib-compressed, raw_size recorded — the fileformat.proto frame."""
+    z = zlib.compress(payload, 6)
+    blob = (_field(2, 0)
+            + encode_varints(np.array([len(payload)], dtype=np.uint64))
+            + _len_field(3, z))
+    bh = (_len_field(1, btype.encode())
+          + _field(3, 0)
+          + encode_varints(np.array([len(blob)], dtype=np.uint64)))
+    return struct.pack(">I", len(bh)) + bh + blob
+
+
 def write_osm_pbf(path: str, nodes: pa.Table, ways: pa.Table,
-                  block_rows: int = 8000) -> int:
+                  block_rows: int = 8000,
+                  parallel: bool | None = None) -> int:
     """Engine-canonical nodes/ways tables -> .osm.pbf (DenseNodes +
     Ways, one zlib OSMData blob per ``block_rows`` chunk). Returns the
-    blob count."""
-    def tags_of(col, i):
-        s = col[i].as_py()
-        return [tuple(tok.split("=", 1)) for tok in s.split() if "=" in tok]
+    blob count.
 
-    blocks: list[bytes] = []
+    Blob encode + compress are independent per chunk (the same
+    property the reader exploits for blob-parallel DECODE), so with a
+    live Ray session they run as parallel tasks; only the final
+    sequential file concat is serial. ``parallel=False`` forces the
+    in-process path (or it falls back automatically when Ray is not
+    initialised)."""
+    import ray
 
+    chunks: list[tuple[str, pa.Table]] = []
     for lo in range(0, nodes.num_rows, block_rows):
-        chunk = nodes.slice(lo, block_rows)
-        kvs = [tags_of(chunk["tags"], i) for i in range(chunk.num_rows)]
-        strings = [x for kv in kvs for pair in kv for x in pair]
-        st, idx = _string_table(strings)
-        ids = chunk["id"].to_numpy(zero_copy_only=False)
-        lat = np.round(chunk["lat"].to_numpy(zero_copy_only=False) / NANO
-                       / GRANULARITY).astype(np.int64)
-        lon = np.round(chunk["lon"].to_numpy(zero_copy_only=False) / NANO
-                       / GRANULARITY).astype(np.int64)
-        kv_stream: list[int] = []
-        for kv in kvs:
-            for k, v in kv:
-                kv_stream.extend((idx[k], idx[v]))
-            kv_stream.append(0)
-        dense = (_packed(1, zigzag(np.diff(ids, prepend=0)))
-                 + _packed(8, zigzag(np.diff(lat, prepend=0)))
-                 + _packed(9, zigzag(np.diff(lon, prepend=0)))
-                 + _packed(10, np.asarray(kv_stream, dtype=np.uint64)))
-        group = _len_field(2, dense)
-        blocks.append(_len_field(1, st) + _len_field(2, group))
-
+        chunks.append(("node", nodes.slice(lo, block_rows)))
     for lo in range(0, ways.num_rows, block_rows):
-        chunk = ways.slice(lo, block_rows)
-        kvs = [tags_of(chunk["tags"], i) for i in range(chunk.num_rows)]
-        strings = [x for kv in kvs for pair in kv for x in pair]
-        st, idx = _string_table(strings)
-        parts = []   # join once: += on bytes is O(n^2) per block
-        for i in range(chunk.num_rows):
-            refs = np.asarray(chunk["node_refs"][i].as_py(), dtype=np.int64)
-            way = (_field(1, 0)
-                   + encode_varints(np.array([chunk["way_id"][i].as_py()],
-                                             dtype=np.uint64))
-                   + _packed(2, np.asarray([idx[k] for k, _ in kvs[i]],
-                                           dtype=np.uint64))
-                   + _packed(3, np.asarray([idx[v] for _, v in kvs[i]],
-                                           dtype=np.uint64))
-                   + _packed(8, zigzag(np.diff(refs, prepend=0))))
-            parts.append(_len_field(3, way))
-        blocks.append(_len_field(1, st) + _len_field(2, b"".join(parts)))
+        chunks.append(("way", ways.slice(lo, block_rows)))
+
+    def encode(kind: str, chunk: pa.Table) -> bytes:
+        payload = (_encode_node_block(chunk) if kind == "node"
+                   else _encode_way_block(chunk))
+        return _blob_frame("OSMData", payload)
+
+    use_ray = (parallel if parallel is not None
+               else (ray.is_initialized() and len(chunks) > 1))
+    if use_ray:
+        enc = ray.remote(encode)
+        frames = ray.get([enc.remote(k, c) for k, c in chunks])
+    else:
+        frames = [encode(k, c) for k, c in chunks]
 
     with open(path, "wb") as f:
-        header_block = _len_field(4, b"DenseNodes")  # required_features
-        for btype, payload in [("OSMHeader", header_block)] + \
-                [("OSMData", b) for b in blocks]:
-            z = zlib.compress(payload, 6)
-            blob = (_field(2, 0)
-                    + encode_varints(np.array([len(payload)], dtype=np.uint64))
-                    + _len_field(3, z))
-            bh = (_len_field(1, btype.encode())
-                  + _field(3, 0)
-                  + encode_varints(np.array([len(blob)], dtype=np.uint64)))
-            f.write(struct.pack(">I", len(bh)))
-            f.write(bh)
-            f.write(blob)
-    return len(blocks)
+        f.write(_blob_frame("OSMHeader",
+                            _len_field(4, b"DenseNodes")))  # required_features
+        for frame in frames:
+            f.write(frame)
+    return len(frames)
