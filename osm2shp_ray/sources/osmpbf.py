@@ -473,8 +473,10 @@ def write_osm_pbf(path: str, nodes: pa.Table, ways: pa.Table,
                    else _encode_way_block(chunk))
         return _blob_frame("OSMData", payload)
 
-    use_ray = (parallel if parallel is not None
-               else (ray.is_initialized() and len(chunks) > 1))
+    # parallel=True still requires a LIVE session: auto-connect would
+    # boot a whole local cluster as a side effect of writing a file
+    use_ray = (ray.is_initialized() and len(chunks) > 1
+               and parallel is not False)
     if use_ray:
         enc = ray.remote(encode)
         frames = ray.get([enc.remote(k, c) for k, c in chunks])
