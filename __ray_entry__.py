@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": q.q_fingerprints,
         "q_embed_near_dup": q.q_embed_near_dup,
         "q_ivf_topk": q.q_ivf_topk,
+        "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
@@ -381,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
         "q_ann_topk": ann_sql(3, 17),
         "q_ivf_topk": ann_sql(5, 42),
+        "q_ivf_partitioned_topk": ann_sql(5, 42),
         "q_minhash_pairs": jaccard_pairs_sql(char5_sh, 0.8),
         "q_ngram_jaccard_pairs": jaccard_pairs_sql(word3_sh, 0.8),
         "q_embed_near_dup": """

@@ -557,6 +557,32 @@ def q_ivf_topk(sf_dir: str):
             .select_columns(["query_id", "vec_id"]))
 
 
+def q_ivf_partitioned_topk(sf_dir: str):
+    """Same exact-at-full-nprobe contract as q_ivf_topk, but through
+    the ON-DISK partitioned inverted file (ann.build_ivf_index +
+    ivf_topk_partitioned): only the probed ivf_cell directories are
+    opened — the 10^12-row search shape, value-checked against the
+    same SQL brute-force oracle. Index cached per (sf, rows)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.fixtures import FIXTURE_ROOT
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = _read(sf_dir, "embeddings")
+    q = _fetch_vecs(emb, [5, 42])
+    cent = ann.train_centroids(emb, n_centroids=8)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n = pq.read_metadata(src).num_rows
+    idx = os.path.join(FIXTURE_ROOT, f"ivf_{tag}_n{n}")
+    if not os.path.exists(os.path.join(idx, "_DONE")):
+        ann.build_ivf_index(emb, cent, idx)
+        with open(os.path.join(idx, "_DONE"), "w") as f:
+            f.write("ok")
+    return (ann.ivf_topk_partitioned(idx, cent, q, k=10, nprobe=8)
+            .select_columns(["query_id", "vec_id"]))
+
+
 CONVERT_IMAGES_N = 4000  # fixed (not sf-scaled): the oracle SQL is a
 # static string, so it must know the fixture size; see oracle_sql()
 

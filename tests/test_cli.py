@@ -72,3 +72,33 @@ def test_cli_kill_resume(tmp_path):
         b = (pads2.dataset(os.path.join(clean, sub), partitioning="hive")
              .to_table().sort_by("x"))
         assert a.num_rows == b.num_rows, sub
+
+
+def test_cli_convert_from_lance(tmp_path):
+    """The mandated input format end-to-end through the user CLI: an
+    images table in (vendored) Lance converts identically to the same
+    table in parquet."""
+    import pyarrow.parquet as pq
+    from osm2shp_ray.sources import lancefmt
+    from osm2shp_ray.sources.fixtures import cached_images_parquet
+
+    fixture = cached_images_parquet(500, use_ray=False)
+    table = pq.read_table(os.path.join(fixture, "part-0.parquet"))
+    lance_in = str(tmp_path / "images.lance")
+    lancefmt.write_lance(table, lance_in, rows_per_fragment=200)
+
+    out_l = str(tmp_path / "out_lance")
+    r = _run("convert", lance_in, out_l)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["metrics"]["processed_images"] == 500
+
+    out_p = str(tmp_path / "out_parquet")
+    rp = _run("convert", fixture, out_p)
+    assert rp.returncode == 0, rp.stderr[-2000:]
+    t_l = (pads.dataset(os.path.join(out_l, "points"), partitioning="hive")
+           .to_table().sort_by("x"))
+    t_p = (pads.dataset(os.path.join(out_p, "points"), partitioning="hive")
+           .to_table().sort_by("x"))
+    assert t_l.num_rows == t_p.num_rows
+    assert t_l["x"].equals(t_p["x"]) and t_l["y"].equals(t_p["y"])

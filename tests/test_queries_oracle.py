@@ -68,6 +68,7 @@ SQL_CHECKED = [
     # Lance format end-to-end (vendored write->pruned read->agg)
     "q_convert_images", "q_postprocess_ways",
     "q_audio_features", "q_video_frames", "q_lance_scan",
+    "q_ivf_partitioned_topk",
 ]
 
 
