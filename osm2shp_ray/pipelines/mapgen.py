@@ -216,7 +216,7 @@ def _merge_group(df, stop_ref=None) -> pa.Table:
 _STITCH_EPS = 1e-9  # MUST equal merge_lines_group's endpoint key eps
 
 
-def stitch_lines(lines_ds):
+def stitch_lines(lines_ds, label_cap: int = 1_000_000):
     """Boundary-stitch pass after the per-cell merge: re-merges chains
     that the (layer, cell) partitioning left split at cell borders.
 
@@ -225,12 +225,19 @@ def stitch_lines(lines_ds):
     polylines is an edge. Within-cell shareable endpoints were already
     merged, so the edge set is only border crossings plus junctions —
     orders of magnitude smaller than the feature set. Distributed
-    connected components (stages/components.py) label the chains; the
-    (id -> root) map is ids-only and broadcast (the bounded small side
-    — its size is the number of border-crossing features), and each
-    component re-merges with the same kernel, which re-applies the
-    junction rules over the component's complete neighborhood (every
-    endpoint-sharing polyline is IN the component by construction).
+    connected components (stages/components.py) label the chains, and
+    each component re-merges with the same kernel, which re-applies
+    the junction rules over the component's complete neighborhood
+    (every endpoint-sharing polyline is IN the component by
+    construction).
+
+    Label attach is the usual small-side dual: at or below
+    ``label_cap`` labels the (id -> root) map is collected ids-only
+    and broadcast (one ``ray.put``, searchsorted per batch — no
+    shuffle of the geometry payloads); above it, labels stay a
+    Dataset and attach via a distributed left ``hash_join``, so no
+    driver-side array ever exceeds the cap even on adversarial
+    inputs where most features touch a cell border.
     """
     import ray
     import pyarrow.compute as pc
@@ -278,26 +285,49 @@ def stitch_lines(lines_ds):
     if edges.count() == 0:
         return lines_ds
 
-    labels = connected_components(edges).take_all()  # ids only: the
-    # number of border-crossing polylines, not features or vertices
-    member_ids = np.array([r["id"] for r in labels], dtype=np.int64)
-    roots = np.array([r["root"] for r in labels], dtype=np.int64)
-    order = np.argsort(member_ids)
-    lut_ref = ray.put((member_ids[order], roots[order]))
+    labels_ds = connected_components(edges).materialize()
+    n_labels = labels_ds.count()
+    orig_names = [n for n in lines_ds.schema().names]
 
-    def add_root(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        ids_s, roots_s = _ray.get(lut_ref)
-        w = t["way_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ids_s, w)
-        pos = np.clip(pos, 0, max(len(ids_s) - 1, 0))
-        hit = (len(ids_s) > 0) & (ids_s[pos] == w)
-        root = np.where(hit, roots_s[pos], np.int64(-1))
-        return t.append_column("stitch_root", pa.array(root, pa.int64()))
+    if n_labels <= label_cap:
+        labels = labels_ds.take_all()  # ids only: the number of
+        # border-crossing polylines, not features or vertices
+        member_ids = np.array([r["id"] for r in labels], dtype=np.int64)
+        roots = np.array([r["root"] for r in labels], dtype=np.int64)
+        order = np.argsort(member_ids)
+        lut_ref = ray.put((member_ids[order], roots[order]))
+
+        def add_root(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            ids_s, roots_s = _ray.get(lut_ref)
+            w = t["way_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids_s, w)
+            pos = np.clip(pos, 0, max(len(ids_s) - 1, 0))
+            hit = (len(ids_s) > 0) & (ids_s[pos] == w)
+            root = np.where(hit, roots_s[pos], np.int64(-1))
+            return t.append_column("stitch_root", pa.array(root, pa.int64()))
+
+        labeled = lines_ds.map_batches(add_root, batch_format="pyarrow")
+    else:
+        from ..stages.joins import hash_join
+        print(f"stitch_lines: {n_labels} labels exceed label_cap="
+              f"{label_cap}; attaching roots via distributed hash_join")
+        lab = labels_ds.map_batches(
+            lambda t: pa.table({"way_id": t["id"], "stitch_root": t["root"]}),
+            batch_format="pyarrow")
+
+        def fill_unlabeled(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("stitch_root")
+            t = t.set_column(i, "stitch_root",
+                             pc.fill_null(t["stitch_root"], -1))
+            return t.select(orig_names + ["stitch_root"])
+
+        labeled = (hash_join(lines_ds, lab, on="way_id", how="left")
+                   .map_batches(fill_unlabeled, batch_format="pyarrow"))
 
     # materialize: the labeled set itself feeds two consumers
     # (members + pass-through)
-    labeled = lines_ds.map_batches(add_root, batch_format="pyarrow").materialize()
+    labeled = labeled.materialize()
     rest = labeled.map_batches(
         lambda t: t.filter(pc.equal(t["stitch_root"], -1))
                    .drop_columns(["stitch_root"]),

@@ -108,6 +108,18 @@ def test_stitch_merges_across_cell_boundary(ray_session):
     iso = ways_table().slice(2, 1)
     assert len(stitch_lines(rd.from_arrow(iso)).take_all()) == 1
 
+    # label_cap=0 forces the distributed hash_join attach; it must be
+    # byte-equivalent to the broadcast path (same roots -> same
+    # synthesized ids -> same merged chains)
+    def canon(rows):
+        return sorted((r["way_id"], r["layer_idx"],
+                       tuple(r["xs"]), tuple(r["ys"])) for r in rows)
+
+    unstitched = postprocess_lines(rd.from_arrow(ways_table()),
+                                   merge=True, do_break=False, stitch=False)
+    joined = stitch_lines(unstitched, label_cap=0).take_all()
+    assert canon(joined) == canon(out)
+
 
 def test_skew_histogram_detects_hot_key(ray_session):
     # SURVEY 7.4.5: per-partition row histograms from the metrics
