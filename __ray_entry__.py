@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_near_dup": q.q_embed_near_dup,
         "q_ivf_topk": q.q_ivf_topk,
         "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
+        # deterministic hash split + HLL distinct sketch (register
+        # table compared exactly; estimate tested in pytest)
+        "q_split_stats": q.q_split_stats,
+        "q_distinct_hll": q.q_distinct_hll,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
@@ -424,6 +428,28 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS ({word3_sh}),
             h AS (SELECT DISTINCT doc_id, {h60('g')} AS fp FROM sh)
             SELECT doc_id, fp FROM h WHERE fp % {FP_MOD} = 0""",
+        "q_split_stats": f"""
+            WITH s AS (SELECT source,
+                              {h60('CAST(doc_id AS VARCHAR)')} % 100 AS pct
+                       FROM documents)
+            SELECT source,
+                   CASE WHEN pct < 80 THEN 'train'
+                        WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY 1, 2""",
+        "q_distinct_hll": f"""
+            WITH h AS (SELECT {h60('CAST(l_partkey AS VARCHAR)')} AS hv
+                       FROM lineitem),
+            r AS (SELECT hv >> 51 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 51) - 1) AS rem FROM h),
+            reg AS (SELECT bucket,
+                           max(CASE WHEN rem = 0 THEN 52
+                                    ELSE 52 - length(bin(rem)) END) AS mrho
+                    FROM r GROUP BY bucket)
+            SELECT CAST(g.bucket AS BIGINT) AS bucket,
+                   CAST(coalesce(reg.mrho, 0) AS BIGINT) AS rho
+            FROM (SELECT unnest(generate_series(0, 511)) AS bucket) g
+            LEFT JOIN reg ON g.bucket = reg.bucket""",
         "q_convert_pipeline": f"""
             WITH {_WAY_CLS_SQL},
             wcnt AS (SELECT layer, 'way' AS kind,

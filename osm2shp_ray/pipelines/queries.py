@@ -527,6 +527,31 @@ def q_fingerprints(sf_dir: str):
             .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
+def q_split_stats(sf_dir: str):
+    """Deterministic hash-based train/val/test split (80/10/10 on
+    md5_hash60(doc_id) % 100) counted per (source, split). The split
+    itself is a stateless map (stages/sketch.assign_split) — zero
+    shuffle at any scale; only the tiny count table aggregates."""
+    from ..stages import sketch
+    from ..stages.util import coalesced
+    ds = sketch.assign_split(
+        _read(sf_dir, "documents", ["doc_id", "source"]), id_col="doc_id")
+    return (coalesced(ds.select_columns(["source", "split"]))
+            .groupby(["source", "split"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct l_partkey sketch, emitted as the full
+    2^p register table (bucket, rho) so the oracle compares exact
+    integers; per-batch partial registers mean only <= 512 rows per
+    block reach the single groupby-max."""
+    from ..stages import sketch
+    return sketch.hll_register_table(
+        _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+        p=sketch.HLL_P_DEFAULT)
+
+
 def q_embed_near_dup(sf_dir: str):
     """Embedding near-dup pairs at cosine >= 0.9 via the EXACT blocked
     all-pairs operator (ann.exact_cosine_pairs) — provably equal to

@@ -1,0 +1,122 @@
+"""Sketches and deterministic sampling for training-data pipelines.
+
+Two operators a 100-TB corpus job needs that no reference operator
+covers directly (they extend the §2.8 dedup/stats family):
+
+- ``assign_split``: deterministic hash-based train/val/test split.
+  One stateless map over the id column — no shuffle, no RNG state,
+  stable under re-runs and resharding (the split of a row depends
+  only on its id). The md5-derived 60-bit hash (functions/hashing.
+  md5_hash60) keeps the assignment reproducible in SQL, so the split
+  is oracle-checkable and portable across engines.
+
+- ``hll_register_table`` / ``hll_estimate``: HyperLogLog distinct
+  count. Each batch folds its values into a 2^p-register partial
+  (``np.maximum.at``), so only <= 2^p tiny rows per block reach the
+  one small groupby-max — the classic partial-aggregate shape: a
+  100-TB column reduces to a kilobyte sketch with one narrow
+  exchange. Registers (not the float estimate) are the query output,
+  so the oracle gate compares exact integers; the Flajolet et al.
+  estimate (with the small-range linear-counting correction) is a
+  separate engine function tested against exact distinct counts.
+
+Reference analog: the reference keeps simple exact counters
+(/root/reference/osm2shp.cc statistics); these are the scale
+generalization where exact distinct state would not fit one node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import md5_hash60
+from .util import coalesced
+
+HLL_P_DEFAULT = 9  # 512 registers; relative error ~1.04/sqrt(m) = 4.6%
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (0 -> 0)."""
+    v = x.astype(np.uint64).copy()
+    bl = np.zeros(v.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[x.astype(np.uint64) > 0] += 1
+    return bl
+
+
+def split_of(ids, train_pct: int = 80, val_pct: int = 10) -> np.ndarray:
+    """'train'/'val'/'test' per id: md5_hash60(str(id)) % 100 against
+    the cumulative percent cut-offs. SQL mirror:
+    ``h60(CAST(id AS VARCHAR)) % 100`` with the same CASE ranges."""
+    pct = md5_hash60(np.asarray(ids)) % 100
+    out = np.where(pct < train_pct, "train",
+                   np.where(pct < train_pct + val_pct, "val", "test"))
+    return out.astype(object)
+
+
+def assign_split(ds, id_col: str, train_pct: int = 80, val_pct: int = 10,
+                 out_col: str = "split"):
+    """Add a deterministic split column. Stateless map — streams at
+    any scale; downstream writers can partition output by it."""
+
+    def add(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            out_col, pa.array(split_of(ids, train_pct, val_pct), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _partial_registers(values, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) maxima for one batch of values; <= 2^p rows out."""
+    m = 1 << p
+    rbits = 60 - p
+    hv = md5_hash60(np.asarray(values)).astype(np.uint64)
+    bucket = (hv >> np.uint64(rbits)).astype(np.int64)
+    rem = hv & np.uint64((1 << rbits) - 1)
+    rho = np.where(rem == 0, rbits + 1,
+                   rbits - _bit_length_u64(rem) + 1).astype(np.int64)
+    reg = np.zeros(m, np.int64)
+    np.maximum.at(reg, bucket, rho)
+    nz = np.flatnonzero(reg)
+    return nz, reg[nz]
+
+
+def hll_register_table(ds, col: str, p: int = HLL_P_DEFAULT):
+    """Dataset of (bucket:int64, rho:int64), exactly 2^p rows (zeros
+    for untouched registers, so the output shape is input-independent
+    and SQL-comparable via a generate_series left join)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        nz, rho = _partial_registers(t[col].to_numpy(zero_copy_only=False), p)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rho": pa.array(rho, pa.int64())})
+
+    zeros = rd.from_arrow(pa.table({
+        "bucket": pa.array(np.arange(m), pa.int64()),
+        "rho": pa.array(np.zeros(m, np.int64), pa.int64())}))
+    partials = ds.map_batches(partial, batch_format="pyarrow").union(zeros)
+    return (coalesced(partials).groupby("bucket")
+            .aggregate(Max("rho", alias_name="rho")))
+
+
+def hll_estimate(buckets, rhos, p: int = HLL_P_DEFAULT) -> float:
+    """Standard HLL estimate over a full register table, with the
+    small-range linear-counting correction."""
+    m = 1 << p
+    reg = np.zeros(m, np.int64)
+    reg[np.asarray(buckets, dtype=np.int64)] = np.asarray(rhos, dtype=np.int64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -1,0 +1,59 @@
+"""Unit tests for stages/sketch.py: deterministic split + HLL sketch.
+
+The SQL-parity of both operators' query outputs is covered by the
+oracle mirror (tests/test_queries_oracle.py via q_split_stats /
+q_distinct_hll); these tests cover the pieces the hash gate can't:
+the float estimate's accuracy, bit-level helpers, and determinism
+properties the split relies on at scale.
+"""
+
+import numpy as np
+
+from osm2shp_ray.stages import sketch
+
+
+def test_bit_length_u64_exact():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 60, size=5000).astype(np.uint64)
+    x[:4] = [0, 1, 2, (1 << 51) - 1]
+    got = sketch._bit_length_u64(x)
+    want = np.array([int(v).bit_length() for v in x], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_split_deterministic_and_order_free():
+    ids = np.arange(1, 20001)
+    a = sketch.split_of(ids)
+    b = sketch.split_of(ids[::-1])[::-1]  # resharding must not matter
+    assert (a == b).all()
+    frac = {s: float((a == s).mean()) for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.80) < 0.02
+    assert abs(frac["val"] - 0.10) < 0.02
+    assert abs(frac["test"] - 0.10) < 0.02
+
+
+def test_hll_estimate_accuracy_and_merge():
+    # partial registers from disjoint batches must merge (max) to the
+    # same registers as one pass, and the estimate must land within
+    # the p=9 error band on both a small and a larger cardinality
+    for n, tol in ((300, 0.15), (20000, 0.15)):
+        vals = np.arange(n) * 7 + 1  # distinct ints
+        m = 1 << sketch.HLL_P_DEFAULT
+        reg_whole = np.zeros(m, np.int64)
+        nz, rho = sketch._partial_registers(vals, sketch.HLL_P_DEFAULT)
+        reg_whole[nz] = rho
+        reg_merged = np.zeros(m, np.int64)
+        for chunk in np.array_split(vals, 7):
+            nz, rho = sketch._partial_registers(chunk, sketch.HLL_P_DEFAULT)
+            np.maximum.at(reg_merged, nz, rho)
+        assert (reg_whole == reg_merged).all()
+        est = sketch.hll_estimate(np.arange(m), reg_whole)
+        assert abs(est - n) / n < tol, (n, est)
+
+
+def test_hll_duplicates_do_not_move_estimate():
+    vals = np.arange(1000)
+    nz1, rho1 = sketch._partial_registers(vals, sketch.HLL_P_DEFAULT)
+    nz2, rho2 = sketch._partial_registers(np.tile(vals, 5),
+                                          sketch.HLL_P_DEFAULT)
+    assert (nz1 == nz2).all() and (rho1 == rho2).all()
