@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q.q_ann_topk,
         "q_session_windows": q.q_session_windows,
         "q_asof_join": q.q_asof_join,
+        "q_range_join_alerts": q.q_range_join_alerts,
         # sketch/LSH family — SQL-oracled: hash-bearing outputs use the
         # md5-derived 60-bit hash and similarity outputs are
         # EXACT-verified, so DuckDB recomputes every value
@@ -384,6 +385,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, o.o_orderdate AS asof_value
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "q_range_join_alerts": """
+            WITH c AS (SELECT event_id, ts FROM events
+                       WHERE event_type = 'click'),
+            a AS (SELECT ts AS lo FROM events WHERE event_type = 'error')
+            SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_alerts
+            FROM c JOIN a ON c.ts >= a.lo
+                         AND c.ts <= a.lo + INTERVAL 10 MINUTE
+            GROUP BY c.event_id""",
         "q_ann_topk": ann_sql(3, 17),
         "q_ivf_topk": ann_sql(5, 42),
         "q_ivf_partitioned_topk": ann_sql(5, 42),

@@ -712,6 +712,40 @@ def q_asof_join(sf_dir: str):
         right_value="o_orderdate", left_cols=["event_id"])
 
 
+def q_range_join_alerts(sf_dir: str):
+    """Non-equi range join: every click counted into each 10-minute
+    alert window opened by an error event. No shared key — the
+    domain-binned range_join (bin = the window length, so each
+    interval replicates to <= 2 bins and each click to exactly 1) is
+    the one exchange; the pair set then aggregates per click."""
+    from ..stages.temporal import range_join
+
+    win_us = 600_000_000  # 10 minutes
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    def alerts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "alert_id": t["event_id"], "lo": us,
+            "hi": pc.add(us, win_us)})
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    pairs = range_join(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ev.map_batches(alerts, batch_format="pyarrow"),
+        point_val="ts_us", lo_col="lo", hi_col="hi",
+        point_cols=["event_id"], interval_cols=["alert_id"],
+        bin_width=win_us)
+    return (pairs.groupby("event_id")
+            .aggregate(Count(alias_name="n_alerts")))
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """WORD-3-gram Jaccard near-dup pairs: word-shingle LSH candidates,
     EXACT word-n-gram-set Jaccard >= 0.8 verification (SQL-equal)."""

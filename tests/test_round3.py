@@ -273,3 +273,34 @@ def test_merge_unifies_rules_of_one_sink(ray_session):
     assert len(out) == 1
     assert len(out[0]["xs"]) == 3
     assert out[0]["layer_idx"] == 0  # canonical roadbig_line index
+
+
+def test_range_join_semantics(ray_session):
+    # inclusive bounds, cross-bin intervals, exactly-once pairs, and
+    # the max_bins skip guard
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import range_join
+
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([5, 10, 19, 100], pa.int64()),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "iid": pa.array([10, 20, 30], pa.int64()),
+        "lo": pa.array([5, 8, 0], pa.int64()),
+        "hi": pa.array([10, 19, 1000], pa.int64()),  # iid=30 spans >64 bins
+    }))
+    out = range_join(pts, ivs, "v", "lo", "hi", ["pid"], ["iid"],
+                     bin_width=10).take_all()
+    got = sorted((r["pid"], r["iid"]) for r in out)
+    # iid=30 skipped (spans 101 bins); bounds are inclusive on both ends
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]
+
+    # empty interval side -> empty typed result, no crash
+    import pyarrow.compute as pc
+    empty_ivs = ivs.map_batches(
+        lambda t: t.filter(pc.equal(t["iid"], -1)), batch_format="pyarrow")
+    none = range_join(pts, empty_ivs, "v", "lo", "hi", ["pid"], ["iid"],
+                      bin_width=10).take_all()
+    assert none == []
