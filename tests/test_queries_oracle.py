@@ -69,6 +69,8 @@ SQL_CHECKED = [
     "q_convert_images", "q_postprocess_ways",
     "q_audio_features", "q_video_frames", "q_lance_scan",
     "q_ivf_partitioned_topk",
+    # round 3 additions: sketch + sampling + non-equi range join
+    "q_split_stats", "q_distinct_hll", "q_range_join_alerts",
 ]
 
 
