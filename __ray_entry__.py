@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table compared exactly; estimate tested in pytest)
         "q_split_stats": q.q_split_stats,
         "q_distinct_hll": q.q_distinct_hll,
+        "q_token_pack": q.q_token_pack,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
@@ -437,6 +438,20 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS ({word3_sh}),
             h AS (SELECT DISTINCT doc_id, {h60('g')} AS fp FROM sh)
             SELECT doc_id, fp FROM h WHERE fp % {FP_MOD} = 0""",
+        "q_token_pack": r"""
+            WITH t AS (SELECT source, doc_id,
+                 CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                      ELSE len(regexp_split_to_array(
+                             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+                 END AS n_tokens FROM documents),
+            c AS (SELECT source, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+                  FROM t)
+            SELECT source, CAST((run - n_tokens) // 4096 AS BIGINT) AS chunk,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c GROUP BY 1, 2""",
         "q_split_stats": f"""
             WITH s AS (SELECT source,
                               {h60('CAST(doc_id AS VARCHAR)')} % 100 AS pct

@@ -195,6 +195,8 @@ def run_bench() -> dict:
         ("q_ngram_jaccard_pairs", q.q_ngram_jaccard_pairs),
         ("q_simhash_docs", q.q_simhash_docs),
         ("q_corpus_filter", q.q_corpus_filter),
+        ("q_distinct_hll", q.q_distinct_hll),
+        ("q_range_join_alerts", q.q_range_join_alerts),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

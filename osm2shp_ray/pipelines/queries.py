@@ -527,6 +527,22 @@ def q_fingerprints(sf_dir: str):
             .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
+def q_token_pack(sf_dir: str):
+    """Sequence packing: per-source docs concatenated in doc_id order
+    and cut at a 4096-token budget (text.pack_chunks); output is the
+    per-(source, chunk) doc count + token total. Token counting and
+    packing run in one streaming pass; only (source, doc_id,
+    n_tokens) rows — never text — enter the packing shuffle."""
+    ds = (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+          .map_batches(text.token_count_batch, batch_format="pyarrow")
+          .map_batches(lambda t: t.select(["source", "doc_id", "n_tokens"]),
+                       batch_format="pyarrow"))
+    packed = text.pack_chunks(ds, budget=4096)
+    return (packed.groupby(["source", "chunk"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="sum_tokens")))
+
+
 def q_split_stats(sf_dir: str):
     """Deterministic hash-based train/val/test split (80/10/10 on
     md5_hash60(doc_id) % 100) counted per (source, split). The split

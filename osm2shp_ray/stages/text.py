@@ -182,3 +182,44 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     off = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
     vals = pa.array(np.concatenate(out_vals) if out_vals else np.empty(0, np.int64), pa.int64())
     return batch.append_column("fingerprint", pa.ListArray.from_arrays(off, vals))
+
+
+def pack_chunks(ds, budget: int, key_col: str = "source",
+                id_col: str = "doc_id", n_tokens_col: str = "n_tokens",
+                n_buckets: int | None = None):
+    """Sequence packing: concatenate each key's docs in ``id_col``
+    order and cut at every ``budget`` tokens — chunk k of a doc is
+    ``(running_total_before_doc) // budget`` (a doc longer than the
+    budget still lands in one chunk; real packers would split it, but
+    the chunk ASSIGNMENT is the distributed part). One bucketed
+    groupby is the only exchange; the in-group kernel is a sorted
+    per-key cumsum (C-level pandas).
+
+    Partitioning contract: chunking is order-dependent WITHIN a key,
+    so one key's rows must fit one group — same assumption as
+    session_windows; at corpus scale pre-shard the key (e.g.
+    source+date) so each shard chunks independently.
+    """
+    import pyarrow.compute as pc
+
+    from .. import config
+    from .util import arrow_table, coalesced
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = pl.from_arrow(c).hash(seed=11).to_numpy().astype(np.uint64)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(b)).astype(np.int64), pa.int64()))
+
+    def pack(df) -> pa.Table:
+        df = df.sort_values([key_col, id_col], kind="mergesort")
+        run = df.groupby(key_col, sort=False)[n_tokens_col].cumsum()
+        out = df[[key_col, id_col, n_tokens_col]].copy()
+        out["chunk"] = ((run - df[n_tokens_col]) // budget).astype(np.int64)
+        return arrow_table(out)
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(pack, batch_format="pandas"))

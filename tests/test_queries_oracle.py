@@ -69,8 +69,10 @@ SQL_CHECKED = [
     "q_convert_images", "q_postprocess_ways",
     "q_audio_features", "q_video_frames", "q_lance_scan",
     "q_ivf_partitioned_topk",
-    # round 3 additions: sketch + sampling + non-equi range join
+    # round 3 additions: sketch + sampling + non-equi range join +
+    # sequence packing
     "q_split_stats", "q_distinct_hll", "q_range_join_alerts",
+    "q_token_pack",
 ]
 
 
