@@ -222,6 +222,12 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
         is_p = pc.equal(t["__side"], 0)
         pts = t.filter(is_p)
         ivs = t.filter(pc.invert(is_p))
+        if pts.num_rows * ivs.num_rows >= 1 << 20:
+            # heavy bins (point x interval product) are the skew
+            # signal that says bin_width is mis-sized for this data
+            from ..state.metrics import observe_partition
+            observe_partition("range_join_bin",
+                              int(t["__bin"][0].as_py()), t.num_rows)
         if pts.num_rows == 0 or ivs.num_rows == 0:
             return out_schema.empty_table()
         v = pts["__v"].to_numpy(zero_copy_only=False)

@@ -304,3 +304,24 @@ def test_range_join_semantics(ray_session):
     none = range_join(pts, empty_ivs, "v", "lo", "hi", ["pid"], ["iid"],
                       bin_width=10).take_all()
     assert none == []
+
+
+def test_pack_chunks_semantics(ray_session):
+    # budget cuts at running-total boundaries per key, in id order;
+    # oversize docs still land in exactly one chunk
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.text import pack_chunks
+
+    t = pa.table({
+        "source": pa.array(["a"] * 4 + ["b"] * 2),
+        "doc_id": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "n_tokens": pa.array([60, 50, 1000, 10, 10, 10], pa.int64()),
+    })
+    out = {(r["source"], r["doc_id"]): r["chunk"]
+           for r in pack_chunks(rd.from_arrow(t), budget=100).take_all()}
+    assert out == {("a", 1): 0,   # run-before 0
+                   ("a", 2): 0,   # run-before 60
+                   ("a", 3): 1,   # run-before 110 -> chunk 1 (oversize doc)
+                   ("a", 4): 11,  # run-before 1110
+                   ("b", 1): 0, ("b", 2): 0}
