@@ -148,6 +148,8 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
     """
     import pyarrow.compute as pc
 
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
 
     psch = points_ds.schema()

@@ -200,11 +200,11 @@ def pack_chunks(ds, budget: int, key_col: str = "source",
     session_windows; at corpus scale pre-shard the key (e.g.
     source+date) so each shard chunks independently.
     """
-    import pyarrow.compute as pc
-
     from .. import config
     from .util import arrow_table, coalesced
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
 
     def add_bucket(t: pa.Table) -> pa.Table:
