@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_split_stats": q.q_split_stats,
         "q_distinct_hll": q.q_distinct_hll,
         "q_token_pack": q.q_token_pack,
+        "q_phash_near_dup": q.q_phash_near_dup,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
                                                _WAY_CLS_SQL)
     from osm2shp_ray.sources.fixtures import (cached_audio_meta_parquet,
                                               cached_entities_parquet,
+                                              cached_images_parquet,
                                               cached_video_meta_parquet)
     from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
 
@@ -136,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import POSTPROCESS_IMAGES_N
     entities_pq = cached_entities_parquet(CONVERT_IMAGES_N)
     entities2k_pq = cached_entities_parquet(POSTPROCESS_IMAGES_N)
+    images2k_dir = cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False)
     audio_meta_pq = cached_audio_meta_parquet(AUDIO_CLIPS_N)
     video_meta_pq = cached_video_meta_parquet(VIDEO_CLIPS_N)
 
@@ -438,6 +441,13 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS ({word3_sh}),
             h AS (SELECT DISTINCT doc_id, {h60('g')} AS fp FROM sh)
             SELECT doc_id, fp FROM h WHERE fp % {FP_MOD} = 0""",
+        "q_phash_near_dup": f"""
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM read_parquet('{images2k_dir}/*.parquet') a
+            JOIN read_parquet('{images2k_dir}/*.parquet') b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4""",
         "q_token_pack": r"""
             WITH t AS (SELECT source, doc_id,
                  CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0

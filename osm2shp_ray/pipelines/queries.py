@@ -527,6 +527,19 @@ def q_fingerprints(sf_dir: str):
             .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Image near-dup pairs by perceptual hash over the mandated
+    image table (hamming <= 4 via 5 pigeonhole bands + exact
+    XOR-popcount verify): only (image_id, phash) rows are read and
+    shuffled — pixel payloads never leave storage. Pinned to the
+    2000-image fixture so the all-pairs SQL oracle stays static."""
+    from ..sources.fixtures import cached_images_parquet
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "phash"])
+    return dedup.phash_near_dup_pairs(images)
+
+
 def q_token_pack(sf_dir: str):
     """Sequence packing: per-source docs concatenated in doc_id order
     and cut at a 4096-token budget (text.pack_chunks); output is the

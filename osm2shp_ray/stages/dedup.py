@@ -665,3 +665,66 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding",
              .groupby(["band_id", "band_hash"])
              .map_groups(verify, batch_format="pandas"))
     return _dedup_pairs(pairs)
+
+
+# ------------------------------------------------ perceptual-hash (image)
+
+def phash_near_dup_pairs(ds, phash_col: str = "phash",
+                         id_col: str = "image_id", max_hamming: int = 4):
+    """Near-duplicate IMAGES by 64-bit perceptual hash: 5 band tables
+    (13/13/13/13/12 bits — any pair within hamming distance 4 shares
+    at least one exact band, pigeonhole), exact XOR-popcount verify
+    inside the band group, multi-band hits deduped by _dedup_pairs.
+
+    Same banded shape as simhash_near_dup_pairs, but over the mandated
+    image table's ``phash`` column (BASELINE.json input_hint), so
+    image-level near-dup detection ships only (id, phash) rows through
+    the shuffle — never pixel payloads, never a decode."""
+    shifts = np.array([0, 13, 26, 39, 52], dtype=np.uint64)
+    widths = np.array([13, 13, 13, 13, 12], dtype=np.uint64)
+    n_bands = len(shifts)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ph = t[phash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        masks = (np.uint64(1) << widths) - np.uint64(1)
+        chunks = ((ph[:, None] >> shifts[None, :]) & masks[None, :]).reshape(-1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_bands)),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int64), len(ph)),
+                pa.int64()),
+            "band_hash": pa.array(chunks.astype(np.int64), pa.int64()),
+            "__ph": pa.array(np.repeat(ph.astype(np.int64), n_bands),
+                             pa.int64()),
+        })
+
+    empty = pa.table({"id_a": pa.array([], pa.string()),
+                      "id_b": pa.array([], pa.string()),
+                      "hamming": pa.array([], pa.int64())})
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        m = len(df)
+        if m >= 64:
+            from ..state.metrics import observe_partition
+            observe_partition("phash_band_bucket",
+                              int(df["band_hash"].iloc[0]), m)
+        if m < 2:
+            return empty
+        ph = df["__ph"].to_numpy().astype(np.int64).astype(np.uint64)
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(m, k=1)
+        x = ph[ia] ^ ph[ib]
+        ham = (np.unpackbits(x[:, None].view(np.uint8), axis=1)
+               .sum(axis=1).astype(np.int64))
+        keep = ham <= max_hamming
+        return pa.table({
+            "id_a": pa.array(np.minimum(ids[ia[keep]], ids[ib[keep]])),
+            "id_b": pa.array(np.maximum(ids[ia[keep]], ids[ib[keep]])),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        }).cast(empty.schema)
+
+    pairs = (coalesced(ds).map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"])
+             .map_groups(verify, batch_format="pandas"))
+    return _dedup_pairs(pairs)

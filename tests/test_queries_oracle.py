@@ -72,7 +72,7 @@ SQL_CHECKED = [
     # round 3 additions: sketch + sampling + non-equi range join +
     # sequence packing
     "q_split_stats", "q_distinct_hll", "q_range_join_alerts",
-    "q_token_pack",
+    "q_token_pack", "q_phash_near_dup",
 ]
 
 

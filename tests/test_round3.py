@@ -325,3 +325,32 @@ def test_pack_chunks_semantics(ray_session):
                    ("a", 3): 1,   # run-before 110 -> chunk 1 (oversize doc)
                    ("a", 4): 11,  # run-before 1110
                    ("b", 1): 0, ("b", 2): 0}
+
+
+def test_phash_near_dup_recall_matches_brute_force(ray_session):
+    # planted <=4-bit perturbations MUST all surface (pigeonhole over
+    # 5 bands is complete for hamming <= 4); result equals brute force
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.dedup import phash_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 63, size=300, dtype=np.int64)
+    mutated = base[:50].copy()
+    for i in range(50):
+        flips = rng.choice(64, size=rng.integers(1, 5), replace=False)
+        for f in flips:
+            mutated[i] ^= np.int64(1) << np.int64(int(f))
+    ph = np.concatenate([base, mutated])
+    ids = np.array([f"im-{i:04d}" for i in range(len(ph))])
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in phash_near_dup_pairs(
+        rd.from_arrow(pa.table({"image_id": ids, "phash": ph}))).take_all()}
+
+    u = ph.astype(np.uint64)
+    ia, ib = np.triu_indices(len(u), k=1)
+    ham = np.unpackbits((u[ia] ^ u[ib])[:, None].view(np.uint8),
+                        axis=1).sum(axis=1)
+    keep = ham <= 4
+    want = {(min(ids[a], ids[b]), max(ids[a], ids[b]), int(h))
+            for a, b, h in zip(ia[keep], ib[keep], ham[keep])}
+    assert got == want and len(want) >= 50
