@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table compared exactly; estimate tested in pytest)
         "q_split_stats": q.q_split_stats,
         "q_distinct_hll": q.q_distinct_hll,
+        "q_distinct_hll_grouped": q.q_distinct_hll_grouped,
         "q_token_pack": q.q_token_pack,
         "q_phash_near_dup": q.q_phash_near_dup,
         # composed corpus-cleaning chain (langid + quality + tokens +
@@ -441,6 +442,17 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS ({word3_sh}),
             h AS (SELECT DISTINCT doc_id, {h60('g')} AS fp FROM sh)
             SELECT doc_id, fp FROM h WHERE fp % {FP_MOD} = 0""",
+        "q_distinct_hll_grouped": f"""
+            WITH h AS (SELECT l_returnflag,
+                              {h60('CAST(l_partkey AS VARCHAR)')} AS hv
+                       FROM lineitem),
+            r AS (SELECT l_returnflag, hv >> 51 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 51) - 1) AS rem FROM h)
+            SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(max(CASE WHEN rem = 0 THEN 52
+                                 ELSE 52 - length(bin(rem)) END) AS BIGINT)
+                     AS rho
+            FROM r GROUP BY 1, 2""",
         "q_phash_near_dup": f"""
             SELECT a.image_id AS id_a, b.image_id AS id_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

@@ -581,6 +581,16 @@ def q_distinct_hll(sf_dir: str):
         p=sketch.HLL_P_DEFAULT)
 
 
+def q_distinct_hll_grouped(sf_dir: str):
+    """Grouped HLL: one register set per l_returnflag (distinct
+    l_partkey per flag). Touched registers only — the exchange is
+    (groups x <=512) tiny rows regardless of input size."""
+    from ..stages import sketch
+    return sketch.hll_register_table(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"]),
+        "l_partkey", p=sketch.HLL_P_DEFAULT, group_col="l_returnflag")
+
+
 def q_embed_near_dup(sf_dir: str):
     """Embedding near-dup pairs at cosine >= 0.9 via the EXACT blocked
     all-pairs operator (ann.exact_cosine_pairs) — provably equal to

@@ -86,25 +86,58 @@ def _partial_registers(values, p: int) -> tuple[np.ndarray, np.ndarray]:
     return nz, reg[nz]
 
 
-def hll_register_table(ds, col: str, p: int = HLL_P_DEFAULT):
-    """Dataset of (bucket:int64, rho:int64), exactly 2^p rows (zeros
+def hll_register_table(ds, col: str, p: int = HLL_P_DEFAULT,
+                       group_col: str | None = None):
+    """Dataset of (bucket:int64, rho:int64) — exactly 2^p rows (zeros
     for untouched registers, so the output shape is input-independent
-    and SQL-comparable via a generate_series left join)."""
+    and SQL-comparable via a generate_series left join). With
+    ``group_col``, one register set PER GROUP (group, bucket, rho)
+    with only the group's touched buckets (the zero-fill would need
+    the group list, which is the estimator's job) — per-batch
+    partials still bound the exchange at (groups-in-batch) x 2^p tiny
+    rows, so a grouped distinct-count over 100 TB stays one narrow
+    groupby-max."""
     import ray.data as rd
     from ray.data.aggregate import Max
 
     m = 1 << p
 
-    def partial(t: pa.Table) -> pa.Table:
-        nz, rho = _partial_registers(t[col].to_numpy(zero_copy_only=False), p)
-        return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "rho": pa.array(rho, pa.int64())})
+    if group_col is None:
+        def partial(t: pa.Table) -> pa.Table:
+            nz, rho = _partial_registers(
+                t[col].to_numpy(zero_copy_only=False), p)
+            return pa.table({"bucket": pa.array(nz, pa.int64()),
+                             "rho": pa.array(rho, pa.int64())})
 
-    zeros = rd.from_arrow(pa.table({
-        "bucket": pa.array(np.arange(m), pa.int64()),
-        "rho": pa.array(np.zeros(m, np.int64), pa.int64())}))
-    partials = ds.map_batches(partial, batch_format="pyarrow").union(zeros)
-    return (coalesced(partials).groupby("bucket")
+        zeros = rd.from_arrow(pa.table({
+            "bucket": pa.array(np.arange(m), pa.int64()),
+            "rho": pa.array(np.zeros(m, np.int64), pa.int64())}))
+        partials = ds.map_batches(partial, batch_format="pyarrow").union(zeros)
+        return (coalesced(partials).groupby("bucket")
+                .aggregate(Max("rho", alias_name="rho")))
+
+    def partial_grouped(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        gs, bs, rs = [], [], []
+        for gi, g in enumerate(uniq):
+            nz, rho = _partial_registers(vals[inv == gi], p)
+            gs.append(np.full(len(nz), g))
+            bs.append(nz)
+            rs.append(rho)
+        return pa.table({
+            group_col: pa.array(np.concatenate(gs) if gs else []),
+            "bucket": pa.array(
+                np.concatenate(bs) if bs else np.empty(0, np.int64),
+                pa.int64()),
+            "rho": pa.array(
+                np.concatenate(rs) if rs else np.empty(0, np.int64),
+                pa.int64()),
+        })
+
+    partials = ds.map_batches(partial_grouped, batch_format="pyarrow")
+    return (coalesced(partials).groupby([group_col, "bucket"])
             .aggregate(Max("rho", alias_name="rho")))
 
 

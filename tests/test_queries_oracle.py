@@ -71,8 +71,8 @@ SQL_CHECKED = [
     "q_ivf_partitioned_topk",
     # round 3 additions: sketch + sampling + non-equi range join +
     # sequence packing
-    "q_split_stats", "q_distinct_hll", "q_range_join_alerts",
-    "q_token_pack", "q_phash_near_dup",
+    "q_split_stats", "q_distinct_hll", "q_distinct_hll_grouped",
+    "q_range_join_alerts", "q_token_pack", "q_phash_near_dup",
 ]
 
 

@@ -57,3 +57,22 @@ def test_hll_duplicates_do_not_move_estimate():
     nz2, rho2 = sketch._partial_registers(np.tile(vals, 5),
                                           sketch.HLL_P_DEFAULT)
     assert (nz1 == nz2).all() and (rho1 == rho2).all()
+
+
+def test_grouped_hll_estimates_per_group(ray_session):
+    # per-group registers must estimate each group's OWN cardinality
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_a, n_b = 5000, 300
+    t = pa.table({
+        "v": pa.array(np.concatenate([np.arange(n_a) * 3 + 1,
+                                      np.arange(n_b) * 5 + 2]), pa.int64()),
+        "g": pa.array(["a"] * n_a + ["b"] * n_b),
+    })
+    regs = sketch.hll_register_table(rd.from_arrow(t), "v",
+                                     group_col="g").to_pandas()
+    for g, n in (("a", n_a), ("b", n_b)):
+        part = regs[regs["g"] == g]
+        est = sketch.hll_estimate(part["bucket"].values, part["rho"].values)
+        assert abs(est - n) / n < 0.15, (g, n, est)
