@@ -143,6 +143,10 @@ def run_bench() -> dict:
     t_b, feat_mat = timed(tiled.materialize)
     t_c, feat_mat = timed(tiled.materialize)
     headline = min(t_a, t_b, t_c)
+    if os.environ.get("GRAFT_STATS") == "1":
+        # per-stage wall-time evidence for the headline pipeline
+        # (stderr so the stdout JSON line stays machine-parseable)
+        print(feat_mat.stats(), file=sys.stderr)
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     if headline_only:
         bad, decode_sec = 0, float("nan")
