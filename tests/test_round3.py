@@ -354,3 +354,32 @@ def test_phash_near_dup_recall_matches_brute_force(ray_session):
     want = {(min(ids[a], ids[b]), max(ids[a], ids[b]), int(h))
             for a, b, h in zip(ia[keep], ib[keep], ham[keep])}
     assert got == want and len(want) >= 50
+
+
+def test_range_join_randomized_matches_brute_force(ray_session):
+    # seeded fuzz: arbitrary points/intervals/bin widths must emit
+    # exactly the brute-force containment pairs, each exactly once
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n_p, n_i = rng.integers(1, 200), rng.integers(1, 50)
+        v = rng.integers(-1000, 1000, size=n_p)
+        lo = rng.integers(-1000, 1000, size=n_i)
+        hi = lo + rng.integers(0, 300, size=n_i)
+        bw = int(rng.integers(7, 200))
+        pts = rd.from_arrow(pa.table({
+            "pid": pa.array(np.arange(n_p), pa.int64()),
+            "v": pa.array(v, pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "iid": pa.array(np.arange(n_i), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64())}))
+        out = range_join(pts, ivs, "v", "lo", "hi", ["pid"], ["iid"],
+                         bin_width=bw, max_bins=10**9).take_all()
+        got = sorted((r["pid"], r["iid"]) for r in out)
+        mask = (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
+        want = sorted(zip(*[a.tolist() for a in np.nonzero(mask)]))
+        assert got == want, (trial, bw)
