@@ -539,11 +539,84 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(packed.astype(np.int64), pa.int64()))
 
 
+def _hamming_band_pairs(band_ds, id_col: str, val_col: str,
+                        max_hamming: int, id_type: pa.DataType,
+                        n_buckets: int = 64,
+                        family: str = "hamming_band_bucket"):
+    """(id, band_id, band_hash, value) rows -> exact-hamming pairs.
+
+    ONE coarse groupby on a hashed (band_id, band_hash) % n_buckets
+    bucket — NOT a groupby on the band key itself, which would invoke
+    a Python kernel once per band bucket and scale the per-group
+    dispatch overhead with corpus size (the _dedup_pairs lesson).
+    Inside a bucket, singleton band groups are dropped vectorized;
+    only COLLIDING groups (actual dup clusters) generate pairs, and
+    the XOR-popcount verify over all of a bucket's pairs is one
+    vectorized pass."""
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
+                      "hamming": pa.array([], pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = splitmix64(bid * np.uint64(0x9E3779B97F4A7C15)
+                             ^ splitmix64(bh))
+        return t.append_column("__bb", pa.array(
+            (key % np.uint64(n_buckets)).astype(np.int64), pa.int64()))
+
+    def verify_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) >= 1 << 17:
+            from ..state.metrics import observe_partition
+            observe_partition(family, int(df["__bb"].iloc[0]), len(df))
+        if len(df) < 2:
+            return empty
+        # band_hash < 2^16 and band_id is tiny, so one packed int64
+        # identifies the exact band group
+        code = ((df["band_id"].to_numpy().astype(np.int64) << np.int64(32))
+                | df["band_hash"].to_numpy().astype(np.int64))
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], len(sc)]
+        sizes = ends - starts
+        multi = np.flatnonzero(sizes >= 2)
+        if len(multi) == 0:
+            return empty
+        vals = (df[val_col].to_numpy().astype(np.int64)
+                .astype(np.uint64)[order])
+        ids = df[id_col].to_numpy()[order]
+        ia_parts, ib_parts = [], []
+        for g in multi:  # collision clusters only; pair math stays
+            s, e = starts[g], ends[g]  # vectorized below
+            li, lj = np.triu_indices(e - s, k=1)
+            ia_parts.append(li + s)
+            ib_parts.append(lj + s)
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        x = vals[ia] ^ vals[ib]
+        ham = (np.unpackbits(x[:, None].view(np.uint8), axis=1)
+               .sum(axis=1).astype(np.int64))
+        keep = ham <= max_hamming
+        return pa.table({
+            "id_a": pa.array(np.minimum(ids[ia[keep]], ids[ib[keep]])),
+            "id_b": pa.array(np.maximum(ids[ia[keep]], ids[ib[keep]])),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        }).cast(empty.schema)
+
+    pairs = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__bb").map_groups(verify_bucket,
+                                         batch_format="pandas"))
+    return _dedup_pairs(pairs)
+
+
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3):
     """Near-dup pairs by SimHash: 4 x 16-bit band tables (any pair
     within hamming distance 3 shares at least one exact 16-bit band —
-    pigeonhole), verify exact hamming inside the band group."""
+    pigeonhole), exact-hamming verify via the bucketed
+    _hamming_band_pairs kernel."""
 
     def band_rows(t: pa.Table) -> pa.Table:
         t = simhash_batch(t, text_col)
@@ -560,28 +633,10 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 4), pa.int64()),
         })
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        m = len(df)
-        if m < 2:
-            return arrow_table(pd.DataFrame({
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "hamming": pd.Series(dtype="int64")}))
-        sh = df["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
-        ids = df[id_col].to_numpy()
-        ia, ib = np.triu_indices(m, k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        return arrow_table(pd.DataFrame({
-            "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-            "hamming": ham[keep]}))
-
-    pairs = (coalesced(ds).map_batches(band_rows, batch_format="pyarrow")
-             .groupby(["band_id", "band_hash"])
-             .map_groups(verify, batch_format="pandas"))
-    return _dedup_pairs(pairs)
+    return _hamming_band_pairs(
+        coalesced(ds).map_batches(band_rows, batch_format="pyarrow"),
+        id_col, "simhash", max_hamming, pa.int64(),
+        family="simhash_band_bucket")
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -699,32 +754,7 @@ def phash_near_dup_pairs(ds, phash_col: str = "phash",
                              pa.int64()),
         })
 
-    empty = pa.table({"id_a": pa.array([], pa.string()),
-                      "id_b": pa.array([], pa.string()),
-                      "hamming": pa.array([], pa.int64())})
-
-    def verify(df: pd.DataFrame) -> pa.Table:
-        m = len(df)
-        if m >= 64:
-            from ..state.metrics import observe_partition
-            observe_partition("phash_band_bucket",
-                              int(df["band_hash"].iloc[0]), m)
-        if m < 2:
-            return empty
-        ph = df["__ph"].to_numpy().astype(np.int64).astype(np.uint64)
-        ids = df[id_col].to_numpy()
-        ia, ib = np.triu_indices(m, k=1)
-        x = ph[ia] ^ ph[ib]
-        ham = (np.unpackbits(x[:, None].view(np.uint8), axis=1)
-               .sum(axis=1).astype(np.int64))
-        keep = ham <= max_hamming
-        return pa.table({
-            "id_a": pa.array(np.minimum(ids[ia[keep]], ids[ib[keep]])),
-            "id_b": pa.array(np.maximum(ids[ia[keep]], ids[ib[keep]])),
-            "hamming": pa.array(ham[keep], pa.int64()),
-        }).cast(empty.schema)
-
-    pairs = (coalesced(ds).map_batches(band_rows, batch_format="pyarrow")
-             .groupby(["band_id", "band_hash"])
-             .map_groups(verify, batch_format="pandas"))
-    return _dedup_pairs(pairs)
+    return _hamming_band_pairs(
+        coalesced(ds).map_batches(band_rows, batch_format="pyarrow"),
+        id_col, "__ph", max_hamming, pa.string(),
+        family="phash_band_bucket")
