@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_rect": q.q_pip_rect,
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
+        "q_distance_join": q.q_distance_join,
         "q_snap_dedup": q.q_snap_dedup,
         # text / dedup / similarity pack
         "q_dedup_exact": q.q_dedup_exact,
@@ -123,7 +124,9 @@ def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import (AUDIO_CLIPS_N,
                                                CLASSIFY_RULES_SQL,
                                                CONVERT_IMAGES_N, KNN_Q,
-                                               LAT_MULT, LON_MULT, PIP_RECTS,
+                                               DIST_RADIUS, LAT_MULT,
+                                               LON_MULT, PIP_RECTS,
+                                               SUP_LAT_MULT, SUP_LON_MULT,
                                                VIDEO_CLIPS_N, VIDEO_EVERY_N,
                                                _WAY_CLS_SQL)
     from osm2shp_ray.sources.fixtures import (cached_audio_meta_parquet,
@@ -248,6 +251,11 @@ def oracle_sql() -> dict[str, str]:
            f"((c_custkey * {LAT_MULT}) % 180000000) / 1000000.0 - 90.0 AS y "
            f"FROM customer")
 
+    sup_pts = (f"SELECT s_suppkey, "
+               f"((s_suppkey * {SUP_LON_MULT}) % 360000000) / 1000000.0 - 180.0 AS x, "
+               f"((s_suppkey * {SUP_LAT_MULT}) % 180000000) / 1000000.0 - 90.0 AS y "
+               f"FROM supplier")
+
     cells = (f"SELECT c_custkey, "
              f"((c_custkey * {LON_MULT}) % 360000000) * 8192 // 360000000 AS x13, "
              f"LEAST((180000000 - ((c_custkey * {LAT_MULT}) % 180000000)) * 8192 "
@@ -350,6 +358,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY (x - ({KNN_Q[0]})) * (x - ({KNN_Q[0]}))
                    + (y - ({KNN_Q[1]})) * (y - ({KNN_Q[1]})), c_custkey
             LIMIT 20""",
+        "q_distance_join": f"""
+            SELECT l.c_custkey, r.s_suppkey,
+                   round((l.x - r.x) * (l.x - r.x)
+                       + (l.y - r.y) * (l.y - r.y), 6) AS dist2
+            FROM ({pts}) l CROSS JOIN ({sup_pts}) r
+            WHERE (l.x - r.x) * (l.x - r.x)
+                + (l.y - r.y) * (l.y - r.y) <= {DIST_RADIUS * DIST_RADIUS}""",
         "q_snap_dedup": f"""
             SELECT CAST(floor(x / 0.002) AS BIGINT) AS qx,
                    CAST(floor(y / 0.002) AS BIGINT) AS qy,

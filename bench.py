@@ -191,6 +191,7 @@ def run_bench() -> dict:
         ("q_tile_histogram", q.q_tile_histogram),
         ("q_pip_rect", q.q_pip_rect),
         ("q_knn", q.q_knn),
+        ("q_distance_join", q.q_distance_join),
         ("q_dedup_exact", q.q_dedup_exact),
         ("q_minhash_pairs", q.q_minhash_pairs),
         ("q_ann_topk", q.q_ann_topk),

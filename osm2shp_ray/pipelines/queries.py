@@ -37,6 +37,11 @@ LAT_MULT = 40503
 CELL_RES = 13
 TILE_RES = 6
 KNN_Q = (12.3456785, 34.5678905)
+# distinct multipliers for the supplier side of the distance join so
+# supplier k never coincides with customer k
+SUP_LON_MULT = 1013904223
+SUP_LAT_MULT = 69069
+DIST_RADIUS = 8.0
 
 CLASSIFY_RULES_SQL = """CASE
   WHEN p_size = 1 THEN 'layer_size1'
@@ -426,6 +431,27 @@ def q_knn(sf_dir: str):
                       id_col="c_custkey").to_pandas()
     out = out[["c_custkey", "dist"]]
     return _round_cols(out, ["dist"], 6)
+
+
+def _supplier_points(sf_dir: str):
+    def pts(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        lon_s = (sk * SUP_LON_MULT) % 360000000
+        lat_s = (sk * SUP_LAT_MULT) % 180000000
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "x": pa.array(lon_s / 1e6 - 180.0, pa.float64()),
+                         "y": pa.array(lat_s / 1e6 - 90.0, pa.float64())})
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(pts, batch_format="pyarrow"))
+
+
+def q_distance_join(sf_dir: str):
+    """Within-radius point-point spatial join (grid join: one shuffle,
+    3x3 right-side replication, blocked in-group distance matrix)."""
+    out = spatial.distance_join(
+        _customer_points(sf_dir), _supplier_points(sf_dir), DIST_RADIUS,
+        left_id="c_custkey", right_id="s_suppkey")
+    return out
 
 
 def q_snap_dedup(sf_dir: str):

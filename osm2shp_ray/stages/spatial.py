@@ -521,3 +521,125 @@ def knn_auto(ds, query_lon: float, query_lat: float, k: int,
             return knn(ds, query_lon, query_lat, k, ring=None, res=res,
                        lon_col=lon_col, lat_col=lat_col, id_col=id_col)
         ring *= 4
+
+
+def distance_join(left_ds, right_ds, radius: float,
+                  left_id: str = "left_id", right_id: str = "right_id",
+                  lon_col: str = "x", lat_col: str = "y",
+                  res: int | None = None, ndigits: int = 6,
+                  pair_block: int = 1 << 22):
+    """Within-radius spatial join between two point sets (grid join).
+
+    Returns one row per (left, right) pair with planar squared-degree
+    distance <= radius**2, columns ``(left_id, right_id, dist2)``.
+
+    Scale design (the only one that works at 10^12 rows): pick the
+    finest quadcell resolution whose cell edge is >= ``radius``; key
+    every LEFT point by its own cell, replicate every RIGHT point to
+    its 3x3 cell neighborhood (factor <= 9 on the side the caller
+    should make the smaller one), and co-group with ONE shuffle. Any
+    pair within ``radius`` then lands in exactly one group — the left
+    point's cell — because |cell delta| <= 1 on each axis when the
+    cell edge >= radius. In-group distances are a blocked vectorized
+    matrix (<= ``pair_block`` float ops resident per block), so a hot
+    cell degrades to bounded-memory brute force rather than OOM.
+    Planar semantics (no antimeridian wrap), matching knn()/q_knn.
+
+    Reference analog: the reference has no spatial join at all — its
+    only "join" is the node-ref sqlite lookup
+    (/root/reference/osm/point_database.cc:63-71); this operator is a
+    north_rule §2.8 addition designed Ray-Data-first.
+    """
+    if not (radius > 0):
+        raise ValueError(f"distance_join: radius must be > 0, got {radius}")
+    if res is None:
+        # finest res with lat cell edge (180/2^res) >= radius; lon edge
+        # is 2x that, so both axes are covered by the 3x3 neighborhood
+        res = int(np.floor(np.log2(180.0 / radius))) if radius < 180.0 else 0
+        res = max(0, min(28, res))
+    elif 180.0 / (1 << res) < radius:
+        raise ValueError(f"distance_join: cell edge at res {res} is "
+                         f"smaller than radius {radius}; pairs would be missed")
+    r2 = radius * radius
+    n_grid = np.int64(1) << np.int64(res)
+    lid_type = dict(zip(left_ds.schema().names, left_ds.schema().types))[left_id]
+    rid_type = dict(zip(right_ds.schema().names, right_ds.schema().types))[right_id]
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        cell = cellmod.latlng_to_cell(lat, lon, res).astype(np.int64)
+        return pa.table({
+            "__dcell": pa.array(cell, pa.int64()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__lid": t[left_id],
+            "__rid": pa.nulls(t.num_rows, rid_type),
+            "__px": pa.array(lon, pa.float64()),
+            "__py": pa.array(lat, pa.float64()),
+        })
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        cell = cellmod.latlng_to_cell(lat, lon, res)
+        cx, cy = cellmod.cell_xy(cell)
+        n = t.num_rows
+        # 9 neighbor offsets, vectorized: out-of-grid neighbors dropped
+        # (planar grid, no wrap — consistent with the distance metric)
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), n)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), n)
+        nx = np.tile(cx, 9) + dx
+        ny = np.tile(cy, 9) + dy
+        ok = (nx >= 0) & (nx < n_grid) & (ny >= 0) & (ny < n_grid)
+        src = np.tile(np.arange(n, dtype=np.int64), 9)[ok]
+        ncell = ((np.uint64(res) << np.uint64(58))
+                 | (ny[ok].astype(np.uint64) << np.uint64(29))
+                 | nx[ok].astype(np.uint64)).astype(np.int64)
+        take = pa.array(src, pa.int64())
+        return pa.table({
+            "__dcell": pa.array(ncell, pa.int64()),
+            "__side": pa.array(np.ones(len(src), np.int8)),
+            "__lid": pa.nulls(len(src), lid_type),
+            "__rid": t[right_id].take(take),
+            "__px": pa.array(lon[src], pa.float64()),
+            "__py": pa.array(lat[src], pa.float64()),
+        })
+
+    empty = pa.table({left_id: pa.array([], lid_type),
+                      right_id: pa.array([], rid_type),
+                      "dist2": pa.array([], pa.float64())})
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0))
+        rt = t.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        lx = lt["__px"].to_numpy(zero_copy_only=False)
+        ly = lt["__py"].to_numpy(zero_copy_only=False)
+        rx = rt["__px"].to_numpy(zero_copy_only=False)
+        ry = rt["__py"].to_numpy(zero_copy_only=False)
+        nl, nr = len(lx), len(rx)
+        step = max(1, pair_block // max(1, nr))
+        out = []
+        for s in range(0, nl, step):
+            e = min(nl, s + step)
+            ddx = lx[s:e, None] - rx[None, :]
+            ddy = ly[s:e, None] - ry[None, :]
+            d2 = ddx * ddx + ddy * ddy
+            li, ri = np.nonzero(d2 <= r2)
+            if len(li) == 0:
+                continue
+            out.append(pa.table({
+                left_id: lt["__lid"].take(pa.array(li + s, pa.int64())),
+                right_id: rt["__rid"].take(pa.array(ri, pa.int64())),
+                "dist2": pa.array(np.round(d2[li, ri], ndigits), pa.float64()),
+            }))
+        if not out:
+            return empty
+        return pa.concat_tables(out)
+
+    unioned = (left_ds.map_batches(prep_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(prep_right, batch_format="pyarrow")))
+    return (coalesced(unioned).groupby("__dcell")
+            .map_groups(join_group, batch_format="pyarrow"))

@@ -383,3 +383,43 @@ def test_range_join_randomized_matches_brute_force(ray_session):
         mask = (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
         want = sorted(zip(*[a.tolist() for a in np.nonzero(mask)]))
         assert got == want, (trial, bw)
+
+
+def test_distance_join_matches_brute_force(ray_session):
+    """Grid distance join == brute-force all-pairs, fuzzed across radii
+    (incl. a radius forcing res=0 full cross) and grid-edge points."""
+    from osm2shp_ray.stages.spatial import distance_join
+    rng = np.random.default_rng(42)
+    nl, nr = 300, 120
+    lx = rng.uniform(-180, 180, nl).round(6)
+    ly = rng.uniform(-90, 90, nl).round(6)
+    rx = rng.uniform(-180, 180, nr).round(6)
+    ry = rng.uniform(-90, 90, nr).round(6)
+    # pin some points on grid/world edges
+    lx[:3], ly[:3] = [-180.0, 179.999999, 0.0], [-90.0, 90.0, 0.0]
+    rx[:3], ry[:3] = [-179.5, 179.5, 0.25], [-89.7, 89.9, -0.25]
+    left = rd.from_arrow(__import__("pyarrow").table(
+        {"lid": np.arange(nl, dtype=np.int64), "x": lx, "y": ly}))
+    right = rd.from_arrow(__import__("pyarrow").table(
+        {"rid": np.arange(nr, dtype=np.int64), "x": rx, "y": ry}))
+    for radius in (0.5, 7.3, 200.0):
+        d2 = ((lx[:, None] - rx[None, :]) ** 2
+              + (ly[:, None] - ry[None, :]) ** 2)
+        li, ri = np.nonzero(d2 <= radius * radius)
+        want = set(zip(li.tolist(), ri.tolist()))
+        got_df = distance_join(left, right, radius, left_id="lid",
+                               right_id="rid").to_pandas()
+        got = set(zip(got_df["lid"].tolist(), got_df["rid"].tolist()))
+        assert got == want, (radius, len(got), len(want))
+        assert len(got_df) == len(got)  # no duplicate pairs
+
+
+def test_distance_join_rejects_bad_args(ray_session):
+    from osm2shp_ray.stages.spatial import distance_join
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"lid": [1], "x": [0.0], "y": [0.0]}))
+    with pytest.raises(ValueError):
+        distance_join(ds, ds, 0.0, left_id="lid", right_id="lid")
+    with pytest.raises(ValueError):
+        # res 10 cell edge (0.176 deg) < radius 1.0 -> must refuse
+        distance_join(ds, ds, 1.0, left_id="lid", right_id="lid", res=10)
