@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash split + HLL distinct sketch (register
         # table compared exactly; estimate tested in pytest)
         "q_split_stats": q.q_split_stats,
+        "q_quantile_sketch": q.q_quantile_sketch,
         "q_distinct_hll": q.q_distinct_hll,
         "q_distinct_hll_grouped": q.q_distinct_hll_grouped,
         "q_token_pack": q.q_token_pack,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
                                                CONVERT_IMAGES_N, KNN_Q,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
+                                               QSKETCH_QS, QSKETCH_W,
                                                SUP_LAT_MULT, SUP_LON_MULT,
                                                VIDEO_CLIPS_N, VIDEO_EVERY_N,
                                                _WAY_CLS_SQL)
@@ -498,6 +500,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM s GROUP BY 1, 2""",
+        "q_quantile_sketch": f"""
+            WITH h AS (SELECT l_returnflag,
+                              CAST(floor(l_extendedprice / {QSKETCH_W}) AS BIGINT) AS bin,
+                              count(*) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            cum AS (SELECT l_returnflag, bin,
+                           sum(c) OVER (PARTITION BY l_returnflag
+                                        ORDER BY bin) AS cum,
+                           sum(c) OVER (PARTITION BY l_returnflag) AS n
+                    FROM h),
+            qs(q) AS (VALUES {", ".join(f"({v})" for v in QSKETCH_QS)})
+            SELECT c.l_returnflag, CAST(qs.q AS DOUBLE) AS q,
+                   round((min(c.bin) + 1.0) * {QSKETCH_W}, 6) AS approx
+            FROM cum c CROSS JOIN qs
+            WHERE c.cum >= ceil(CAST(qs.q AS DOUBLE) * c.n)
+            GROUP BY 1, 2""",
         "q_distinct_hll": f"""
             WITH h AS (SELECT {h60('CAST(l_partkey AS VARCHAR)')} AS hv
                        FROM lineitem),

@@ -596,6 +596,21 @@ def q_split_stats(sf_dir: str):
             .aggregate(Count(alias_name="n_docs")))
 
 
+QSKETCH_W = 250.0
+QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable binned-quantile sketch (abs error < 250.0) over
+    l_extendedprice per l_returnflag — one narrow (group, bin, count)
+    exchange instead of a sort shuffle; quantiles read off each
+    group's cumulative histogram in a map_groups kernel."""
+    from ..stages import sketch
+    return sketch.binned_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"]),
+        "l_extendedprice", QSKETCH_QS, QSKETCH_W, group_col="l_returnflag")
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct l_partkey sketch, emitted as the full
     2^p register table (bucket, rho) so the oracle compares exact

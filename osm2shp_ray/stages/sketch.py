@@ -153,3 +153,85 @@ def hll_estimate(buckets, rhos, p: int = HLL_P_DEFAULT) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def binned_quantiles(ds, col: str, qs, bin_width: float,
+                     group_col: str | None = None, ndigits: int = 6):
+    """Mergeable one-pass approximate quantiles (fixed-width histogram
+    sketch): absolute error < ``bin_width``, no sort shuffle.
+
+    Per batch, values fold to ``floor(v / bin_width)`` bin counts, so
+    a 100-TB column reduces to (domain / bin_width) tiny (bin, count)
+    partials per block and ONE narrow groupby-sum — the same
+    partial-aggregate shape as the HLL sketch above. Quantiles are
+    then read off each (group's) cumulative histogram inside a
+    map_groups kernel (never on the driver): the reported value for
+    quantile q is the UPPER EDGE ``(bin+1)*bin_width`` of the first
+    bin whose cumulative count reaches ``ceil(q*n)`` (float
+    arithmetic, reproducible bit-for-bit in SQL).
+
+    Choose ``bin_width`` from the column's domain: bins-resident
+    per group is domain/bin_width — keep it <= ~1e6. For exact
+    quantiles on small groups use the sort-based per-group path
+    (pipelines.queries.q_quantiles_by_user) instead.
+    """
+    if not (bin_width > 0):
+        raise ValueError(f"binned_quantiles: bin_width must be > 0, "
+                         f"got {bin_width}")
+    from ray.data.aggregate import Sum
+
+    qarr = np.asarray(list(qs), np.float64)
+    gname = group_col or "__g"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / bin_width).astype(np.int64)
+        if group_col is None:
+            ub, c = np.unique(b, return_counts=True)
+            return pa.table({gname: pa.array(np.zeros(len(ub), np.int64)),
+                             "bin": pa.array(ub, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        # composite (group, bin) run-length count without a python loop
+        order = np.lexsort((b, inv))
+        bi, gi = b[order], inv[order]
+        new = np.empty(len(bi), bool)
+        if len(bi):
+            new[0] = True
+            new[1:] = (bi[1:] != bi[:-1]) | (gi[1:] != gi[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(bi)))
+        return pa.table({gname: pa.array(ug[gi[starts]]),
+                         "bin": pa.array(bi[starts], pa.int64()),
+                         "c": pa.array(counts, pa.int64())})
+
+    hist = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby([gname, "bin"]).aggregate(Sum("c", alias_name="c")))
+
+    gtype = (pa.int64() if group_col is None
+             else dict(zip(ds.schema().names, ds.schema().types))[group_col])
+    out_schema = pa.schema([(gname, gtype), ("q", pa.float64()),
+                            ("approx", pa.float64())])
+
+    def quantiles_of_group(t: pa.Table) -> pa.Table:
+        bins = t["bin"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bins)
+        bins, c = bins[order], c[order]
+        cum = np.cumsum(c)
+        n = cum[-1]
+        ranks = np.ceil(qarr * float(n))
+        idx = np.searchsorted(cum, ranks, side="left")
+        idx = np.minimum(idx, len(bins) - 1)
+        approx = np.round((bins[idx] + 1.0) * bin_width, ndigits)
+        return pa.table({gname: t[gname].take(pa.array([0] * len(qarr))),
+                         "q": pa.array(qarr, pa.float64()),
+                         "approx": pa.array(approx, pa.float64())},
+                        schema=out_schema)
+
+    out = hist.groupby(gname).map_groups(quantiles_of_group,
+                                         batch_format="pyarrow")
+    if group_col is None:
+        out = out.drop_columns([gname])
+    return out

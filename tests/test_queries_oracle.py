@@ -73,7 +73,7 @@ SQL_CHECKED = [
     # sequence packing
     "q_split_stats", "q_distinct_hll", "q_distinct_hll_grouped",
     "q_range_join_alerts", "q_token_pack", "q_phash_near_dup",
-    "q_distance_join",
+    "q_distance_join", "q_quantile_sketch",
 ]
 
 

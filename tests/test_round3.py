@@ -423,3 +423,29 @@ def test_distance_join_rejects_bad_args(ray_session):
     with pytest.raises(ValueError):
         # res 10 cell edge (0.176 deg) < radius 1.0 -> must refuse
         distance_join(ds, ds, 1.0, left_id="lid", right_id="lid", res=10)
+
+
+def test_binned_quantiles_error_bound(ray_session):
+    """Sketch quantiles are within one bin_width of exact quantiles,
+    grouped and ungrouped; bad width rejected."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import binned_quantiles
+    rng = np.random.default_rng(7)
+    v = rng.gamma(2.0, 150.0, 20000)
+    g = rng.choice(["a", "b"], 20000)
+    ds = rd.from_arrow(pa.table({"v": v, "g": g}))
+    W = 25.0
+    qs = (0.1, 0.5, 0.9)
+    out = binned_quantiles(ds, "v", qs, W, group_col="g").to_pandas()
+    assert len(out) == 6
+    for (grp, q), approx in out.set_index(["g", "q"])["approx"].items():
+        exact = np.quantile(v[g == grp], q)
+        assert exact - W <= approx <= exact + W, (grp, q, approx, exact)
+    flat = binned_quantiles(ds, "v", qs, W).to_pandas()
+    assert list(sorted(flat.columns)) == ["approx", "q"]
+    assert len(flat) == 3
+    for q, approx in flat.set_index("q")["approx"].items():
+        exact = np.quantile(v, q)
+        assert exact - W <= approx <= exact + W
+    with pytest.raises(ValueError):
+        binned_quantiles(ds, "v", qs, 0.0)
