@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled via engine-independent fixture side tables
         # (entities / clip metadata written at fixture time)
         "q_convert_images": q.q_convert_images,
+        "q_way_length": q.q_way_length,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -664,6 +665,31 @@ def oracle_sql() -> dict[str, str]:
               AND list_sum(list_transform(range(1, len(fx)), j ->
                     abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
             GROUP BY layer""",
+        # per-layer geometry-length analytics over the same assembled
+        # ways: sqrt is IEEE-correctly-rounded so every per-segment
+        # length matches the engine bit-for-bit; the per-layer sum is
+        # rounded to 4 decimals on both sides
+        "q_way_length": f"""
+            WITH e AS ({img_entities(entities2k_pq)}),
+            {IMG_WAY_CLS},
+            ways AS (
+              SELECT l.way_id, l.layer,
+                     list(e.lon ORDER BY e.pos) AS xs,
+                     list(e.lat ORDER BY e.pos) AS ys
+              FROM wl l JOIN e USING (way_id)
+              WHERE l.layer IS NOT NULL
+              GROUP BY l.way_id, l.layer),
+            seg AS (
+              SELECT layer, len(xs) AS nv,
+                     CASE WHEN len(xs) < 2 THEN 0.0 ELSE
+                       list_sum(list_transform(range(1, len(xs)), j ->
+                         sqrt((xs[j+1]-xs[j])*(xs[j+1]-xs[j])
+                            + (ys[j+1]-ys[j])*(ys[j+1]-ys[j])))) END AS L
+              FROM ways)
+            SELECT layer, CAST(count(*) AS BIGINT) AS n_ways,
+                   CAST(sum(nv) AS BIGINT) AS n_vertices,
+                   round(sum(L), 4) AS total_len
+            FROM seg GROUP BY layer""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

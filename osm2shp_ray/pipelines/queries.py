@@ -770,6 +770,46 @@ def q_postprocess_ways(sf_dir: str):
     return cleaned.groupby("layer").aggregate(Count(alias_name="n"))
 
 
+def q_way_length(sf_dir: str):
+    """Per-layer geometry-length analytics over the mandated image
+    fixture: adapter -> classify -> distributed join -> assembled
+    ways -> planar polyline length / way count / vertex count per
+    SINK layer. The length combiner (geometry.length_partial_batch)
+    pre-aggregates inside each batch, so the groupby exchanges
+    O(layers) rows at any corpus size; the rule->sink re-aggregation
+    happens on the <= n_rules result table. SQL oracle re-derives the
+    same sums from the entities side table (sqrt is IEEE-exact; the
+    per-layer sum is rounded to 4 decimals on both sides)."""
+    from ..sources.fixtures import (cached_entities_parquet,
+                                    cached_images_parquet)
+    from ..stages import geometry
+    from ..stages.classify import classify_ways_batch, layer_name_col
+    from ..stages.join import resolve_ways
+    from . import adapter
+    cached_entities_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "caption", "phash"])
+    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
+    assembled = resolve_ways(nodes, classified, n_buckets=16)
+    agg = (assembled
+           .map_batches(geometry.length_partial_batch, batch_format="pyarrow")
+           .groupby("layer_idx")
+           .aggregate(Sum("part_len", alias_name="total_len"),
+                      Sum("part_ways", alias_name="n_ways"),
+                      Sum("part_verts", alias_name="n_vertices"))).to_pandas()
+    # rule index -> sink layer name (two rules can share one sink);
+    # re-sum on the tiny (<= n_rules)-row result, THEN round
+    agg["layer"] = layer_name_col(
+        agg["layer_idx"].to_numpy()).to_pylist()
+    out = (agg.groupby("layer", as_index=False)
+           .agg(total_len=("total_len", "sum"), n_ways=("n_ways", "sum"),
+                n_vertices=("n_vertices", "sum")))
+    return _round_cols(out[["layer", "n_ways", "n_vertices", "total_len"]],
+                       ["total_len"])
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows (30 min) over the event log."""
     from ..stages.temporal import session_windows

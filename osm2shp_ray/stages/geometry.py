@@ -196,6 +196,60 @@ def drop_degenerate_batch(batch: pa.Table) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+# ------------------------------------------------------ length analytics
+
+def length_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-layer polyline-length partial over assembled ways
+    (way_id, layer_idx, xs, ys) -> at most n_layers rows per batch:
+    (layer_idx, part_len, part_ways, part_verts).
+
+    The analytic the reference user gets from the shapefile output
+    (per-layer feature stats over osm2shp's arc layers,
+    /root/reference/osm/shapefile.cc:41-49 writes vertices verbatim)
+    expressed as a combiner: segment lengths are planar Euclidean
+    (sqrt is IEEE-correctly-rounded, so DuckDB reproduces every
+    per-segment value bit-identically), summed per layer INSIDE the
+    batch so the wide exchange carries O(layers) rows regardless of
+    input size. Vectorized over the flattened list buffers — the
+    phantom segments that span consecutive ways are masked, never
+    looped."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    empty = pa.table({"layer_idx": pa.array([], pa.int64()),
+                      "part_len": pa.array([], pa.float64()),
+                      "part_ways": pa.array([], pa.int64()),
+                      "part_verts": pa.array([], pa.int64())})
+    n = len(batch)
+    if n == 0:
+        return empty
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    layer_idx = batch["layer_idx"].to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    uq, inv = np.unique(layer_idx, return_inverse=True)
+    part_ways = np.bincount(inv, minlength=len(uq))
+    part_verts = np.bincount(inv, weights=counts.astype(np.float64),
+                             minlength=len(uq)).astype(np.int64)
+    if len(fx) >= 2:
+        seg = np.sqrt(np.diff(fx) ** 2 + np.diff(fy) ** 2)
+        cross = offsets[1:-1] - 1
+        cross = cross[(cross >= 0) & (cross < len(seg))]
+        seg[cross] = 0.0
+        vert_way = np.repeat(np.arange(n), counts)
+        seg_layer = inv[vert_way[: len(seg)]]
+        part_len = np.bincount(seg_layer, weights=seg, minlength=len(uq))
+    else:
+        part_len = np.zeros(len(uq))
+    return pa.table({
+        "layer_idx": pa.array(uq.astype(np.int64), pa.int64()),
+        "part_len": pa.array(part_len, pa.float64()),
+        "part_ways": pa.array(part_ways.astype(np.int64), pa.int64()),
+        "part_verts": pa.array(part_verts, pa.int64()),
+    })
+
+
 # ------------------------------------------------------------ P5: break
 
 def _piece_id(way_id: int, piece: int) -> int:

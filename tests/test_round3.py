@@ -449,3 +449,28 @@ def test_binned_quantiles_error_bound(ray_session):
         assert exact - W <= approx <= exact + W
     with pytest.raises(ValueError):
         binned_quantiles(ds, "v", qs, 0.0)
+
+
+def test_length_partial_batch_combiner():
+    """Per-layer length partial: masks phantom cross-way segments,
+    counts ways/vertices per layer, and sums exactly what a per-way
+    loop would."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.geometry import length_partial_batch
+    xs = [[0.0, 3.0, 3.0], [1.0, 1.0], [5.0, 5.0, 6.0, 6.0]]
+    ys = [[0.0, 4.0, 5.0], [2.0, 9.0], [0.0, 1.0, 1.0, 0.0]]
+    t = pa.table({"way_id": [1, 2, 3],
+                  "layer_idx": pa.array([0, 1, 0], pa.int8()),
+                  "xs": pa.array(xs, pa.list_(pa.float64())),
+                  "ys": pa.array(ys, pa.list_(pa.float64()))})
+    out = length_partial_batch(t).to_pandas().set_index("layer_idx")
+    assert out.loc[0, "part_ways"] == 2
+    assert out.loc[0, "part_verts"] == 7
+    assert abs(out.loc[0, "part_len"] - (5.0 + 1.0 + 3.0)) < 1e-12
+    assert out.loc[1, "part_ways"] == 1
+    assert out.loc[1, "part_verts"] == 2
+    assert abs(out.loc[1, "part_len"] - 7.0) < 1e-12
+    empty = length_partial_batch(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["layer_idx", "part_len", "part_ways",
+                                  "part_verts"]
