@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (entities / clip metadata written at fixture time)
         "q_convert_images": q.q_convert_images,
         "q_way_length": q.q_way_length,
+        "q_bm25_topk": q.q_bm25_topk,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -244,6 +245,23 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(
                     CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
                     e.vec_id) <= 10"""
+
+    # BM25: per-term tf/df/idf expressions generated from the SAME
+    # term tuple the engine scores with; arithmetic written in the
+    # engine's evaluation order so everything but ln() is bit-exact
+    # (ln is within 1 ulp; the output rounds to 4 decimals)
+    from osm2shp_ray.pipelines.queries import BM25_K, BM25_TERMS
+    bm25_tf = ", ".join(
+        f"len(list_filter(t, x -> x = '{tm}'))::DOUBLE AS tf_{i}"
+        for i, tm in enumerate(BM25_TERMS))
+    bm25_df = ", ".join(
+        f"sum(CASE WHEN list_contains(t, '{tm}') THEN 1 ELSE 0 END)::DOUBLE"
+        f" AS df_{i}" for i, tm in enumerate(BM25_TERMS))
+    bm25_score = " + ".join(
+        f"(ln((st.n - df.df_{i} + 0.5) / (df.df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * (1.2 + 1.0))"
+        f" / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)))"
+        for i in range(len(BM25_TERMS)))
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -665,6 +683,17 @@ def oracle_sql() -> dict[str, str]:
               AND list_sum(list_transform(range(1, len(fx)), j ->
                     abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
             GROUP BY layer""",
+        "q_bm25_topk": f"""
+            WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),
+                         '[a-z0-9_]+') AS t FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n,
+                          sum(len(t))::DOUBLE / count(*) AS avgdl FROM tok),
+            df AS (SELECT {bm25_df} FROM tok),
+            sc AS (SELECT doc_id, {bm25_score} AS raw
+                   FROM (SELECT doc_id, len(t)::DOUBLE AS dl, {bm25_tf}
+                         FROM tok) CROSS JOIN st CROSS JOIN df)
+            SELECT doc_id, round(raw, 4) AS score FROM sc
+            ORDER BY raw DESC, doc_id LIMIT {BM25_K}""",
         # per-layer geometry-length analytics over the same assembled
         # ways: sqrt is IEEE-correctly-rounded so every per-segment
         # length matches the engine bit-for-bit; the per-layer sum is

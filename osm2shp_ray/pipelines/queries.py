@@ -553,6 +553,24 @@ def q_fingerprints(sf_dir: str):
             .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
+BM25_TERMS = ("hash", "join", "spark")
+BM25_K = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 documents for a fixed 3-term query: distributed
+    corpus stats (O(terms)-row exchange), broadcast idf, per-block
+    tie-widened partial top-k; the global reduce sorts only the
+    per-block candidates. Score rounded to 4 decimals AFTER the
+    selection (both engines select on the raw score)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = text.bm25_topk(ds, list(BM25_TERMS), k=BM25_K).to_pandas()
+    cand = cand.sort_values(["raw", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(BM25_K)
+    return pd.DataFrame({"doc_id": cand["doc_id"].to_numpy(),
+                         "score": cand["raw"].round(4).to_numpy()})
+
+
 def q_phash_near_dup(sf_dir: str):
     """Image near-dup pairs by perceptual hash over the mandated
     image table (hamming <= 4 via 5 pigeonhole bands + exact

@@ -184,6 +184,99 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fingerprint", pa.ListArray.from_arrays(off, vals))
 
 
+# ------------------------------------------------------------- BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _token_lists(col) -> pl.Series:
+    return _series(col).str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = BM25_K1,
+              b: float = BM25_B):
+    """Okapi BM25 top-k document search for a fixed term list, fully
+    streaming at any corpus size:
+
+    Pass 1 (corpus stats): per-batch partials pre-aggregated to
+    |terms|+1 rows (per-term document frequency + doc/length totals),
+    so the stats groupby exchanges O(terms) rows per block and the
+    reduced table — a few rows by construction — is the only driver
+    materialization.
+    Pass 2 (scoring): idf weights broadcast once via ray.put;
+    per-batch vectorized tf via polars list.count_matches; tie-widened
+    partial top-k per block (the ann._topk_ids pattern) so the final
+    reduce sees <= k rows per block, never the corpus.
+
+    Float contract with the SQL oracle: every arithmetic step is
+    ordered exactly as the mirrored SQL expression (left-assoc * and /,
+    per-term sum in declaration order); the only non-identical
+    primitive is ln(), identical within 1 ulp on both engines and
+    swallowed by the caller's 4-decimal rounding.
+
+    Returns the per-block candidate Dataset (id_col, raw); the caller
+    finishes with the tiny global (-raw, id) top-k.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    terms = list(terms)
+    if not terms or k <= 0:
+        raise ValueError("bm25_topk needs a non-empty term list and k > 0")
+    STAT = "\x00stats"
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tok = _token_lists(t[text_col])
+        dl = tok.list.len().cast(pl.Int64).to_numpy()
+        dfs = [int(tok.list.contains(term).sum() or 0) for term in terms]
+        return pa.table({
+            "term": pa.array([STAT] + terms, pa.string()),
+            "df": pa.array([0] + dfs, pa.int64()),
+            "n_docs": pa.array([len(dl)] + [0] * len(terms), pa.int64()),
+            "dl_sum": pa.array([int(dl.sum())] + [0] * len(terms),
+                               pa.int64()),
+        })
+
+    stats = (ds.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("term")
+             .aggregate(_Sum("df", alias_name="df"),
+                        _Sum("n_docs", alias_name="n_docs"),
+                        _Sum("dl_sum", alias_name="dl_sum"))
+             .take_all())  # <= |terms|+1 rows by construction
+    by_term = {r["term"]: r for r in stats}
+    n = float(by_term[STAT]["n_docs"])
+    if n == 0:
+        raise ValueError("bm25_topk over an empty corpus")
+    avgdl = by_term[STAT]["dl_sum"] / n
+    idf = np.array([np.log((n - by_term[t]["df"] + 0.5)
+                           / (by_term[t]["df"] + 0.5) + 1.0)
+                    for t in terms])
+    state = ray.put((terms, idf, float(avgdl)))
+
+    def score_block(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        from .ann import _topk_ids
+        terms_, idf_, avgdl_ = _ray.get(state)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "raw": pa.array([], pa.float64())})
+        tok = _token_lists(t[text_col])
+        dl = tok.list.len().cast(pl.Int64).to_numpy().astype(np.float64)
+        denom = k1 * (1.0 - b + b * dl / avgdl_)
+        s = np.zeros(len(dl))
+        for term, w in zip(terms_, idf_):
+            tf = tok.list.count_matches(term).to_numpy().astype(np.float64)
+            s = s + w * (tf * (k1 + 1.0)) / (tf + denom)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sel = _topk_ids(s, ids, min(k, len(s)))
+        return pa.table({id_col: pa.array(ids[sel], pa.int64()),
+                         "raw": pa.array(s[sel], pa.float64())})
+
+    return ds.map_batches(score_block, batch_format="pyarrow")
+
+
 def pack_chunks(ds, budget: int, key_col: str = "source",
                 id_col: str = "doc_id", n_tokens_col: str = "n_tokens",
                 n_buckets: int | None = None):

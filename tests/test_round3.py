@@ -474,3 +474,38 @@ def test_length_partial_batch_combiner():
     assert empty.num_rows == 0
     assert empty.column_names == ["layer_idx", "part_len", "part_ways",
                                   "part_verts"]
+
+
+def test_bm25_matches_local_reference(ray_session):
+    """BM25 top-k equals a single-process numpy reference over the
+    same corpus (same tokenizer, Robertson idf, k1/b defaults), and
+    rejects empty term lists."""
+    import re
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import bm25_topk
+    docs = ["spark join hash", "hash hash hash join", "nothing here",
+            "join the spark", "spark spark join hash table scan",
+            "", "HASH Join SPARK", "a b c d e f g h i j k"] * 3
+    ids = list(range(len(docs)))
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+    terms = ["hash", "spark"]
+    got = (bm25_topk(ds, terms, k=5).to_pandas()
+           .sort_values(["raw", "doc_id"], ascending=[False, True])
+           .head(5))
+    toks = [re.findall(r"[a-z0-9_]+", d.lower()) for d in docs]
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    n = float(len(docs))
+    avgdl = dl.sum() / n
+    score = np.zeros(len(docs))
+    for tm in terms:
+        df_ = float(sum(tm in t for t in toks))
+        w = np.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        tf = np.array([t.count(tm) for t in toks], dtype=np.float64)
+        score += w * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    order = sorted(range(len(docs)), key=lambda i: (-score[i], i))[:5]
+    assert got["doc_id"].tolist() == order
+    assert np.allclose(got["raw"].to_numpy(), score[order], atol=1e-12)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, [], k=5)
+    with pytest.raises(ValueError):
+        bm25_topk(ds, terms, k=0)
