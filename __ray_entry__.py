@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_convert_images": q.q_convert_images,
         "q_way_length": q.q_way_length,
         "q_bm25_topk": q.q_bm25_topk,
+        "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -262,6 +263,44 @@ def oracle_sql() -> dict[str, str]:
         f" * (tf_{i} * (1.2 + 1.0))"
         f" / (tf_{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / st.avgdl)))"
         for i in range(len(BM25_TERMS)))
+
+    # k-means: the SQL mirror unrolls the engine's KM_ITERS Lloyd
+    # iterations as CTE pairs (assign a{t}, update c{t}); centroids
+    # quantize to KM_QUANT decimals on both sides, which absorbs the
+    # partial-sum-vs-avg() float ordering difference (~1e-13 on a 1e-4
+    # grid; decimal half-way points are not dyadic, so the two round()
+    # implementations can never disagree either)
+    from osm2shp_ray.pipelines.queries import (KM_DIMS, KM_ITERS, KM_K,
+                                               KM_QUANT)
+    km_dims = range(1, KM_DIMS + 1)
+    km_ev = ("SELECT vec_id, "
+             + ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS e{i}"
+                         for i in km_dims)
+             + " FROM embeddings")
+    km_c0 = ("SELECT CAST(vec_id AS BIGINT) AS cluster, "
+             + ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS c{i}"
+                         for i in km_dims)
+             + f" FROM embeddings WHERE vec_id < {KM_K}")
+    km_dist = " + ".join(f"(ev.e{i} - c.c{i}) * (ev.e{i} - c.c{i})"
+                         for i in km_dims)
+
+    def km_assign(ct: str) -> str:
+        return (f"SELECT vec_id, cluster FROM (SELECT ev.vec_id, "
+                f"c.cluster, {km_dist} AS d2 FROM ev CROSS JOIN {ct} c) q "
+                f"QUALIFY row_number() OVER (PARTITION BY vec_id "
+                f"ORDER BY d2, cluster) = 1")
+
+    km_ctes = [f"ev AS ({km_ev})", f"c0 AS ({km_c0})"]
+    for t in range(1, KM_ITERS + 1):
+        km_ctes.append(f"a{t} AS ({km_assign(f'c{t - 1}')})")
+        km_ctes.append(
+            f"c{t} AS (SELECT a.cluster, "
+            + ", ".join(f"round(avg(ev.e{i}), {KM_QUANT}) AS c{i}"
+                        for i in km_dims)
+            + f" FROM a{t} a JOIN ev ON a.vec_id = ev.vec_id"
+            f" GROUP BY a.cluster)")
+    km_sql = ("WITH " + ",\n".join(km_ctes) + "\n"
+              + km_assign(f"c{KM_ITERS}"))
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -683,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
               AND list_sum(list_transform(range(1, len(fx)), j ->
                     abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
             GROUP BY layer""",
+        "q_kmeans_clusters": km_sql,
         "q_bm25_topk": f"""
             WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),
                          '[a-z0-9_]+') AS t FROM documents),

@@ -203,6 +203,7 @@ def run_bench() -> dict:
         ("q_distinct_hll", q.q_distinct_hll),
         ("q_range_join_alerts", q.q_range_join_alerts),
         ("q_bm25_topk", q.q_bm25_topk),
+        ("q_kmeans_clusters", q.q_kmeans_clusters),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

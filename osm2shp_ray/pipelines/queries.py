@@ -553,6 +553,25 @@ def q_fingerprints(sf_dir: str):
             .map_batches(text.fingerprint_modp_batch, batch_format="pyarrow"))
 
 
+KM_K = 8        # k-means clusters (deliberately != the 10 planted labels)
+KM_ITERS = 3    # Lloyd iterations (the SQL mirror unrolls these)
+KM_QUANT = 4    # centroid quantization decimals (see ann.kmeans)
+KM_DIMS = 64    # fixture embedding dimension (all SFs)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table: init =
+    embeddings of vec_id < k, 3 iterations of broadcast-centroid
+    assignment + O(k*d)-row partial-sum exchange, centroids quantized
+    to 4 decimals each update (what makes the unrolled SQL mirror
+    hash-exact); output is the final (vec_id, cluster) assignment."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init = _fetch_vecs(emb, list(range(KM_K)))
+    assert init.shape[1] == KM_DIMS
+    _, _, out = ann.kmeans(emb, init, iters=KM_ITERS, quant=KM_QUANT)
+    return out
+
+
 BM25_TERMS = ("hash", "join", "spark")
 BM25_K = 20
 

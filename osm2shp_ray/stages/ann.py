@@ -310,3 +310,92 @@ def _ivf_search(indexed_ds, qn: np.ndarray, probes: np.ndarray,
         return arrow_table(df.head(k))
 
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------- k-means
+
+def kmeans(ds, init: np.ndarray, iters: int, vec_col: str = "embedding",
+           id_col: str = "vec_id", quant: int = 4):
+    """Distributed Lloyd k-means over an embedding column: per-batch
+    assignment against broadcast centroids (one ray.put per
+    iteration), per-cluster partial sums flattened to (cluster, dim,
+    s) rows — at most k*(d+1) rows PER BATCH, so each iteration's
+    exchange is O(k*d), never O(rows) — then a tiny groupby-sum and a
+    driver-side centroid update on the k*(d+1)-row result.
+
+    Centroids are QUANTIZED to ``quant`` decimals after every update.
+    That makes the operator SQL-mirrorable under a value-hash gate:
+    distributed partial-sum ordering differs from a sequential SQL
+    avg() by ~1e-13, which the 1e-4 grid absorbs, and decimal
+    half-way points are not representable in binary floats so
+    round-half modes can never disagree. Empty clusters are dropped
+    (exactly as a SQL GROUP BY re-derivation drops them).
+
+    Returns (cluster_ids: int64 array, centroids: (k', d) float64,
+    assignment Dataset (id_col, cluster)) — the assignment is the
+    final argmin under the last centroid set, streaming.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    C = np.asarray(init, dtype=np.float64)
+    if C.ndim != 2 or len(C) == 0 or iters < 0:
+        raise ValueError("kmeans needs a (k, d) init and iters >= 0")
+    d = C.shape[1]
+    cids = np.arange(len(C), dtype=np.int64)
+
+    def make_partial(ref):
+        def partial(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            cids_, C_ = _ray.get(ref)
+            empty = pa.table({"cluster": pa.array([], pa.int64()),
+                              "dim": pa.array([], pa.int64()),
+                              "s": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            x = _as_matrix(t[vec_col])
+            a = np.argmin(((x[:, None, :] - C_[None]) ** 2).sum(-1), axis=1)
+            cs, ds_, ss = [], [], []
+            for j in range(len(C_)):
+                m = a == j
+                cnt = int(m.sum())
+                if cnt == 0:
+                    continue
+                cs.append(np.full(d + 1, cids_[j], np.int64))
+                ds_.append(np.concatenate(([-1], np.arange(d))).astype(np.int64))
+                ss.append(np.concatenate(([float(cnt)], x[m].sum(axis=0))))
+            if not cs:
+                return empty
+            return pa.table({"cluster": pa.array(np.concatenate(cs)),
+                             "dim": pa.array(np.concatenate(ds_)),
+                             "s": pa.array(np.concatenate(ss), pa.float64())})
+        return partial
+
+    for _ in range(iters):
+        ref = ray.put((cids, C))
+        agg = (ds.map_batches(make_partial(ref), batch_format="pyarrow")
+               .groupby(["cluster", "dim"])
+               .aggregate(_Sum("s", alias_name="s"))
+               .take_all())  # <= k*(d+1) rows by construction
+        rows = {(r["cluster"], r["dim"]): r["s"] for r in agg}
+        present = sorted({c for (c, dm) in rows if dm == -1})
+        cnts = np.array([rows[(c, -1)] for c in present])
+        sums = np.array([[rows.get((c, i), 0.0) for i in range(d)]
+                         for c in present])
+        C = np.round(sums / cnts[:, None], quant)
+        cids = np.asarray(present, dtype=np.int64)
+
+    final_ref = ray.put((cids, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        cids_, C_ = _ray.get(final_ref)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        x = _as_matrix(t[vec_col])
+        a = np.argmin(((x[:, None, :] - C_[None]) ** 2).sum(-1), axis=1)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(cids_[a], pa.int64())})
+
+    return cids, C, ds.map_batches(assign, batch_format="pyarrow")

@@ -75,7 +75,7 @@ SQL_CHECKED = [
     "q_range_join_alerts", "q_token_pack", "q_phash_near_dup",
     "q_distance_join", "q_quantile_sketch",
     # round 3 (3rd session): geometry-length analytics + BM25 search
-    "q_way_length", "q_bm25_topk",
+    "q_way_length", "q_bm25_topk", "q_kmeans_clusters",
 ]
 
 

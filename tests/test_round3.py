@@ -509,3 +509,35 @@ def test_bm25_matches_local_reference(ray_session):
         bm25_topk(ds, [], k=5)
     with pytest.raises(ValueError):
         bm25_topk(ds, terms, k=0)
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    """Distributed k-means equals a sequential Lloyd reference with
+    the same init + centroid quantization; empty clusters drop."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.ann import kmeans
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 4.0]])
+    x = np.concatenate([c + rng.normal(0, 0.4, (40, 2)) for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(x), pa.list_(pa.float64()))}))
+    # 4th centroid far away -> captures nothing -> must drop
+    init = np.vstack([x[0], x[40], x[80], [100.0, 100.0]])
+    cids, C, out = kmeans(ds, init, iters=3, quant=4)
+    got = out.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+
+    Cr = init.astype(np.float64).copy()
+    ref_ids = np.arange(4)
+    for _ in range(3):
+        a = np.argmin(((x[:, None, :] - Cr[None]) ** 2).sum(-1), axis=1)
+        present = np.unique(a)
+        Cr = np.round(np.stack([x[a == j].mean(axis=0) for j in present]), 4)
+        ref_ids = ref_ids[present]
+    ref = ref_ids[np.argmin(((x[:, None, :] - Cr[None]) ** 2).sum(-1), axis=1)]
+    assert (got == ref).all()
+    assert 100.0 not in C  # the empty far centroid is gone
+    assert len(cids) == len(C) <= 4
+    with pytest.raises(ValueError):
+        kmeans(ds, np.empty((0, 2)), iters=1)
