@@ -33,9 +33,11 @@ from ..functions.hashing import splitmix64
 from .util import coalesced
 
 
-def _key_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
-    """Avalanched combined bucket for one or more key columns (int or
-    string keys; strings hashed via polars' vectorized xxhash)."""
+def _key_hash(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Avalanched combined 64-bit hash for one or more key columns
+    (int or string keys; strings hashed via polars' vectorized
+    xxhash). Shared by bucketing AND the bloom prefilter so both see
+    the same key identity."""
     acc = np.zeros(t.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for k in keys:
@@ -47,11 +49,67 @@ def _key_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
                 c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 h = pl.from_arrow(c).hash(seed=23).to_numpy().astype(np.uint64)
             acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) ^ h)
-    return (acc % np.uint64(n_buckets)).astype(np.int64)
+    return acc
+
+
+def _key_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
+    return (_key_hash(t, keys) % np.uint64(n_buckets)).astype(np.int64)
+
+
+# ----------------------------------------------------- bloom prefilter
+
+def _bloom_positions(acc: np.ndarray, n_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k_hashes) bit positions via double hashing (h1 + i*h2, h2
+    forced odd so the probe sequence never degenerates)."""
+    with np.errstate(over="ignore"):
+        h1 = acc % np.uint64(n_bits)
+        h2 = splitmix64(acc ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        return np.stack([(h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                         for i in range(k_hashes)], axis=1)
+
+
+def build_bloom(ds, keys: list[str], n_bits: int, k_hashes: int) -> np.ndarray:
+    """Distributed bloom-filter build over a Dataset's key columns:
+    each batch emits its DISTINCT set-bit positions (<= k * rows,
+    capped by n_bits), the driver ORs them into one packed uint64
+    word array. Driver transfer is bounded by k * |build side| rows —
+    the same "small enough to broadcast" precondition the filter's
+    ray.put broadcast needs anyway."""
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        pos = _bloom_positions(_key_hash(t, keys), n_bits, k_hashes)
+        return pa.table({"pos": pa.array(
+            np.unique(pos.reshape(-1)).astype(np.int64), pa.int64())})
+
+    words = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        p = b["pos"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        np.bitwise_or.at(words, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    return words
+
+
+def _bloom_maybe(t: pa.Table, keys: list[str], words: np.ndarray,
+                 n_bits: int, k_hashes: int) -> np.ndarray:
+    """Per-row membership test: True = possibly in the build side
+    (false positives possible, false negatives never)."""
+    if t.num_rows == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(_key_hash(t, keys), n_bits, k_hashes)
+    hit = np.ones(t.num_rows, dtype=bool)
+    for i in range(k_hashes):
+        p = pos[:, i]
+        hit &= ((words[(p >> np.uint64(6)).astype(np.int64)]
+                 >> (p & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
 
 
 def hash_join(left_ds, right_ds, on, how: str = "inner",
-              n_buckets: int | None = None):
+              n_buckets: int | None = None,
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
+              bloom_k: int = 4):
     """Equi-join two Datasets on shared key column(s).
 
     ``how``: "inner" | "left" | "left_semi" | "left_anti".
@@ -63,11 +121,34 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     With how="left", unmatched right-side columns come back as typed
     Arrow nulls (not NaN-widened floats) — int64 values survive exactly
     at any magnitude.
+
+    ``bloom_prefilter=True`` builds a bloom filter over the RIGHT
+    side's keys (distributed partial positions, driver OR, one
+    ray.put broadcast — so the right side must be broadcast-small,
+    the usual bloom precondition; it is materialized to avoid a
+    second lineage execution) and tests every left row before the
+    wide exchange:
+    - inner / left_semi: definite non-members are DROPPED pre-shuffle
+      — the classic probe-side shuffle-volume cut (false positives
+      just ride through the exact join);
+    - left / left_anti: definite non-members can't be dropped (they
+      ARE output), so they are routed to negative buckets that
+      contain no right rows — they still cross the exchange once but
+      skip all merge work via the right-empty fast path.
+    Output is byte-identical with and without the prefilter
+    (tests/test_round3.py equivalence suite).
     """
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    bloom_state = None
+    if bloom_prefilter:
+        import ray
+        right_ds = right_ds.materialize()  # consumed twice: build + join
+        words = build_bloom(right_ds, keys, bloom_bits, bloom_k)
+        bloom_state = (ray.put(words), bloom_bits, bloom_k)
 
     # normalize to arrow blocks so schema() yields real pa.DataTypes
     # (pandas-backed datasets report Python classes otherwise)
@@ -91,6 +172,17 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     out_r_vals = [] if semi else r_vals
 
     def tag_left(t: pa.Table) -> pa.Table:
+        bucket = _key_bucket(t, keys, b)
+        if bloom_state is not None:
+            import ray
+            wref, nb, kh = bloom_state
+            maybe = _bloom_maybe(t, keys, ray.get(wref), nb, kh)
+            if how in ("inner", "left_semi"):
+                sel = pa.array(maybe)
+                t = t.filter(sel)
+                bucket = bucket[maybe]
+            else:  # left / left_anti: reroute to right-free buckets
+                bucket = np.where(maybe, bucket, -1 - bucket)
         cols = {k: t[k] for k in keys}
         for c in l_vals:
             cols[c] = t[c]
@@ -98,7 +190,7 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
             cols[c] = pa.nulls(t.num_rows, r_types[c])
         cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
         out = pa.table(cols)
-        return out.append_column("__jb", pa.array(_key_bucket(t, keys, b), pa.int64()))
+        return out.append_column("__jb", pa.array(bucket, pa.int64()))
 
     def tag_right(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
@@ -128,6 +220,15 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         # pandas dtypes so unmatched rows stay typed nulls, not NaN.
         import pyarrow.compute as pc
         is_l = pc.equal(t["__side"], 0)
+        # right-empty fast path (every bloom-rerouted negative bucket,
+        # and any genuinely unmatched bucket): no merge needed —
+        # anti/left pass the left rows through (left's null right
+        # columns were padded at tag time), inner/semi emit nothing
+        if not pc.any(pc.invert(is_l)).as_py():
+            if how in ("inner", "left_semi"):
+                return t.slice(0, 0).select(out_cols).cast(out_schema)
+            if how in ("left", "left_anti"):
+                return t.select(out_cols).cast(out_schema)
         tm = pd.ArrowDtype if how == "left" else None
         lhs = t.filter(is_l).select(keys + l_vals).to_pandas(types_mapper=tm)
         rt = t.filter(pc.invert(is_l)).select(keys if semi else keys + r_vals)

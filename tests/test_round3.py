@@ -541,3 +541,63 @@ def test_kmeans_matches_local_lloyd(ray_session):
     assert len(cids) == len(C) <= 4
     with pytest.raises(ValueError):
         kmeans(ds, np.empty((0, 2)), iters=1)
+
+
+def test_bloom_prefilter_join_equivalence(ray_session):
+    """hash_join output is identical with and without the bloom
+    prefilter for every how, including int64 keys above 2^53 and a
+    probe side that is mostly definite non-members."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import hash_join
+    big = 1 << 60
+    lk = np.arange(2000, dtype=np.int64) + big
+    left = rd.from_arrow(pa.table({"k": lk, "lv": lk * 3}))
+    rk = (np.arange(0, 2000, 7, dtype=np.int64) + big)  # ~14% overlap
+    right = rd.from_arrow(pa.table({"k": rk, "rv": rk % 97}))
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        base = hash_join(left, right, on="k", how=how,
+                         n_buckets=8).to_pandas()
+        blm = hash_join(left, right, on="k", how=how, n_buckets=8,
+                        bloom_prefilter=True,
+                        bloom_bits=1 << 12).to_pandas()
+        cols = list(base.columns)
+        a = base.sort_values(cols, ignore_index=True)
+        b = blm[cols].sort_values(cols, ignore_index=True)
+        assert a.equals(b), how
+        if how == "inner":
+            assert len(a) == len(rk)
+            assert (a["lv"].to_numpy() == a["k"].to_numpy() * 3).all()
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    """build_bloom/_bloom_maybe: every inserted key tests positive;
+    the false-positive rate on disjoint keys is near the analytic
+    bound for the sizing."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import build_bloom, _bloom_maybe
+    n_bits, kh = 1 << 16, 4
+    ins = pa.table({"k": np.arange(4000, dtype=np.int64)})
+    probe = pa.table({"k": np.arange(4000, 40000, dtype=np.int64)})
+    words = build_bloom(rd.from_arrow(ins), ["k"], n_bits, kh)
+    assert _bloom_maybe(ins, ["k"], words, n_bits, kh).all()
+    fp = _bloom_maybe(probe, ["k"], words, n_bits, kh).mean()
+    # m/n = 16.4, k = 4 -> analytic fp ~0.24%; allow generous slack
+    assert fp < 0.02, fp
+
+
+def test_bloom_join_string_keys(ray_session):
+    """Bloom prefilter with string keys (polars-hash path)."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import hash_join
+    left = rd.from_arrow(pa.table({"k": [f"u{i}" for i in range(500)],
+                                   "lv": list(range(500))}))
+    right = rd.from_arrow(pa.table({"k": [f"u{i}" for i in range(0, 500, 9)],
+                                    "rv": list(range(0, 500, 9))}))
+    for how in ("left_semi", "left_anti"):
+        base = hash_join(left, right, on="k", how=how).to_pandas()
+        blm = hash_join(left, right, on="k", how=how,
+                        bloom_prefilter=True, bloom_bits=1 << 10).to_pandas()
+        a = base.sort_values(list(base.columns), ignore_index=True)
+        b = blm[base.columns].sort_values(list(base.columns),
+                                          ignore_index=True)
+        assert a.equals(b), how
