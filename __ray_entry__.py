@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash split + HLL distinct sketch (register
         # table compared exactly; estimate tested in pytest)
         "q_split_stats": q.q_split_stats,
+        "q_stratified_sample": q.q_stratified_sample,
         "q_quantile_sketch": q.q_quantile_sketch,
         "q_distinct_hll": q.q_distinct_hll,
         "q_distinct_hll_grouped": q.q_distinct_hll_grouped,
@@ -130,7 +131,7 @@ def oracle_sql() -> dict[str, str]:
                                                CONVERT_IMAGES_N, KNN_Q,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
-                                               QSKETCH_QS, QSKETCH_W,
+                                               QSKETCH_QS, QSKETCH_W, STRAT_K,
                                                SUP_LAT_MULT, SUP_LON_MULT,
                                                VIDEO_CLIPS_N, VIDEO_EVERY_N,
                                                _WAY_CLS_SQL)
@@ -558,6 +559,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM s GROUP BY 1, 2""",
+        "q_stratified_sample": f"""
+            SELECT source, doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                ORDER BY {h60('CAST(doc_id AS VARCHAR)')}, doc_id)
+                <= {STRAT_K}""",
         "q_quantile_sketch": f"""
             WITH h AS (SELECT l_returnflag,
                               CAST(floor(l_extendedprice / {QSKETCH_W}) AS BIGINT) AS bin,

@@ -633,6 +633,20 @@ def q_split_stats(sf_dir: str):
             .aggregate(Count(alias_name="n_docs")))
 
 
+STRAT_K = 25
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: cap every source at 25 docs,
+    drawn by smallest md5-derived id hash (sketch.stratified_sample);
+    the batch combiner bounds the exchange at O(k * strata) rows per
+    block at any corpus size."""
+    from ..stages import sketch
+    return sketch.stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        "source", "doc_id", STRAT_K)
+
+
 QSKETCH_W = 250.0
 QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 

@@ -71,6 +71,52 @@ def assign_split(ds, id_col: str, train_pct: int = 80, val_pct: int = 10,
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_col: str, id_col: str, k: int,
+                      n_buckets: int | None = None):
+    """Deterministic per-stratum sample: the k rows with the SMALLEST
+    md5-derived 60-bit id hash per group — a uniform draw that
+    re-runs, resharding, and the SQL oracle all reproduce exactly
+    (the domain-capping op of corpus curation: cap every source at k
+    docs).
+
+    Scale shape: the per-batch combiner keeps <= k rows per stratum
+    per block BEFORE the exchange, so the bucketed groupby sees
+    O(k * strata) rows per block regardless of corpus size; the
+    per-bucket kernel is one vectorized sort + group-head, never a
+    per-group Python call."""
+    import pandas as pd
+    import polars as pl
+
+    from .. import config
+    from .util import arrow_table
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, id_col]).to_pandas()
+        if len(df):
+            df["__h"] = md5_hash60(t[id_col].to_numpy(zero_copy_only=False))
+        else:
+            df["__h"] = np.empty(0, np.int64)
+        df = (df.sort_values([group_col, "__h", id_col], kind="mergesort")
+              .groupby(group_col, sort=False).head(k))
+        gc = df[group_col]
+        hb = (pl.Series(gc.astype(str)).hash(seed=11).to_numpy()
+              .astype(np.uint64) % np.uint64(b)).astype(np.int64)
+        df = df.assign(__b=hb)
+        return arrow_table(df)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = (df.sort_values([group_col, "__h", id_col], kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        return arrow_table(out[[group_col, id_col]])
+
+    return (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby("__b").map_groups(final, batch_format="pandas"))
+
+
 def _partial_registers(values, p: int) -> tuple[np.ndarray, np.ndarray]:
     """(bucket, rho) maxima for one batch of values; <= 2^p rows out."""
     m = 1 << p

@@ -601,3 +601,24 @@ def test_bloom_join_string_keys(ray_session):
         b = blm[base.columns].sort_values(list(base.columns),
                                           ignore_index=True)
         assert a.equals(b), how
+
+
+def test_stratified_sample_deterministic_cap(ray_session):
+    """Every stratum is capped at k, small strata keep all rows, and
+    the draw is deterministic across re-runs and repartitioning."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import stratified_sample
+    ids = np.arange(1000, dtype=np.int64)
+    grp = np.where(ids < 700, "big", np.where(ids < 990, "mid", "tiny"))
+    t = pa.table({"doc_id": ids, "source": grp.astype(object)})
+    ds = rd.from_arrow(t)
+    out = stratified_sample(ds, "source", "doc_id", 50).to_pandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"big": 50, "mid": 50, "tiny": 10}
+    out2 = stratified_sample(ds.repartition(7), "source", "doc_id",
+                             50).to_pandas()
+    a = out.sort_values(["source", "doc_id"], ignore_index=True)
+    b = out2.sort_values(["source", "doc_id"], ignore_index=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError):
+        stratified_sample(ds, "source", "doc_id", 0)
