@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_way_length": q.q_way_length,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
+        "q_pq_codes": q.q_pq_codes,
+        "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -272,36 +274,83 @@ def oracle_sql() -> dict[str, str]:
     # grid; decimal half-way points are not dyadic, so the two round()
     # implementations can never disagree either)
     from osm2shp_ray.pipelines.queries import (KM_DIMS, KM_ITERS, KM_K,
-                                               KM_QUANT)
-    km_dims = range(1, KM_DIMS + 1)
+                                               KM_QUANT, PQ_ITERS, PQ_KSUB,
+                                               PQ_M, PQ_QUERY_VEC, PQ_TOPK)
+
     km_ev = ("SELECT vec_id, "
              + ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS e{i}"
-                         for i in km_dims)
+                         for i in range(1, KM_DIMS + 1))
              + " FROM embeddings")
-    km_c0 = ("SELECT CAST(vec_id AS BIGINT) AS cluster, "
-             + ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS c{i}"
-                         for i in km_dims)
-             + f" FROM embeddings WHERE vec_id < {KM_K}")
-    km_dist = " + ".join(f"(ev.e{i} - c.c{i}) * (ev.e{i} - c.c{i})"
-                         for i in km_dims)
 
-    def km_assign(ct: str) -> str:
-        return (f"SELECT vec_id, cluster FROM (SELECT ev.vec_id, "
-                f"c.cluster, {km_dist} AS d2 FROM ev CROSS JOIN {ct} c) q "
-                f"QUALIFY row_number() OVER (PARTITION BY vec_id "
-                f"ORDER BY d2, cluster) = 1")
+    def km_chain(tag: str, lo: int, hi: int, k: int, iters: int,
+                 quant: int) -> tuple[list[str], str]:
+        """CTE chain for one quantized-kmeans run over dims lo..hi:
+        returns (ctes, final-assign SQL selecting (vec_id, cluster));
+        mirrors ann.kmeans iteration for iteration."""
+        dims = range(lo, hi + 1)
+        dist = " + ".join(f"(ev.e{i} - c.c{i}) * (ev.e{i} - c.c{i})"
+                          for i in dims)
 
-    km_ctes = [f"ev AS ({km_ev})", f"c0 AS ({km_c0})"]
-    for t in range(1, KM_ITERS + 1):
-        km_ctes.append(f"a{t} AS ({km_assign(f'c{t - 1}')})")
-        km_ctes.append(
-            f"c{t} AS (SELECT a.cluster, "
-            + ", ".join(f"round(avg(ev.e{i}), {KM_QUANT}) AS c{i}"
-                        for i in km_dims)
-            + f" FROM a{t} a JOIN ev ON a.vec_id = ev.vec_id"
-            f" GROUP BY a.cluster)")
-    km_sql = ("WITH " + ",\n".join(km_ctes) + "\n"
-              + km_assign(f"c{KM_ITERS}"))
+        def assign(ct: str) -> str:
+            return (f"SELECT vec_id, cluster FROM (SELECT ev.vec_id, "
+                    f"c.cluster, {dist} AS d2 FROM ev CROSS JOIN {ct} c) q "
+                    f"QUALIFY row_number() OVER (PARTITION BY vec_id "
+                    f"ORDER BY d2, cluster) = 1")
+
+        ctes = [f"{tag}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, "
+                + ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS c{i}"
+                            for i in dims)
+                + f" FROM embeddings WHERE vec_id < {k})"]
+        for t in range(1, iters + 1):
+            ctes.append(f"{tag}a{t} AS ({assign(f'{tag}c{t - 1}')})")
+            ctes.append(
+                f"{tag}c{t} AS (SELECT a.cluster, "
+                + ", ".join(f"round(avg(ev.e{i}), {quant}) AS c{i}"
+                            for i in dims)
+                + f" FROM {tag}a{t} a JOIN ev ON a.vec_id = ev.vec_id"
+                f" GROUP BY a.cluster)")
+        return ctes, assign(f"{tag}c{iters}")
+
+    km_ctes, km_final = km_chain("", 1, KM_DIMS, KM_K, KM_ITERS, KM_QUANT)
+    km_sql = ("WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
+              + "\n" + km_final)
+
+    # PQ: one kmeans chain per contiguous subspace; codes = the final
+    # per-subspace assignments joined on vec_id; ADC distance = the
+    # per-subspace squared distances to the ASSIGNED centroid of a
+    # fixed query vector, summed subspace-by-subspace in the same
+    # parenthesized order as the engine's LUT accumulation
+    pq_dsub = KM_DIMS // PQ_M
+    pq_ctes = [f"ev AS ({km_ev})"]
+    pq_joins, pq_codes = [], []
+    adc_terms = []
+    for j in range(PQ_M):
+        lo, hi = j * pq_dsub + 1, (j + 1) * pq_dsub
+        ctes, final = km_chain(f"s{j}", lo, hi, PQ_KSUB, PQ_ITERS, KM_QUANT)
+        pq_ctes.extend(ctes)
+        pq_ctes.append(f"f{j} AS ({final})")
+        pq_joins.append(f"JOIN f{j} ON f{j}.vec_id = b.vec_id")
+        pq_codes.append(f"f{j}.cluster AS code_{j}")
+        sub = " + ".join(f"(qv.e{i} - s{j}c{PQ_ITERS}.c{i})"
+                         f" * (qv.e{i} - s{j}c{PQ_ITERS}.c{i})"
+                         for i in range(lo, hi + 1))
+        adc_terms.append(f"({sub})")
+    pq_codes_sql = ("WITH " + ",\n".join(pq_ctes) + "\n"
+                    + "SELECT b.vec_id, " + ", ".join(pq_codes)
+                    + " FROM (SELECT vec_id FROM embeddings) b "
+                    + " ".join(pq_joins))
+    pq_adc_joins = " ".join(
+        f"JOIN f{j} ON f{j}.vec_id = b.vec_id "
+        f"JOIN s{j}c{PQ_ITERS} ON s{j}c{PQ_ITERS}.cluster = f{j}.cluster"
+        for j in range(PQ_M))
+    pq_adc_sql = (
+        "WITH " + ",\n".join(pq_ctes)
+        + f",\nqv AS (SELECT * FROM ev WHERE vec_id = {PQ_QUERY_VEC})\n"
+        + "SELECT vec_id, round(raw, 4) AS adc FROM ("
+        + "SELECT b.vec_id AS vec_id, " + " + ".join(adc_terms) + " AS raw"
+        + " FROM (SELECT vec_id FROM embeddings) b "
+        + pq_adc_joins + " CROSS JOIN qv) q"
+        + f" QUALIFY row_number() OVER (ORDER BY raw, vec_id) <= {PQ_TOPK}")
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -729,6 +778,8 @@ def oracle_sql() -> dict[str, str]:
                     abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
             GROUP BY layer""",
         "q_kmeans_clusters": km_sql,
+        "q_pq_codes": pq_codes_sql,
+        "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""
             WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),
                          '[a-z0-9_]+') AS t FROM documents),

@@ -572,6 +572,47 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+PQ_M = 8        # subspaces (64 dims -> 8 dims each)
+PQ_KSUB = 4     # centroids per subspace codebook
+PQ_ITERS = 2    # codebook kmeans iterations (SQL mirror unrolls them)
+PQ_QUERY_VEC = 3
+PQ_TOPK = 20
+
+
+def _pq_books(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init = _fetch_vecs(emb, list(range(PQ_KSUB)))
+    books = ann.pq_train(emb, KM_DIMS, PQ_M, PQ_KSUB, PQ_ITERS, init,
+                         quant=KM_QUANT)
+    return emb, books
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encode of the embedding table: per-subspace
+    quantized-kmeans codebooks (ann.pq_train), then one streaming
+    argmin pass -> (vec_id, code_0..code_7). The compressed codes are
+    what a 10^12-vector ANN index stores (8 small ints instead of 64
+    floats); the SQL mirror re-derives every codebook and code."""
+    emb, books = _pq_books(sf_dir)
+    return ann.pq_encode(emb, books, KM_DIMS // PQ_M)
+
+
+def q_pq_adc_topk(sf_dir: str):
+    """Asymmetric-distance top-20 over the PQ codes: broadcast the
+    query's (m x ksub) distance LUT, gather-sum per batch, tie-widened
+    partial top-k. Selection happens on the raw distance on both
+    sides; the output rounds to 4 decimals."""
+    emb, books = _pq_books(sf_dir)
+    q = _fetch_vecs(emb, [PQ_QUERY_VEC])[0]
+    codes = ann.pq_encode(emb, books, KM_DIMS // PQ_M)
+    cand = ann.pq_adc_topk(codes, books, KM_DIMS // PQ_M, q,
+                           PQ_TOPK).to_pandas()
+    cand = cand.sort_values(["raw", "vec_id"],
+                            ascending=[True, True]).head(PQ_TOPK)
+    return pd.DataFrame({"vec_id": cand["vec_id"].to_numpy(),
+                         "adc": cand["raw"].round(4).to_numpy()})
+
+
 BM25_TERMS = ("hash", "join", "spark")
 BM25_K = 20
 

@@ -399,3 +399,115 @@ def kmeans(ds, init: np.ndarray, iters: int, vec_col: str = "embedding",
                          "cluster": pa.array(cids_[a], pa.int64())})
 
     return cids, C, ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------ product quantization
+
+def pq_train(ds, d: int, m_sub: int, ksub: int, iters: int,
+             init_full: np.ndarray, vec_col: str = "embedding",
+             id_col: str = "vec_id", quant: int = 4):
+    """Train product-quantization codebooks: the embedding splits into
+    ``m_sub`` contiguous subspaces and each gets its own quantized
+    kmeans (the ann.kmeans operator over a projected view — same
+    O(k*d_sub)-row exchange per iteration, so training cost is
+    independent of corpus row count). ``init_full`` is the (ksub, d)
+    init matrix; each subspace slices its own columns, exactly like
+    the SQL mirror's per-subspace c0. At true corpus scale pass a
+    bounded sample Dataset as ``ds`` (the IVF trainer's pattern);
+    codebook quality needs samples, not the full corpus.
+
+    Returns [(cluster_ids, centroids)] per subspace (empty clusters
+    dropped per subspace, as the SQL GROUP BY re-derivation drops
+    them)."""
+    if d % m_sub != 0:
+        raise ValueError(f"d={d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    books = []
+    for j in range(m_sub):
+        lo = j * dsub
+
+        def project(t: pa.Table, _lo=lo) -> pa.Table:
+            x = _as_matrix(t[vec_col])
+            if x.size == 0:
+                sub = np.empty((0, dsub))
+            else:
+                sub = x[:, _lo:_lo + dsub]
+            col = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(sub).reshape(-1),
+                         pa.float64()), dsub)
+            return pa.table({id_col: t[id_col], vec_col: col})
+
+        proj = ds.map_batches(project, batch_format="pyarrow")
+        cids, C, _ = kmeans(proj, init_full[:, lo:lo + dsub], iters,
+                            vec_col=vec_col, id_col=id_col, quant=quant)
+        books.append((cids, C))
+    return books
+
+
+def pq_encode(ds, books, dsub: int, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """One streaming encode pass: per batch, argmin against each
+    broadcast subspace codebook -> (id, code_0..code_{m-1}). Codes are
+    the persistent compressed representation (m bytes-ish per vector
+    instead of d floats) that ADC search scans."""
+    import ray
+    ref = ray.put(books)
+    m = len(books)
+
+    def enc(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        bks = _ray.get(ref)
+        cols: dict = {id_col: t[id_col]}
+        if t.num_rows == 0:
+            for j in range(m):
+                cols[f"code_{j}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        x = _as_matrix(t[vec_col])
+        for j, (cids, C) in enumerate(bks):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            a = np.argmin(((xs[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+            cols[f"code_{j}"] = pa.array(cids[a], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_adc_topk(codes_ds, books, dsub: int, query: np.ndarray, k: int,
+                id_col: str = "vec_id"):
+    """Asymmetric-distance top-k over a PQ codes table: the query's
+    per-subspace distance LUT (m x ksub floats) is computed once and
+    broadcast; each batch gather-sums LUT entries by code — the scan
+    never touches the original embeddings. Subspace terms accumulate
+    in subspace order (the SQL mirror sums the same parenthesized
+    terms left-to-right, so raw distances match bit-for-bit).
+
+    Returns per-block candidates (id_col, raw) via the tie-widened
+    partial top-k; caller finishes with the tiny global (raw, id)
+    ascending head."""
+    import ray
+    q = np.asarray(query, dtype=np.float64)
+    luts = []
+    for j, (cids, C) in enumerate(books):
+        qs = q[j * dsub:(j + 1) * dsub]
+        luts.append((np.asarray(cids, np.int64),
+                     ((qs[None, :] - C) ** 2).sum(axis=1)))
+    ref = ray.put(luts)
+
+    def scan(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        luts_ = _ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "raw": pa.array([], pa.float64())})
+        adc = None
+        for j, (cids, lut) in enumerate(luts_):
+            code = t[f"code_{j}"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(cids, code)
+            term = lut[idx]
+            adc = term if adc is None else adc + term
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sel = _topk_ids(-adc, ids, min(k, len(ids)))
+        return pa.table({id_col: pa.array(ids[sel], pa.int64()),
+                         "raw": pa.array(adc[sel], pa.float64())})
+
+    return codes_ds.map_batches(scan, batch_format="pyarrow")

@@ -76,7 +76,7 @@ SQL_CHECKED = [
     "q_distance_join", "q_quantile_sketch",
     # round 3 (3rd session): geometry-length analytics + BM25 search
     "q_way_length", "q_bm25_topk", "q_kmeans_clusters",
-    "q_stratified_sample",
+    "q_stratified_sample", "q_pq_codes", "q_pq_adc_topk",
 ]
 
 

@@ -622,3 +622,48 @@ def test_stratified_sample_deterministic_cap(ray_session):
     assert a.equals(b)
     with pytest.raises(ValueError):
         stratified_sample(ds, "source", "doc_id", 0)
+
+
+def test_pq_adc_recall_and_code_semantics(ray_session):
+    """PQ: codes are the per-subspace nearest centroids; ADC top-k
+    achieves high recall vs exact L2 top-k on clustered data."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.ann import pq_train, pq_encode, pq_adc_topk
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (6, 16))
+    x = np.concatenate([c + rng.normal(0, 0.15, (50, 16)) for c in centers])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(x), pa.list_(pa.float64()))}))
+    init = x[:4]
+    books = pq_train(ds, 16, 4, 4, 2, init)
+    assert len(books) == 4
+    codes = pq_encode(ds, books, 4).to_pandas().sort_values("vec_id")
+    # every code is one of its subspace's cluster ids; spot-check
+    # nearest-centroid semantics on subspace 0
+    cids0, C0 = books[0]
+    a0 = np.argmin(((x[:, None, :4] - C0[None]) ** 2).sum(-1), axis=1)
+    assert (codes["code_0"].to_numpy() == cids0[a0]).all()
+    q = x[7]
+    got = (pq_adc_topk(pq_encode(ds, books, 4), books, 4, q, 10)
+           .to_pandas().sort_values(["raw", "vec_id"]).head(10))
+    # PQ at this granularity collapses a cluster to a handful of code
+    # tuples, so the guarantee is CELL-level: every retrieved id
+    # belongs to the query's true cluster (members 0..49)
+    assert all(0 <= i < 50 for i in got["vec_id"]), got
+    # exact semantics: the distributed scan must equal a brute-force
+    # ADC over the full code table with the same (raw, id) tie order
+    luts = []
+    for j, (cids, C) in enumerate(books):
+        qs = q[j * 4:(j + 1) * 4]
+        luts.append((cids, ((qs[None, :] - C) ** 2).sum(axis=1)))
+    adc = np.zeros(len(x))
+    for j, (cids, lut) in enumerate(luts):
+        code = codes.sort_values("vec_id")[f"code_{j}"].to_numpy()
+        adc += lut[np.searchsorted(cids, code)]
+    order = np.lexsort((ids, adc))[:10]
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    assert np.allclose(got["raw"].to_numpy(), adc[order])
+    with pytest.raises(ValueError):
+        pq_train(ds, 16, 5, 4, 2, init)
