@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
         "q_corpus_filter": q.q_corpus_filter,
+        # Gopher-style token-repetition quality gate (one-pass map)
+        "q_repetition_filter": q.q_repetition_filter,
+        # exact Misra-Gries heavy hitters over exploded bigrams
+        "q_heavy_hitters": q.q_heavy_hitters,
         # mandated Lance format end-to-end (vendored reader/writer)
         "q_lance_scan": q.q_lance_scan,
         # full conversion chain over SQL-derivable entities (the same
@@ -142,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
                                               cached_images_parquet,
                                               cached_video_meta_parquet)
     from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
+    from osm2shp_ray.pipelines.queries import (REP_DUP_MAX, REP_BIGRAM_MAX,
+                                               REP_SYMBOL_MAX, HH_PHI)
 
     # the image/audio/video oracles read engine-independent fixture
     # side tables (the q_convert_pipeline pattern with the input shape
@@ -556,6 +562,69 @@ def oracle_sql() -> dict[str, str]:
                       AND punct_ratio <= 0.08)
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
             FROM sel GROUP BY text""",
+        # Gopher-style token-repetition gate (stages/text.py::
+        # repetition_stats_batch): whitespace tokens, per-doc top
+        # unigram/bigram counts, non-alnum symbol ratio; filter on the
+        # unrounded doubles, round the reported stats to 4 decimals
+        # (both engines round half away from zero)
+        "q_repetition_filter": rf"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                     END AS a,
+                     length(text) AS nc,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+              FROM documents),
+            w AS (SELECT doc_id, unnest(a) AS w FROM tk),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ustat AS (SELECT doc_id, max(c) AS top1,
+                             CAST(sum(c) AS BIGINT) AS ntok,
+                             count(*) AS nuniq FROM wc GROUP BY doc_id),
+            bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS b
+                   FROM tk, unnest(range(1, len(a))) AS t(i)),
+            bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+            bstat AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id),
+            s AS (SELECT tk.doc_id AS doc_id,
+                   CASE WHEN COALESCE(ustat.ntok, 0) > 0
+                        THEN 1.0 - ustat.nuniq::DOUBLE / ustat.ntok
+                        ELSE 0.0 END AS dup_tok_frac,
+                   CASE WHEN COALESCE(ustat.ntok, 0) > 0
+                        THEN ustat.top1::DOUBLE / ustat.ntok
+                        ELSE 0.0 END AS top_unigram_frac,
+                   CASE WHEN COALESCE(ustat.ntok, 0) > 1
+                        THEN bstat.topb::DOUBLE / (ustat.ntok - 1)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   sym::DOUBLE / greatest(nc, 1) AS symbol_ratio
+                  FROM tk LEFT JOIN ustat ON tk.doc_id = ustat.doc_id
+                          LEFT JOIN bstat ON tk.doc_id = bstat.doc_id)
+            SELECT doc_id, round(dup_tok_frac, 4) AS dup_tok_frac,
+                   round(top_unigram_frac, 4) AS top_unigram_frac,
+                   round(top_bigram_frac, 4) AS top_bigram_frac,
+                   round(symbol_ratio, 4) AS symbol_ratio
+            FROM s
+            WHERE dup_tok_frac <= {REP_DUP_MAX}
+              AND top_bigram_frac <= {REP_BIGRAM_MAX}
+              AND symbol_ratio <= {REP_SYMBOL_MAX}""",
+        # exact heavy hitters (stages/sketch.py::heavy_hitters):
+        # candidates via mergeable Misra-Gries summaries, then exact
+        # counts — the oracle recomputes the exact GROUP BY .. HAVING
+        "q_heavy_hitters": rf"""
+            WITH tk AS (
+              SELECT CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                     END AS a
+              FROM documents),
+            bg AS (SELECT a[i] || ' ' || a[i+1] AS bg
+                   FROM tk, unnest(range(1, len(a))) AS t(i)),
+            tot AS (SELECT count(*) AS n FROM bg)
+            SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg, tot GROUP BY bg, tot.n
+            HAVING count(*) >= ceil({HH_PHI} * tot.n)""",
         "q_simhash_docs": f"""
             WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
                          '[a-z0-9_]+')) AS w FROM documents),

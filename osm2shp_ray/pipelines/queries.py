@@ -65,8 +65,14 @@ def _read(sf_dir: str, name: str, columns=None):
 
 
 def _round_cols(df: pd.DataFrame, cols, nd: int = 4) -> pd.DataFrame:
+    """Round half AWAY from zero — DuckDB's round() semantics — not
+    numpy's banker's rounding: a ratio whose scaled value lands exactly
+    on .5 (e.g. 1 - 19/32 at 4 decimals) must round identically on
+    both sides of the oracle compare."""
+    k = 10.0 ** nd
     for c in cols:
-        df[c] = df[c].round(nd)
+        x = df[c].to_numpy(dtype=np.float64, copy=True)
+        df[c] = np.sign(x) * np.floor(np.abs(x) * k + 0.5) / k
     return df
 
 
@@ -1102,6 +1108,47 @@ def q_corpus_filter(sf_dir: str):
     return (spatial.dedup_exact(survivors, key_col="text",
                                 order_col="doc_id", n_buckets=16)
             .select_columns(["doc_id"]))
+
+
+REP_DUP_MAX = 0.55     # Gopher-style repetition gates (queries +
+REP_BIGRAM_MAX = 0.15  # oracle SQL share these constants)
+REP_SYMBOL_MAX = 0.05
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality gate: per-doc token-repetition
+    stats (stages/text.py::repetition_stats_batch), keep docs under
+    the dup-token / top-bigram / symbol-ratio caps, emit the rounded
+    stats. Stateless one-pass map — no shuffle; the filter runs on the
+    UNROUNDED doubles (both engines compute the identical IEEE values,
+    so the gate agrees bit-for-bit)."""
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(text.repetition_stats_batch, batch_format="pyarrow"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.less_equal(t["dup_tok_frac"], REP_DUP_MAX),
+                            pc.less_equal(t["top_bigram_frac"], REP_BIGRAM_MAX)),
+                    pc.less_equal(t["symbol_ratio"], REP_SYMBOL_MAX))
+        return t.filter(m).drop_columns(["text"])
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return _round_cols(out, ["dup_tok_frac", "top_unigram_frac",
+                             "top_bigram_frac", "symbol_ratio"])
+
+
+HH_PHI = 0.0015  # heavy-hitter frequency threshold (query + oracle)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus-level heavy hitters over exploded token bigrams:
+    the two-pass Misra-Gries operator (stages/sketch.py::
+    heavy_hitters) — bounded mergeable summaries for candidates, then
+    exact counts of candidates only. Returns every bigram with
+    cnt >= ceil(phi * total_bigrams), counts exact."""
+    from ..stages import sketch
+    rows = (_read(sf_dir, "documents", ["text"])
+            .map_batches(text.bigram_rows_batch, batch_format="pyarrow"))
+    return sketch.heavy_hitters(rows, "bg", HH_PHI).to_pandas()
 
 
 # -------------------------- SQL-derivable convert/postprocess pipeline

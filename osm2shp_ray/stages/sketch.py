@@ -281,3 +281,87 @@ def binned_quantiles(ds, col: str, qs, bin_width: float,
     if group_col is None:
         out = out.drop_columns([gname])
     return out
+
+
+def _mg_partial(vals: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries reduction of one batch's EXACT counts to <= m
+    counters. Returns (values, estimates, decrement): subtracting the
+    (m+1)-th largest count d from every counter and keeping positives
+    leaves <= m counters, each underestimating its true batch count by
+    at most d <= batch_n/(m+1)."""
+    uniq, cnt = np.unique(vals, return_counts=True)
+    if len(uniq) <= m:
+        return uniq, cnt, 0
+    d = int(np.partition(cnt, len(cnt) - m - 1)[len(cnt) - m - 1])
+    keep = cnt > d
+    return uniq[keep], cnt[keep] - d, d
+
+
+def heavy_hitters(ds, col: str, phi: float, m: int | None = None):
+    """EXACT phi-heavy hitters over an unbounded value stream — the
+    two-pass Misra-Gries pattern (candidates from mergeable bounded
+    summaries, then exact counts of the candidates only):
+
+    Pass 1: each block reduces its exact value counts to <= m
+    Misra-Gries counters plus one decrement/total sentinel row, so the
+    merge groupby exchanges O(m) rows per block regardless of block
+    cardinality. Summed estimates satisfy
+    ``est(v) >= cnt(v) - D`` with ``D = sum of per-block decrements
+    <= N/(m+1)``, so ``{v : est(v) + D >= threshold}`` is a provable
+    SUPERSET of the true heavy hitters (threshold = ceil(phi*N)); with
+    the default m = ceil(2/phi) the candidate set is also small
+    (every candidate has cnt >= threshold - N/(m+1) >= phi*N/2, so
+    there are < 2/phi of them).
+
+    Pass 2: candidates broadcast once via ray.put; per-block exact
+    counts of candidate values only, one tiny groupby, filter
+    ``cnt >= threshold``. Output counts are EXACT integers (the SQL
+    oracle recomputes them with GROUP BY .. HAVING).
+
+    The merged pass-1 summary lands on the driver — bounded by
+    O(m x blocks) rows by construction (documented, unlike a naive
+    value groupby whose size is the stream's cardinality)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    m = m or int(np.ceil(2.0 / phi))
+    SENT_D, SENT_N = "\x00D", "\x00N"
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        u, est, d = _mg_partial(vals, m)
+        return pa.table({
+            col: pa.array(np.concatenate((u.astype(object),
+                                          [SENT_D, SENT_N])), pa.string()),
+            "est": pa.array(np.concatenate((est, [d, len(vals)])), pa.int64()),
+        })
+
+    merged = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+              .groupby(col).aggregate(Sum("est", alias_name="est"))
+              .to_pandas())
+    sent = merged[col].isin([SENT_D, SENT_N])
+    D = int(merged.loc[merged[col] == SENT_D, "est"].sum())
+    n_total = int(merged.loc[merged[col] == SENT_N, "est"].sum())
+    threshold = max(1, int(np.ceil(phi * n_total)))
+    cand = merged.loc[~sent & (merged["est"] + D >= threshold), col].to_numpy()
+    if len(cand) == 0:
+        return pa.table({col: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(pa.array(np.sort(cand), pa.string()))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t[col], value_set=ray.get(cand_ref)))
+        vals = keep[col].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(vals, return_counts=True)
+        return pa.table({col: pa.array(u, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    out = (coalesced(ds.map_batches(exact_partial, batch_format="pyarrow"))
+           .groupby(col).aggregate(Sum("cnt", alias_name="cnt")))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], threshold)),
+        batch_format="pyarrow")

@@ -184,6 +184,73 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fingerprint", pa.ListArray.from_arrays(off, vals))
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1, adapted to token level for single-line corpora):
+
+    - ``dup_tok_frac``      1 - distinct_tokens / tokens
+    - ``top_unigram_frac``  occurrences of the most frequent token / tokens
+    - ``top_bigram_frac``   occurrences of the most frequent bigram / (tokens-1)
+    - ``symbol_ratio``      non-[A-Za-z0-9 whitespace] chars / chars
+
+    Tokens are the SQL-parity whitespace split (token_count_batch):
+    ``regexp_split_to_array(trim_ws(text), '\\s+')``. Empty/blank text
+    yields 0 for every stat. Pure within-row computation — stateless,
+    streams at any scale, no shuffle. The per-doc top-counts are one
+    polars explode + C-level group_by over the batch (never a Python
+    loop per document)."""
+    s = _series(batch[text_col])
+    n = len(s)
+    toks = s.str.strip_chars().str.extract_all(r"\S+")
+    n_tok = toks.list.len().to_numpy().astype(np.int64)
+    n_uniq = toks.list.n_unique().to_numpy().astype(np.int64)
+    long = (pl.DataFrame({"i": pl.Series(np.arange(n, dtype=np.int64)),
+                          "tok": toks})
+            .explode("tok").drop_nulls("tok"))
+    top1 = np.zeros(n, np.int64)
+    u = (long.group_by(["i", "tok"]).len()
+         .group_by("i").agg(pl.col("len").max().alias("c")))
+    top1[u["i"].to_numpy()] = u["c"].to_numpy()
+    big = (long.with_columns(nxt=pl.col("tok").shift(-1).over("i"))
+           .drop_nulls("nxt")
+           .with_columns(b=pl.col("tok") + " " + pl.col("nxt")))
+    topb = np.zeros(n, np.int64)
+    bx = (big.group_by(["i", "b"]).len()
+          .group_by("i").agg(pl.col("len").max().alias("c")))
+    topb[bx["i"].to_numpy()] = bx["c"].to_numpy()
+    nt = np.maximum(n_tok, 1)
+    nchars = s.str.len_chars().to_numpy().astype(np.int64)
+    sym = s.str.count_matches(r"[^A-Za-z0-9\s]").to_numpy().astype(np.int64)
+    return (batch
+            .append_column("dup_tok_frac", pa.array(
+                np.where(n_tok > 0, 1.0 - n_uniq / nt, 0.0), pa.float64()))
+            .append_column("top_unigram_frac", pa.array(
+                np.where(n_tok > 0, top1 / nt, 0.0), pa.float64()))
+            .append_column("top_bigram_frac", pa.array(
+                np.where(n_tok > 1, topb / np.maximum(n_tok - 1, 1), 0.0),
+                pa.float64()))
+            .append_column("symbol_ratio", pa.array(
+                sym / np.maximum(nchars, 1), pa.float64())))
+
+
+def bigram_rows_batch(batch: pa.Table, text_col: str = "text",
+                      out_col: str = "bg") -> pa.Table:
+    """Explode whitespace-token bigrams ("tok_i tok_i+1") to one row
+    each — the streaming n-gram feed for corpus-level frequency ops
+    (heavy_hitters). SQL parity: ``a[i] || ' ' || a[i+1]`` over the
+    trim+split token array. Output schema: (out_col: string)."""
+    s = _series(batch[text_col])
+    toks = s.str.strip_chars().str.extract_all(r"\S+")
+    long = (pl.DataFrame({"i": pl.Series(np.arange(len(s), dtype=np.int64)),
+                          "tok": toks})
+            .explode("tok").drop_nulls("tok"))
+    big = (long.with_columns(nxt=pl.col("tok").shift(-1).over("i"))
+           .drop_nulls("nxt"))
+    out = (pl.col("tok") + " " + pl.col("nxt")).alias(out_col)
+    arr = big.select(out)[out_col].to_arrow().cast(pa.string())
+    return pa.table({out_col: arr})
+
+
 # ------------------------------------------------------------- BM25
 
 BM25_K1 = 1.2

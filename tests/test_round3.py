@@ -667,3 +667,57 @@ def test_pq_adc_recall_and_code_semantics(ray_session):
     assert np.allclose(got["raw"].to_numpy(), adc[order])
     with pytest.raises(ValueError):
         pq_train(ds, 16, 5, 4, 2, init)
+
+
+def test_repetition_stats_edge_cases(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import repetition_stats_batch
+    t = pa.table({"doc_id": [1, 2, 3, 4, 5],
+                  "text": ["", "   ", "one", "a a a a", "x y x y #!"]})
+    out = repetition_stats_batch(t)
+    dup = out["dup_tok_frac"].to_pylist()
+    topu = out["top_unigram_frac"].to_pylist()
+    topb = out["top_bigram_frac"].to_pylist()
+    sym = out["symbol_ratio"].to_pylist()
+    # empty / blank text: every stat 0
+    assert dup[0] == dup[1] == 0.0 and topb[0] == topb[1] == 0.0
+    # single token: no bigrams, top unigram is the whole doc
+    assert dup[2] == 0.0 and topu[2] == 1.0 and topb[2] == 0.0
+    # pure repetition: 4 tokens 1 distinct; bigram "a a" is all 3
+    assert dup[3] == 0.75 and topu[3] == 1.0 and topb[3] == 1.0
+    # "x y x y #!": 5 tokens 3 distinct; "x y" is 2 of 4 bigrams;
+    # symbol chars are '#' and '!' of 10 chars
+    assert dup[4] == pytest.approx(1 - 3 / 5)
+    assert topb[4] == 0.5 and sym[4] == pytest.approx(0.2)
+
+
+def test_heavy_hitters_exact_with_forced_mg_reduction(ray_session):
+    # plant a skewed stream and force m far below the cardinality so
+    # every batch takes the Misra-Gries decrement path; the two-pass
+    # operator must still return EXACT counts of exactly the items at
+    # or above ceil(phi * N)
+    import collections
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import heavy_hitters
+    rng = np.random.default_rng(5)
+    hot = np.repeat([f"hot{i}" for i in range(4)], [4000, 3000, 800, 700])
+    cold = np.array([f"c{i}" for i in rng.integers(0, 3000, 12000)])
+    vals = np.concatenate((hot, cold))
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    ds = ds.repartition(8)
+    phi = 0.03  # threshold = ceil(0.03 * 20500) = 615
+    got = heavy_hitters(ds, "v", phi, m=8).to_pandas()
+    exact = collections.Counter(vals.tolist())
+    thr = int(np.ceil(phi * len(vals)))
+    want = {k: c for k, c in exact.items() if c >= thr}
+    assert dict(zip(got["v"], got["cnt"])) == want
+    assert set(want) >= {"hot0", "hot1", "hot2", "hot3"}
+
+
+def test_heavy_hitters_rejects_bad_phi(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import heavy_hitters
+    ds = rd.from_arrow(pa.table({"v": pa.array(["a"], pa.string())}))
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, "v", 0.0)
