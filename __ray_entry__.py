@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_way_length": q.q_way_length,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
+        "q_semantic_dedup": q.q_semantic_dedup,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -320,6 +321,26 @@ def oracle_sql() -> dict[str, str]:
     km_ctes, km_final = km_chain("", 1, KM_DIMS, KM_K, KM_ITERS, KM_QUANT)
     km_sql = ("WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
               + "\n" + km_final)
+
+    # SemDeDup composition: same kmeans chain -> final assignment f,
+    # then drop any vector with a lower-id same-cluster member at
+    # cosine >= tau (the exact prune rule of stages/dedup.py::
+    # semantic_dedup; cosine recomputed by DuckDB in double)
+    from osm2shp_ray.pipelines.queries import SEMDEDUP_TAU
+    sem_sql = (
+        "WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
+        + f""",
+        f AS ({km_final}),
+        rm AS (SELECT DISTINCT b.vec_id AS vec_id
+               FROM f a JOIN f b ON a.cluster = b.cluster
+                                AND a.vec_id < b.vec_id
+               JOIN embeddings ea ON ea.vec_id = a.vec_id
+               JOIN embeddings eb ON eb.vec_id = b.vec_id
+               WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[]))
+                     >= {SEMDEDUP_TAU})
+        SELECT f.vec_id, f.cluster FROM f
+        WHERE f.vec_id NOT IN (SELECT vec_id FROM rm)""")
 
     # PQ: one kmeans chain per contiguous subspace; codes = the final
     # per-subspace assignments joined on vec_id; ADC distance = the
@@ -847,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
                     abs(fx[j+1] - fx[j]) + abs(fy[j+1] - fy[j]))) > 0
             GROUP BY layer""",
         "q_kmeans_clusters": km_sql,
+        "q_semantic_dedup": sem_sql,
         "q_pq_codes": pq_codes_sql,
         "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""

@@ -578,6 +578,25 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+SEMDEDUP_TAU = 0.90  # within-cluster cosine prune threshold (same
+                     # boundary as q_embed_near_dup, proven tie-free
+                     # on the fixture corpus-wide)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup composition (cluster-then-prune semantic dedup): the
+    q_kmeans_clusters centroids (identical init/iters/quantization, so
+    the unrolled SQL mirror re-derives them exactly), then the
+    within-cluster lower-id cosine prune
+    (stages/dedup.py::semantic_dedup). Output: kept (vec_id, cluster).
+    The SQL oracle recomputes the full composition — kmeans CTE chain
+    + same-cluster pair self-join + NOT IN prune."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init = _fetch_vecs(emb, list(range(KM_K)))
+    cids, C, _ = ann.kmeans(emb, init, iters=KM_ITERS, quant=KM_QUANT)
+    return dedup.semantic_dedup(emb, cids, C, SEMDEDUP_TAU).to_pandas()
+
+
 PQ_M = 8        # subspaces (64 dims -> 8 dims each)
 PQ_KSUB = 4     # centroids per subspace codebook
 PQ_ITERS = 2    # codebook kmeans iterations (SQL mirror unrolls them)

@@ -758,3 +758,69 @@ def phash_near_dup_pairs(ds, phash_col: str = "phash",
         coalesced(ds).map_batches(band_rows, batch_format="pyarrow"),
         id_col, "__ph", max_hamming, pa.string(),
         family="phash_band_bucket")
+
+
+def semantic_dedup(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
+                   tau: float, vec_col: str = "embedding",
+                   id_col: str = "vec_id", block: int = 2048):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 pattern): assign every vector to its nearest
+    (pre-trained) centroid, then WITHIN each cluster drop any vector
+    whose cosine similarity to a lower-id cluster member is >= tau.
+    The keep rule is deterministic and non-transitive (compare against
+    lower ids only), so it is exactly re-derivable in SQL.
+
+    Scale shape: the k-means stage bounds expected cluster size to
+    corpus/k — choose k so a cluster fits one group kernel (the
+    published recipe: k ~ sqrt(n) keeps clusters ~sqrt(n)); the only
+    wide exchange is the cluster groupby of (id, vector) rows, and the
+    in-group all-pairs runs as column-BLOCKED float64 matmul (never an
+    n^2 allocation over the whole cluster at once).
+
+    Returns the kept rows as a Dataset (id_col, cluster), streaming.
+    """
+    import ray
+
+    from .ann import _as_matrix, _normalize
+
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0,1], got {tau}")
+    ref = ray.put((np.asarray(centroid_ids, np.int64),
+                   np.asarray(centroids, np.float64)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        cids_, C_ = _ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: t[vec_col]})
+        x = _as_matrix(t[vec_col])
+        a = np.argmin(((x[:, None, :] - C_[None]) ** 2).sum(-1), axis=1)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(cids_[a], pa.int64()),
+                         vec_col: t[vec_col]})
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        order = np.argsort(df[id_col].to_numpy(), kind="stable")
+        ids = df[id_col].to_numpy()[order]
+        x = np.stack([np.asarray(v, np.float64)
+                      for v in df[vec_col].to_numpy()[order]])
+        xn = _normalize(x)
+        n = len(ids)
+        keep = np.ones(n, bool)
+        for j0 in range(1, n, block):
+            j1 = min(j0 + block, n)
+            s = xn[:j1] @ xn[j0:j1].T  # (j1, j1-j0) one column block
+            # rows strictly above the diagonal = lower-id members
+            ri = np.arange(j1)[:, None]
+            cj = np.arange(j0, j1)[None, :]
+            s = np.where(ri < cj, s, -np.inf)
+            keep[j0:j1] = s.max(axis=0) < tau
+        out = pd.DataFrame({id_col: ids[keep],
+                            "cluster": df["cluster"].to_numpy()[order][keep]})
+        return arrow_table(out)
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return coalesced(assigned).groupby("cluster").map_groups(
+        prune, batch_format="pandas")

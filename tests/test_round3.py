@@ -721,3 +721,46 @@ def test_heavy_hitters_rejects_bad_phi(ray_session):
     ds = rd.from_arrow(pa.table({"v": pa.array(["a"], pa.string())}))
     with pytest.raises(ValueError):
         heavy_hitters(ds, "v", 0.0)
+
+
+def test_semantic_dedup_prune_rule(ray_session):
+    # two tight clusters far apart; within each, ids 0/1 are near-dups
+    # (cos >= tau) and id 2 is distinct. The lower-id survivor stays;
+    # cross-cluster near-identical vectors must NOT prune each other.
+    import pyarrow as pa
+    from osm2shp_ray.stages.dedup import semantic_dedup
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = np.stack([
+        base_a, base_a + 1e-3, np.array([0.7, 0.0, 0.7, 0.0]),   # cluster A
+        base_b, base_b + 1e-3, np.array([0.0, 0.7, 0.0, 0.7]),   # cluster B
+    ])
+    ids = np.arange(6, dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(3)
+    cids = np.array([0, 1], dtype=np.int64)
+    C = np.stack([base_a, base_b])
+    kept = semantic_dedup(ds, cids, C, tau=0.95).to_pandas()
+    got = sorted(map(tuple, kept[["vec_id", "cluster"]].to_numpy()))
+    # ids 1 and 4 pruned (near-dup of lower id in same cluster)
+    assert got == [(0, 0), (2, 0), (3, 1), (5, 1)]
+    with pytest.raises(ValueError):
+        semantic_dedup(ds, cids, C, tau=0.0)
+
+
+def test_semantic_dedup_blocked_matches_unblocked(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.dedup import semantic_dedup
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 8))
+    t = pa.table({"vec_id": np.arange(200, dtype=np.int64),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    C = vecs[:3]
+    a = semantic_dedup(ds, np.arange(3), C, tau=0.6, block=7).to_pandas()
+    b = semantic_dedup(ds, np.arange(3), C, tau=0.6, block=4096).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cluster"]].to_numpy()))
+    assert key(a) == key(b)
