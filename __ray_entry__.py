@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
+        "q_mixture_sample": q.q_mixture_sample,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -321,6 +322,14 @@ def oracle_sql() -> dict[str, str]:
     km_ctes, km_final = km_chain("", 1, KM_DIMS, KM_K, KM_ITERS, KM_QUANT)
     km_sql = ("WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
               + "\n" + km_final)
+
+    # mixture sampling: the engine's h60(id) % basis decision table
+    from osm2shp_ray.pipelines.queries import MIX_BASIS, MIX_FRACS
+    mix_case = ("CASE source " + " ".join(
+        f"WHEN '{g}' THEN {int(round(f * MIX_BASIS))}"
+        for g, f in MIX_FRACS.items()) + " ELSE 0 END")
+    mix_sql = (f"SELECT doc_id, source FROM documents "
+               f"WHERE {h60('CAST(doc_id AS VARCHAR)')} % {MIX_BASIS} < {mix_case}")
 
     # SemDeDup composition: same kmeans chain -> final assignment f,
     # then drop any vector with a lower-id same-cluster member at
@@ -869,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY layer""",
         "q_kmeans_clusters": km_sql,
         "q_semantic_dedup": sem_sql,
+        "q_mixture_sample": mix_sql,
         "q_pq_codes": pq_codes_sql,
         "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""

@@ -204,6 +204,9 @@ def run_bench() -> dict:
         ("q_range_join_alerts", q.q_range_join_alerts),
         ("q_bm25_topk", q.q_bm25_topk),
         ("q_kmeans_clusters", q.q_kmeans_clusters),
+        ("q_repetition_filter", q.q_repetition_filter),
+        ("q_heavy_hitters", q.q_heavy_hitters),
+        ("q_semantic_dedup", q.q_semantic_dedup),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -578,6 +578,23 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+MIX_BASIS = 10000  # mixture-sampling quantization (basis points)
+MIX_FRACS = {f"src{i}": (i % 5) / 4 for i in range(20)}  # 0,.25,..,1
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic source-mixture subsampling (stages/sketch.py::
+    mixture_sample): per-source keep fractions applied via the
+    SQL-parity id hash — the data-mixing op that reweights a corpus
+    to a target source distribution in ONE stateless streaming pass
+    (no shuffle, no RNG state, stable under resharding)."""
+    from ..stages import sketch
+    return (sketch.mixture_sample(
+                _read(sf_dir, "documents", ["doc_id", "source"]),
+                "source", "doc_id", MIX_FRACS, basis=MIX_BASIS)
+            .to_pandas())
+
+
 SEMDEDUP_TAU = 0.90  # within-cluster cosine prune threshold (same
                      # boundary as q_embed_near_dup, proven tie-free
                      # on the fixture corpus-wide)

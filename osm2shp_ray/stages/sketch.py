@@ -365,3 +365,36 @@ def heavy_hitters(ds, col: str, phi: float, m: int | None = None):
     return out.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cnt"], threshold)),
         batch_format="pyarrow")
+
+
+def mixture_sample(ds, group_col: str, id_col: str,
+                   fractions: dict, default: float = 0.0,
+                   basis: int = 10000):
+    """Deterministic source-mixture subsampling — the data-mixing op
+    of corpus curation (hit a target per-source proportion before
+    training): keep a row iff
+    ``md5_hash60(str(id)) % basis < round(frac[group] * basis)``.
+
+    One stateless map, no shuffle, no RNG state: the decision depends
+    only on the row's id and its group's fraction, so it is stable
+    under re-runs, resharding, and incremental arrival, and the SQL
+    oracle reproduces it exactly (h60 % basis against a CASE table).
+    Fractions are quantized to 1/basis (documented contract — exact
+    integer thresholds, no float comparisons at the boundary)."""
+    import pyarrow.compute as pc
+
+    thr = {g: int(round(f * basis)) for g, f in fractions.items()}
+    if any(t < 0 or t > basis for t in thr.values()) or not (0.0 <= default <= 1.0):
+        raise ValueError("fractions must be within [0, 1]")
+    dthr = int(round(default * basis))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = md5_hash60(ids.astype(str) if ids.dtype != object else ids) % basis
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        lim = np.array([thr.get(g, dthr) for g in groups], np.int64)
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -764,3 +764,25 @@ def test_semantic_dedup_blocked_matches_unblocked(ray_session):
     b = semantic_dedup(ds, np.arange(3), C, tau=0.6, block=4096).to_pandas()
     key = lambda df: sorted(map(tuple, df[["vec_id", "cluster"]].to_numpy()))
     assert key(a) == key(b)
+
+
+def test_mixture_sample_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.functions.hashing import md5_hash60
+    from osm2shp_ray.stages.sketch import mixture_sample
+    n = 4000
+    t = pa.table({"id": np.arange(n, dtype=np.int64),
+                  "src": np.where(np.arange(n) % 2 == 0, "a", "b")})
+    ds = rd.from_arrow(t).repartition(4)
+    got = mixture_sample(ds, "src", "id", {"a": 0.25, "b": 1.0}).to_pandas()
+    # fraction-1.0 groups keep everything; fraction-0 default drops
+    assert (got["src"] == "b").sum() == n // 2
+    # exact decision-rule reproduction for the sampled group
+    ids_a = np.arange(0, n, 2)
+    want = ids_a[md5_hash60(ids_a) % 10000 < 2500]
+    assert sorted(got.loc[got["src"] == "a", "id"]) == sorted(want)
+    # unlisted group falls to the default (drop)
+    got2 = mixture_sample(ds, "src", "id", {"b": 0.5}, default=0.0).to_pandas()
+    assert (got2["src"] == "a").sum() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(ds, "src", "id", {"a": 1.5})
