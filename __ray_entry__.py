@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
         "q_mixture_sample": q.q_mixture_sample,
+        "q_decontaminate": q.q_decontaminate,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -330,6 +331,26 @@ def oracle_sql() -> dict[str, str]:
         for g, f in MIX_FRACS.items()) + " ELSE 0 END")
     mix_sql = (f"SELECT doc_id, source FROM documents "
                f"WHERE {h60('CAST(doc_id AS VARCHAR)')} % {MIX_BASIS} < {mix_case}")
+
+    # decontamination: distinct eval-set 3-gram hashes (doc_id % 37
+    # == 0 subset) counted per remaining doc — join on h60 of the
+    # gram so collision semantics match the engine exactly
+    from osm2shp_ray.pipelines.queries import DECON_EVAL_MOD, DECON_N
+    decon_gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(DECON_N))
+    decon_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') a
+          FROM documents
+        ), ng AS (
+          SELECT doc_id, {h60(decon_gram)} AS gh
+          FROM tok, unnest(generate_series(1, len(a) - {DECON_N - 1})) AS t(i)
+        ), ev AS (
+          SELECT DISTINCT gh FROM ng WHERE doc_id % {DECON_EVAL_MOD} = 0
+        )
+        SELECT ng.doc_id, count(DISTINCT ng.gh) AS n_hit
+        FROM ng JOIN ev USING (gh)
+        WHERE ng.doc_id % {DECON_EVAL_MOD} <> 0
+        GROUP BY ng.doc_id"""
 
     # SemDeDup composition: same kmeans chain -> final assignment f,
     # then drop any vector with a lower-id same-cluster member at
@@ -879,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans_clusters": km_sql,
         "q_semantic_dedup": sem_sql,
         "q_mixture_sample": mix_sql,
+        "q_decontaminate": decon_sql,
         "q_pq_codes": pq_codes_sql,
         "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""

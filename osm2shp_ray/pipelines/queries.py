@@ -1380,3 +1380,30 @@ def q_supplier_by_region(sf_dir: str):
                       Max("s_acctbal", alias_name="max_bal"),
                       Min("s_acctbal", alias_name="min_bal"))).to_pandas()
     return _round_cols(out, ["total_bal", "max_bal", "min_bal"])
+
+
+DECON_EVAL_MOD = 37  # deterministic eval-subset selector (doc_id % mod == 0)
+DECON_N = 3          # word n-gram order for the contamination test
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/text.py::decontaminate): the
+    eval set is the deterministic doc_id % 37 == 0 subset of the
+    corpus; every OTHER document is scored by how many DISTINCT
+    eval-set word 3-grams it contains (n_hit >= 1 = contaminated =
+    dropped before training). Broadcast path: eval gram hashes are
+    collected once and ray.put; the corpus streams through one
+    stateless map — zero shuffles."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % DECON_EVAL_MOD) == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    ev = docs.map_batches(part(True), batch_format="pyarrow")
+    rest = docs.map_batches(part(False), batch_format="pyarrow")
+    return (text.decontaminate(rest, ev, n=DECON_N)
+            .to_pandas())

@@ -383,3 +383,118 @@ def pack_chunks(ds, budget: int, key_col: str = "source",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(pack, batch_format="pandas"))
+
+
+# ------------------------------------------- benchmark decontamination
+
+def _ngram_hash_frame(col, n: int):
+    """(row_index, gram_hash) arrays for every lowercase word n-gram
+    ([a-z0-9_]+ tokens, the bm25 tokenizer) of a text column — the
+    generalized n-gram feed of ``bigram_rows_batch``, hashed to the
+    60-bit SQL-parity md5 value so membership tests reproduce exactly
+    in DuckDB (h60 of ``a[i] || ' ' || ... || a[i+n-1]``)."""
+    from ..functions.hashing import md5_hash60
+
+    toks = _token_lists(col)
+    long = (pl.DataFrame({"i": pl.Series(np.arange(len(toks), dtype=np.int64)),
+                          "tok": toks})
+            .explode("tok").drop_nulls("tok"))
+    tails = [f"t{j}" for j in range(1, n)]
+    if tails:
+        long = (long.with_columns([pl.col("tok").shift(-j).over("i").alias(c)
+                                   for j, c in enumerate(tails, start=1)])
+                .drop_nulls(tails))
+    df = long.select(
+        pl.col("i"),
+        pl.concat_str([pl.col("tok"), *(pl.col(c) for c in tails)],
+                      separator=" ").alias("g"))
+    if df.height == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return df["i"].to_numpy(), md5_hash60(df["g"].to_numpy())
+
+
+def decontaminate(docs, eval_ds, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", eval_text_col: str = "text",
+                  distributed: bool = False):
+    """Benchmark decontamination — the pre-training curation gate that
+    drops corpus documents overlapping an evaluation set: per document,
+    count the DISTINCT eval-set word n-grams it contains; docs with
+    ``n_hit >= 1`` are the contaminated set. Membership is by 60-bit
+    md5 gram hash on BOTH sides, so the rule (collision semantics
+    included) is exactly reproducible in SQL.
+
+    Default (broadcast) path: the eval set's distinct gram hashes are
+    reduced per-batch and collected driver-side — bounded by contract:
+    eval benchmarks are tiny next to the training corpus — sorted and
+    ``ray.put`` once; each doc batch probes via ``searchsorted`` and
+    counts per-doc distinct hits in one vectorized polars group_by.
+    ZERO shuffles: the corpus streams through a single stateless map.
+
+    ``distributed=True`` (no broadcast-size precondition): doc grams
+    explode to (id, gh) rows — per-batch distinct, and globally
+    distinct because a document's text lives in one batch — semijoin
+    the eval hash set via ``hash_join``, then one groupby(id) count.
+    Byte-identical output (equivalence test in tests/test_round3.py).
+
+    Output schema: ``(id_col, n_hit: int64)`` — contaminated docs only.
+    """
+    import ray
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        _, h = _ngram_hash_frame(t[eval_text_col], n)
+        return pa.table({"gh": pa.array(np.unique(h), pa.int64())})
+
+    ev = eval_ds.map_batches(eval_partial, batch_format="pyarrow")
+
+    if distributed:
+        from ray.data.aggregate import Count
+
+        from .joins import hash_join
+
+        def doc_pairs(t: pa.Table) -> pa.Table:
+            idc = (t[id_col].combine_chunks()
+                   if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+            i, h = _ngram_hash_frame(t[text_col], n)
+            df = pl.DataFrame({"i": i, "gh": h}).unique()
+            return pa.table({id_col: idc.take(pa.array(df["i"].to_numpy())),
+                             "gh": pa.array(df["gh"].to_numpy(), pa.int64())})
+
+        ev_distinct = (ev.groupby("gh")
+                       .aggregate(Count(alias_name="__c"))
+                       .select_columns(["gh"]))
+        pairs = hash_join(docs.map_batches(doc_pairs, batch_format="pyarrow"),
+                          ev_distinct, on="gh", how="left_semi")
+        return (pairs.groupby(id_col)
+                .aggregate(Count(alias_name="n_hit")))
+
+    rows = ev.take_all()  # eval-side distinct hashes only, bounded by contract
+    hashes = (np.unique(np.array([r["gh"] for r in rows], dtype=np.int64))
+              if rows else np.empty(0, np.int64))
+    ref = ray.put(hashes)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        empty = pa.table({id_col: idc.slice(0, 0),
+                          "n_hit": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        i, h = _ngram_hash_frame(t[text_col], n)
+        ev_ = _ray.get(ref)
+        if len(ev_) == 0 or len(h) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ev_, h), len(ev_) - 1)
+        hit = ev_[pos] == h
+        if not hit.any():
+            return empty
+        cnt = (pl.DataFrame({"i": i[hit], "gh": h[hit]})
+               .unique().group_by("i").len())
+        return pa.table({id_col: idc.take(pa.array(cnt["i"].to_numpy())),
+                         "n_hit": pa.array(cnt["len"].to_numpy().astype(np.int64),
+                                           pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow")

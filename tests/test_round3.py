@@ -786,3 +786,37 @@ def test_mixture_sample_semantics(ray_session):
     assert (got2["src"] == "a").sum() == 0
     with pytest.raises(ValueError):
         mixture_sample(ds, "src", "id", {"a": 1.5})
+
+
+def test_decontaminate_semantics_and_dual(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import decontaminate
+    ev = rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": ["the quick brown fox jumps", "over the lazy dog today"]}))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # contains "the quick brown" and "quick brown fox" -> 2 hits
+            "so the quick brown fox ran",
+            # contains "over the lazy" only -> 1 hit
+            "it leapt over the lazy cat",
+            # shares words but no full 3-gram -> clean
+            "brown dog fox lazy the quick",
+            "completely unrelated text here",
+        ]})).repartition(3)
+    got = decontaminate(docs, ev, n=3).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_hit"])) == {1: 2, 2: 1}
+    # distinct-gram counting: a repeated contaminated gram counts once
+    rep = rd.from_arrow(pa.table({
+        "doc_id": [9],
+        "text": ["the quick brown fox the quick brown fox"]}))
+    got2 = decontaminate(rep, ev, n=3).to_pandas()
+    # grams hit: "the quick brown" (x2 -> 1), "quick brown fox" (x2 -> 1)
+    assert dict(zip(got2["doc_id"], got2["n_hit"])) == {9: 2}
+    # distributed dual is byte-identical
+    key = lambda df: sorted(map(tuple, df[["doc_id", "n_hit"]].to_numpy()))
+    dist = decontaminate(docs, ev, n=3, distributed=True).to_pandas()
+    assert key(dist) == key(got)
+    with pytest.raises(ValueError):
+        decontaminate(docs, ev, n=0)
