@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semantic_dedup": q.q_semantic_dedup,
         "q_mixture_sample": q.q_mixture_sample,
         "q_decontaminate": q.q_decontaminate,
+        "q_lm_score": q.q_lm_score,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -351,6 +352,26 @@ def oracle_sql() -> dict[str, str]:
         FROM ng JOIN ev USING (gh)
         WHERE ng.doc_id % {DECON_EVAL_MOD} <> 0
         GROUP BY ng.doc_id"""
+
+    # unigram LM scoring: per-token logprob quantized to integer
+    # micro-nats (floor(scale * ln(c/T))) so per-doc sums are
+    # order-independent and bit-exact on both engines
+    from osm2shp_ray.stages.text import LM_SCALE
+    lm_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents
+        ), cnt AS (
+          SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), tot AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt
+        ), q AS (
+          SELECT t, CAST(floor({LM_SCALE} * ln(CAST(c AS DOUBLE) / (SELECT s FROM tot))) AS BIGINT) AS lp
+          FROM cnt
+        )
+        SELECT tok.doc_id, count(*) AS n_tok, sum(q.lp) AS lp_sum
+        FROM tok JOIN q USING (t)
+        GROUP BY tok.doc_id"""
 
     # SemDeDup composition: same kmeans chain -> final assignment f,
     # then drop any vector with a lower-id same-cluster member at
@@ -901,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": sem_sql,
         "q_mixture_sample": mix_sql,
         "q_decontaminate": decon_sql,
+        "q_lm_score": lm_sql,
         "q_pq_codes": pq_codes_sql,
         "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""

@@ -208,6 +208,7 @@ def run_bench() -> dict:
         ("q_heavy_hitters", q.q_heavy_hitters),
         ("q_semantic_dedup", q.q_semantic_dedup),
         ("q_decontaminate", q.q_decontaminate),
+        ("q_lm_score", q.q_lm_score),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -1407,3 +1407,13 @@ def q_decontaminate(sf_dir: str):
     rest = docs.map_batches(part(False), batch_format="pyarrow")
     return (text.decontaminate(rest, ev, n=DECON_N)
             .to_pandas())
+
+
+def q_lm_score(sf_dir: str):
+    """Unigram LM log-likelihood scoring (stages/text.py::lm_score):
+    corpus-trained unigram model, per-doc integer micro-nat logprob
+    sums (quantized so the sum is order-independent and SQL-exact).
+    One narrow (tok, c) count shuffle + one broadcast; the corpus
+    streams through a single scoring map."""
+    return (text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+            .to_pandas())

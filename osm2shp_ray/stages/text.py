@@ -498,3 +498,140 @@ def decontaminate(docs, eval_ds, n: int = 3, text_col: str = "text",
                                            pa.int64())})
 
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+# --------------------------------------- unigram LM quality scoring
+
+LM_SCALE = 1_000_000  # logprob quantization (micro-nats)
+
+
+def _token_rows(col):
+    """(row_index, token) exploded frame for a text column — the
+    lowercase [a-z0-9_]+ tokenizer shared with bm25/decontaminate."""
+    toks = _token_lists(col)
+    return (pl.DataFrame({"i": pl.Series(np.arange(len(toks), dtype=np.int64)),
+                          "tok": toks})
+            .explode("tok").drop_nulls("tok"))
+
+
+def unigram_counts(ds, text_col: str = "text"):
+    """Distributed corpus unigram counts: per-batch partial counts
+    (polars explode + group_by — one (tok, c) row per DISTINCT token
+    per batch, the combiner that keeps the exchange sub-corpus-sized),
+    then one global groupby sum. Output: (tok: string, c: int64)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = _token_rows(t[text_col]).group_by("tok").len()
+        return pa.table({"tok": cnt["tok"].to_arrow().cast(pa.string()),
+                         "c": pa.array(cnt["len"].to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("tok").aggregate(Sum("c", alias_name="c")))
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+             scale: int = LM_SCALE, distributed: bool = False):
+    """Unigram language-model log-likelihood scoring — the CCNet-style
+    quality proxy of corpus curation: train a unigram LM on the corpus
+    itself (distributed counts), then score every document by the sum
+    of its tokens' log-probabilities. Low mean logprob = unusual token
+    distribution = candidate for the quality-filter tail.
+
+    Exactness contract: the per-token logprob is QUANTIZED to an
+    integer — ``floor(scale * ln(c / T))`` (micro-nats) — so per-doc
+    sums are order-independent integer arithmetic and the SQL oracle
+    reproduces them bit-for-bit (ln() is the one shared libm
+    primitive; the floor boundary is measure-zero and fixture-
+    verified, the same contract as the quantized k-means mirror).
+
+    Broadcast path (default): the reduced vocab — O(distinct tokens),
+    ≪ corpus by construction; prune upstream if a web-scale vocab
+    outgrows worker heap — is collected once, token array sorted,
+    ray.put; each doc batch maps tokens via searchsorted and sums
+    int64 logprobs in one polars group_by. One narrow shuffle total
+    (the count reduce).
+
+    ``distributed=True``: no broadcast — doc tokens explode to
+    (id, tok) rows, inner-join the vocab Dataset via ``hash_join``,
+    one groupby(id) sum. Byte-identical output (equivalence test).
+
+    Output: ``(id_col, n_tok: int64, lp_sum: int64)`` — docs with at
+    least one token (empty docs have no LM evidence, matching the SQL
+    join semantics).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    vocab = unigram_counts(ds, text_col)
+
+    if distributed:
+        from .joins import hash_join
+
+        total = vocab.sum("c")  # tiny driver scalar
+
+        def add_lp(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lp = np.floor(scale * np.log(c / float(total))).astype(np.int64)
+            return pa.table({"tok": t["tok"], "lp": pa.array(lp, pa.int64())})
+
+        def doc_tokens(t: pa.Table) -> pa.Table:
+            idc = (t[id_col].combine_chunks()
+                   if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+            long = _token_rows(t[text_col])
+            return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
+                             "tok": long["tok"].to_arrow().cast(pa.string())})
+
+        joined = hash_join(ds.map_batches(doc_tokens, batch_format="pyarrow"),
+                           vocab.map_batches(add_lp, batch_format="pyarrow"),
+                           on="tok")
+        return (joined.groupby(id_col)
+                .aggregate(Count(alias_name="n_tok"),
+                           Sum("lp", alias_name="lp_sum")))
+
+    rows = vocab.take_all()  # reduced vocab only — bounded by contract
+    toks = np.array([r["tok"] for r in rows], dtype=object)
+    cs = np.array([r["c"] for r in rows], dtype=np.float64)
+    order = np.argsort(toks)
+    toks, cs = toks[order], cs[order]
+    total = float(cs.sum())
+    qlp = (np.floor(scale * np.log(cs / total)).astype(np.int64)
+           if len(cs) else np.empty(0, np.int64))
+    ref = ray.put((toks, qlp))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        empty = pa.table({id_col: idc.slice(0, 0),
+                          "n_tok": pa.array([], pa.int64()),
+                          "lp_sum": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        long = _token_rows(t[text_col])
+        if long.height == 0:
+            return empty
+        toks_, qlp_ = _ray.get(ref)
+        arr = long["tok"].to_numpy()
+        if len(toks_) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(toks_, arr), len(toks_) - 1)
+        valid = toks_[pos] == arr  # OOV tokens carry no LM evidence
+        if not valid.any():
+            return empty
+        agg = (pl.DataFrame({"i": long["i"].to_numpy()[valid],
+                             "lp": qlp_[pos[valid]]})
+               .group_by("i").agg(pl.len().alias("n_tok"),
+                                  pl.col("lp").sum().alias("lp_sum")))
+        return pa.table({
+            id_col: idc.take(pa.array(agg["i"].to_numpy())),
+            "n_tok": pa.array(agg["n_tok"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            "lp_sum": pa.array(agg["lp_sum"].to_numpy().astype(np.int64),
+                               pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

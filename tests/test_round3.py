@@ -820,3 +820,25 @@ def test_decontaminate_semantics_and_dual(ray_session):
     assert key(dist) == key(got)
     with pytest.raises(ValueError):
         decontaminate(docs, ev, n=0)
+
+
+def test_lm_score_semantics_and_dual(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import LM_SCALE, lm_score
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb aa", "bb cc", "", "AA, cc!"]})).repartition(3)
+    got = lm_score(docs).to_pandas().set_index("doc_id").sort_index()
+    # corpus counts: aa=3 (doc4's "AA" lowercases), bb=2, cc=2; T=7
+    lp = {t: int(np.floor(LM_SCALE * np.log(c / 7.0)))
+          for t, c in {"aa": 3.0, "bb": 2.0, "cc": 2.0}.items()}
+    assert got.loc[1, "n_tok"] == 3
+    assert got.loc[1, "lp_sum"] == 2 * lp["aa"] + lp["bb"]
+    assert got.loc[2, "lp_sum"] == lp["bb"] + lp["cc"]
+    assert got.loc[4, "lp_sum"] == lp["aa"] + lp["cc"]
+    assert 3 not in got.index  # empty doc: no LM evidence
+    dist = (lm_score(docs, distributed=True).to_pandas()
+            .set_index("doc_id").sort_index())
+    assert dist.equals(got)
+    with pytest.raises(ValueError):
+        lm_score(docs, scale=0)
