@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": q.q_mixture_sample,
         "q_decontaminate": q.q_decontaminate,
         "q_lm_score": q.q_lm_score,
+        "q_event_deltas": q.q_event_deltas,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -923,6 +924,13 @@ def oracle_sql() -> dict[str, str]:
         "q_mixture_sample": mix_sql,
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
+        "q_event_deltas": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                            -1) AS delta_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "q_pq_codes": pq_codes_sql,
         "q_pq_adc_topk": pq_adc_sql,
         "q_bm25_topk": f"""

@@ -1417,3 +1417,14 @@ def q_lm_score(sf_dir: str):
     streams through a single scoring map."""
     return (text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
             .to_pandas())
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user analytic window pass (stages/temporal.py::lag_rank):
+    row_number + inter-arrival delta per event — one bucketed
+    exchange, sorted numpy kernel per bucket (SQL: row_number()/lag()
+    OVER (PARTITION BY user_id ORDER BY ts, event_id))."""
+    from ..stages import temporal
+    return (temporal.lag_rank(
+                _read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+            .to_pandas())

@@ -243,3 +243,45 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
         return pa.table(cols).cast(out_schema)
 
     return unioned.groupby("__bin").map_groups(match, batch_format="pyarrow")
+
+
+def lag_rank(ds, key_col: str = "user_id", ts_col: str = "ts",
+             tiebreak_col: str = "event_id",
+             n_buckets: int | None = None):
+    """Per-key analytic window pass — ``row_number()`` and the
+    microsecond delta to the previous event (``ts - lag(ts)``), the
+    standard feature precompute for inter-arrival analysis and
+    sessionization thresholds. SQL analog: ``row_number() OVER
+    (PARTITION BY key ORDER BY ts, tiebreak)`` / ``lag`` — expressed
+    as ONE bucketed exchange + a per-bucket sorted numpy kernel
+    (cumcount + diff masked at key boundaries; never a per-key loop).
+
+    First event of a key gets ``delta_us = -1`` (integer sentinel, not
+    NULL, so both engines hash identically). Same partitioning
+    contract as session_windows: one key's rows fit one group.
+
+    Output: (tiebreak_col, key_col, rn: int64, delta_us: int64).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        # row_number: positions since the last key boundary
+        idx = np.arange(len(keys), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - start + 1
+        delta = np.concatenate(([0], np.diff(ts)))
+        delta[new_key] = -1
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys, "rn": rn, "delta_us": delta}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -79,7 +79,7 @@ SQL_CHECKED = [
     "q_stratified_sample", "q_pq_codes", "q_pq_adc_topk",
     # round 3 (4th session): repetition-quality gate + heavy hitters
     "q_repetition_filter", "q_heavy_hitters", "q_semantic_dedup",
-    "q_mixture_sample", "q_decontaminate", "q_lm_score",
+    "q_mixture_sample", "q_decontaminate", "q_lm_score", "q_event_deltas",
 ]
 
 

@@ -842,3 +842,21 @@ def test_lm_score_semantics_and_dual(ray_session):
     assert dist.equals(got)
     with pytest.raises(ValueError):
         lm_score(docs, scale=0)
+
+
+def test_lag_rank_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.temporal import lag_rank
+    ts = pa.array([1_000_000, 3_000_000, 2_000_000, 2_000_000, 9_000_000],
+                  pa.timestamp("us"))
+    t = pa.table({"event_id": [10, 11, 12, 13, 14],
+                  "user_id": [1, 1, 1, 2, 2],
+                  "ts": ts})
+    got = (lag_rank(rd.from_arrow(t).repartition(3)).to_pandas()
+           .set_index("event_id").sort_index())
+    # user 1 ordered by (ts, event_id): 10@1s rn1, 12@2s rn2, 11@3s rn3
+    assert got.loc[10, ["rn", "delta_us"]].tolist() == [1, -1]
+    assert got.loc[12, ["rn", "delta_us"]].tolist() == [2, 1_000_000]
+    assert got.loc[11, ["rn", "delta_us"]].tolist() == [3, 1_000_000]
+    assert got.loc[13, ["rn", "delta_us"]].tolist() == [1, -1]
+    assert got.loc[14, ["rn", "delta_us"]].tolist() == [2, 7_000_000]
