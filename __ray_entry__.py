@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q.q_decontaminate,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
+        "q_dsir_weights": q.q_dsir_weights,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -371,6 +372,34 @@ def oracle_sql() -> dict[str, str]:
           FROM cnt
         )
         SELECT tok.doc_id, count(*) AS n_tok, sum(q.lp) AS lp_sum
+        FROM tok JOIN q USING (t)
+        GROUP BY tok.doc_id"""
+
+    # DSIR importance weights: target (doc_id % 37 == 0) vs raw
+    # unigram models, add-one smoothing over the raw vocab, same
+    # integer micro-nat quantization as q_lm_score
+    dsir_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents
+        ), raw AS (
+          SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), tgt AS (
+          SELECT t, count(*) AS c FROM tok
+          WHERE doc_id % {DECON_EVAL_MOD} = 0 GROUP BY t
+        ), k AS (
+          SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM raw) AS tr,
+                 (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) FROM tgt) AS tt,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM raw) AS v
+        ), q AS (
+          SELECT raw.t,
+                 CAST(floor({LM_SCALE} * ln((CAST(COALESCE(tgt.c, 0) AS DOUBLE) + 1.0)
+                                            / ((SELECT tt FROM k) + (SELECT v FROM k)))) AS BIGINT)
+               - CAST(floor({LM_SCALE} * ln(CAST(raw.c AS DOUBLE)
+                                            / (SELECT tr FROM k))) AS BIGINT) AS w
+          FROM raw LEFT JOIN tgt USING (t)
+        )
+        SELECT tok.doc_id, count(*) AS n_tok, sum(q.w) AS w_sum
         FROM tok JOIN q USING (t)
         GROUP BY tok.doc_id"""
 
@@ -924,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mixture_sample": mix_sql,
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
+        "q_dsir_weights": dsir_sql,
         "q_event_deltas": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,

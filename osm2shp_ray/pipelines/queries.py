@@ -1428,3 +1428,19 @@ def q_event_deltas(sf_dir: str):
     return (temporal.lag_rank(
                 _read(sf_dir, "events", ["event_id", "user_id", "ts"]))
             .to_pandas())
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (stages/text.py::dsir_weights):
+    target distribution = the deterministic doc_id % 37 == 0 subset;
+    every document scored by the integer micro-nat log-ratio of
+    target vs raw unigram likelihood. Two count reduces + one
+    broadcast scan."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tgt_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % DECON_EVAL_MOD) == 0))
+
+    tgt = docs.map_batches(tgt_filter, batch_format="pyarrow")
+    return text.dsir_weights(docs, tgt).to_pandas()

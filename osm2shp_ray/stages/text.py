@@ -601,7 +601,20 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     total = float(cs.sum())
     qlp = (np.floor(scale * np.log(cs / total)).astype(np.int64)
            if len(cs) else np.empty(0, np.int64))
-    ref = ray.put((toks, qlp))
+    return _token_value_scan(ds, text_col, id_col, toks, qlp, "lp_sum")
+
+
+def _token_value_scan(ds, text_col: str, id_col: str,
+                      toks_sorted: np.ndarray, vals: np.ndarray,
+                      out_col: str):
+    """Broadcast a (sorted token array, int64 value array) lookup once
+    via ray.put; stream docs through ONE stateless map that sums the
+    values of each document's in-vocab tokens (searchsorted probe +
+    polars group_by). OOV tokens carry no evidence and are dropped —
+    inner-join semantics, matching the SQL mirrors."""
+    import ray
+
+    ref = ray.put((toks_sorted, vals))
 
     def score(t: pa.Table) -> pa.Table:
         import ray as _ray
@@ -609,29 +622,83 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
         empty = pa.table({id_col: idc.slice(0, 0),
                           "n_tok": pa.array([], pa.int64()),
-                          "lp_sum": pa.array([], pa.int64())})
+                          out_col: pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
         long = _token_rows(t[text_col])
         if long.height == 0:
             return empty
-        toks_, qlp_ = _ray.get(ref)
+        toks_, vals_ = _ray.get(ref)
         arr = long["tok"].to_numpy()
         if len(toks_) == 0:
             return empty
         pos = np.minimum(np.searchsorted(toks_, arr), len(toks_) - 1)
-        valid = toks_[pos] == arr  # OOV tokens carry no LM evidence
+        valid = toks_[pos] == arr
         if not valid.any():
             return empty
         agg = (pl.DataFrame({"i": long["i"].to_numpy()[valid],
-                             "lp": qlp_[pos[valid]]})
+                             "v": vals_[pos[valid]]})
                .group_by("i").agg(pl.len().alias("n_tok"),
-                                  pl.col("lp").sum().alias("lp_sum")))
+                                  pl.col("v").sum().alias(out_col)))
         return pa.table({
             id_col: idc.take(pa.array(agg["i"].to_numpy())),
             "n_tok": pa.array(agg["n_tok"].to_numpy().astype(np.int64),
                               pa.int64()),
-            "lp_sum": pa.array(agg["lp_sum"].to_numpy().astype(np.int64),
-                               pa.int64())})
+            out_col: pa.array(agg[out_col].to_numpy().astype(np.int64),
+                              pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(ds, target_ds, text_col: str = "text",
+                 id_col: str = "doc_id", scale: int = LM_SCALE):
+    """DSIR-style importance weighting for data selection: score every
+    corpus document by how much more likely its tokens are under the
+    TARGET distribution than under the raw-corpus distribution —
+    ``w_sum = Σ_tokens [qlp_target(tok) − qlp_raw(tok)]`` — then keep
+    the top fraction (or sample ∝ exp(w)) to shift the corpus toward
+    the target domain.
+
+    Both unigram models are trained distributedly (`unigram_counts`);
+    the raw model uses maximum likelihood (every scored token has
+    c ≥ 1 by construction), the target model add-one smoothing over
+    the RAW vocabulary — ``(c_t + 1) / (T_t + V)`` with ``T_t`` the
+    target token total and ``V`` the raw vocab size — so unseen-in-
+    target tokens get a finite penalty. Per-token values are quantized
+    to integer micro-nats (the `lm_score` contract), making per-doc
+    sums order-independent and the SQL mirror bit-exact.
+
+    Scale shape: two narrow count reduces + one broadcast + one
+    streaming scan; nothing doc-sized crosses a shuffle.
+
+    Output: ``(id_col, n_tok: int64, w_sum: int64)`` for docs with at
+    least one in-vocab token.
+    """
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    raw_rows = unigram_counts(ds, text_col).take_all()
+    tgt_rows = unigram_counts(target_ds, text_col).take_all()
+    toks = np.array([r["tok"] for r in raw_rows], dtype=object)
+    cr = np.array([r["c"] for r in raw_rows], dtype=np.float64)
+    order = np.argsort(toks)
+    toks, cr = toks[order], cr[order]
+    t_raw = float(cr.sum())
+    v = float(len(toks))
+    ct = np.zeros(len(toks), dtype=np.float64)
+    if tgt_rows:
+        ttoks = np.array([r["tok"] for r in tgt_rows], dtype=object)
+        tcs = np.array([r["c"] for r in tgt_rows], dtype=np.float64)
+        pos = np.minimum(np.searchsorted(toks, ttoks), max(len(toks) - 1, 0))
+        hit = (toks[pos] == ttoks) if len(toks) else np.zeros(len(ttoks), bool)
+        ct[pos[hit]] = tcs[hit]
+        t_tgt = float(tcs.sum())  # ALL target tokens, in-vocab or not
+    else:
+        t_tgt = 0.0
+    if len(toks) == 0:
+        w = np.empty(0, np.int64)
+    else:
+        qlp_t = np.floor(scale * np.log((ct + 1.0) / (t_tgt + v)))
+        qlp_r = np.floor(scale * np.log(cr / t_raw))
+        w = (qlp_t - qlp_r).astype(np.int64)
+    return _token_value_scan(ds, text_col, id_col, toks, w, "w_sum")

@@ -860,3 +860,28 @@ def test_lag_rank_semantics(ray_session):
     assert got.loc[11, ["rn", "delta_us"]].tolist() == [3, 1_000_000]
     assert got.loc[13, ["rn", "delta_us"]].tolist() == [1, -1]
     assert got.loc[14, ["rn", "delta_us"]].tolist() == [2, 7_000_000]
+
+
+def test_dsir_weights_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import LM_SCALE, dsir_weights
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["aa aa bb", "bb cc", "aa cc cc"]})).repartition(2)
+    tgt = rd.from_arrow(pa.table({"doc_id": [10], "text": ["aa aa aa bb"]}))
+    got = (dsir_weights(docs, tgt).to_pandas()
+           .set_index("doc_id").sort_index())
+    # raw: aa=3 bb=2 cc=3, T=8, V=3; tgt: aa=3 bb=1 cc=0, Tt=4
+    def q(x):
+        return np.floor(LM_SCALE * np.log(x))
+    w = {"aa": q(4.0 / 7.0) - q(3.0 / 8.0),
+         "bb": q(2.0 / 7.0) - q(2.0 / 8.0),
+         "cc": q(1.0 / 7.0) - q(3.0 / 8.0)}
+    assert got.loc[1, "w_sum"] == int(2 * w["aa"] + w["bb"])
+    assert got.loc[2, "w_sum"] == int(w["bb"] + w["cc"])
+    assert got.loc[3, "w_sum"] == int(w["aa"] + 2 * w["cc"])
+    assert got["n_tok"].tolist() == [3, 2, 3]
+    # target-favored doc 1 outranks target-unseen-heavy doc 3
+    assert got.loc[1, "w_sum"] > got.loc[3, "w_sum"]
+    with pytest.raises(ValueError):
+        dsir_weights(docs, tgt, scale=-1)
