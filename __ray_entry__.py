@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
+        "q_grouped_mode": q.q_grouped_mode,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -954,6 +955,13 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
+        "q_grouped_mode": """
+            SELECT user_id, event_type AS mode_val, c AS n FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1""",
         "q_event_deltas": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS rn,

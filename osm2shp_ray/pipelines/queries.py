@@ -1444,3 +1444,14 @@ def q_dsir_weights(sf_dir: str):
 
     tgt = docs.map_batches(tgt_filter, batch_format="pyarrow")
     return text.dsir_weights(docs, tgt).to_pandas()
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-user modal event type (stages/sketch.py::grouped_mode):
+    combiner-first distinct-pair counts, one (key, val) reduce, then
+    a bucketed deterministic argmax (ties -> smallest value)."""
+    from ..stages import sketch
+    return (sketch.grouped_mode(
+                _read(sf_dir, "events", ["user_id", "event_type"]),
+                "user_id", "event_type")
+            .to_pandas())

@@ -398,3 +398,61 @@ def mixture_sample(ds, group_col: str, id_col: str,
         return t.filter(pa.array(h < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, val_col: str):
+    """Most-frequent value per key (the ``mode()`` aggregate Ray Data
+    lacks) with a DETERMINISTIC tie-break: among equally-frequent
+    values the smallest wins — SQL mirror ``row_number() OVER
+    (PARTITION BY key ORDER BY count(*) DESC, val)`` = 1.
+
+    Shape: per-batch (key, val, c) partial counts (polars group_by —
+    the combiner that bounds the exchange by DISTINCT pairs, not
+    rows), one global (key, val) groupby sum, then a bucketed per-key
+    argmax over the ALREADY-REDUCED pair table (one kernel per
+    bucket, never per key — the repetition/quantile pattern). Value
+    skew never concentrates: the hot (key, val) pair collapses inside
+    each batch first.
+
+    Output: (key_col, mode_val, n: int64).
+    """
+    import pandas as pd
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from .. import config
+    from ..functions.hashing import bucket_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = (pl.from_arrow(t.select([key_col, val_col]))
+               .group_by([key_col, val_col]).len())
+        out = cnt.to_arrow()
+        return out.set_column(out.schema.get_field_index("len"),
+                              "c", out["len"].cast(pa.int64()))
+
+    pairs = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+             .groupby([key_col, val_col])
+             .aggregate(Sum("c", alias_name="c")))
+
+    b = config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            bk = bucket_of(col.to_numpy(zero_copy_only=False), b)
+        else:  # string keys: polars' vectorized xxhash (pack_chunks pattern)
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            h = pl.from_arrow(c).hash(seed=11).to_numpy().astype(np.uint64)
+            bk = (h % np.uint64(b)).astype(np.int64)
+        return t.append_column("__b", pa.array(bk, pa.int64()))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", val_col], ascending=[False, True],
+                            kind="mergesort")
+        top = df.drop_duplicates(key_col, keep="first")
+        return pd.DataFrame({key_col: top[key_col],
+                             "mode_val": top[val_col],
+                             "n": top["c"].astype(np.int64)})
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(argmax, batch_format="pandas"))

@@ -885,3 +885,25 @@ def test_dsir_weights_semantics(ray_session):
     assert got.loc[1, "w_sum"] > got.loc[3, "w_sum"]
     with pytest.raises(ValueError):
         dsir_weights(docs, tgt, scale=-1)
+
+
+def test_grouped_mode_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import grouped_mode
+    t = pa.table({"k": [1, 1, 1, 2, 2, 2, 3],
+                  "v": ["b", "a", "b", "z", "a", "z", "q"]})
+    got = (grouped_mode(rd.from_arrow(t).repartition(3), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    assert got.loc[1].tolist() == ["b", 2]
+    assert got.loc[3].tolist() == ["q", 1]
+    assert got.loc[2].tolist() == ["z", 2]
+    # tie-break: equally frequent -> smallest value wins
+    t2 = pa.table({"k": [7, 7], "v": ["beta", "alpha"]})
+    got2 = grouped_mode(rd.from_arrow(t2), "k", "v").to_pandas()
+    assert got2["mode_val"].tolist() == ["alpha"]
+    # string keys route through the polars hash bucket path
+    t3 = pa.table({"k": ["x", "x", "y"], "v": [5, 5, 9]})
+    got3 = (grouped_mode(rd.from_arrow(t3).repartition(2), "k", "v")
+            .to_pandas().set_index("k").sort_index())
+    assert got3.loc["x"].tolist() == [5, 2]
+    assert got3.loc["y"].tolist() == [9, 1]
