@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
+        "q_clip_score": q.q_clip_score,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
                                                VIDEO_CLIPS_N, VIDEO_EVERY_N,
                                                _WAY_CLS_SQL)
     from osm2shp_ray.sources.fixtures import (cached_audio_meta_parquet,
+                                              cached_clip_meta_parquet,
                                               cached_entities_parquet,
                                               cached_images_parquet,
                                               cached_video_meta_parquet)
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
     images2k_dir = cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False)
     audio_meta_pq = cached_audio_meta_parquet(AUDIO_CLIPS_N)
     video_meta_pq = cached_video_meta_parquet(VIDEO_CLIPS_N)
+    from osm2shp_ray.pipelines.queries import CLIP_IMAGES_N
+    clip_meta_pq = cached_clip_meta_parquet(CLIP_IMAGES_N)
 
     def img_entities(path: str) -> str:
         return ("SELECT *, regexp_extract_all(caption, '[^ ]+=[^ ]*') AS tl "
@@ -403,6 +407,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT tok.doc_id, count(*) AS n_tok, sum(q.w) AS w_sum
         FROM tok JOIN q USING (t)
         GROUP BY tok.doc_id"""
+
+    # caption-image consistency: caption features from bit slices of
+    # h60(token), image side from the fixture's decode-round-trip
+    # ground truth; cosine accumulated in this exact expression order
+    clip_dot = " + ".join(f"m{d} * c{d}" for d in range(12))
+    clip_na = " + ".join(f"m{d} * m{d}" for d in range(12))
+    clip_nb = " + ".join(f"c{d} * c{d}" for d in range(12))
+    clip_feats = ", ".join(
+        f"sum(((h >> {5 * d}) & 31) * 2 - 31) AS c{d}" for d in range(12))
+    clip_sql = f"""
+        WITH s AS (SELECT * FROM read_parquet('{clip_meta_pq}')),
+        tk AS (
+          SELECT image_id, {h60('t')} AS h FROM (
+            SELECT image_id,
+                   unnest(regexp_extract_all(lower(caption), '[a-z0-9_]+')) AS t
+            FROM s)
+        ),
+        cf AS (SELECT image_id, {clip_feats} FROM tk GROUP BY image_id)
+        SELECT s.image_id,
+               round(({clip_dot}) / (sqrt({clip_na}) * sqrt({clip_nb})),
+                     4) AS clip_score
+        FROM s JOIN cf USING (image_id)
+        WHERE ({clip_nb}) > 0"""
 
     # SemDeDup composition: same kmeans chain -> final assignment f,
     # then drop any vector with a lower-id same-cluster member at
@@ -955,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
+        "q_clip_score": clip_sql,
         "q_grouped_mode": """
             SELECT user_id, event_type AS mode_val, c AS n FROM (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,

@@ -1455,3 +1455,21 @@ def q_grouped_mode(sf_dir: str):
                 _read(sf_dir, "events", ["user_id", "event_type"]),
                 "user_id", "event_type")
             .to_pandas())
+
+
+CLIP_IMAGES_N = 600  # fixed corpus for the static clip-meta side table
+
+
+def q_clip_score(sf_dir: str):
+    """Caption-image consistency scores (stages/images.py::
+    CaptionImageScore): deterministic stand-in joint encoder over the
+    mandated image table — decode + 2x2 quadrant means vs 5-bit-slice
+    caption hash features, cosine. DuckDB re-derives the caption side
+    from bit arithmetic on h60(token) and reads the image side from
+    the fixture's decode-round-trip ground truth."""
+    from ..sources.fixtures import cached_clip_meta_parquet, images_batch
+    from ..stages.images import caption_image_score
+    cached_clip_meta_parquet(CLIP_IMAGES_N)  # side input for the oracle
+    imgs = rd.from_arrow(images_batch(np.arange(CLIP_IMAGES_N)))
+    out = caption_image_score(imgs, batch_size=128).to_pandas()
+    return _round_cols(out, ["clip_score"])

@@ -392,3 +392,27 @@ def cached_video_meta_parquet(n: int, n_frames: int = 12) -> str:
         "clip_id": pa.array([f"vid-{i:06d}" for i in range(n)], pa.string()),
         "n_frames": pa.array(np.full(n, n_frames, np.int32), pa.int32()),
     }), path)
+
+
+def cached_clip_meta_parquet(n: int) -> str:
+    """Per-image ground truth for the caption-image consistency
+    scorer: the caption text and the 12 quadrant means (2x2 box
+    resize / 255, float64) of the image AS DECODED from the fixture
+    blob — computed here by round-tripping the generator's own encode
+    (PNG is lossless, the lossy stand-in is deterministic, so the
+    engine's decode must reproduce these doubles bit-exactly; the
+    audio-meta contract)."""
+    path = os.path.join(FIXTURE_ROOT, f"clip_meta_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    tbl = images_table(n)
+    blobs = tbl["bytes"].to_pylist()
+    fmts = tbl["fmt"].to_pylist()
+    ms = np.empty((n, 12), dtype=np.float64)
+    for i in range(n):
+        img = codec.decode_image(blobs[i], fmts[i])
+        ms[i] = codec.resize_box(img, 2, 2).astype(np.float64).reshape(-1) / 255.0
+    cols = {"image_id": tbl["image_id"], "caption": tbl["caption"]}
+    for d in range(12):
+        cols[f"m{d}"] = pa.array(ms[:, d], pa.float64())
+    return _atomic_parquet(pa.table(cols), path)

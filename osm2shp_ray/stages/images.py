@@ -146,3 +146,81 @@ def image_features(ds, concurrency=None, batch_size: int = 1024, thumb: int = 4,
 # Audio / video stages live in stages/audio.py: AudioFeatures is real
 # end-to-end (RIFF/WAVE PCM16 codec + DSP features); VideoFrameSample
 # seek-decodes sampled frames from the QVID frame-container stand-in.
+
+
+class CaptionImageScore:
+    """Caption-image consistency score — the CLIP-score curation gate
+    (drop pairs whose caption doesn't match the image) with a
+    DETERMINISTIC stand-in joint encoder, so the whole stage is
+    oracle-checkable; a real deployment swaps the two embed steps for
+    a learned model and keeps the stage shape (actor pool via
+    ``concurrency=``, batch-sized decode, payload dropped on output).
+
+    Image side: decode -> 2x2 box-resize quadrant means / 255
+    (12-dim float64 — ground-truth-reproducible from the fixture side
+    table). Caption side: each token's 60-bit md5 hash sliced into
+    twelve 5-bit signed integer features (SQL-expressible bit
+    arithmetic). Score: cosine, accumulated in the SQL expression's
+    left-associative order so both engines agree to the ulp.
+
+    Emits (image_id, clip_score: float64); rows whose image fails to
+    decode or whose caption has no tokens are dropped (they carry no
+    evidence — the SQL inner-join semantics).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hash60
+        from .text import _token_rows
+
+        n = batch.num_rows
+        blobs = _binary_views(batch["bytes"])
+        fmts = batch["fmt"].to_pylist()
+        m = np.full((n, 12), np.nan)
+        for i in range(n):
+            try:
+                img = codec.decode_image(blobs[i], fmts[i])
+            except Exception:
+                continue
+            m[i] = (codec.resize_box(img, 2, 2).astype(np.float64)
+                    .reshape(-1) / 255.0)
+
+        cap = np.zeros((n, 12), dtype=np.int64)
+        long = _token_rows(batch["caption"])
+        if long.height:
+            h = md5_hash60(long["tok"].to_numpy())
+            feats = (((h[:, None] >> (5 * np.arange(12))) & 31) * 2 - 31)
+            np.add.at(cap, long["i"].to_numpy(), feats)
+        has_tok = np.zeros(n, dtype=bool)
+        if long.height:
+            has_tok[np.unique(long["i"].to_numpy())] = True
+
+        capf = cap.astype(np.float64)
+        dot = m[:, 0] * capf[:, 0]
+        na = m[:, 0] * m[:, 0]
+        nb = cap[:, 0] * cap[:, 0]
+        for d in range(1, 12):
+            dot = dot + m[:, d] * capf[:, d]
+            na = na + m[:, d] * m[:, d]
+            nb = nb + cap[:, d] * cap[:, d]
+        keep = has_tok & ~np.isnan(m[:, 0]) & (nb > 0)
+        score = np.where(keep, dot / (np.sqrt(na) * np.sqrt(nb.astype(np.float64))), np.nan)
+        idc = (batch["image_id"].combine_chunks()
+               if isinstance(batch["image_id"], pa.ChunkedArray)
+               else batch["image_id"])
+        sel = np.flatnonzero(keep)
+        return pa.table({
+            "image_id": idc.take(pa.array(sel, pa.int64())),
+            "clip_score": pa.array(score[sel], pa.float64())})
+
+
+def caption_image_score(ds, concurrency=None, batch_size: int = 512,
+                        num_cpus: float = 1):
+    """Stage wrapper (decode_validate pattern): instance-as-function
+    elastic tasks by default; pass ``concurrency`` for an actor pool
+    when the encoder warrants per-actor setup."""
+    if concurrency is not None:
+        return ds.map_batches(CaptionImageScore, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              num_cpus=num_cpus)
+    return ds.map_batches(CaptionImageScore(), batch_format="pyarrow",
+                          batch_size=batch_size)

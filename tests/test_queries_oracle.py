@@ -80,7 +80,7 @@ SQL_CHECKED = [
     # round 3 (4th session): repetition-quality gate + heavy hitters
     "q_repetition_filter", "q_heavy_hitters", "q_semantic_dedup",
     "q_mixture_sample", "q_decontaminate", "q_lm_score", "q_event_deltas",
-    "q_dsir_weights", "q_grouped_mode",
+    "q_dsir_weights", "q_grouped_mode", "q_clip_score",
 ]
 
 

@@ -907,3 +907,34 @@ def test_grouped_mode_semantics(ray_session):
             .to_pandas().set_index("k").sort_index())
     assert got3.loc["x"].tolist() == [5, 2]
     assert got3.loc["y"].tolist() == [9, 1]
+
+
+def test_caption_image_score_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.functions.hashing import md5_hash60
+    from osm2shp_ray.functions import codec
+    from osm2shp_ray.sources.fixtures import images_batch
+    from osm2shp_ray.stages.images import caption_image_score
+    imgs = images_batch(np.arange(8))
+    got = (caption_image_score(rd.from_arrow(imgs), batch_size=3)
+           .to_pandas().set_index("image_id"))
+    assert len(got) == 8  # all fixture rows decode and have tokens
+    # hand-compute row 0: quadrant means of the decoded image x
+    # 5-bit-slice caption features
+    img = codec.decode_image(imgs["bytes"][0].as_py(), imgs["fmt"][0].as_py())
+    m = codec.resize_box(img, 2, 2).astype(np.float64).reshape(-1) / 255.0
+    import re
+    toks = re.findall(r"[a-z0-9_]+", imgs["caption"][0].as_py().lower())
+    h = md5_hash60(np.array(toks, dtype=object))
+    c = (((h[:, None] >> (5 * np.arange(12))) & 31) * 2 - 31).sum(axis=0)
+    want = float(np.dot(m, c) / (np.linalg.norm(m) * np.linalg.norm(c.astype(float))))
+    assert abs(got.loc["img-000000000", "clip_score"] - want) < 1e-9
+    assert got["clip_score"].between(-1.0, 1.0).all()
+    # undecodable blob and token-free caption are dropped, not scored
+    bad = pa.table({
+        "image_id": ["x1", "x2"],
+        "bytes": [b"notanimage", imgs["bytes"][1].as_py()],
+        "fmt": ["png", "jpeg"],
+        "caption": ["valid words here", "!!! ..."]})
+    got2 = caption_image_score(rd.from_arrow(bad)).to_pandas()
+    assert len(got2) == 0
