@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
         "q_clip_score": q.q_clip_score,
+        "q_incremental_dedup": q.q_incremental_dedup,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -430,6 +431,21 @@ def oracle_sql() -> dict[str, str]:
                      4) AS clip_score
         FROM s JOIN cf USING (image_id)
         WHERE ({clip_nb}) > 0"""
+
+    # incremental dedup: 5-token prefix fingerprints, snapshot =
+    # doc_id % 5 == 0, anti-join on the h60 content hash
+    from osm2shp_ray.pipelines.queries import INCR_PREFIX_K, INCR_SEEN_MOD
+    incr_pre = ("array_to_string(regexp_extract_all(lower(text), "
+                f"'[a-z0-9_]+')[1:{INCR_PREFIX_K}], ' ')")
+    incr_sql = f"""
+        WITH p AS (
+          SELECT doc_id, {h60(incr_pre)} AS gh FROM documents
+        ), sn AS (
+          SELECT DISTINCT gh FROM p WHERE doc_id % {INCR_SEEN_MOD} = 0
+        )
+        SELECT nw.doc_id, nw.gh
+        FROM (SELECT * FROM p WHERE doc_id % {INCR_SEEN_MOD} <> 0) nw
+        ANTI JOIN sn USING (gh)"""
 
     # SemDeDup composition: same kmeans chain -> final assignment f,
     # then drop any vector with a lower-id same-cluster member at
@@ -983,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
+        "q_incremental_dedup": incr_sql,
         "q_grouped_mode": """
             SELECT user_id, event_type AS mode_val, c AS n FROM (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,

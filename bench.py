@@ -209,6 +209,11 @@ def run_bench() -> dict:
         ("q_semantic_dedup", q.q_semantic_dedup),
         ("q_decontaminate", q.q_decontaminate),
         ("q_lm_score", q.q_lm_score),
+        ("q_dsir_weights", q.q_dsir_weights),
+        ("q_event_deltas", q.q_event_deltas),
+        ("q_grouped_mode", q.q_grouped_mode),
+        ("q_mixture_sample", q.q_mixture_sample),
+        ("q_clip_score", q.q_clip_score),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

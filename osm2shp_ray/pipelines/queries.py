@@ -1473,3 +1473,28 @@ def q_clip_score(sf_dir: str):
     imgs = rd.from_arrow(images_batch(np.arange(CLIP_IMAGES_N)))
     out = caption_image_score(imgs, batch_size=128).to_pandas()
     return _round_cols(out, ["clip_score"])
+
+
+INCR_SEEN_MOD = 5   # snapshot selector: doc_id % 5 == 0 = already ingested
+INCR_PREFIX_K = 5   # prefix-fingerprint length (tokens)
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental corpus dedup (stages/dedup.py::incremental_dedup):
+    the doc_id % 5 == 0 subset plays the already-ingested snapshot;
+    every other doc survives only if its 5-token prefix fingerprint
+    is unseen. Bloom-prefiltered left_anti hash_join — ids + hashes
+    only cross the exchange."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(keep_seen: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % INCR_SEEN_MOD) == 0
+            return t.filter(pa.array(m if keep_seen else ~m))
+        return f
+
+    seen = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return (dedup.incremental_dedup(new, seen, prefix_k=INCR_PREFIX_K)
+            .to_pandas())

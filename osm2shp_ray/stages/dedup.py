@@ -824,3 +824,70 @@ def semantic_dedup(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return coalesced(assigned).groupby("cluster").map_groups(
         prune, batch_format="pandas")
+
+
+# ------------------------------------------------ incremental dedup
+
+def _content_hash_frame(col, prefix_k: int | None):
+    """60-bit SQL-parity content hash per text row: h60 of the exact
+    text, or of the first ``prefix_k`` lowercase [a-z0-9_]+ tokens
+    joined by single spaces (the prefix-fingerprint heuristic that
+    catches boilerplate re-crawls; SQL mirror
+    ``array_to_string(a[1:k], ' ')``)."""
+    from ..functions.hashing import md5_hash60
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if prefix_k is None:
+        return md5_hash60(col.to_numpy(zero_copy_only=False))
+    s = pl.from_arrow(col)
+    pre = (s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
+           .list.head(prefix_k).list.join(" "))
+    return md5_hash60(pre.to_numpy())
+
+
+def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
+                      id_col: str = "doc_id", seen_text_col: str = "text",
+                      prefix_k: int | None = None,
+                      bloom_prefilter: bool = True):
+    """Incremental corpus dedup — "new crawl minus already-ingested":
+    drop every NEW document whose content hash already appears in the
+    SEEN snapshot, regardless of id. The recurring curation op when a
+    corpus is grown in crawls: only the delta should enter training.
+
+    Content identity is the 60-bit md5 hash of the exact text (or of
+    the ``prefix_k``-token prefix fingerprint), so the rule is
+    SQL-reproducible collision-semantics included.
+
+    Shape: both sides reduce to hash columns in stateless maps — ids
+    + hashes only ever cross an exchange, never text; the seen side
+    collapses to DISTINCT hashes in one narrow groupby; the delta is
+    one ``hash_join(how="left_anti")``, with the bloom prefilter ON
+    by default (a definite non-member new row skips all merge work
+    via the right-empty bucket fast path — at 100 TB most new rows
+    are non-members, which is exactly the bloom's sweet spot).
+
+    Output: ``(id_col, gh: int64)`` — the surviving new rows' ids and
+    content hashes (join back to payloads by id downstream).
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    def new_pairs(t: pa.Table) -> pa.Table:
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        return pa.table({id_col: idc,
+                         "gh": pa.array(_content_hash_frame(t[text_col], prefix_k),
+                                        pa.int64())})
+
+    def seen_partial(t: pa.Table) -> pa.Table:
+        h = _content_hash_frame(t[seen_text_col], prefix_k)
+        return pa.table({"gh": pa.array(np.unique(h), pa.int64())})
+
+    seen = (seen_ds.map_batches(seen_partial, batch_format="pyarrow")
+            .groupby("gh").aggregate(Count(alias_name="__c"))
+            .select_columns(["gh"]))
+    return hash_join(new_ds.map_batches(new_pairs, batch_format="pyarrow"),
+                     seen, on="gh", how="left_anti",
+                     bloom_prefilter=bloom_prefilter)

@@ -938,3 +938,30 @@ def test_caption_image_score_semantics(ray_session):
         "caption": ["valid words here", "!!! ..."]})
     got2 = caption_image_score(rd.from_arrow(bad)).to_pandas()
     assert len(got2) == 0
+
+
+def test_incremental_dedup_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.dedup import incremental_dedup
+    seen = rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": ["the cat sat on the mat today", "other snapshot content"]}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "The CAT sat on the mat entirely different tail",  # same 5-tok prefix
+            "the cat sat on a rug",                            # differs at tok 5
+            "fresh unrelated document",
+        ]})).repartition(2)
+    got = incremental_dedup(new, seen, prefix_k=5).to_pandas()
+    assert sorted(got["doc_id"]) == [2, 3]
+    # whole-text identity: only byte-identical (case-sensitive) dups drop
+    new2 = rd.from_arrow(pa.table({
+        "doc_id": [7, 8],
+        "text": ["other snapshot content", "Other Snapshot Content"]}))
+    got2 = incremental_dedup(new2, seen, prefix_k=None).to_pandas()
+    assert got2["doc_id"].tolist() == [8]
+    # bloom on/off equivalence
+    got3 = incremental_dedup(new, seen, prefix_k=5,
+                             bloom_prefilter=False).to_pandas()
+    assert sorted(got3["doc_id"]) == sorted(got["doc_id"])
