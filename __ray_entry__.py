@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_mode": q.q_grouped_mode,
         "q_clip_score": q.q_clip_score,
         "q_incremental_dedup": q.q_incremental_dedup,
+        "q_cooccurrence_pmi": q.q_cooccurrence_pmi,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -1000,6 +1001,25 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
+        "q_cooccurrence_pmi": """
+            WITH ki AS (SELECT DISTINCT user_id, event_type FROM events),
+            nn AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n
+                   FROM events),
+            ca AS (SELECT event_type, count(*) AS c FROM ki GROUP BY event_type),
+            cab AS (
+              SELECT a.event_type AS item_a, b.event_type AS item_b,
+                     count(*) AS n_pairs
+              FROM ki a JOIN ki b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT item_a, item_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(floor(1000000 * ln((CAST(n_pairs AS DOUBLE)
+                                            * (SELECT n FROM nn))
+                                           / (CAST(ca1.c AS DOUBLE) * ca2.c)))
+                        AS BIGINT) AS pmi_q
+            FROM cab
+            JOIN ca ca1 ON cab.item_a = ca1.event_type
+            JOIN ca ca2 ON cab.item_b = ca2.event_type""",
         "q_grouped_mode": """
             SELECT user_id, event_type AS mode_val, c AS n FROM (
               SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,

@@ -1498,3 +1498,15 @@ def q_incremental_dedup(sf_dir: str):
     new = docs.map_batches(part(False), batch_format="pyarrow")
     return (dedup.incremental_dedup(new, seen, prefix_k=INCR_PREFIX_K)
             .to_pandas())
+
+
+def q_cooccurrence_pmi(sf_dir: str):
+    """Event-type co-occurrence PMI over per-user baskets
+    (stages/sketch.py::cooccurrence_pmi): distinct-(key, item)
+    combiner, bucketed pandas self-merge pair generation, integer
+    micro-nat PMI quantization."""
+    from ..stages import sketch
+    return (sketch.cooccurrence_pmi(
+                _read(sf_dir, "events", ["user_id", "event_type"]),
+                "user_id", "event_type")
+            .to_pandas())

@@ -456,3 +456,89 @@ def grouped_mode(ds, key_col: str, val_col: str):
 
     return (pairs.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(argmax, batch_format="pandas"))
+
+
+def cooccurrence_pmi(ds, key_col: str, item_col: str,
+                     scale: int = 1_000_000, n_buckets: int | None = None):
+    """Item co-occurrence with pointwise mutual information — the
+    association-mining pass of corpus/feature analysis: which item
+    pairs appear in the same key's basket more often than chance.
+    ``pmi = ln(c_ab * N / (c_a * c_b))`` over DISTINCT per-key
+    baskets, QUANTIZED to integer micro-nats (the lm_score contract)
+    so the SQL mirror is bit-exact.
+
+    Shape: per-batch distinct (key, item) combiner -> one (key, item)
+    reduce, materialized once (ids + items only — consumed by the
+    key-count, the item-count, and the pair generator); pairs are
+    generated per key-bucket with one C-level pandas self-merge per
+    bucket (never per key) and pre-counted in-bucket, so the final
+    (a, b) exchange moves at most |alphabet|^2 rows per bucket. Item
+    counts broadcast (alphabet-bounded by contract).
+
+    Output: (item_a, item_b, n_pairs: int64, pmi_q: int64) with
+    item_a < item_b.
+    """
+    import pandas as pd
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .. import config
+    from ..functions.hashing import bucket_of
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t.select([key_col, item_col])).unique().to_arrow()
+
+    ki = (coalesced(ds.map_batches(distinct_partial, batch_format="pyarrow"))
+          .groupby([key_col, item_col])
+          .aggregate(Count(alias_name="__c"))
+          .select_columns([key_col, item_col])
+          .materialize())
+    n_keys = float(ki.groupby(key_col)
+                   .aggregate(Count(alias_name="__k")).count())
+    item_rows = (ki.groupby(item_col)
+                 .aggregate(Count(alias_name="c")).take_all())
+    ca = {r[item_col]: float(r["c"]) for r in item_rows}
+    ref = ray.put((ca, n_keys))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            bk = bucket_of(col.to_numpy(zero_copy_only=False), b)
+        else:
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            h = pl.from_arrow(c).hash(seed=13).to_numpy().astype(np.uint64)
+            bk = (h % np.uint64(b)).astype(np.int64)
+        return t.append_column("__b", pa.array(bk, pa.int64()))
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[[key_col, item_col]].merge(df[[key_col, item_col]], on=key_col)
+        m = m[m[f"{item_col}_x"] < m[f"{item_col}_y"]]
+        cnt = (m.groupby([f"{item_col}_x", f"{item_col}_y"], sort=False)
+               .size().reset_index(name="c"))
+        return pd.DataFrame({"item_a": cnt[f"{item_col}_x"],
+                             "item_b": cnt[f"{item_col}_y"],
+                             "c": cnt["c"].astype(np.int64)})
+
+    cab = (ki.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(gen_pairs, batch_format="pandas")
+           .groupby(["item_a", "item_b"])
+           .aggregate(Sum("c", alias_name="n_pairs")))
+
+    def attach(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        if t.num_rows == 0:
+            return t.append_column("pmi_q", pa.array([], pa.int64()))
+        ca_, n_ = _ray.get(ref)
+        # pairs table is alphabet^2-bounded — per-row lookups are fine
+        af = np.array([ca_[a] for a in t["item_a"].to_pylist()], np.float64)
+        bf = np.array([ca_[x] for x in t["item_b"].to_pylist()], np.float64)
+        c = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.floor(scale * np.log((c * n_) / (af * bf))).astype(np.int64)
+        return t.append_column("pmi_q", pa.array(pmi, pa.int64()))
+
+    return cab.map_batches(attach, batch_format="pyarrow")

@@ -965,3 +965,30 @@ def test_incremental_dedup_semantics(ray_session):
     got3 = incremental_dedup(new, seen, prefix_k=5,
                              bloom_prefilter=False).to_pandas()
     assert sorted(got3["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_cooccurrence_pmi_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import cooccurrence_pmi
+    # baskets: u1={a,b}, u2={a,b}, u3={a,c} (dup rows collapse)
+    t = pa.table({"u": [1, 1, 1, 2, 2, 3, 3],
+                  "it": ["a", "b", "b", "a", "b", "a", "c"]})
+    got = (cooccurrence_pmi(rd.from_arrow(t).repartition(3), "u", "it")
+           .to_pandas().set_index(["item_a", "item_b"]).sort_index())
+    # N=3, c_a=3, c_b=2, c_c=1; pairs: (a,b)x2, (a,c)x1
+    assert got.loc[("a", "b"), "n_pairs"] == 2
+    assert got.loc[("a", "c"), "n_pairs"] == 1
+    assert len(got) == 2  # (b,c) never co-occur
+    pmi_ab = int(np.floor(1e6 * np.log((2.0 * 3.0) / (3.0 * 2.0))))
+    pmi_ac = int(np.floor(1e6 * np.log((1.0 * 3.0) / (3.0 * 1.0))))
+    assert got.loc[("a", "b"), "pmi_q"] == pmi_ab == 0
+    assert got.loc[("a", "c"), "pmi_q"] == pmi_ac == 0
+    # anti-correlated pair scores negative
+    t2 = pa.table({"u": [1, 1, 2, 2, 3, 3, 4],
+                   "it": ["a", "b", "a", "c", "b", "c", "a"]})
+    got2 = (cooccurrence_pmi(rd.from_arrow(t2), "u", "it")
+            .to_pandas().set_index(["item_a", "item_b"]))
+    # (a,b): c=1, N=4, ca=3, cb=2 -> ln(4/6) < 0
+    assert got2.loc[("a", "b"), "pmi_q"] == int(np.floor(1e6 * np.log(4.0 / 6.0)))
+    with pytest.raises(ValueError):
+        cooccurrence_pmi(rd.from_arrow(t), "u", "it", scale=0)
