@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_score": q.q_clip_score,
         "q_incremental_dedup": q.q_incremental_dedup,
         "q_cooccurrence_pmi": q.q_cooccurrence_pmi,
+        "q_quality_cut": q.q_quality_cut,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -345,7 +346,8 @@ def oracle_sql() -> dict[str, str]:
     # decontamination: distinct eval-set 3-gram hashes (doc_id % 37
     # == 0 subset) counted per remaining doc — join on h60 of the
     # gram so collision semantics match the engine exactly
-    from osm2shp_ray.pipelines.queries import DECON_EVAL_MOD, DECON_N
+    from osm2shp_ray.pipelines.queries import (DECON_EVAL_MOD, DECON_N,
+                                               QCUT_FRAC)
     decon_gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(DECON_N))
     decon_sql = f"""
         WITH tok AS (
@@ -1001,6 +1003,14 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
+        "q_quality_cut": f"""
+            WITH lm AS ({lm_sql}),
+            scored AS (
+              SELECT doc_id, CAST(lp_sum AS DOUBLE) / n_tok AS r FROM lm)
+            SELECT doc_id, r FROM scored
+            QUALIFY row_number() OVER (ORDER BY r DESC, doc_id) <=
+                    (SELECT CAST(ceil({QCUT_FRAC} * count(*)) AS BIGINT)
+                     FROM scored)""",
         "q_cooccurrence_pmi": """
             WITH ki AS (SELECT DISTINCT user_id, event_type FROM events),
             nn AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n

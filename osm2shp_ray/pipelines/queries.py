@@ -1510,3 +1510,26 @@ def q_cooccurrence_pmi(sf_dir: str):
                 _read(sf_dir, "events", ["user_id", "event_type"]),
                 "user_id", "event_type")
             .to_pandas())
+
+
+QCUT_FRAC = 0.10  # quality cut: keep the top 10% by mean logprob
+
+
+def q_quality_cut(sf_dir: str):
+    """Quality-based corpus selection: unigram-LM mean logprob per doc
+    (stages/text.py::lm_score), then the exact global top-10% cut
+    (stages/sketch.py::top_fraction — per-block partial top-k, tiny
+    final sort+limit, score DESC / doc_id ASC determinism)."""
+    from ..stages import sketch
+    scored = text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = (t["lp_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+             / t["n_tok"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t["doc_id"],
+                         "r": pa.array(r, pa.float64())})
+
+    return (sketch.top_fraction(
+                scored.map_batches(ratio, batch_format="pyarrow"),
+                "r", "doc_id", QCUT_FRAC)
+            .to_pandas())

@@ -542,3 +542,43 @@ def cooccurrence_pmi(ds, key_col: str, item_col: str,
         return t.append_column("pmi_q", pa.array(pmi, pa.int64()))
 
     return cab.map_batches(attach, batch_format="pyarrow")
+
+
+def top_fraction(ds, score_col: str, id_col: str, frac: float):
+    """Exact global quality cut: keep precisely ``ceil(frac * N)``
+    rows with the highest score — the selection step of quality-based
+    corpus curation (score with lm_score / dsir_weights / quality
+    features, then train on the top q%). Deterministic total order:
+    score DESC, id ASC tie-break, so re-runs and the SQL mirror
+    (``row_number() OVER (ORDER BY score DESC, id)``) agree exactly.
+
+    Shape: the scored input is materialized once (narrow (id, score)
+    rows by contract — score upstream, select here) and consumed
+    twice: one count for N, then a per-block partial top-k (each
+    block emits <= k rows via argpartition — the knn pattern) and a
+    final sort+limit over the reduced union. Nothing larger than
+    k * blocks is ever sorted.
+
+    Output: the selected rows (all input columns).
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    scored = ds.materialize()
+    n = scored.count()
+    k = int(np.ceil(frac * n))
+    if n == 0:
+        return scored
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # top-k of (score DESC, id ASC): lexsort is ascending, so key
+        # on (-score) major, id minor
+        order = np.lexsort((ids, -s))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    return (scored.map_batches(local_topk, batch_format="pyarrow")
+            .sort([score_col, id_col], descending=[True, False])
+            .limit(k))

@@ -81,7 +81,7 @@ SQL_CHECKED = [
     "q_repetition_filter", "q_heavy_hitters", "q_semantic_dedup",
     "q_mixture_sample", "q_decontaminate", "q_lm_score", "q_event_deltas",
     "q_dsir_weights", "q_grouped_mode", "q_clip_score",
-    "q_incremental_dedup", "q_cooccurrence_pmi",
+    "q_incremental_dedup", "q_cooccurrence_pmi", "q_quality_cut",
 ]
 
 

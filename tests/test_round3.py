@@ -992,3 +992,21 @@ def test_cooccurrence_pmi_semantics(ray_session):
     assert got2.loc[("a", "b"), "pmi_q"] == int(np.floor(1e6 * np.log(4.0 / 6.0)))
     with pytest.raises(ValueError):
         cooccurrence_pmi(rd.from_arrow(t), "u", "it", scale=0)
+
+
+def test_top_fraction_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import top_fraction
+    t = pa.table({"id": np.arange(10, dtype=np.int64),
+                  "s": np.array([5, 3, 9, 9, 1, 7, 2, 8, 9, 0], np.float64)})
+    ds = rd.from_arrow(t).repartition(4)
+    # frac 0.3 of 10 -> exactly 3 rows; ties on s=9 break by id ASC
+    got = top_fraction(ds, "s", "id", 0.3).to_pandas()
+    assert sorted(got["id"]) == [2, 3, 8]
+    # ceil: frac 0.25 of 10 -> 3 rows as well
+    got2 = top_fraction(ds, "s", "id", 0.25).to_pandas()
+    assert len(got2) == 3
+    # frac 1.0 keeps everything
+    assert len(top_fraction(ds, "s", "id", 1.0).to_pandas()) == 10
+    with pytest.raises(ValueError):
+        top_fraction(ds, "s", "id", 0.0)
