@@ -531,6 +531,18 @@ def unigram_counts(ds, text_col: str = "text"):
             .groupby("tok").aggregate(Sum("c", alias_name="c")))
 
 
+def _doc_token_pairs(text_col: str, id_col: str):
+    """Batch fn: explode docs to (id, tok) rows — the probe side of
+    the distributed (no-broadcast) scoring joins."""
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        long = _token_rows(t[text_col])
+        return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
+                         "tok": long["tok"].to_arrow().cast(pa.string())})
+    return doc_tokens
+
+
 def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
              scale: int = LM_SCALE, distributed: bool = False):
     """Unigram language-model log-likelihood scoring — the CCNet-style
@@ -579,14 +591,8 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             lp = np.floor(scale * np.log(c / float(total))).astype(np.int64)
             return pa.table({"tok": t["tok"], "lp": pa.array(lp, pa.int64())})
 
-        def doc_tokens(t: pa.Table) -> pa.Table:
-            idc = (t[id_col].combine_chunks()
-                   if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
-            long = _token_rows(t[text_col])
-            return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
-                             "tok": long["tok"].to_arrow().cast(pa.string())})
-
-        joined = hash_join(ds.map_batches(doc_tokens, batch_format="pyarrow"),
+        joined = hash_join(ds.map_batches(_doc_token_pairs(text_col, id_col),
+                                          batch_format="pyarrow"),
                            vocab.map_batches(add_lp, batch_format="pyarrow"),
                            on="tok")
         return (joined.groupby(id_col)
@@ -651,7 +657,8 @@ def _token_value_scan(ds, text_col: str, id_col: str,
 
 
 def dsir_weights(ds, target_ds, text_col: str = "text",
-                 id_col: str = "doc_id", scale: int = LM_SCALE):
+                 id_col: str = "doc_id", scale: int = LM_SCALE,
+                 distributed: bool = False):
     """DSIR-style importance weighting for data selection: score every
     corpus document by how much more likely its tokens are under the
     TARGET distribution than under the raw-corpus distribution —
@@ -668,14 +675,54 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
     to integer micro-nats (the `lm_score` contract), making per-doc
     sums order-independent and the SQL mirror bit-exact.
 
-    Scale shape: two narrow count reduces + one broadcast + one
-    streaming scan; nothing doc-sized crosses a shuffle.
+    Scale shape (default): two narrow count reduces + one broadcast +
+    one streaming scan; nothing doc-sized crosses a shuffle. The
+    broadcast is the reduced raw vocab — bounded by contract, with
+    ``distributed=True`` as the no-broadcast dual: the two vocab
+    Datasets left-join via ``hash_join`` to a (tok, w) table, doc
+    tokens explode and inner-join it, one groupby(id) sum —
+    byte-identical output (equivalence test in tests/test_round3.py).
 
     Output: ``(id_col, n_tok: int64, w_sum: int64)`` for docs with at
     least one in-vocab token.
     """
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
+
+    if distributed:
+        from ray.data.aggregate import Count, Sum
+
+        from .joins import hash_join
+
+        raw = unigram_counts(ds, text_col).materialize()  # scalars + join
+        tgt = unigram_counts(target_ds, text_col).materialize()
+        t_raw = float(raw.sum("c"))
+        v = float(raw.count())
+        t_tgt = float(tgt.sum("c") or 0)
+
+        def rename_ct(t: pa.Table) -> pa.Table:
+            return pa.table({"tok": t["tok"], "ct": t["c"]})
+
+        vocab = hash_join(raw, tgt.map_batches(rename_ct,
+                                               batch_format="pyarrow"),
+                          on="tok", how="left")
+
+        def add_w(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            cr_ = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            ct_ = (pc.fill_null(t["ct"], 0).to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+            w_ = (np.floor(scale * np.log((ct_ + 1.0) / (t_tgt + v)))
+                  - np.floor(scale * np.log(cr_ / t_raw))).astype(np.int64)
+            return pa.table({"tok": t["tok"], "lp": pa.array(w_, pa.int64())})
+
+        joined = hash_join(ds.map_batches(_doc_token_pairs(text_col, id_col),
+                                          batch_format="pyarrow"),
+                           vocab.map_batches(add_w, batch_format="pyarrow"),
+                           on="tok")
+        return (joined.groupby(id_col)
+                .aggregate(Count(alias_name="n_tok"),
+                           Sum("lp", alias_name="w_sum")))
 
     raw_rows = unigram_counts(ds, text_col).take_all()
     tgt_rows = unigram_counts(target_ds, text_col).take_all()

@@ -1010,3 +1010,17 @@ def test_top_fraction_semantics(ray_session):
     assert len(top_fraction(ds, "s", "id", 1.0).to_pandas()) == 10
     with pytest.raises(ValueError):
         top_fraction(ds, "s", "id", 0.0)
+
+
+def test_dsir_weights_distributed_dual(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.text import dsir_weights
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["aa aa bb", "bb cc", "aa cc cc"]})).repartition(2)
+    tgt = rd.from_arrow(pa.table({"doc_id": [10], "text": ["aa aa aa bb"]}))
+    a = (dsir_weights(docs, tgt).to_pandas()
+         .set_index("doc_id").sort_index())
+    b = (dsir_weights(docs, tgt, distributed=True).to_pandas()
+         .set_index("doc_id").sort_index())
+    assert b.equals(a)
