@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_dedup": q.q_incremental_dedup,
         "q_cooccurrence_pmi": q.q_cooccurrence_pmi,
         "q_quality_cut": q.q_quality_cut,
+        "q_window_distinct_users": q.q_window_distinct_users,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -1003,6 +1004,10 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
+        "q_window_distinct_users": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1""",
         "q_quality_cut": f"""
             WITH lm AS ({lm_sql}),
             scored AS (

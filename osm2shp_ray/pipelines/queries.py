@@ -1533,3 +1533,24 @@ def q_quality_cut(sf_dir: str):
                 scored.map_batches(ratio, batch_format="pyarrow"),
                 "r", "doc_id", QCUT_FRAC)
             .to_pandas())
+
+
+def q_window_distinct_users(sf_dir: str):
+    """Per-tumbling-window distinct-user count — the DAU-style
+    streaming metric (stages/sketch.py::distinct_count over the 1h
+    window key; exact companion to the grouped HLL sketch)."""
+    from ..stages import sketch
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "window_id": pa.array(ts // 3_600_000_000, pa.int64()),
+            "user_id": t["user_id"],
+        })
+
+    return (sketch.distinct_count(
+                _read(sf_dir, "events", ["user_id", "ts"])
+                .map_batches(win, batch_format="pyarrow"),
+                "window_id", "user_id")
+            .to_pandas())

@@ -582,3 +582,24 @@ def top_fraction(ds, score_col: str, id_col: str, frac: float):
     return (scored.map_batches(local_topk, batch_format="pyarrow")
             .sort([score_col, id_col], descending=[True, False])
             .limit(k))
+
+
+def distinct_count(ds, key_col: str, val_col: str):
+    """EXACT distinct-count per key — the companion to the HLL sketch
+    when exactness matters more than state size (count(DISTINCT val)
+    GROUP BY key). Per-batch distinct (key, val) combiner -> one
+    (key, val) reduce -> per-key count over the already-distinct
+    pairs: two narrow exchanges bounded by DISTINCT pairs, never rows.
+    Output: (key_col, n_distinct: int64)."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t.select([key_col, val_col])).unique().to_arrow()
+
+    return (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby([key_col, val_col])
+            .aggregate(Count(alias_name="__c"))
+            .select_columns([key_col, val_col])
+            .groupby(key_col)
+            .aggregate(Count(alias_name="n_distinct")))

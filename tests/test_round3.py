@@ -1024,3 +1024,12 @@ def test_dsir_weights_distributed_dual(ray_session):
     b = (dsir_weights(docs, tgt, distributed=True).to_pandas()
          .set_index("doc_id").sort_index())
     assert b.equals(a)
+
+
+def test_distinct_count_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.sketch import distinct_count
+    t = pa.table({"k": [1, 1, 1, 2, 2], "v": ["a", "a", "b", "c", "c"]})
+    got = (distinct_count(rd.from_arrow(t).repartition(3), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    assert got["n_distinct"].tolist() == [2, 1]
