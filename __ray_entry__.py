@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cooccurrence_pmi": q.q_cooccurrence_pmi,
         "q_quality_cut": q.q_quality_cut,
         "q_window_distinct_users": q.q_window_distinct_users,
+        "q_embed_outliers": q.q_embed_outliers,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_audio_features": q.q_audio_features,
@@ -335,6 +336,23 @@ def oracle_sql() -> dict[str, str]:
     km_ctes, km_final = km_chain("", 1, KM_DIMS, KM_K, KM_ITERS, KM_QUANT)
     km_sql = ("WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
               + "\n" + km_final)
+
+    # embedding outlier gate: same kmeans chain, distance to the
+    # assigned (quantized) final centroid, raw-double threshold
+    from osm2shp_ray.pipelines.queries import EMB_OUT_TAU2
+    out_dist = " + ".join(f"(ev.e{i} - c.c{i}) * (ev.e{i} - c.c{i})"
+                          for i in range(1, KM_DIMS + 1))
+    emb_out_sql = (
+        "WITH " + ",\n".join([f"ev AS ({km_ev})"] + km_ctes)
+        + f""",
+        fa AS (
+          SELECT vec_id, cluster, d2 FROM (
+            SELECT ev.vec_id, c.cluster, {out_dist} AS d2
+            FROM ev CROSS JOIN c{KM_ITERS} c) q
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster) = 1)
+        SELECT vec_id, cluster, round(d2, 4) AS d2
+        FROM fa WHERE d2 > {EMB_OUT_TAU2}""")
 
     # mixture sampling: the engine's h60(id) % basis decision table
     from osm2shp_ray.pipelines.queries import MIX_BASIS, MIX_FRACS
@@ -1004,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
+        "q_embed_outliers": emb_out_sql,
         "q_window_distinct_users": """
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

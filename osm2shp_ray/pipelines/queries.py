@@ -1554,3 +1554,20 @@ def q_window_distinct_users(sf_dir: str):
                 .map_batches(win, batch_format="pyarrow"),
                 "window_id", "user_id")
             .to_pandas())
+
+
+EMB_OUT_TAU2 = 0.99  # squared-distance outlier threshold (≈ top 8%)
+
+
+def q_embed_outliers(sf_dir: str):
+    """Embedding-quality outlier gate (stages/ann.py::
+    centroid_outliers): the q_kmeans_clusters centroids (identical
+    init/iters/quantization), then keep vectors whose squared
+    distance to their assigned centroid exceeds EMB_OUT_TAU2. The SQL
+    oracle re-derives the centroid chain and the same raw-double
+    threshold compare; d2 rounds to 4 decimals in the output."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init = _fetch_vecs(emb, list(range(KM_K)))
+    cids, C, _ = ann.kmeans(emb, init, iters=KM_ITERS, quant=KM_QUANT)
+    out = ann.centroid_outliers(emb, cids, C, EMB_OUT_TAU2).to_pandas()
+    return _round_cols(out, ["d2"])

@@ -511,3 +511,48 @@ def pq_adc_topk(codes_ds, books, dsub: int, query: np.ndarray, k: int,
                          "raw": pa.array(adc[sel], pa.float64())})
 
     return codes_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def centroid_outliers(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
+                      tau2: float, vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Embedding-quality outlier gate: assign every vector to its
+    nearest (quantized-kmeans) centroid and keep those whose SQUARED
+    euclidean distance exceeds ``tau2`` — the far-from-any-mode set a
+    curation pipeline reviews or drops (mislabeled, corrupted, or
+    out-of-distribution embeddings).
+
+    One broadcast (the k x d centroid matrix, ray.put once) + one
+    streaming pass; argmin ties break to the first (smallest) cluster
+    id, the SQL ``ORDER BY d2, cluster`` order. The threshold compares
+    RAW doubles on both engines (identical arithmetic up to summation
+    order — the kmeans assignment-robustness contract); the reported
+    d2 is raw, for the caller to round.
+
+    Output: ``(id_col, cluster: int64, d2: float64)`` — outliers only.
+    """
+    import ray
+
+    if tau2 < 0:
+        raise ValueError(f"tau2 must be non-negative, got {tau2}")
+    ref = ray.put((np.asarray(centroid_ids, np.int64),
+                   np.asarray(centroids, np.float64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        cids_, C_ = _ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.float64())})
+        x = _as_matrix(t[vec_col])
+        d = ((x[:, None, :] - C_[None]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        d2 = d[np.arange(len(a)), a]
+        keep = d2 > tau2
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "cluster": pa.array(cids_[a[keep]], pa.int64()),
+                         "d2": pa.array(d2[keep], pa.float64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

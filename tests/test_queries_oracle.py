@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "q_mixture_sample", "q_decontaminate", "q_lm_score", "q_event_deltas",
     "q_dsir_weights", "q_grouped_mode", "q_clip_score",
     "q_incremental_dedup", "q_cooccurrence_pmi", "q_quality_cut",
-    "q_window_distinct_users",
+    "q_window_distinct_users", "q_embed_outliers",
 ]
 
 

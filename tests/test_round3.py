@@ -1033,3 +1033,24 @@ def test_distinct_count_semantics(ray_session):
     got = (distinct_count(rd.from_arrow(t).repartition(3), "k", "v")
            .to_pandas().set_index("k").sort_index())
     assert got["n_distinct"].tolist() == [2, 1]
+
+
+def test_centroid_outliers_semantics(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.ann import centroid_outliers
+    C = np.array([[0.0, 0.0], [10.0, 0.0]])
+    vecs = [[0.1, 0.0],    # near c0: d2=0.01
+            [10.0, 2.0],   # near c1: d2=4.0
+            [5.0, 0.0],    # equidistant (d2=25): tie -> cluster 0
+            [0.0, 3.0]]    # near c0: d2=9.0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))})).repartition(2)
+    got = (centroid_outliers(ds, np.array([0, 1]), C, 1.0).to_pandas()
+           .set_index("vec_id").sort_index())
+    assert got.index.tolist() == [2, 3, 4]  # vec 1 is under the threshold
+    assert got.loc[2, "cluster"] == 1 and got.loc[2, "d2"] == 4.0
+    assert got.loc[3, "cluster"] == 0 and got.loc[3, "d2"] == 25.0
+    assert got.loc[4, "cluster"] == 0 and got.loc[4, "d2"] == 9.0
+    with pytest.raises(ValueError):
+        centroid_outliers(ds, np.array([0, 1]), C, -1.0)
