@@ -214,6 +214,11 @@ def run_bench() -> dict:
         ("q_grouped_mode", q.q_grouped_mode),
         ("q_mixture_sample", q.q_mixture_sample),
         ("q_clip_score", q.q_clip_score),
+        ("q_incremental_dedup", q.q_incremental_dedup),
+        ("q_cooccurrence_pmi", q.q_cooccurrence_pmi),
+        ("q_quality_cut", q.q_quality_cut),
+        ("q_window_distinct_users", q.q_window_distinct_users),
+        ("q_embed_outliers", q.q_embed_outliers),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
