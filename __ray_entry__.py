@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_outliers": q.q_embed_outliers,
         "q_pq_codes": q.q_pq_codes,
         "q_pq_adc_topk": q.q_pq_adc_topk,
+        "q_orders_events_daily": q.q_orders_events_daily,
+        "q_running_total": q.q_running_total,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1109,6 +1111,30 @@ def oracle_sql() -> dict[str, str]:
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)
+        # aggregate-then-full-outer-join reconciliation (hash_join
+        # how="full_outer"): days present on either side survive with
+        # the other side's metrics zero-filled
+        "q_orders_events_daily": """
+            WITH o AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              sum(o_totalprice) AS tp
+                       FROM orders GROUP BY 1),
+            e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+            SELECT COALESCE(o.day, e.day) AS day,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   round(COALESCE(o.tp, 0.0), 4) AS total_price,
+                   COALESCE(e.n_events, 0) AS n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day""",
+        # global prefix scan: integer-quantized so the distributed
+        # two-phase sum equals the sequential window sum exactly
+        "q_running_total": """
+            SELECT event_id,
+                   sum(CAST(floor(value * 10000) AS BIGINT))
+                     OVER (ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_q
+            FROM events""",
         "q_audio_features": f"""
             SELECT CAST(floor(f0_hz / 500) AS BIGINT) AS tone_bucket,
                    CAST(count(*) AS BIGINT) AS n_clips,

@@ -1571,3 +1571,65 @@ def q_embed_outliers(sf_dir: str):
     cids, C, _ = ann.kmeans(emb, init, iters=KM_ITERS, quant=KM_QUANT)
     out = ann.centroid_outliers(emb, cids, C, EMB_OUT_TAU2).to_pandas()
     return _round_cols(out, ["d2"])
+
+
+def q_orders_events_daily(sf_dir: str):
+    """Per-day order totals FULL OUTER JOIN per-day event counts
+    (stages/joins.py::hash_join how="full_outer"). Both sides are
+    pre-aggregated to one row per day BEFORE the join — the classic
+    aggregate-then-outer-join reconciliation report — so the join's
+    exchange moves day-level rows only (bounded by the date range, not
+    the fact tables). Unmatched days surface from EITHER side with the
+    other side's metrics zero-filled (typed Arrow nulls from the join,
+    filled before output so both engines hash identically)."""
+    from ..stages.joins import hash_join
+
+    def o_day(t: pa.Table) -> pa.Table:
+        us = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"day": pa.array(us // 86_400_000_000, pa.int64()),
+                         "o_totalprice": t["o_totalprice"]})
+
+    def e_day(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"day": pa.array(us // 86_400_000_000, pa.int64())})
+
+    o_agg = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(o_day, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Count(alias_name="n_orders"),
+                        Sum("o_totalprice", alias_name="total_price")))
+    e_agg = (_read(sf_dir, "events", ["ts"])
+             .map_batches(e_day, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Count(alias_name="n_events")))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": t["day"],
+            "n_orders": pc.fill_null(t["n_orders"], 0),
+            "total_price": pc.fill_null(t["total_price"], 0.0),
+            "n_events": pc.fill_null(t["n_events"], 0),
+        })
+
+    # n_buckets well above the sort-partition count keeps every sort
+    # output partition non-empty (schema-less empty reduce partitions
+    # are what trip Ray's RefBundle schema-consistency warning)
+    out = (hash_join(o_agg, e_agg, on="day", how="full_outer",
+                     n_buckets=256)
+           .map_batches(fill, batch_format="pyarrow").to_pandas())
+    return _round_cols(out, ["total_price"])
+
+
+def q_running_total(sf_dir: str):
+    """Global ordered cumulative sum over the event stream
+    (stages/temporal.py::running_total — the distributed prefix
+    scan): per-bin integer partial sums, a bounded driver prefix over
+    the bin totals, one groupby(bin) for the in-bin scan. Values are
+    quantized to 1e-4 units so the sum is order-independent and the
+    SQL window mirror is bit-exact."""
+    from ..stages import temporal
+    return (temporal.running_total(
+                _read(sf_dir, "events", ["event_id", "ts", "value"]))
+            .to_pandas())

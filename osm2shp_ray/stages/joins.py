@@ -112,15 +112,16 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
               bloom_k: int = 4):
     """Equi-join two Datasets on shared key column(s).
 
-    ``how``: "inner" | "left" | "left_semi" | "left_anti".
+    ``how``: "inner" | "left" | "left_semi" | "left_anti" | "right" |
+    "full_outer".
     Key columns must have the same names on both sides (rename with a
     map_batches first); non-key column names must be disjoint.
     Returns a Dataset with left columns followed by right non-key
     columns (semi/anti return left columns only).
 
-    With how="left", unmatched right-side columns come back as typed
-    Arrow nulls (not NaN-widened floats) — int64 values survive exactly
-    at any magnitude.
+    With how="left"/"right"/"full_outer", the unmatched side's columns
+    come back as typed Arrow nulls (not NaN-widened floats) — int64
+    values survive exactly at any magnitude.
 
     ``bloom_prefilter=True`` builds a bloom filter over the RIGHT
     side's keys (distributed partial positions, driver OR, one
@@ -138,7 +139,8 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     Output is byte-identical with and without the prefilter
     (tests/test_round3.py equivalence suite).
     """
-    if how not in ("inner", "left", "left_semi", "left_anti"):
+    if how not in ("inner", "left", "left_semi", "left_anti",
+                   "right", "full_outer"):
         raise ValueError(f"unsupported how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
@@ -177,7 +179,9 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
             import ray
             wref, nb, kh = bloom_state
             maybe = _bloom_maybe(t, keys, ray.get(wref), nb, kh)
-            if how in ("inner", "left_semi"):
+            # right join: unmatched LEFT rows are never output, so
+            # definite non-members drop pre-shuffle exactly as inner
+            if how in ("inner", "left_semi", "right"):
                 sel = pa.array(maybe)
                 t = t.filter(sel)
                 bucket = bucket[maybe]
@@ -225,11 +229,12 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         # anti/left pass the left rows through (left's null right
         # columns were padded at tag time), inner/semi emit nothing
         if not pc.any(pc.invert(is_l)).as_py():
-            if how in ("inner", "left_semi"):
+            if how in ("inner", "left_semi", "right"):
                 return t.slice(0, 0).select(out_cols).cast(out_schema)
-            if how in ("left", "left_anti"):
+            if how in ("left", "left_anti", "full_outer"):
                 return t.select(out_cols).cast(out_schema)
-        tm = pd.ArrowDtype if how == "left" else None
+        outer = how in ("left", "right", "full_outer")
+        tm = pd.ArrowDtype if outer else None
         lhs = t.filter(is_l).select(keys + l_vals).to_pandas(types_mapper=tm)
         rt = t.filter(pc.invert(is_l)).select(keys if semi else keys + r_vals)
         if semi:
@@ -239,8 +244,9 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
             out = lhs[flag if how == "left_semi" else ~flag].reset_index(drop=True)
         else:
             rhs = rt.to_pandas(types_mapper=tm)
-            out = lhs.merge(rhs, on=keys,
-                            how="inner" if how == "inner" else "left")[out_cols]
+            pd_how = {"inner": "inner", "left": "left",
+                      "right": "right", "full_outer": "outer"}[how]
+            out = lhs.merge(rhs, on=keys, how=pd_how)[out_cols]
         return (pa.Table.from_pandas(out, preserve_index=False)
                 .cast(out_schema))
 

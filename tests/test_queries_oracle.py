@@ -83,6 +83,9 @@ SQL_CHECKED = [
     "q_dsir_weights", "q_grouped_mode", "q_clip_score",
     "q_incremental_dedup", "q_cooccurrence_pmi", "q_quality_cut",
     "q_window_distinct_users", "q_embed_outliers",
+    # round 3 (5th session): full-outer reconciliation join + the
+    # distributed prefix scan
+    "q_orders_events_daily", "q_running_total",
 ]
 
 

@@ -554,7 +554,8 @@ def test_bloom_prefilter_join_equivalence(ray_session):
     left = rd.from_arrow(pa.table({"k": lk, "lv": lk * 3}))
     rk = (np.arange(0, 2000, 7, dtype=np.int64) + big)  # ~14% overlap
     right = rd.from_arrow(pa.table({"k": rk, "rv": rk % 97}))
-    for how in ("inner", "left", "left_semi", "left_anti"):
+    for how in ("inner", "left", "left_semi", "left_anti",
+                "right", "full_outer"):
         base = hash_join(left, right, on="k", how=how,
                          n_buckets=8).to_pandas()
         blm = hash_join(left, right, on="k", how=how, n_buckets=8,
@@ -1054,3 +1055,89 @@ def test_centroid_outliers_semantics(ray_session):
     assert got.loc[4, "cluster"] == 0 and got.loc[4, "d2"] == 9.0
     with pytest.raises(ValueError):
         centroid_outliers(ds, np.array([0, 1]), C, -1.0)
+
+
+# ------------------------------------------- right / full-outer joins
+
+def test_hash_join_right_and_full_outer(ray_session):
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import hash_join
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 3], "lv": [10, 20, 30, 31]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 5], "rv": ["b", "c", "e"]}))
+
+    r = (hash_join(left, right, on="k", how="right", n_buckets=4).to_pandas()
+         .sort_values(["k", "lv"], na_position="last", ignore_index=True))
+    assert r["k"].tolist() == [2, 3, 3, 5]
+    assert r["rv"].tolist() == ["b", "c", "c", "e"]
+    assert r["lv"].tolist()[:3] == [20, 30, 31] and pd.isna(r["lv"].iloc[3])
+
+    f = (hash_join(left, right, on="k", how="full_outer", n_buckets=4)
+         .to_pandas()
+         .sort_values(["k", "lv"], na_position="last", ignore_index=True))
+    assert f["k"].tolist() == [1, 2, 3, 3, 5]
+    assert pd.isna(f["rv"].iloc[0]) and pd.isna(f["lv"].iloc[4])
+    assert f["rv"].tolist()[1:4] == ["b", "c", "c"]
+
+
+def test_hash_join_outer_matches_pandas_reference(ray_session):
+    """Randomized right/full_outer vs the pandas merge oracle,
+    including keys with no match on either side."""
+    from osm2shp_ray.stages.joins import hash_join
+    rng = np.random.default_rng(11)
+    ldf = pd.DataFrame({"k": rng.integers(0, 40, 250),
+                        "lv": rng.integers(0, 1000, 250)})
+    rdf = pd.DataFrame({"k": rng.integers(20, 60, 90),
+                        "rv": rng.integers(0, 1000, 90)})
+    for how, pd_how in (("right", "right"), ("full_outer", "outer")):
+        got = (hash_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                         on="k", how=how, n_buckets=8).to_pandas())
+        got = (got.astype({"lv": "float64", "rv": "float64"})
+               .sort_values(["k", "lv", "rv"], ignore_index=True))
+        want = (ldf.merge(rdf, on="k", how=pd_how)
+                .astype({"lv": "float64", "rv": "float64"})
+                .sort_values(["k", "lv", "rv"], ignore_index=True))
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]],
+                                      want[["k", "lv", "rv"]], check_dtype=False)
+
+
+def test_hash_join_full_outer_int64_exact(ray_session):
+    """full_outer keeps unmatched int64 values exact above 2^53
+    (typed Arrow nulls, never NaN-widened floats, on BOTH sides)."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import hash_join
+    big = (1 << 60) + 1
+    left = rd.from_arrow(pa.table({"k": [1, 2], "lv": [big, big + 2]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3], "rv": [big + 5, big + 7]}))
+    out = hash_join(left, right, on="k", how="full_outer", n_buckets=2)
+    t = pa.concat_tables(
+        b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows)
+    df = t.to_pandas(types_mapper=pd.ArrowDtype).sort_values(
+        "k", ignore_index=True)
+    assert df.loc[0, "lv"] == big and pd.isna(df.loc[0, "rv"])
+    assert df.loc[1, "lv"] == big + 2 and df.loc[1, "rv"] == big + 5
+    assert pd.isna(df.loc[2, "lv"]) and df.loc[2, "rv"] == big + 7
+
+
+# ------------------------------------------------ distributed prefix scan
+
+def test_running_total_matches_sequential(ray_session):
+    """Two-phase scan == sequential cumsum across bin boundaries,
+    negative values, and ts ties broken by event_id."""
+    from osm2shp_ray.stages.temporal import running_total
+    rng = np.random.default_rng(3)
+    n = 5000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 72 * 3600, n).astype("timedelta64[s]")
+    ts[100] = ts[101]  # planted tie
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "value": rng.normal(0, 50, n),
+    })
+    got = (running_total(rd.from_pandas(df).repartition(8))
+           .to_pandas().set_index("event_id").sort_index())
+    q = np.floor(df["value"].to_numpy() * 10000).astype(np.int64)
+    order = np.lexsort((df["event_id"].to_numpy(), df["ts"].to_numpy()))
+    want = np.empty(n, dtype=np.int64)
+    want[order] = np.cumsum(q[order])
+    assert (got["run_q"].to_numpy() == want).all()
