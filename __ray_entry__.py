@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_orders_events_daily": q.q_orders_events_daily,
         "q_running_total": q.q_running_total,
+        "q_rollup_docs": q.q_rollup_docs,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1135,6 +1136,14 @@ def oracle_sql() -> dict[str, str]:
                      OVER (ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS run_q
             FROM events""",
+        # single-scan ROLLUP: the engine aggregates the finest level
+        # once and re-aggregates that result for coarser levels
+        "q_rollup_docs": """
+            SELECT COALESCE(source, '*') AS source,
+                   COALESCE(lang, '*') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP(source, lang)""",
         "q_audio_features": f"""
             SELECT CAST(floor(f0_hz / 500) AS BIGINT) AS tone_bucket,
                    CAST(count(*) AS BIGINT) AS n_clips,

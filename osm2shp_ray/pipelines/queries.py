@@ -1633,3 +1633,16 @@ def q_running_total(sf_dir: str):
     return (temporal.running_total(
                 _read(sf_dir, "events", ["event_id", "ts", "value"]))
             .to_pandas())
+
+
+def q_rollup_docs(sf_dir: str):
+    """Multi-level ROLLUP report (stages/sketch.py::rollup): doc count
+    + char volume at (source, lang), (source), and grand-total levels
+    from ONE scan — coarser levels re-aggregate the finest result, the
+    textbook rollup optimization (input read once at any scale)."""
+    from ..stages import sketch
+    return (sketch.rollup(
+                _read(sf_dir, "documents", ["source", "lang", "n_chars"]),
+                ["source", "lang"], sum_col="n_chars",
+                count_alias="n_docs", sum_alias="total_chars")
+            .to_pandas())

@@ -85,7 +85,7 @@ SQL_CHECKED = [
     "q_window_distinct_users", "q_embed_outliers",
     # round 3 (5th session): full-outer reconciliation join + the
     # distributed prefix scan
-    "q_orders_events_daily", "q_running_total",
+    "q_orders_events_daily", "q_running_total", "q_rollup_docs",
 ]
 
 

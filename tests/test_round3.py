@@ -1141,3 +1141,43 @@ def test_running_total_matches_sequential(ray_session):
     want = np.empty(n, dtype=np.int64)
     want[order] = np.cumsum(q[order])
     assert (got["run_q"].to_numpy() == want).all()
+
+
+# --------------------------------------------------------------- rollup
+
+def test_rollup_levels_match_pandas(ray_session):
+    """rollup == the union of per-level pandas groupbys, including the
+    grand total, with '*' sentinels on rolled-up keys."""
+    from osm2shp_ray.stages.sketch import rollup
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 400),
+        "b": rng.choice(["p", "q"], 400),
+        "v": rng.integers(0, 100, 400),
+    })
+    got = (rollup(rd.from_pandas(df).repartition(6), ["a", "b"],
+                  sum_col="v", count_alias="n", sum_alias="tv")
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    fine = (df.groupby(["a", "b"], as_index=False)
+            .agg(n=("v", "size"), tv=("v", "sum")))
+    mid = (df.groupby("a", as_index=False)
+           .agg(n=("v", "size"), tv=("v", "sum")).assign(b="*"))
+    top = pd.DataFrame({"a": ["*"], "b": ["*"],
+                        "n": [len(df)], "tv": [df["v"].sum()]})
+    want = (pd.concat([fine, mid, top], ignore_index=True)
+            [["a", "b", "n", "tv"]]
+            .sort_values(["a", "b"], ignore_index=True))
+    want["n"] = want["n"].astype(np.int64)
+    want["tv"] = want["tv"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["a", "b", "n", "tv"]], want,
+                                  check_dtype=False)
+
+
+def test_rollup_count_only(ray_session):
+    from osm2shp_ray.stages.sketch import rollup
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+    got = (rollup(rd.from_pandas(df), ["a", "b"]).to_pandas()
+           .sort_values(["a", "b"], ignore_index=True))
+    assert got.loc[(got["a"] == "*") & (got["b"] == "*"), "n"].iloc[0] == 3
+    assert got.loc[(got["a"] == "x") & (got["b"] == "*"), "n"].iloc[0] == 2
+    assert len(got) == 3 + 2 + 1
