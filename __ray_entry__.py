@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_events_daily": q.q_orders_events_daily,
         "q_running_total": q.q_running_total,
         "q_rollup_docs": q.q_rollup_docs,
+        "q_ntile_events": q.q_ntile_events,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1144,6 +1145,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(source, lang)""",
+        "q_ntile_events": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                     AS tile
+            FROM events""",
         "q_audio_features": f"""
             SELECT CAST(floor(f0_hz / 500) AS BIGINT) AS tone_bucket,
                    CAST(count(*) AS BIGINT) AS n_clips,

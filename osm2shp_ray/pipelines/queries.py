@@ -1646,3 +1646,13 @@ def q_rollup_docs(sf_dir: str):
                 ["source", "lang"], sum_col="n_chars",
                 count_alias="n_docs", sum_alias="total_chars")
             .to_pandas())
+
+
+def q_ntile_events(sf_dir: str):
+    """Per-user NTILE(4) over the event stream (stages/temporal.py::
+    ntile): one bucketed exchange, vectorized per-bucket kernel with
+    exact SQL tile-size semantics (first n%k tiles one row larger)."""
+    from ..stages import temporal
+    return (temporal.ntile(
+                _read(sf_dir, "events", ["event_id", "user_id", "ts"]), 4)
+            .to_pandas())

@@ -355,3 +355,44 @@ def running_total(ds, ts_col: str = "ts", value_col: str = "value",
             "run_q": run.astype(np.int64)}))
 
     return prepped.groupby("__bin").map_groups(scan, batch_format="pandas")
+
+
+def ntile(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
+          tiebreak_col: str = "event_id", n_buckets: int | None = None):
+    """Per-key ``NTILE(k)`` — rows of one key ordered by (ts, tiebreak)
+    split into ``k`` near-equal tiles, the first ``n % k`` tiles one
+    row larger (exact SQL semantics). Same single-exchange shape as
+    ``lag_rank``: bucket by key hash, one sorted numpy kernel per
+    bucket (group sizes via run-length boundaries, never a per-key
+    loop). Output: (tiebreak_col, key_col, tile: int64).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        m = len(keys)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - start  # 0-based in-key rank
+        bounds = np.flatnonzero(new_key)
+        sizes = np.diff(np.concatenate((bounds, [m])))
+        n_of = np.repeat(sizes, sizes)  # per-row group size
+        size = n_of // k
+        rem = n_of % k
+        cut = (size + 1) * rem
+        tile = np.where(rn < cut, rn // np.maximum(size + 1, 1),
+                        rem + (rn - cut) // np.maximum(size, 1)) + 1
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys, "tile": tile.astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -1181,3 +1181,27 @@ def test_rollup_count_only(ray_session):
     assert got.loc[(got["a"] == "*") & (got["b"] == "*"), "n"].iloc[0] == 3
     assert got.loc[(got["a"] == "x") & (got["b"] == "*"), "n"].iloc[0] == 2
     assert len(got) == 3 + 2 + 1
+
+
+# ---------------------------------------------------------------- ntile
+
+def test_ntile_sql_tile_sizes(ray_session):
+    """Exact SQL NTILE semantics: first n%k tiles get one extra row;
+    n < k degenerates to one row per tile."""
+    from osm2shp_ray.stages.temporal import ntile
+    rows = []
+    base = np.datetime64("2024-01-01", "us")
+    for uid, n in ((1, 10), (2, 3), (3, 8), (4, 1)):
+        for i in range(n):
+            rows.append((uid * 1000 + i, uid, base + np.timedelta64(i, "s")))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    got = (ntile(rd.from_pandas(df).repartition(4), 4)
+           .to_pandas().sort_values("event_id"))
+    by_uid = {uid: g["tile"].tolist()
+              for uid, g in got.groupby(got["event_id"] // 1000)}
+    assert by_uid[1] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]  # 10 = 3+3+2+2
+    assert by_uid[2] == [1, 2, 3]
+    assert by_uid[3] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert by_uid[4] == [1]
+    with pytest.raises(ValueError):
+        ntile(rd.from_pandas(df), 0)
