@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_total": q.q_running_total,
         "q_rollup_docs": q.q_rollup_docs,
         "q_ntile_events": q.q_ntile_events,
+        "q_pagerank": q.q_pagerank,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -529,6 +530,31 @@ def oracle_sql() -> dict[str, str]:
         + " FROM (SELECT vec_id FROM embeddings) b "
         + pq_adc_joins + " CROSS JOIN qv) q"
         + f" QUALIFY row_number() OVER (ORDER BY raw, vec_id) <= {PQ_TOPK}")
+
+    # integer PageRank: unrolled iteration CTEs (the kmeans-chain
+    # pattern, but pure integer arithmetic -> zero rounding ambiguity)
+    from osm2shp_ray.pipelines.queries import PR_ITERS
+    from osm2shp_ray.stages.graph import PR_SCALE
+    pr_ctes = [
+        ("e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, "
+         "l_partkey * 2 + 1 AS dst FROM lineitem)"),
+        ("e AS (SELECT src, dst FROM e0 "
+         "UNION ALL SELECT dst AS src, src AS dst FROM e0)"),
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"k AS (SELECT {PR_SCALE} // count(*) AS r0 FROM deg)",
+        "pr0 AS (SELECT deg.src, (SELECT r0 FROM k) AS r FROM deg)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        pr_ctes.append(
+            f"c{t} AS (SELECT e.dst, sum(pr{t - 1}.r // deg.d) AS s "
+            f"FROM e JOIN pr{t - 1} ON e.src = pr{t - 1}.src "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)")
+        pr_ctes.append(
+            f"pr{t} AS (SELECT dst AS src, (SELECT 15 * r0 // 100 FROM k)"
+            f" + (85 * s) // 100 AS r FROM c{t})")
+    pr_sql = ("WITH " + ",\n".join(pr_ctes)
+              + f"\nSELECT src AS node, CAST(r AS BIGINT) AS r"
+                f" FROM pr{PR_ITERS}")
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -1145,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(source, lang)""",
+        "q_pagerank": pr_sql,
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

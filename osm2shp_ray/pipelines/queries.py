@@ -1656,3 +1656,32 @@ def q_ntile_events(sf_dir: str):
     return (temporal.ntile(
                 _read(sf_dir, "events", ["event_id", "user_id", "ts"]), 4)
             .to_pandas())
+
+
+PR_ITERS = 3
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the bipartite order<->part graph
+    (stages/graph.py::pagerank): 3 synchronous iterations, each one
+    hash_join + one groupby-sum moving (node, int64) pairs only. The
+    SQL oracle unrolls the iterations as CTE pairs; pure integer
+    arithmetic makes every register bit-exact on both engines."""
+    from ray.data.aggregate import Count
+    from ..stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+        })
+
+    from ..stages.util import coalesced
+    edges = (coalesced(li.map_batches(to_edges, batch_format="pyarrow"))
+             .groupby(["src", "dst"]).aggregate(Count(alias_name="__cnt"))
+             .select_columns(["src", "dst"]))
+    return pagerank(edges, iters=PR_ITERS).to_pandas()

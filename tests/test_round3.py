@@ -1205,3 +1205,38 @@ def test_ntile_sql_tile_sizes(ray_session):
     assert by_uid[4] == [1]
     with pytest.raises(ValueError):
         ntile(rd.from_pandas(df), 0)
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    """3-iteration integer PageRank == a sequential pure-Python
+    implementation of the same integer recurrence."""
+    from osm2shp_ray.stages.graph import pagerank, PR_SCALE
+    rng = np.random.default_rng(4)
+    raw = {(int(a), int(b)) for a, b in
+           zip(rng.integers(0, 30, 200), rng.integers(0, 30, 200))
+           if a != b}
+    edges = sorted(raw | {(b, a) for a, b in raw})
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    got = {r["node"]: r["r"] for r in
+           pagerank(rd.from_pandas(df).repartition(4), iters=3,
+                    n_buckets=8).take_all()}
+
+    nodes = sorted({s for s, _ in edges})
+    deg = {u: 0 for u in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r0 = PR_SCALE // len(nodes)
+    base = (15 * r0) // 100
+    r = {u: r0 for u in nodes}
+    for _ in range(3):
+        s = {u: 0 for u in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {u: base + (85 * s[u]) // 100 for u in nodes}
+    assert got == r
+
+    with pytest.raises(ValueError):
+        pagerank(rd.from_pandas(df), iters=0)
