@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_docs": q.q_rollup_docs,
         "q_ntile_events": q.q_ntile_events,
         "q_pagerank": q.q_pagerank,
+        "q_exact_median": q.q_exact_median,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1172,6 +1173,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(source, lang)""",
         "q_pagerank": pr_sql,
+        # exact distributed selection: the output is the selected
+        # VALUE itself (no arithmetic), so equality is bit-exact
+        "q_exact_median": """
+            WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+            kk AS (SELECT (count(*) + 1) // 2 AS k FROM s)
+            SELECT (SELECT k FROM kk) AS k, v AS median
+            FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+            WHERE rn = (SELECT k FROM kk)""",
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

@@ -1685,3 +1685,18 @@ def q_pagerank(sf_dir: str):
              .groupby(["src", "dst"]).aggregate(Count(alias_name="__cnt"))
              .select_columns(["src", "dst"]))
     return pagerank(edges, iters=PR_ITERS).to_pandas()
+
+
+def q_exact_median(sf_dir: str):
+    """EXACT global median of l_extendedprice (stages/sketch.py::
+    exact_kth — multi-pass histogram-refinement selection): narrow
+    (bin, count) exchanges shrink the candidate range geometrically;
+    no pass collects more than the candidate cap. Output is the pure
+    selected value (no arithmetic), so the SQL mirror is bit-exact."""
+    from ..stages import sketch
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n = li.count()
+    k = (n + 1) // 2
+    v = sketch.exact_kth(li, "l_extendedprice", k, coarse_width=1000.0)
+    return pd.DataFrame({"k": np.array([k], np.int64),
+                         "median": np.array([v], np.float64)})

@@ -673,3 +673,83 @@ def rollup(ds, keys: list[str], sum_col: str | None = None,
     for extra in levels[1:]:
         out = out.union(extra)
     return out
+
+
+def exact_kth(ds, col: str, k: int, coarse_width: float,
+              refine: int = 1024, collect_cap: int = 65536,
+              max_levels: int = 6) -> float:
+    """EXACT k-th smallest value (1-based, counting multiplicity) of a
+    numeric column — the distributed-selection dual of the mergeable
+    ``binned_quantiles`` sketch: where the sketch trades accuracy for
+    one pass, this refines to the exact order statistic in a few
+    passes, never collecting more than ``collect_cap`` candidate rows.
+
+    Each level scans only the CURRENT candidate range: per-batch bin
+    counts (one narrow (bin, count) exchange, bins bounded by
+    range/width), the driver walks the cumulative histogram to find
+    the bin holding rank ``k``, and the next level re-bins just that
+    bin ``refine``x finer. The candidate set shrinks geometrically, so
+    a 10^12-row column needs ~3 levels before the final bin fits
+    ``collect_cap`` and one local sort finishes it. The k-th VALUE is
+    unique (selection by value, no tiebreak needed).
+    """
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if coarse_width <= 0:
+        raise ValueError(f"coarse_width must be positive, got {coarse_width}")
+
+    def project(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"v": pa.array(v, pa.float64())})
+
+    remaining = coalesced(ds.map_batches(project, batch_format="pyarrow"))
+    offset = 0  # rows strictly below the candidate range
+    width = float(coarse_width)
+
+    for _ in range(max_levels):
+        w = width
+
+        def bin_counts(t: pa.Table, w=w) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            b = np.floor(v / w).astype(np.int64)
+            ub, cnt = np.unique(b, return_counts=True)
+            return pa.table({"b": pa.array(ub, pa.int64()),
+                             "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        from ray.data.aggregate import Sum
+        hist = (remaining.map_batches(bin_counts, batch_format="pyarrow")
+                .groupby("b").aggregate(Sum("c", alias_name="n"))
+                .take_all())
+        hist.sort(key=lambda r: r["b"])
+        run, target, in_bin = offset, None, 0
+        for r in hist:
+            if run + r["n"] >= k:
+                target, in_bin = r["b"], r["n"]
+                break
+            run += r["n"]
+        if target is None:
+            raise ValueError(f"k={k} exceeds row count {run}")
+        offset = run
+        lo, hi = target * w, (target + 1) * w
+
+        def in_range(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            v = t["v"]
+            return t.filter(pc.and_(pc.greater_equal(v, lo), pc.less(v, hi)))
+
+        remaining = remaining.map_batches(
+            in_range, batch_format="pyarrow").materialize()
+        if in_bin <= collect_cap:
+            break
+        width = w / refine
+    else:
+        raise ValueError(
+            f"candidate bin still holds > collect_cap rows after "
+            f"{max_levels} levels; lower coarse_width or raise refine")
+
+    vals = np.sort(np.concatenate(
+        [b["v"].to_numpy(zero_copy_only=False)
+         for b in remaining.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0)]))
+    return float(vals[k - offset - 1])

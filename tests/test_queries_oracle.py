@@ -86,7 +86,7 @@ SQL_CHECKED = [
     # round 3 (5th session): full-outer reconciliation join + the
     # distributed prefix scan
     "q_orders_events_daily", "q_running_total", "q_rollup_docs",
-    "q_ntile_events", "q_pagerank",
+    "q_ntile_events", "q_pagerank", "q_exact_median",
 ]
 
 

@@ -1240,3 +1240,35 @@ def test_pagerank_matches_sequential_reference(ray_session):
 
     with pytest.raises(ValueError):
         pagerank(rd.from_pandas(df), iters=0)
+
+
+# ----------------------------------------------------- exact selection
+
+def test_exact_kth_matches_numpy(ray_session):
+    from osm2shp_ray.stages.sketch import exact_kth
+    rng = np.random.default_rng(8)
+    v = np.concatenate([rng.normal(0, 1000, 4000),
+                        np.full(500, 42.5),  # heavy duplicate run
+                        rng.uniform(-5, 5, 1500)])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(8)
+    sv = np.sort(v)
+    for k in (1, 2, 137, len(v) // 2, len(v) - 1, len(v)):
+        got = exact_kth(ds, "x", k, coarse_width=100.0, collect_cap=256)
+        assert got == sv[k - 1], k
+    with pytest.raises(ValueError):
+        exact_kth(ds, "x", 0, coarse_width=100.0)
+    with pytest.raises(ValueError):
+        exact_kth(ds, "x", len(v) + 1, coarse_width=100.0)
+    with pytest.raises(ValueError):
+        exact_kth(ds, "x", 5, coarse_width=-1.0)
+
+
+def test_exact_kth_refines_dense_bin(ray_session):
+    # all mass in ONE coarse bin forces the refinement level
+    from osm2shp_ray.stages.sketch import exact_kth
+    rng = np.random.default_rng(13)
+    v = rng.uniform(10.0, 10.001, 3000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v}))
+    k = 1501
+    got = exact_kth(ds, "x", k, coarse_width=1000.0, collect_cap=100)
+    assert got == np.sort(v)[k - 1]
