@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile_events": q.q_ntile_events,
         "q_pagerank": q.q_pagerank,
         "q_exact_median": q.q_exact_median,
+        "q_interval_overlap": q.q_interval_overlap,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1181,6 +1182,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT k FROM kk) AS k, v AS median
             FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
             WHERE rn = (SELECT k FROM kk)""",
+        "q_interval_overlap": """
+            WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS lo,
+                              epoch_us(ts) + 600000000 AS hi
+                       FROM events WHERE event_type = 'error'),
+            b AS (SELECT event_id AS id_b, epoch_us(ts) AS lo,
+                         epoch_us(ts) + 300000000 AS hi
+                  FROM events WHERE event_type = 'purchase')
+            SELECT id_a, id_b
+            FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi""",
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

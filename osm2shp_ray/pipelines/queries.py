@@ -1700,3 +1700,31 @@ def q_exact_median(sf_dir: str):
     v = sketch.exact_kth(li, "l_extendedprice", k, coarse_width=1000.0)
     return pd.DataFrame({"k": np.array([k], np.int64),
                          "median": np.array([v], np.float64)})
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval-OVERLAP join (stages/temporal.py::interval_join):
+    10-minute error windows x 5-minute purchase windows; each pair
+    emitted exactly once via the owner-bin rule (bin of the later
+    start, which both intervals provably cover). One bin exchange; in
+    -bin vectorized overlap mask."""
+    from ..stages import temporal
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def side(t: pa.Table, typ: str, dur_us: int, idc: str) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], typ))
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64).astype(np.float64))
+        return pa.table({idc: t["event_id"],
+                         "lo": pa.array(us),
+                         "hi": pa.array(us + dur_us)})
+
+    err = ev.map_batches(lambda t: side(t, "error", 600_000_000, "id_a"),
+                         batch_format="pyarrow")
+    pur = ev.map_batches(lambda t: side(t, "purchase", 300_000_000, "id_b"),
+                         batch_format="pyarrow")
+    return (temporal.interval_join(err, pur, "lo", "hi",
+                                   ["id_a"], ["id_b"],
+                                   bin_width=600e6)
+            .to_pandas())

@@ -396,3 +396,102 @@ def ntile(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def interval_join(left_ds, right_ds, lo_col: str, hi_col: str,
+                  left_cols: list[str], right_cols: list[str],
+                  bin_width: float, max_bins: int = 64,
+                  n_buckets: int | None = None):
+    """Interval-OVERLAP join without an equi key: one row per (left,
+    right) pair whose closed intervals intersect
+    (``l.lo <= r.hi AND r.lo <= l.hi``). Both inputs carry their
+    bounds in ``lo_col``/``hi_col`` (same names both sides); carried
+    columns must be disjoint.
+
+    Scale shape (the range_join bin contract, symmetrized): each side
+    replicates to every bin its interval overlaps; a pair is emitted
+    ONLY in its owner bin ``bin(max(l.lo, r.lo))`` — a bin both
+    intervals provably cover — so output is exactly-once with no dedup
+    pass. One groupby on the bin; the in-bin kernel is a vectorized
+    l x r overlap mask. ``bin_width`` near the typical interval length
+    keeps replication O(1) and the in-bin product bounded; intervals
+    spanning more than ``max_bins`` bins are skipped with a log line
+    (route such outliers through a broadcast join instead).
+    """
+    import pyarrow.compute as pc
+
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+
+    lsch = left_ds.schema()
+    rsch = right_ds.schema()
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"carried columns overlap: {sorted(overlap)}")
+
+    def explode(t: pa.Table, side: int, carry: list[str],
+                pad: list[str], pad_types: dict) -> pa.Table:
+        lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lo / bin_width).astype(np.int64)
+        b1 = np.floor(hi / bin_width).astype(np.int64)
+        nb = b1 - b0 + 1
+        keep = nb <= max_bins
+        skipped = int(len(lo) - keep.sum())
+        if skipped:
+            print(f"interval_join: skipped {skipped} intervals spanning "
+                  f"> {max_bins} bins (bin_width={bin_width})")
+        src0 = np.flatnonzero(keep)
+        counts = nb[src0]
+        rep = np.repeat(np.arange(len(src0)), counts)
+        starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                  if len(src0) else np.empty(0, np.int64))
+        local = (np.arange(int(counts.sum()), dtype=np.int64)
+                 - np.repeat(starts, counts))
+        src = src0[rep]
+        take = pa.array(src, pa.int64())
+        n = len(src)
+        cols = {"__bin": pa.array(b0[src] + local, pa.int64()),
+                "__lo": pa.array(lo[src]), "__hi": pa.array(hi[src]),
+                "__side": pa.array(np.full(n, side, np.int8))}
+        for c in carry:
+            cols[c] = t[c].take(take)
+        for c in pad:
+            cols[c] = pa.nulls(n, pad_types[c])
+        return pa.table(cols)
+
+    unioned = coalesced(
+        left_ds.map_batches(
+            lambda t: explode(t, 0, left_cols, right_cols, r_types),
+            batch_format="pyarrow")
+        .union(right_ds.map_batches(
+            lambda t: explode(t, 1, right_cols, left_cols, l_types),
+            batch_format="pyarrow")))
+
+    out_types = {**l_types, **r_types}
+    out_schema = pa.schema([(c, out_types[c])
+                            for c in left_cols + right_cols])
+
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_l = pc.equal(t["__side"], 0)
+        lt = t.filter(is_l)
+        rt = t.filter(pc.invert(is_l))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        la = lt["__lo"].to_numpy(zero_copy_only=False)[:, None]
+        ha = lt["__hi"].to_numpy(zero_copy_only=False)[:, None]
+        lb = rt["__lo"].to_numpy(zero_copy_only=False)[None, :]
+        hb = rt["__hi"].to_numpy(zero_copy_only=False)[None, :]
+        this_bin = int(t["__bin"][0].as_py())
+        owner = np.floor(np.maximum(la, lb) / bin_width) == this_bin
+        hit = (la <= hb) & (lb <= ha) & owner
+        li_, ri_ = np.nonzero(hit)
+        cols = {c: lt[c].take(pa.array(li_, pa.int64())) for c in left_cols}
+        for c in right_cols:
+            cols[c] = rt[c].take(pa.array(ri_, pa.int64()))
+        return pa.table(cols).cast(out_schema)
+
+    return unioned.groupby("__bin").map_groups(match, batch_format="pyarrow")

@@ -1272,3 +1272,30 @@ def test_exact_kth_refines_dense_bin(ray_session):
     k = 1501
     got = exact_kth(ds, "x", k, coarse_width=1000.0, collect_cap=100)
     assert got == np.sort(v)[k - 1]
+
+
+# ------------------------------------------------ interval-overlap join
+
+def test_interval_join_matches_brute_force(ray_session):
+    from osm2shp_ray.stages.temporal import interval_join
+    rng = np.random.default_rng(21)
+    na, nb = 300, 250
+    a_lo = rng.uniform(0, 1000, na)
+    a_hi = a_lo + rng.uniform(0, 30, na)
+    b_lo = rng.uniform(0, 1000, nb)
+    b_hi = b_lo + rng.uniform(0, 30, nb)
+    left = rd.from_pandas(pd.DataFrame(
+        {"id_a": np.arange(na, dtype=np.int64), "lo": a_lo, "hi": a_hi}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"id_b": np.arange(nb, dtype=np.int64), "lo": b_lo, "hi": b_hi}))
+    got = (interval_join(left, right, "lo", "hi", ["id_a"], ["id_b"],
+                         bin_width=25.0)
+           .to_pandas())
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert len(pairs) == len(got)  # exactly-once emission
+    hit = (a_lo[:, None] <= b_hi[None, :]) & (b_lo[None, :] <= a_hi[:, None])
+    want = set(zip(*np.nonzero(hit)))
+    assert pairs == want
+    with pytest.raises(ValueError):
+        interval_join(left, right, "lo", "hi", ["id_a"], ["id_b"],
+                      bin_width=0)
