@@ -219,6 +219,13 @@ def run_bench() -> dict:
         ("q_quality_cut", q.q_quality_cut),
         ("q_window_distinct_users", q.q_window_distinct_users),
         ("q_embed_outliers", q.q_embed_outliers),
+        ("q_orders_events_daily", q.q_orders_events_daily),
+        ("q_running_total", q.q_running_total),
+        ("q_rollup_docs", q.q_rollup_docs),
+        ("q_ntile_events", q.q_ntile_events),
+        ("q_pagerank", q.q_pagerank),
+        ("q_exact_median", q.q_exact_median),
+        ("q_interval_overlap", q.q_interval_overlap),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

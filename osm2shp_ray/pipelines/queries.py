@@ -1663,11 +1663,11 @@ PR_ITERS = 3
 
 def q_pagerank(sf_dir: str):
     """Integer PageRank over the bipartite order<->part graph
-    (stages/graph.py::pagerank): 3 synchronous iterations, each one
-    hash_join + one groupby-sum moving (node, int64) pairs only. The
-    SQL oracle unrolls the iterations as CTE pairs; pure integer
-    arithmetic makes every register bit-exact on both engines."""
-    from ray.data.aggregate import Count
+    (stages/graph.py::pagerank): one dst-bucket setup exchange (which
+    also dedups pairs), then 3 zero-shuffle broadcast iterations over
+    the stationary edges. The SQL oracle unrolls the iterations as
+    CTE pairs; pure integer arithmetic makes every rank bit-exact on
+    both engines."""
     from ..stages.graph import pagerank
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -1680,11 +1680,11 @@ def q_pagerank(sf_dir: str):
             "dst": pa.array(np.concatenate([p, o]), pa.int64()),
         })
 
-    from ..stages.util import coalesced
-    edges = (coalesced(li.map_batches(to_edges, batch_format="pyarrow"))
-             .groupby(["src", "dst"]).aggregate(Count(alias_name="__cnt"))
-             .select_columns(["src", "dst"]))
-    return pagerank(edges, iters=PR_ITERS).to_pandas()
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    # dedup=True folds DISTINCT-pair removal into pagerank's own
+    # dst-bucket setup exchange (a 2-key sort groupby here measured
+    # 14.5s at sf0.1 vs ~4s fused)
+    return pagerank(edges, iters=PR_ITERS, dedup=True).to_pandas()
 
 
 def q_exact_median(sf_dir: str):

@@ -2,21 +2,33 @@
 
 ``pagerank`` complements the label-propagation connected components
 (stages/components.py) as the second iterative-graph family: rank mass
-flows along edges for a fixed number of synchronous iterations. The
-per-iteration shape is the canonical distributed PageRank: one
-hash_join (attach each source's current rank + degree to its out
-edges) and one groupby-sum (gather contributions per destination) —
-two exchanges per iteration, each moving only (node, int64) pairs,
-never payload columns.
+flows along edges for a fixed number of synchronous iterations.
 
 All arithmetic is INTEGER: ranks live in ``scale`` fixed-point units,
 contributions are ``r // deg`` and the update is
 ``base + damping_num * s // damping_den`` (floor division on
 non-negative operands everywhere). Integer addition is associative, so
 the distributed sums are order-independent and an unrolled SQL CTE
-chain reproduces every iteration bit-for-bit — the same
-quantize-for-the-oracle trick as ann.kmeans, but with NO rounding
-ambiguity at all.
+chain reproduces every iteration bit-for-bit — the ann.kmeans
+quantize-for-the-oracle trick, but with NO rounding ambiguity at all.
+
+Execution is a capped dual (the stitch-label-attach pattern):
+
+- ``n <= node_cap`` (default 5M): edges are exchanged ONCE — a
+  groupby on ``bucket(dst)`` that also dedups pairs in-group — and
+  stay stationary, partitioned by destination. Each iteration
+  broadcasts the (node -> rank/degree) arrays via ``ray.put`` and
+  runs ONE embarrassingly-parallel map over the edge blocks: because
+  every edge of a destination lives in exactly one block, the
+  in-block per-dst sums are already FINAL — an iteration has zero
+  shuffles, and only bounded (node, int64) arrays cross the driver.
+- above the cap: fully distributed — each iteration hash_joins the
+  rank Dataset onto the edges and groupby-sums contributions (no
+  driver-side state at any size), at the cost of re-exchanging the
+  edge set per iteration.
+
+Both paths compute the identical integer recurrence
+(equivalence-tested in tests/test_round3.py).
 
 Reference analog: none (the reference has no iterative operators);
 this extends SURVEY.md §2.8's scale family per the round-3 brief.
@@ -25,24 +37,49 @@ this extends SURVEY.md §2.8's scale family per the round-3 brief.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
+from .. import config
+from ..functions.hashing import bucket_of
 from .joins import hash_join
-from .util import coalesced
+from .util import arrow_table, coalesced
 
 PR_SCALE = 10**12
 
 
+def _dedup_by_dst(edges_ds, n_buckets: int):
+    """One exchange: bucket edges by dst hash and drop duplicate
+    (src, dst) pairs in-group. Output blocks are dst-partitioned (a
+    destination's edges never span blocks)."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return (t.select(["src", "dst"])
+                .append_column("__b", pa.array(bucket_of(dst, n_buckets),
+                                               pa.int64())))
+
+    def uniq(df: pd.DataFrame) -> pa.Table:
+        return arrow_table(
+            df[["src", "dst"]].drop_duplicates(ignore_index=True))
+
+    return (coalesced(edges_ds.map_batches(add_bucket,
+                                           batch_format="pyarrow"))
+            .groupby("__b").map_groups(uniq, batch_format="pandas"))
+
+
 def pagerank(edges_ds, iters: int = 3, damping_num: int = 85,
              damping_den: int = 100, scale: int = PR_SCALE,
-             n_buckets: int = 64):
+             n_buckets: int | None = None, node_cap: int = 5_000_000,
+             dedup: bool = False):
     """Fixed-iteration integer PageRank over a directed edge Dataset
     ``(src: int64, dst: int64)``.
 
     Every node must appear as a ``src`` at least once (true for
     symmetrized/undirected graphs — feed both edge directions); rank
     mass lost to truncation is not redistributed (deterministic, and
-    mirrored exactly by the SQL oracle).
+    mirrored exactly by the SQL oracle). ``dedup=True`` folds
+    duplicate-pair removal into the setup exchange (multigraph input
+    -> simple graph).
 
     Returns a Dataset ``(node: int64, r: int64)`` with ranks in
     ``scale`` fixed-point units after ``iters`` synchronous updates
@@ -50,17 +87,92 @@ def pagerank(edges_ds, iters: int = 3, damping_num: int = 85,
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
-    edges = coalesced(edges_ds).materialize()
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    # the dst-bucket exchange is the dedup pass AND the stationary
+    # layout for the broadcast path; the distributed dual reuses it
+    # as its (deduped) edge input
+    edges = _dedup_by_dst(edges_ds, b) if dedup else coalesced(edges_ds)
+    edges = edges.materialize()
     deg = (edges.groupby("src").aggregate(Count(alias_name="deg"))
            .materialize())
     n = deg.count()
     r0 = int(scale) // n
     base = ((damping_den - damping_num) * r0) // damping_den
 
-    # attach degree to every edge ONCE; iterations only re-join ranks
-    edges_deg = hash_join(edges, deg, on="src",
+    if n <= node_cap:
+        return _pagerank_broadcast(edges, deg, n, r0, base, iters,
+                                   damping_num, damping_den, b,
+                                   dst_partitioned=dedup)
+    return _pagerank_distributed(edges, deg, r0, base, iters,
+                                 damping_num, damping_den, b)
+
+
+def _pagerank_broadcast(edges, deg, n, r0, base, iters,
+                        damping_num, damping_den, n_buckets,
+                        dst_partitioned: bool):
+    """Stationary-edges path: per iteration ONE map over the edge
+    blocks with the (ids, deg, ranks) arrays broadcast; when blocks
+    are dst-partitioned the in-block sums are final, otherwise one
+    pre-combined groupby finishes them. Driver state is bounded by
+    node_cap int64 triples."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not dst_partitioned:
+        # relayout so each destination's edges live in ONE block: the
+        # per-iteration driver transfer is then <= n (dst, sum) rows
+        edges = _dedup_by_dst(edges, n_buckets).materialize()
+
+    parts = [(b_["src"].to_numpy(zero_copy_only=False),
+              b_["deg"].to_numpy(zero_copy_only=False))
+             for b_ in deg.iter_batches(batch_format="pyarrow")]
+    ids = np.concatenate([p[0] for p in parts])
+    dg = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids, dg = ids[order], dg[order]
+    ranks = np.full(n, r0, dtype=np.int64)
+
+    for _ in range(iters):
+        state = ray.put((ids, dg, ranks))
+
+        def contrib(t: pa.Table, state=state) -> pa.Table:
+            nid, d, r = ray.get(state)
+            si = np.searchsorted(nid, t["src"].to_numpy(zero_copy_only=False))
+            c = r[si] // d[si]
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ud, inv = np.unique(dst, return_inverse=True)
+            s = np.zeros(len(ud), dtype=np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({"dst": pa.array(ud, pa.int64()),
+                             "c": pa.array(s, pa.int64())})
+
+        # batch_size=None keeps whole blocks, so a destination's
+        # contributions are summed once per block; the driver
+        # accumulates RAW sums and applies damping once at the end —
+        # exact under floor division for any block layout
+        gathered = edges.map_batches(contrib, batch_format="pyarrow",
+                                     batch_size=None)
+        acc = np.zeros(n, dtype=np.int64)
+        for b_ in gathered.iter_batches(batch_format="pyarrow"):
+            dst = b_["dst"].to_numpy(zero_copy_only=False)
+            s = b_["c"].to_numpy(zero_copy_only=False)
+            np.add.at(acc, np.searchsorted(ids, dst), s)
+        ranks = base + (damping_num * acc) // damping_den
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(ids, pa.int64()),
+        "r": pa.array(ranks, pa.int64())}))
+
+
+def _pagerank_distributed(edges_in, deg, r0, base, iters,
+                          damping_num, damping_den, n_buckets):
+    """No-driver-state dual: ranks stay a Dataset; each iteration is
+    one hash_join (ranks onto edges) + one groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    edges_deg = hash_join(edges_in, deg, on="src",
                           n_buckets=n_buckets).materialize()
 
     def init_ranks(t: pa.Table) -> pa.Table:

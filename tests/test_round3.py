@@ -1299,3 +1299,35 @@ def test_interval_join_matches_brute_force(ray_session):
     with pytest.raises(ValueError):
         interval_join(left, right, "lo", "hi", ["id_a"], ["id_b"],
                       bin_width=0)
+
+
+def test_pagerank_paths_equivalent(ray_session):
+    """node_cap=0 forces the distributed hash_join dual; it must match
+    the broadcast stationary-edges path exactly."""
+    from osm2shp_ray.stages.graph import pagerank
+    rng = np.random.default_rng(14)
+    raw = {(int(a), int(b)) for a, b in
+           zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+           if a != b}
+    edges = sorted(raw | {(b, a) for a, b in raw})
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(df), iters=3, n_buckets=8).take_all()}
+    b = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(df), iters=3, n_buckets=8,
+                  node_cap=0).take_all()}
+    assert a == b and len(a) == 40
+
+
+def test_pagerank_dedup_multigraph(ray_session):
+    """dedup=True on a multigraph == no-dedup on the pre-deduped
+    simple graph."""
+    from osm2shp_ray.stages.graph import pagerank
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    dup = pd.DataFrame(edges * 3, columns=["src", "dst"])
+    simple = pd.DataFrame(edges, columns=["src", "dst"])
+    a = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(dup), iters=2, dedup=True).take_all()}
+    b = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(simple), iters=2).take_all()}
+    assert a == b
