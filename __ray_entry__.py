@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": q.q_pagerank,
         "q_exact_median": q.q_exact_median,
         "q_interval_overlap": q.q_interval_overlap,
+        "q_skyline": q.q_skyline,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1191,6 +1192,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type = 'purchase')
             SELECT id_a, id_b
             FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi""",
+        # Pareto frontier, minimize x / maximize y: pure selection,
+        # bit-exact
+        "q_skyline": f"""
+            WITH p AS ({pts})
+            SELECT a.c_custkey, a.x, a.y FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.x <= a.x AND b.y >= a.y
+                  AND (b.x < a.x OR b.y > a.y))""",
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

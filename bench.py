@@ -226,6 +226,7 @@ def run_bench() -> dict:
         ("q_pagerank", q.q_pagerank),
         ("q_exact_median", q.q_exact_median),
         ("q_interval_overlap", q.q_interval_overlap),
+        ("q_skyline", q.q_skyline),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

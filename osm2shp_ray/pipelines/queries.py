@@ -1728,3 +1728,26 @@ def q_interval_overlap(sf_dir: str):
                                    ["id_a"], ["id_b"],
                                    bin_width=600e6)
             .to_pandas())
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier of the customer points — minimize x, MAXIMIZE
+    y (fed to the minimize-all-dims kernel as (x, -y), the standard
+    trade-off frontier) — via stages/sketch.py::skyline: block-local
+    skyline prune, then one exact pass over the survivors. Pure
+    selection, so the SQL NOT EXISTS mirror is bit-exact."""
+    from ..stages import sketch
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        x, y = custkey_lonlat(ck)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "x": pa.array(x), "y": pa.array(y),
+                         "__negy": pa.array(-y)})
+
+    out = (sketch.skyline(cust.map_batches(pts, batch_format="pyarrow"),
+                          ["x", "__negy"])
+           .to_pandas())
+    return out[["c_custkey", "x", "y"]]

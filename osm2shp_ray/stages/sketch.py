@@ -753,3 +753,68 @@ def exact_kth(ds, col: str, k: int, coarse_width: float,
          for b in remaining.iter_batches(batch_format="pyarrow")]
         or [np.empty(0)]))
     return float(vals[k - offset - 1])
+
+
+def _skyline_keep(X: np.ndarray, chunk: int = 512) -> np.ndarray:
+    """Non-dominated mask for minimize-all-dims Pareto semantics:
+    row i is dropped iff some row is <= on every dim and < on at
+    least one (exact duplicates keep each other). Chunked vectorized
+    all-pairs — O(n^2/chunk) numpy ops, no Python row loop."""
+    n = len(X)
+    keep = np.ones(n, dtype=bool)
+    for i0 in range(0, n, chunk):
+        blk = X[i0:i0 + chunk]
+        le_all = (X[None, :, :] <= blk[:, None, :]).all(-1)
+        lt_any = (X[None, :, :] < blk[:, None, :]).any(-1)
+        keep[i0:i0 + chunk] &= ~(le_all & lt_any).any(1)
+    return keep
+
+
+def skyline(ds, dims: list[str], global_cap: int = 200_000):
+    """Pareto frontier (skyline) over numeric ``dims``, minimizing
+    every dimension: rows no other row dominates. All input columns
+    ride through.
+
+    Scale shape: the global skyline is a subset of the union of
+    BLOCK-LOCAL skylines, so each block prunes itself first (for
+    independent value dims the local frontier is ~O(log^(d-1) n) of
+    the block) and only survivors reach the single final group, where
+    the exact kernel runs once. ``global_cap`` guards the documented
+    assumption that the candidate union fits one worker — strongly
+    anti-correlated dims can defeat skyline pruning ANYWHERE, not
+    just here; the cap makes that loud instead of slow.
+    """
+    import ray
+    from .util import coalesced as _co
+
+    def matrix(t: pa.Table) -> np.ndarray:
+        return np.column_stack([
+            t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in dims])
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(_skyline_keep(matrix(t))))
+
+    cand = (_co(ds.map_batches(local, batch_format="pyarrow"))
+            .materialize())
+    n_cand = cand.count()
+    if n_cand > global_cap:
+        raise ValueError(
+            f"skyline candidate union has {n_cand} rows > global_cap="
+            f"{global_cap}: dims are likely anti-correlated; raise the "
+            f"cap or pre-partition by a dominance-compatible key")
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", pa.array(np.zeros(t.num_rows,
+                                                        np.int64)))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__g"])
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(_skyline_keep(matrix(t))))
+
+    return (cand.map_batches(add_g, batch_format="pyarrow")
+            .groupby("__g").map_groups(final, batch_format="pyarrow"))

@@ -1331,3 +1331,34 @@ def test_pagerank_dedup_multigraph(ray_session):
     b = {r["node"]: r["r"] for r in
          pagerank(rd.from_pandas(simple), iters=2).take_all()}
     assert a == b
+
+
+# --------------------------------------------------------------- skyline
+
+def test_skyline_matches_brute_force(ray_session):
+    from osm2shp_ray.stages.sketch import skyline
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "a": rng.uniform(0, 100, n),
+                       "b": rng.uniform(0, 100, n)})
+    # plant exact duplicates on the frontier: both must be kept
+    df.loc[1, ["a", "b"]] = df.loc[0, ["a", "b"]] = (0.001, 0.001)
+    got = set(skyline(rd.from_pandas(df).repartition(8), ["a", "b"])
+              .to_pandas()["id"])
+    X = df[["a", "b"]].to_numpy()
+    dom = ((X[None, :, :] <= X[:, None, :]).all(-1)
+           & (X[None, :, :] < X[:, None, :]).any(-1)).any(1)
+    want = set(df["id"][~dom])
+    assert got == want and {0, 1} <= got
+
+
+def test_skyline_cap_raises(ray_session):
+    # perfectly anti-correlated points: EVERY row is on the frontier
+    from osm2shp_ray.stages.sketch import skyline
+    n = 500
+    df = pd.DataFrame({"id": np.arange(n), "a": np.arange(n, dtype=float),
+                       "b": np.arange(n, 0, -1, dtype=float)})
+    assert len(skyline(rd.from_pandas(df), ["a", "b"]).to_pandas()) == n
+    with pytest.raises(ValueError, match="global_cap"):
+        skyline(rd.from_pandas(df), ["a", "b"], global_cap=100)
