@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_median": q.q_exact_median,
         "q_interval_overlap": q.q_interval_overlap,
         "q_skyline": q.q_skyline,
+        "q_corr_events": q.q_corr_events,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1201,6 +1202,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM p b
                 WHERE b.x <= a.x AND b.y >= a.y
                   AND (b.x < a.x OR b.y > a.y))""",
+        # exact integer moment sums -> one fixed-form double
+        # expression (same parenthesization as the engine kernel)
+        "q_corr_events": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS x,
+                     (epoch_us(ts) // 3600000000) % 24 AS y
+              FROM events),
+            s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(x * x) AS DOUBLE) AS sxx,
+                         CAST(sum(y * y) AS DOUBLE) AS syy,
+                         CAST(sum(x * y) AS DOUBLE) AS sxy
+                  FROM b GROUP BY user_id)
+            SELECT user_id, n,
+                   round(CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                   / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                                      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                              ELSE 0.0 END, 4) AS corr
+            FROM s""",
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

@@ -1751,3 +1751,29 @@ def q_skyline(sf_dir: str):
                           ["x", "__negy"])
            .to_pandas())
     return out[["c_custkey", "x", "y"]]
+
+
+def q_corr_events(sf_dir: str):
+    """Per-user Pearson correlation between event value and
+    hour-of-day (stages/sketch.py::grouped_corr): values quantized to
+    integer centi-units so the five moment sums are exact int64 on
+    both engines; float appears only in the final fixed-form
+    expression, rounded to 4 decimals."""
+    from ..stages import sketch
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "xq": pa.array(np.floor(v * 100).astype(np.int64)),
+            "hod": pa.array((us // 3_600_000_000) % 24, pa.int64()),
+        })
+
+    out = (sketch.grouped_corr(ev.map_batches(prep, batch_format="pyarrow"),
+                               "user_id", "xq", "hod")
+           .to_pandas())
+    return _round_cols(out, ["corr"])

@@ -818,3 +818,59 @@ def skyline(ds, dims: list[str], global_cap: int = 200_000):
 
     return (cand.map_batches(add_g, batch_format="pyarrow")
             .groupby("__g").map_groups(final, batch_format="pyarrow"))
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+    """Per-key Pearson correlation from EXACT integer moment sums.
+
+    ``x_col``/``y_col`` must already be integer-valued (callers
+    quantize floats first — the running_total contract): the five
+    moment sums (n, Sx, Sy, Sxx, Syy, Sxy) are then exact int64s,
+    order-independent under any distribution, and a SQL mirror
+    computes identical integers. Floats appear only in the final
+    per-key expression ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    sqrt(n*Syy - Sy^2))`` — same parenthesization both engines, so
+    the rounded output matches bit-for-bit.
+
+    One narrow exchange: per-batch combiner pre-reduces each block to
+    its per-key partial sums; keys with zero variance in either
+    dimension yield corr = NULL-free 0.0 (documented, mirrored in
+    SQL via the same guard).
+
+    Output: (key, n: int64, corr: float64 UNROUNDED — callers round).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key_col: k, "n": np.ones(len(k), np.int64),
+                           "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                           "sxy": x * y})
+        g = df.groupby(key_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        den = np.sqrt(vx) * np.sqrt(vy)
+        corr = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pa.table({key_col: t[key_col],
+                         "n": t["n"],
+                         "corr": pa.array(corr, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

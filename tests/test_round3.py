@@ -1362,3 +1362,24 @@ def test_skyline_cap_raises(ray_session):
     assert len(skyline(rd.from_pandas(df), ["a", "b"]).to_pandas()) == n
     with pytest.raises(ValueError, match="global_cap"):
         skyline(rd.from_pandas(df), ["a", "b"], global_cap=100)
+
+
+# -------------------------------------------------------- grouped corr
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from osm2shp_ray.stages.sketch import grouped_corr
+    rng = np.random.default_rng(23)
+    n = 4000
+    k = rng.integers(0, 20, n)
+    x = rng.integers(-500, 500, n)
+    y = (x // 7) + rng.integers(-50, 50, n)  # correlated
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    # a constant-y key: zero variance -> corr defined as 0.0
+    df.loc[df["k"] == 5, "y"] = 3
+    got = (grouped_corr(rd.from_pandas(df).repartition(8), "k", "x", "y")
+           .to_pandas().set_index("k").sort_index())
+    for key, g in df.groupby("k"):
+        want = 0.0 if g["y"].nunique() == 1 or g["x"].nunique() == 1 \
+            else np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(got.loc[key, "corr"] - want) < 1e-9, key
+        assert got.loc[key, "n"] == len(g)
