@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_overlap": q.q_interval_overlap,
         "q_skyline": q.q_skyline,
         "q_corr_events": q.q_corr_events,
+        "q_pps_sample": q.q_pps_sample,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -362,6 +363,14 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY d2, cluster) = 1)
         SELECT vec_id, cluster, round(d2, 4) AS d2
         FROM fa WHERE d2 > {EMB_OUT_TAU2}""")
+
+    # weight-proportional sampling: same hash-decision-table shape,
+    # threshold = min(basis, floor(w * rate * basis))
+    from osm2shp_ray.pipelines.queries import PPS_RATE
+    pps_sql = (f"SELECT doc_id, source, n_chars FROM documents "
+               f"WHERE {h60('CAST(doc_id AS VARCHAR)')} % 1000000 < "
+               f"least(1000000, CAST(floor(n_chars * {PPS_RATE!r} "
+               f"* 1000000) AS BIGINT))")
 
     # mixture sampling: the engine's h60(id) % basis decision table
     from osm2shp_ray.pipelines.queries import MIX_BASIS, MIX_FRACS
@@ -1051,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans_clusters": km_sql,
         "q_semantic_dedup": sem_sql,
         "q_mixture_sample": mix_sql,
+        "q_pps_sample": pps_sql,
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,

@@ -227,6 +227,8 @@ def run_bench() -> dict:
         ("q_exact_median", q.q_exact_median),
         ("q_interval_overlap", q.q_interval_overlap),
         ("q_skyline", q.q_skyline),
+        ("q_corr_events", q.q_corr_events),
+        ("q_pps_sample", q.q_pps_sample),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

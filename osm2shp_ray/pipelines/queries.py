@@ -1777,3 +1777,18 @@ def q_corr_events(sf_dir: str):
                                "user_id", "xq", "hod")
            .to_pandas())
     return _round_cols(out, ["corr"])
+
+
+PPS_RATE = 1.0 / 4000.0  # inclusion prob = n_chars / 4000, capped at 1
+
+
+def q_pps_sample(sf_dir: str):
+    """Length-weighted deterministic document sampling
+    (stages/sketch.py::pps_sample): keep probability proportional to
+    n_chars — one stateless map, hash-decision table identical in
+    SQL."""
+    from ..stages import sketch
+    return (sketch.pps_sample(
+                _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+                "doc_id", "n_chars", PPS_RATE)
+            .to_pandas())

@@ -874,3 +874,33 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
                          "corr": pa.array(corr, pa.float64())})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def pps_sample(ds, id_col: str, weight_col: str, rate_per_unit: float,
+               basis: int = 1_000_000):
+    """Probability-proportional-to-size Bernoulli sampling: keep a row
+    with probability ``min(1, weight * rate_per_unit)`` — the per-ROW
+    generalization of ``mixture_sample`` (length-weighted doc
+    sampling, impression-weighted event sampling).
+
+    Deterministic and shuffle-free: inclusion is
+    ``md5_hash60(str(id)) % basis < min(basis, floor(weight *
+    rate_per_unit * basis) )`` — the threshold quantizes to 1/basis
+    (exact integer compare, no float boundary), the hash depends only
+    on the row id, so the sample is stable under re-runs, resharding
+    and incremental arrival, and SQL reproduces it exactly. Weights
+    must be non-negative integers (the usual token/char counts)."""
+    if rate_per_unit < 0:
+        raise ValueError(f"rate_per_unit must be >= 0, got {rate_per_unit}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = md5_hash60(ids.astype(str) if ids.dtype != object else ids) % basis
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lim = np.minimum(basis, np.floor(w * rate_per_unit * basis)
+                         .astype(np.int64))
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -87,7 +87,7 @@ SQL_CHECKED = [
     # distributed prefix scan
     "q_orders_events_daily", "q_running_total", "q_rollup_docs",
     "q_ntile_events", "q_pagerank", "q_exact_median",
-    "q_interval_overlap", "q_skyline", "q_corr_events",
+    "q_interval_overlap", "q_skyline", "q_corr_events", "q_pps_sample",
 ]
 
 

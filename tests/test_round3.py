@@ -1383,3 +1383,23 @@ def test_grouped_corr_matches_numpy(ray_session):
             else np.corrcoef(g["x"], g["y"])[0, 1]
         assert abs(got.loc[key, "corr"] - want) < 1e-9, key
         assert got.loc[key, "n"] == len(g)
+
+
+def test_pps_sample_deterministic_and_weighted(ray_session):
+    from osm2shp_ray.stages.sketch import pps_sample
+    from osm2shp_ray.functions.hashing import md5_hash60
+    n = 2000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 2 == 0, 100, 4000)})
+    got = pps_sample(rd.from_pandas(df), "doc_id", "w",
+                     1.0 / 4000.0).to_pandas()
+    # heavy rows (w=4000 -> p=1.0) are ALL kept
+    assert (got["w"] == 4000).sum() == (df["w"] == 4000).sum()
+    # light rows kept iff the hash decision says so (reproducible)
+    h = md5_hash60(df["doc_id"].to_numpy().astype(str)) % 1_000_000
+    lim = np.minimum(1_000_000,
+                     np.floor(df["w"] * (1.0 / 4000.0) * 1_000_000)
+                     .astype(np.int64))
+    assert set(got["doc_id"]) == set(df["doc_id"][h < lim])
+    with pytest.raises(ValueError):
+        pps_sample(rd.from_pandas(df), "doc_id", "w", -0.1)
