@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skyline": q.q_skyline,
         "q_corr_events": q.q_corr_events,
         "q_pps_sample": q.q_pps_sample,
+        "q_set_intersect": q.q_set_intersect,
+        "q_set_except": q.q_set_except,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1061,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": sem_sql,
         "q_mixture_sample": mix_sql,
         "q_pps_sample": pps_sql,
+        "q_set_intersect": """
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-06-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-06-01'""",
+        "q_set_except": """
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-06-01'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-06-01'""",
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,

@@ -1792,3 +1792,38 @@ def q_pps_sample(sf_dir: str):
                 _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
                 "doc_id", "n_chars", PPS_RATE)
             .to_pandas())
+
+
+SETOP_CUT = datetime.datetime(1998, 6, 1)
+
+
+def _setop_sides(sf_dir: str):
+    cut = pa.scalar(SETOP_CUT, type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    early = orders.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.less(t["o_orderdate"], cut))["o_custkey"]}),
+        batch_format="pyarrow")
+    late = orders.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.greater_equal(t["o_orderdate"], cut))["o_custkey"]}),
+        batch_format="pyarrow")
+    return early, late
+
+
+def q_set_intersect(sf_dir: str):
+    """SQL INTERSECT (stages/joins.py::intersect_distinct): customers
+    ordering both before and after the cutoff — distinct_rows
+    combiner dedup + an all-columns semi hash_join (keys only cross
+    the exchange)."""
+    from ..stages.joins import intersect_distinct
+    early, late = _setop_sides(sf_dir)
+    return intersect_distinct(early, late, ["o_custkey"]).to_pandas()
+
+
+def q_set_except(sf_dir: str):
+    """SQL EXCEPT (stages/joins.py::except_distinct): customers
+    ordering before the cutoff but never after."""
+    from ..stages.joins import except_distinct
+    early, late = _setop_sides(sf_dir)
+    return except_distinct(early, late, ["o_custkey"]).to_pandas()

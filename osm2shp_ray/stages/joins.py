@@ -252,3 +252,52 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
 
     return unioned.groupby("__jb").map_groups(join_group,
                                               batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- set ops
+
+def distinct_rows(ds, cols: list[str] | None = None,
+                  n_buckets: int | None = None):
+    """DISTINCT over whole rows (or ``cols``): per-batch combiner
+    dedup, then one bucketed exchange with an in-group exact
+    drop_duplicates — equality is on the VALUES (the bucket hash only
+    routes; collisions merely co-locate)."""
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def prep(t: pa.Table) -> pa.Table:
+        use = cols or t.column_names
+        t = t.select(use)
+        df = t.to_pandas().drop_duplicates(ignore_index=True)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(
+            "__jb", pa.array(_key_bucket(t, use, b), pa.int64()))
+
+    def uniq(df: pd.DataFrame) -> pa.Table:
+        out = (df.drop(columns="__jb")
+               .drop_duplicates(ignore_index=True))
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    return (coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+            .groupby("__jb").map_groups(uniq, batch_format="pandas"))
+
+
+def intersect_distinct(left_ds, right_ds, cols: list[str],
+                       n_buckets: int | None = None):
+    """SQL INTERSECT: distinct ``cols`` rows present on BOTH sides —
+    distinct_rows on the left, then a semi hash_join on all columns
+    (no non-key payload, so the exchange moves keys only)."""
+    return hash_join(distinct_rows(left_ds, cols, n_buckets),
+                     right_ds.map_batches(lambda t: t.select(cols),
+                                          batch_format="pyarrow"),
+                     on=cols, how="left_semi", n_buckets=n_buckets)
+
+
+def except_distinct(left_ds, right_ds, cols: list[str],
+                    n_buckets: int | None = None):
+    """SQL EXCEPT: distinct ``cols`` rows on the left absent from the
+    right (anti join on all columns)."""
+    return hash_join(distinct_rows(left_ds, cols, n_buckets),
+                     right_ds.map_batches(lambda t: t.select(cols),
+                                          batch_format="pyarrow"),
+                     on=cols, how="left_anti", n_buckets=n_buckets)

@@ -1403,3 +1403,31 @@ def test_pps_sample_deterministic_and_weighted(ray_session):
     assert set(got["doc_id"]) == set(df["doc_id"][h < lim])
     with pytest.raises(ValueError):
         pps_sample(rd.from_pandas(df), "doc_id", "w", -0.1)
+
+
+# --------------------------------------------------------------- set ops
+
+def test_set_ops_match_pandas(ray_session):
+    from osm2shp_ray.stages.joins import (distinct_rows, except_distinct,
+                                          intersect_distinct)
+    rng = np.random.default_rng(31)
+    l = pd.DataFrame({"a": rng.integers(0, 30, 400),
+                      "b": rng.choice(["x", "y"], 400)})
+    r = pd.DataFrame({"a": rng.integers(15, 45, 300),
+                      "b": rng.choice(["x", "y", "z"], 300)})
+    ld, rd_ = rd.from_pandas(l), rd.from_pandas(r)
+    cols = ["a", "b"]
+
+    d = (distinct_rows(ld, cols).to_pandas()
+         .sort_values(cols, ignore_index=True))
+    want_d = l.drop_duplicates().sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(d, want_d)
+
+    li = set(map(tuple, l.drop_duplicates().itertuples(index=False)))
+    ri = set(map(tuple, r.drop_duplicates().itertuples(index=False)))
+    inter = set(map(tuple, intersect_distinct(ld, rd_, cols).to_pandas()
+                    .itertuples(index=False)))
+    assert inter == (li & ri)
+    exc = set(map(tuple, except_distinct(ld, rd_, cols).to_pandas()
+                  .itertuples(index=False)))
+    assert exc == (li - ri)
