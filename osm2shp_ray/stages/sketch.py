@@ -732,11 +732,14 @@ def exact_kth(ds, col: str, k: int, coarse_width: float,
         if target is None:
             raise ValueError(f"k={k} exceeds row count {run}")
         offset = run
-        lo, hi = target * w, (target + 1) * w
 
-        def in_range(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            v = t["v"]
-            return t.filter(pc.and_(pc.greater_equal(v, lo), pc.less(v, hi)))
+        def in_range(t: pa.Table, w=w, target=target) -> pa.Table:
+            # filter by the SAME floor(v/w) expression the histogram
+            # used — a v>=lo range compare can disagree with it at bin
+            # edges (v/w may round up across the integer boundary)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            b_ = np.floor(v / w).astype(np.int64)
+            return t.filter(pa.array(b_ == target))
 
         remaining = remaining.map_batches(
             in_range, batch_format="pyarrow").materialize()

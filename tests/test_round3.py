@@ -1431,3 +1431,18 @@ def test_set_ops_match_pandas(ray_session):
     exc = set(map(tuple, except_distinct(ld, rd_, cols).to_pandas()
                   .itertuples(index=False)))
     assert exc == (li - ri)
+
+
+def test_exact_kth_bin_edge_values(ray_session):
+    # values exactly on / within one ulp of bin boundaries: the filter
+    # must use the same floor(v/w) the histogram used
+    from osm2shp_ray.stages.sketch import exact_kth
+    w = 0.1  # not a binary fraction: v/w rounding is in play
+    v = np.concatenate([np.arange(0, 50) * w,
+                        np.nextafter(np.arange(1, 40) * w, 0.0),
+                        np.nextafter(np.arange(1, 40) * w, 1e9)])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    sv = np.sort(v)
+    for k in (1, 17, 64, len(v) // 2, len(v)):
+        assert exact_kth(ds, "x", k, coarse_width=w,
+                         collect_cap=8) == sv[k - 1], k
