@@ -1584,26 +1584,34 @@ def q_orders_events_daily(sf_dir: str):
     filled before output so both engines hash identically)."""
     from ..stages.joins import hash_join
 
+    from ..stages.util import coalesced
+
     def o_day(t: pa.Table) -> pa.Table:
+        # per-batch combiner: blocks pre-reduce to their distinct days
         us = (t["o_orderdate"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
-        return pa.table({"day": pa.array(us // 86_400_000_000, pa.int64()),
-                         "o_totalprice": t["o_totalprice"]})
+        g = (pa.table({"day": pa.array(us // 86_400_000_000, pa.int64()),
+                       "tp": t["o_totalprice"]})
+             .group_by("day").aggregate([("tp", "sum"), ("tp", "count")]))
+        return g.rename_columns(["day", "__s", "__c"])
 
     def e_day(t: pa.Table) -> pa.Table:
         us = (t["ts"].to_numpy(zero_copy_only=False)
               .astype("datetime64[us]").astype(np.int64))
-        return pa.table({"day": pa.array(us // 86_400_000_000, pa.int64())})
+        g = (pa.table({"day": pa.array(us // 86_400_000_000, pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return g.rename_columns(["day", "__c"])
 
-    o_agg = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-             .map_batches(o_day, batch_format="pyarrow")
+    o_agg = (coalesced(_read(sf_dir, "orders",
+                             ["o_orderdate", "o_totalprice"])
+                       .map_batches(o_day, batch_format="pyarrow"))
              .groupby("day")
-             .aggregate(Count(alias_name="n_orders"),
-                        Sum("o_totalprice", alias_name="total_price")))
-    e_agg = (_read(sf_dir, "events", ["ts"])
-             .map_batches(e_day, batch_format="pyarrow")
+             .aggregate(Sum("__c", alias_name="n_orders"),
+                        Sum("__s", alias_name="total_price")))
+    e_agg = (coalesced(_read(sf_dir, "events", ["ts"])
+                       .map_batches(e_day, batch_format="pyarrow"))
              .groupby("day")
-             .aggregate(Count(alias_name="n_events")))
+             .aggregate(Sum("__c", alias_name="n_events")))
 
     def fill(t: pa.Table) -> pa.Table:
         return pa.table({
