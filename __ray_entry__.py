@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pps_sample": q.q_pps_sample,
         "q_set_intersect": q.q_set_intersect,
         "q_set_except": q.q_set_except,
+        "q_keyed_window_join": q.q_keyed_window_join,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1075,6 +1076,15 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1998-06-01'""",
+        "q_keyed_window_join": """
+            WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS lo
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts) AS tus
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_purchases
+            FROM c JOIN p ON p.user_id = c.user_id
+             AND p.tus >= c.lo AND p.tus <= c.lo + 43200000000
+            GROUP BY c.event_id""",
         "q_decontaminate": decon_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,

@@ -1835,3 +1835,51 @@ def q_set_except(sf_dir: str):
     from ..stages.joins import except_distinct
     early, late = _setop_sides(sf_dir)
     return except_distinct(early, late, ["o_custkey"]).to_pandas()
+
+
+KWJ_WINDOW_US = 12 * 3_600_000_000  # purchases within 12h of a click
+
+
+def q_keyed_window_join(sf_dir: str):
+    """Equi-key + range composite join (stages/temporal.py::
+    keyed_range_join): purchases by the SAME user within 12 hours
+    after each click, counted per click. The exchange key is
+    (key-bucket, time-bin) — co-partitioned on both dimensions, so
+    neither the all-pairs-per-user blowup of a plain equi join nor
+    the all-users-per-window blowup of a plain range join."""
+    from ray.data.aggregate import Count
+    from ..stages import temporal
+    from ..stages.util import coalesced
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": t["user_id"],
+                         "tus": pa.array(us.astype(np.float64)),
+                         "p_event": t["event_id"]})
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "user_id": t["user_id"],
+            "lo": pa.array(us.astype(np.float64)),
+            "hi": pa.array((us + KWJ_WINDOW_US).astype(np.float64)),
+            "event_id": t["event_id"]})
+
+    pairs = temporal.keyed_range_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        "user_id", "tus", "lo", "hi",
+        ["p_event"], ["event_id"], bin_width=float(KWJ_WINDOW_US))
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("n_purchases", pa.int64())])
+    return (coalesced(pairs).groupby("event_id")
+            .aggregate(Count(alias_name="n_purchases"))
+            .map_batches(lambda t: t.select(["event_id", "n_purchases"])
+                         .cast(out_schema), batch_format="pyarrow")
+            .to_pandas())

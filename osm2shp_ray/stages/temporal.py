@@ -495,3 +495,124 @@ def interval_join(left_ds, right_ds, lo_col: str, hi_col: str,
         return pa.table(cols).cast(out_schema)
 
     return unioned.groupby("__bin").map_groups(match, batch_format="pyarrow")
+
+
+def keyed_range_join(points_ds, intervals_ds, key_col: str,
+                     point_val: str, lo_col: str, hi_col: str,
+                     point_cols: list[str], interval_cols: list[str],
+                     bin_width: float, max_bins: int = 64,
+                     n_buckets: int | None = None):
+    """Equi-key + range composite join: one row per (point, interval)
+    pair with MATCHING ``key_col`` AND ``lo <= point_val <= hi`` —
+    the "events of the same customer within N days of the order"
+    shape that a plain equi join over-produces and a plain range join
+    can't key.
+
+    Scale shape: the exchange key is (hash-bucket(key), value-bin) —
+    points land in one composite bin, intervals replicate across the
+    bins they span WITHIN their key bucket, so co-partitioning holds
+    on both dimensions at once. The in-group kernel masks on exact
+    key equality (bucket collisions only co-locate) times
+    containment. Intervals spanning > ``max_bins`` bins are skipped
+    with a log line, as in ``range_join``.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    psch = points_ds.schema()
+    isch = intervals_ds.schema()
+    p_types = dict(zip(psch.names, psch.types))
+    i_types = dict(zip(isch.names, isch.types))
+    overlap = set(point_cols) & set(interval_cols)
+    if overlap:
+        raise ValueError(f"carried columns overlap: {sorted(overlap)}")
+    key_t = p_types[key_col]
+
+    def _bins(v: np.ndarray) -> np.ndarray:
+        if np.issubdtype(v.dtype, np.integer):
+            return v // np.int64(bin_width)
+        return np.floor(v / bin_width).astype(np.int64)
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        v = t[point_val].to_numpy(zero_copy_only=False)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        cols = {"__kb": pa.array(bucket_of(k, b), pa.int64()),
+                "__bin": pa.array(_bins(v), pa.int64()),
+                "__key": t[key_col],
+                "__v": pa.array(v.astype(np.float64)),
+                "__lo": pa.nulls(t.num_rows, pa.float64()),
+                "__hi": pa.nulls(t.num_rows, pa.float64())}
+        for c in point_cols:
+            cols[c] = t[c]
+        for c in interval_cols:
+            cols[c] = pa.nulls(t.num_rows, i_types[c])
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def prep_intervals(t: pa.Table) -> pa.Table:
+        lo = t[lo_col].to_numpy(zero_copy_only=False)
+        hi = t[hi_col].to_numpy(zero_copy_only=False)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b0 = _bins(lo)
+        b1 = _bins(hi)
+        nb = b1 - b0 + 1
+        keep = nb <= max_bins
+        skipped = int(len(lo) - keep.sum())
+        if skipped:
+            print(f"keyed_range_join: skipped {skipped} intervals "
+                  f"spanning > {max_bins} bins (bin_width={bin_width})")
+        src0 = np.flatnonzero(keep)
+        counts = nb[src0]
+        rep = np.repeat(np.arange(len(src0)), counts)
+        starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                  if len(src0) else np.empty(0, np.int64))
+        local = (np.arange(int(counts.sum()), dtype=np.int64)
+                 - np.repeat(starts, counts))
+        src = src0[rep]
+        take = pa.array(src, pa.int64())
+        n = len(src)
+        cols = {"__kb": pa.array(bucket_of(k[src], b), pa.int64()),
+                "__bin": pa.array(b0[src] + local, pa.int64()),
+                "__key": t[key_col].take(take),
+                "__v": pa.nulls(n, pa.float64()),
+                "__lo": pa.array(lo[src].astype(np.float64)),
+                "__hi": pa.array(hi[src].astype(np.float64))}
+        for c in point_cols:
+            cols[c] = pa.nulls(n, p_types[c])
+        for c in interval_cols:
+            cols[c] = t[c].take(take)
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    unioned = coalesced(
+        points_ds.map_batches(prep_points, batch_format="pyarrow")
+        .union(intervals_ds.map_batches(prep_intervals,
+                                        batch_format="pyarrow")))
+
+    out_types = {**p_types, **i_types}
+    out_schema = pa.schema([(c, out_types[c])
+                            for c in point_cols + interval_cols])
+
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_p = pc.equal(t["__side"], 0)
+        pts = t.filter(is_p)
+        ivs = t.filter(pc.invert(is_p))
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return out_schema.empty_table()
+        v = pts["__v"].to_numpy(zero_copy_only=False)
+        lo = ivs["__lo"].to_numpy(zero_copy_only=False)
+        hi = ivs["__hi"].to_numpy(zero_copy_only=False)
+        pk = pts["__key"].to_numpy(zero_copy_only=False)
+        ik = ivs["__key"].to_numpy(zero_copy_only=False)
+        hit = ((pk[:, None] == ik[None, :])
+               & (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :]))
+        pi, ii = np.nonzero(hit)
+        cols = {c: pts[c].take(pa.array(pi, pa.int64())) for c in point_cols}
+        for c in interval_cols:
+            cols[c] = ivs[c].take(pa.array(ii, pa.int64()))
+        return pa.table(cols).cast(out_schema)
+
+    return (unioned.groupby(["__kb", "__bin"])
+            .map_groups(match, batch_format="pyarrow"))

@@ -1446,3 +1446,31 @@ def test_exact_kth_bin_edge_values(ray_session):
     for k in (1, 17, 64, len(v) // 2, len(v)):
         assert exact_kth(ds, "x", k, coarse_width=w,
                          collect_cap=8) == sv[k - 1], k
+
+
+def test_keyed_range_join_matches_brute_force(ray_session):
+    from osm2shp_ray.stages.temporal import keyed_range_join
+    rng = np.random.default_rng(27)
+    npt, niv = 400, 200
+    pts = pd.DataFrame({"k": rng.integers(0, 12, npt).astype(np.int64),
+                        "v": rng.uniform(0, 500, npt),
+                        "pid": np.arange(npt, dtype=np.int64)})
+    ivs = pd.DataFrame({"k": rng.integers(0, 12, niv).astype(np.int64),
+                        "lo": rng.uniform(0, 480, niv)})
+    ivs["hi"] = ivs["lo"] + rng.uniform(0, 40, niv)
+    ivs["iid"] = np.arange(niv, dtype=np.int64)
+    got = keyed_range_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs), "k", "v", "lo", "hi",
+        ["pid"], ["iid"], bin_width=30.0).to_pandas()
+    pairs = set(zip(got["pid"], got["iid"]))
+    assert len(pairs) == len(got)
+    want = set()
+    for p in pts.itertuples():
+        for i in ivs.itertuples():
+            if p.k == i.k and i.lo <= p.v <= i.hi:
+                want.add((p.pid, i.iid))
+    assert pairs == want
+    with pytest.raises(ValueError):
+        keyed_range_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                         "k", "v", "lo", "hi", ["pid"], ["iid"],
+                         bin_width=0.0)
