@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_set_intersect": q.q_set_intersect,
         "q_set_except": q.q_set_except,
         "q_keyed_window_join": q.q_keyed_window_join,
+        "q_cube_docs": q.q_cube_docs,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1209,6 +1210,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(source, lang)""",
+        "q_cube_docs": """
+            SELECT COALESCE(source, '*') AS source,
+                   COALESCE(lang, '*') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE(source, lang)""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

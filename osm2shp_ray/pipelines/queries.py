@@ -1883,3 +1883,16 @@ def q_keyed_window_join(sf_dir: str):
             .map_batches(lambda t: t.select(["event_id", "n_purchases"])
                          .cast(out_schema), batch_format="pyarrow")
             .to_pandas())
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE(source, lang) (stages/sketch.py::cube over
+    grouping_sets): all four subset levels from the same single-scan
+    finest aggregate the rollup uses — the (lang)-only level is the
+    one ROLLUP cannot produce."""
+    from ..stages import sketch
+    return (sketch.cube(
+                _read(sf_dir, "documents", ["source", "lang", "n_chars"]),
+                ["source", "lang"], sum_col="n_chars",
+                count_alias="n_docs", sum_alias="total_chars")
+            .to_pandas())

@@ -605,25 +605,38 @@ def distinct_count(ds, key_col: str, val_col: str):
             .aggregate(Count(alias_name="n_distinct")))
 
 
-def rollup(ds, keys: list[str], sum_col: str | None = None,
-           count_alias: str = "n", sum_alias: str = "total",
-           all_sentinel: str = "*"):
-    """Multi-level ROLLUP aggregate (``GROUP BY ROLLUP(k1, .., kn)``)
-    with ONE wide exchange: the finest level is grouped once (per-batch
-    combiner first), and every coarser level re-aggregates the FINEST
-    RESULT — whose row count is the distinct-combo count, orders of
-    magnitude below the input — so levels n-1..0 are tiny exchanges
-    over already-reduced rows, never a second scan. At 100 TB the
-    input is read exactly once; the re-aggregations move kilobytes.
+def grouping_sets(ds, keys: list[str], sets: list[list[str]],
+                  sum_col: str | None = None, count_alias: str = "n",
+                  sum_alias: str = "total", all_sentinel: str = "*"):
+    """``GROUP BY GROUPING SETS`` with ONE wide exchange: the finest
+    level (all ``keys``) is grouped once (per-batch combiner first),
+    and every requested subset re-aggregates the FINEST RESULT —
+    whose row count is the distinct-combo count, orders of magnitude
+    below the input — so extra sets cost tiny exchanges over
+    already-reduced rows, never a second scan. At 100 TB the input is
+    read exactly once; the re-aggregations move kilobytes.
 
     Rolled-up key columns carry ``all_sentinel`` (keys must be string
     columns whose domain excludes it; the SQL mirror is
-    ``COALESCE(k, sentinel) ... GROUP BY ROLLUP``). Output:
+    ``COALESCE(k, sentinel) ... GROUP BY GROUPING SETS``). Output:
     ``keys + [count_alias] (+ [sum_alias])``; the count is int64 and
     the sum keeps the input column's additive type.
     """
     import ray
     from ray.data.aggregate import Sum
+
+    key_set = set(keys)
+    norm: list[list[str]] = []
+    seen: set = set()
+    for s_ in sets:
+        extra = set(s_) - key_set
+        if extra:
+            raise ValueError(f"grouping set has unknown keys: {sorted(extra)}")
+        tu = tuple(k for k in keys if k in set(s_))
+        if tu in seen:
+            raise ValueError(f"duplicate grouping set: {list(tu)}")
+        seen.add(tu)
+        norm.append(list(tu))
 
     cols = keys + ([sum_col] if sum_col else [])
     gb_cols = [count_alias] + ([sum_alias] if sum_col else [])
@@ -640,39 +653,60 @@ def rollup(ds, keys: list[str], sum_col: str | None = None,
     aggs = [Sum("__c", alias_name=count_alias)]
     if sum_col:
         aggs.append(Sum("__s", alias_name=sum_alias))
-    # repartition(2): the finest result is tiny; the coarser-level
+    # repartition(2): the finest result is tiny; the subset-level
     # groupbys below would otherwise see mostly-empty sort partitions
     finest = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
               .groupby(keys).aggregate(*aggs)
               .repartition(2).materialize())
 
     def with_sentinels(t: pa.Table, kept: list[str]) -> pa.Table:
-        cols_out = {k: t[k] for k in kept}
-        for k in keys[len(kept):]:
-            cols_out[k] = pa.array([all_sentinel] * t.num_rows, pa.string())
+        cols_out = {}
+        for k in keys:
+            cols_out[k] = (t[k] if k in kept else
+                           pa.array([all_sentinel] * t.num_rows,
+                                    pa.string()))
         for c in gb_cols:
             cols_out[c] = t[c]
         return pa.table(cols_out).select(out_names)
 
-    levels = [finest.map_batches(lambda t: t.select(out_names),
-                                 batch_format="pyarrow")]
-    for lvl in range(len(keys) - 1, 0, -1):
-        kept = keys[:lvl]
-        levels.append(
-            finest.groupby(kept)
-            .aggregate(*[Sum(c, alias_name=c) for c in gb_cols])
-            .map_batches(lambda t, kept=kept: with_sentinels(t, kept),
-                         batch_format="pyarrow"))
-    tot = finest.aggregate(*[Sum(c, alias_name=c) for c in gb_cols])
-    grand = {k: pa.array([all_sentinel], pa.string()) for k in keys}
-    for c in gb_cols:
-        grand[c] = pa.array([tot[c]])
-    levels.append(ray.data.from_arrow(pa.table(grand).select(out_names)))
+    levels = []
+    for kept in norm:
+        if kept == keys:
+            levels.append(finest.map_batches(
+                lambda t: t.select(out_names), batch_format="pyarrow"))
+        elif kept:
+            levels.append(
+                finest.groupby(kept)
+                .aggregate(*[Sum(c, alias_name=c) for c in gb_cols])
+                .map_batches(lambda t, kept=kept: with_sentinels(t, kept),
+                             batch_format="pyarrow"))
+        else:
+            tot = finest.aggregate(*[Sum(c, alias_name=c) for c in gb_cols])
+            grand = {k: pa.array([all_sentinel], pa.string()) for k in keys}
+            for c in gb_cols:
+                grand[c] = pa.array([tot[c]])
+            levels.append(ray.data.from_arrow(
+                pa.table(grand).select(out_names)))
 
     out = levels[0]
     for extra in levels[1:]:
         out = out.union(extra)
     return out
+
+
+def rollup(ds, keys: list[str], **kw):
+    """``GROUP BY ROLLUP``: the prefix grouping sets (k1..kn),
+    (k1..kn-1), .., ()."""
+    return grouping_sets(
+        ds, keys, [keys[:i] for i in range(len(keys), -1, -1)], **kw)
+
+
+def cube(ds, keys: list[str], **kw):
+    """``GROUP BY CUBE``: every subset of ``keys``."""
+    from itertools import combinations
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets(ds, keys, sets, **kw)
 
 
 def exact_kth(ds, col: str, k: int, coarse_width: float,

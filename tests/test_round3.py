@@ -1474,3 +1474,19 @@ def test_keyed_range_join_matches_brute_force(ray_session):
         keyed_range_join(rd.from_pandas(pts), rd.from_pandas(ivs),
                          "k", "v", "lo", "hi", ["pid"], ["iid"],
                          bin_width=0.0)
+
+
+def test_grouping_sets_validation_and_cube(ray_session):
+    from osm2shp_ray.stages.sketch import cube, grouping_sets
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 4]})
+    got = (cube(rd.from_pandas(df), ["a", "b"], sum_col="v")
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    assert len(got) == 3 + 2 + 2 + 1  # fine + (a) + (b) + grand
+    bonly = got[(got["a"] == "*") & (got["b"] != "*")]
+    assert dict(zip(bonly["b"], bonly["total"])) == {"p": 5, "q": 2}
+    assert got.loc[(got["a"] == "*") & (got["b"] == "*"), "total"].iloc[0] == 7
+    with pytest.raises(ValueError, match="unknown"):
+        grouping_sets(rd.from_pandas(df), ["a", "b"], [["zzz"]])
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets(rd.from_pandas(df), ["a", "b"], [["a"], ["a"]])
