@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_set_except": q.q_set_except,
         "q_keyed_window_join": q.q_keyed_window_join,
         "q_cube_docs": q.q_cube_docs,
+        "q_entropy_by_user": q.q_entropy_by_user,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1216,6 +1217,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY CUBE(source, lang)""",
+        # per-key Shannon entropy in integer micro-nats: each
+        # category term floors independently, so the int64 sum is
+        # order-independent (the lm_score quantization contract)
+        "q_entropy_by_user": """
+            WITH kc AS (SELECT user_id, event_type, count(*) AS c
+                        FROM events GROUP BY 1, 2),
+            kn AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                   FROM kc GROUP BY 1)
+            SELECT kc.user_id, kn.n,
+                   CAST(sum(CAST(floor(1000000 *
+                        (-(CAST(c AS DOUBLE) / CAST(kn.n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(kn.n AS DOUBLE))))
+                        AS BIGINT)) AS BIGINT) AS entropy_q
+            FROM kc JOIN kn USING (user_id)
+            GROUP BY kc.user_id, kn.n""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

@@ -1896,3 +1896,14 @@ def q_cube_docs(sf_dir: str):
                 ["source", "lang"], sum_col="n_chars",
                 count_alias="n_docs", sum_alias="total_chars")
             .to_pandas())
+
+
+def q_entropy_by_user(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix
+    (stages/sketch.py::grouped_entropy): integer micro-nat terms sum
+    order-independently, so the SQL mirror is exact."""
+    from ..stages import sketch
+    return (sketch.grouped_entropy(
+                _read(sf_dir, "events", ["user_id", "event_type"]),
+                "user_id", "event_type")
+            .to_pandas())

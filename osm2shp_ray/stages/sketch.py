@@ -941,3 +941,59 @@ def pps_sample(ds, id_col: str, weight_col: str, rate_per_unit: float,
         return t.filter(pa.array(h < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_entropy(ds, key_col: str, val_col: str,
+                    scale: int = 1_000_000, n_buckets: int | None = None):
+    """Per-key Shannon entropy of the ``val_col`` distribution — the
+    label/source-diversity signal of corpus curation — in integer
+    micro-nats: each category contributes
+    ``floor(scale * (-(c/n) * ln(c/n)))`` and the per-key total is an
+    INT64 SUM of those terms, so it is order-independent under any
+    distribution and the SQL mirror (same casts, same expression
+    shape) is bit-exact. The lm_score quantization contract.
+
+    Two narrow exchanges: distinct (key, val) counts via a per-batch
+    combiner + one groupby, then a bucketed per-key reduce over the
+    counts table (rows = distinct pairs, far below the input).
+
+    Output: (key, n: int64 rows of the key, entropy_q: int64).
+    """
+    from ray.data.aggregate import Sum
+    from ..functions.hashing import bucket_of
+
+    b = n_buckets or 64
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        g = (t.select([key_col, val_col]).group_by([key_col, val_col])
+             .aggregate([(key_col, "count")]))
+        return g.rename_columns([key_col, val_col, "__c"])
+
+    counts = (coalesced(ds.map_batches(pair_counts, batch_format="pyarrow"))
+              .groupby([key_col, val_col])
+              .aggregate(Sum("__c", alias_name="c")))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(k, b), pa.int64()))
+
+    def kernel(df) -> pa.Table:
+        import pandas as pd
+        df = df.sort_values(key_col, kind="mergesort")
+        k = df[key_col].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        gid = np.cumsum(new_key) - 1
+        n = np.zeros(gid[-1] + 1 if len(gid) else 0, dtype=np.int64)
+        np.add.at(n, gid, c)
+        p = c.astype(np.float64) / n[gid].astype(np.float64)
+        term = np.floor(scale * (-(p) * np.log(p))).astype(np.int64)
+        hq = np.zeros(len(n), dtype=np.int64)
+        np.add.at(hq, gid, term)
+        from .util import arrow_table
+        return arrow_table(pd.DataFrame({
+            key_col: k[new_key], "n": n, "entropy_q": hq}))
+
+    return (coalesced(counts.map_batches(add_bucket,
+                                         batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -1490,3 +1490,21 @@ def test_grouping_sets_validation_and_cube(ray_session):
         grouping_sets(rd.from_pandas(df), ["a", "b"], [["zzz"]])
     with pytest.raises(ValueError, match="duplicate"):
         grouping_sets(rd.from_pandas(df), ["a", "b"], [["a"], ["a"]])
+
+
+def test_grouped_entropy_matches_reference(ray_session):
+    from osm2shp_ray.stages.sketch import grouped_entropy
+    rng = np.random.default_rng(37)
+    n = 3000
+    df = pd.DataFrame({"k": rng.integers(0, 25, n),
+                       "v": rng.choice(list("abcde"), n)})
+    df.loc[df["k"] == 7, "v"] = "a"  # zero-entropy key
+    got = (grouped_entropy(rd.from_pandas(df).repartition(6), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    for key, g in df.groupby("k"):
+        c = g["v"].value_counts().to_numpy().astype(np.float64)
+        p = c / c.sum()
+        want = int(np.floor(1_000_000 * (-(p) * np.log(p))).astype(np.int64).sum())
+        assert got.loc[key, "entropy_q"] == want, key
+        assert got.loc[key, "n"] == len(g)
+    assert got.loc[7, "entropy_q"] == 0
