@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keyed_window_join": q.q_keyed_window_join,
         "q_cube_docs": q.q_cube_docs,
         "q_entropy_by_user": q.q_entropy_by_user,
+        "q_funnel": q.q_funnel,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1232,6 +1233,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)) AS BIGINT) AS entropy_q
             FROM kc JOIN kn USING (user_id)
             GROUP BY kc.user_id, kn.n""",
+        # ordered min-ts funnel: stage i+1 must occur at-or-after the
+        # key's first qualifying stage-i event
+        "q_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                   GROUP BY 1)
+            SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_keys FROM s1
+            UNION ALL
+            SELECT 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

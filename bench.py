@@ -233,6 +233,7 @@ def run_bench() -> dict:
         ("q_keyed_window_join", q.q_keyed_window_join),
         ("q_cube_docs", q.q_cube_docs),
         ("q_entropy_by_user", q.q_entropy_by_user),
+        ("q_funnel", q.q_funnel),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -1907,3 +1907,17 @@ def q_entropy_by_user(sf_dir: str):
                 _read(sf_dir, "events", ["user_id", "event_type"]),
                 "user_id", "event_type")
             .to_pandas())
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel (stages/temporal.py::funnel):
+    per-user ordered min-ts stage progression, counted per stage; one
+    bucketed exchange over funnel-relevant events only."""
+    from ..stages import temporal
+    return (temporal.funnel(
+                _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+                FUNNEL_STAGES)
+            .to_pandas())

@@ -616,3 +616,55 @@ def keyed_range_join(points_ds, intervals_ds, key_col: str,
 
     return (unioned.groupby(["__kb", "__bin"])
             .map_groups(match, batch_format="pyarrow"))
+
+
+def funnel(ds, stages: list[str], key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           n_buckets: int | None = None):
+    """Ordered funnel: for each key, stage i+1 counts only if an event
+    of that type occurs AT OR AFTER the key's first qualifying stage-i
+    event (min-ts semantics, ties pass). Returns one row per stage:
+    (stage: string, n_keys: int64) — how many keys reached it.
+
+    One bucketed exchange over only the funnel-relevant events (rows
+    of other types are dropped pre-shuffle); the per-bucket kernel
+    walks the stages with vectorized pandas min-merges, then a tiny
+    per-stage partial-count reduce — the standard product-analytics
+    op expressed as combiner + narrow groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[type_col], pa.array(stages)))
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: t[key_col],
+            "__ts": t[ts_col].cast(pa.timestamp("us")),
+            "__typ": t[type_col],
+            "__b": pa.array(bucket_of(keys, b), pa.int64()),
+        })
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        cur = None  # per-key frontier ts of the previous stage
+        counts = []
+        for s in stages:
+            ev = df[df["__typ"] == s][[key_col, "__ts"]]
+            if cur is not None:
+                ev = ev.merge(cur, on=key_col)
+                ev = ev[ev["__ts"] >= ev["__prev"]]
+                ev = ev[[key_col, "__ts"]]
+            cur = (ev.groupby(key_col, as_index=False)["__ts"].min()
+                   .rename(columns={"__ts": "__prev"}))
+            counts.append(len(cur))
+        return arrow_table(pd.DataFrame({
+            "stage": stages,
+            "n_keys": np.array(counts, np.int64)}))
+
+    partials = (coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+                .groupby("__b").map_groups(kernel, batch_format="pandas"))
+    return (partials.groupby("stage")
+            .aggregate(Sum("n_keys", alias_name="n_keys")))

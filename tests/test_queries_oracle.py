@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "q_ntile_events", "q_pagerank", "q_exact_median",
     "q_interval_overlap", "q_skyline", "q_corr_events", "q_pps_sample",
     "q_set_intersect", "q_set_except", "q_keyed_window_join",
-    "q_cube_docs", "q_entropy_by_user",
+    "q_cube_docs", "q_entropy_by_user", "q_funnel",
 ]
 
 

@@ -1508,3 +1508,28 @@ def test_grouped_entropy_matches_reference(ray_session):
         assert got.loc[key, "entropy_q"] == want, key
         assert got.loc[key, "n"] == len(g)
     assert got.loc[7, "entropy_q"] == 0
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_semantics(ray_session):
+    from osm2shp_ray.stages.temporal import funnel
+    base = np.datetime64("2024-01-01", "us")
+    rows = [
+        # u1 completes in order
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, "view", 0), (2, "purchase", 5), (2, "click", 10),
+        # u3: click with no prior view -> reaches nothing
+        (3, "click", 0), (3, "purchase", 5),
+        # u4: tie at the same timestamp passes (>=)
+        (4, "view", 7), (4, "click", 7), (4, "purchase", 7),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "s"])
+    df["ts"] = base + df.pop("s").to_numpy().astype("timedelta64[s]")
+    got = {r["stage"]: r["n_keys"] for r in
+           funnel(rd.from_pandas(df).repartition(3),
+                  ["view", "click", "purchase"]).take_all()}
+    assert got == {"view": 3, "click": 3, "purchase": 2}
+    with pytest.raises(ValueError):
+        funnel(rd.from_pandas(df), [])
