@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_docs": q.q_cube_docs,
         "q_entropy_by_user": q.q_entropy_by_user,
         "q_funnel": q.q_funnel,
+        "q_retention": q.q_retention,
+        "q_time_weighted": q.q_time_weighted,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1251,6 +1253,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'click', CAST(count(*) AS BIGINT) FROM s2
             UNION ALL
             SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
+        "q_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+            SELECT f.cohort AS cohort_day, a.day - f.cohort AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+        # time-weighted values: integer-quantized value x integer-us
+        # duration, exact under any sum order; last event holds 0
+        "q_time_weighted": """
+            WITH o AS (
+              SELECT user_id,
+                     CAST(floor(value * 10000) AS BIGINT) AS vq,
+                     COALESCE(lead(epoch_us(ts)) OVER w - epoch_us(ts), 0)
+                       AS dt
+              FROM events WINDOW w AS (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_intervals,
+                   CAST(sum(vq * dt) AS BIGINT) AS wsum_q,
+                   CAST(sum(dt) AS BIGINT) AS dur_us
+            FROM o GROUP BY user_id""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

@@ -234,6 +234,8 @@ def run_bench() -> dict:
         ("q_cube_docs", q.q_cube_docs),
         ("q_entropy_by_user", q.q_entropy_by_user),
         ("q_funnel", q.q_funnel),
+        ("q_retention", q.q_retention),
+        ("q_time_weighted", q.q_time_weighted),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

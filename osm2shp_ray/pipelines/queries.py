@@ -1921,3 +1921,26 @@ def q_funnel(sf_dir: str):
                 _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
                 FUNNEL_STAGES)
             .to_pandas())
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (stages/temporal.py::retention_cohorts):
+    users cohorted by first-activity day, counted once per active day
+    offset; per-bucket partial counts keep the final reduce at
+    (cohorts x offsets) rows."""
+    from ..stages import temporal
+    return (temporal.retention_cohorts(
+                _read(sf_dir, "events", ["user_id", "ts"]))
+            .to_pandas())
+
+
+def q_time_weighted(sf_dir: str):
+    """Per-user time-weighted value aggregate (stages/temporal.py::
+    time_weighted): each value holds until the user's next event;
+    integer-quantized values x integer-microsecond durations keep the
+    weighted sums exact against the SQL lead() mirror."""
+    from ..stages import temporal
+    return (temporal.time_weighted(
+                _read(sf_dir, "events",
+                      ["user_id", "ts", "value", "event_id"]))
+            .to_pandas())

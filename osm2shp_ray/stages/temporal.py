@@ -668,3 +668,88 @@ def funnel(ds, stages: list[str], key_col: str = "user_id",
                 .groupby("__b").map_groups(kernel, batch_format="pandas"))
     return (partials.groupby("stage")
             .aggregate(Sum("n_keys", alias_name="n_keys")))
+
+
+def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      day_us: int = 86_400_000_000,
+                      n_buckets: int | None = None):
+    """Cohort retention matrix: keys are cohorted by the day of their
+    FIRST event; each (key, active-day) pair then counts once toward
+    (cohort_day, day_offset). One bucketed exchange by key — the
+    per-bucket kernel derives first-day + distinct active days and
+    emits per-(cohort, offset) PARTIAL counts, so the final reduce
+    sees (cohorts x offsets) rows per bucket, not per-key rows.
+
+    Output: (cohort_day: int64, day_offset: int64, n_keys: int64).
+    """
+    from ray.data.aggregate import Sum
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        us = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            key_col: t[key_col],
+            "__day": pa.array(us // day_us, pa.int64()),
+            "__b": pa.array(bucket_of(keys, b), pa.int64()),
+        })
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        d = df[[key_col, "__day"]].drop_duplicates()
+        first = (d.groupby(key_col, as_index=False)["__day"].min()
+                 .rename(columns={"__day": "__cohort"}))
+        j = d.merge(first, on=key_col)
+        out = (j.assign(day_offset=j["__day"] - j["__cohort"])
+               .groupby(["__cohort", "day_offset"], as_index=False)
+               .size().rename(columns={"__cohort": "cohort_day",
+                                       "size": "n_keys"}))
+        out["n_keys"] = out["n_keys"].astype(np.int64)
+        return arrow_table(out)
+
+    partials = (coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+                .groupby("__b").map_groups(kernel, batch_format="pandas"))
+    return (partials.groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_keys", alias_name="n_keys")))
+
+
+def time_weighted(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value", tiebreak_col: str = "event_id",
+                  quant: int = 10_000, n_buckets: int | None = None):
+    """Per-key time-weighted value aggregate: each event's value holds
+    until the key's next event; the last event holds nothing. Values
+    quantize to integer units (``floor(v * quant)``) and durations are
+    integer microseconds, so the weighted sum is an exact int64 and
+    the SQL lead() mirror matches bit-for-bit (callers divide
+    wsum/duration for the average).
+
+    Output: (key, n_intervals: int64, wsum_q: int64, dur_us: int64).
+    Same single-exchange shape and partitioning contract as lag_rank.
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vq = np.floor(df[value_col].to_numpy() * quant).astype(np.int64)
+        same_next = np.concatenate((keys[1:] == keys[:-1], [False]))
+        dt = np.concatenate((np.diff(ts), [0]))
+        dt = np.where(same_next, dt, 0)
+        # n_intervals counts positive holding times only (a ts tie
+        # yields dt = 0 and contributes nothing — matches the SQL
+        # lead() mirror's dt > 0 predicate)
+        out = (pd.DataFrame({key_col: keys,
+                             "__n": (dt > 0).astype(np.int64),
+                             "__w": vq * dt, "__d": dt})
+               .groupby(key_col, as_index=False).sum())
+        out.columns = [key_col, "n_intervals", "wsum_q", "dur_us"]
+        return arrow_table(out)
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -1533,3 +1533,46 @@ def test_funnel_semantics(ray_session):
     assert got == {"view": 3, "click": 3, "purchase": 2}
     with pytest.raises(ValueError):
         funnel(rd.from_pandas(df), [])
+
+
+# ------------------------------------------- retention / time-weighted
+
+def test_retention_cohorts_semantics(ray_session):
+    from osm2shp_ray.stages.temporal import retention_cohorts
+    base = np.datetime64("2024-01-01", "us")
+    rows = [(1, 0), (1, 0), (1, 2),          # u1: cohort 0, days 0+2
+            (2, 1), (2, 1), (2, 3), (2, 4),  # u2: cohort 1, offsets 0,2,3
+            (3, 2)]                          # u3: cohort 2, offset 0
+    df = pd.DataFrame(rows, columns=["user_id", "d"])
+    df["ts"] = base + df.pop("d").to_numpy().astype("timedelta64[D]").astype("timedelta64[us]")
+    day0 = int(base.astype("datetime64[D]").astype(np.int64)) + 19723 - 19723
+    got = {(r["cohort_day"], r["day_offset"]): r["n_keys"]
+           for r in retention_cohorts(rd.from_pandas(df).repartition(3))
+           .take_all()}
+    c = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(np.int64))
+    assert got == {(c, 0): 1, (c, 2): 1,
+                   (c + 1, 0): 1, (c + 1, 2): 1, (c + 1, 3): 1,
+                   (c + 2, 0): 1}
+
+
+def test_time_weighted_matches_reference(ray_session):
+    from osm2shp_ray.stages.temporal import time_weighted
+    rng = np.random.default_rng(41)
+    n = 2000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 15, n),
+        "ts": base + rng.integers(0, 10**9, n).astype("timedelta64[us]"),
+        "value": rng.normal(0, 30, n)})
+    df.loc[5, ["user_id", "ts"]] = df.loc[6, ["user_id", "ts"]]  # tie
+    got = (time_weighted(rd.from_pandas(df).repartition(5))
+           .to_pandas().set_index("user_id").sort_index())
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype(np.int64)
+        vq = np.floor(g["value"].to_numpy() * 10000).astype(np.int64)
+        dt = np.concatenate((np.diff(ts), [0]))
+        assert got.loc[uid, "wsum_q"] == int((vq * dt).sum())
+        assert got.loc[uid, "dur_us"] == int(dt.sum())
+        assert got.loc[uid, "n_intervals"] == int((dt > 0).sum())
