@@ -375,10 +375,13 @@ def oracle_sql() -> dict[str, str]:
     # weight-proportional sampling: same hash-decision-table shape,
     # threshold = min(basis, floor(w * rate * basis))
     from osm2shp_ray.pipelines.queries import PPS_RATE
+    # CAST the rate to DOUBLE: a bare 0.00025 literal is DECIMAL in
+    # DuckDB (exact arithmetic) and disagrees with the engine's
+    # float64 threshold by 1 for ~0.7% of integer weights
     pps_sql = (f"SELECT doc_id, source, n_chars FROM documents "
                f"WHERE {h60('CAST(doc_id AS VARCHAR)')} % 1000000 < "
-               f"least(1000000, CAST(floor(n_chars * {PPS_RATE!r} "
-               f"* 1000000) AS BIGINT))")
+               f"least(1000000, CAST(floor(n_chars * CAST({PPS_RATE!r} "
+               f"AS DOUBLE) * 1000000) AS BIGINT))")
 
     # mixture sampling: the engine's h60(id) % basis decision table
     from osm2shp_ray.pipelines.queries import MIX_BASIS, MIX_FRACS

@@ -229,6 +229,7 @@ def run_bench() -> dict:
         ("q_skyline", q.q_skyline),
         ("q_corr_events", q.q_corr_events),
         ("q_pps_sample", q.q_pps_sample),
+        ("q_set_intersect", q.q_set_intersect),
         ("q_set_except", q.q_set_except),
         ("q_keyed_window_join", q.q_keyed_window_join),
         ("q_cube_docs", q.q_cube_docs),

@@ -48,23 +48,27 @@ from .util import arrow_table, coalesced
 PR_SCALE = 10**12
 
 
-def _dedup_by_dst(edges_ds, n_buckets: int):
-    """One exchange: bucket edges by dst hash and drop duplicate
-    (src, dst) pairs in-group. Output blocks are dst-partitioned (a
-    destination's edges never span blocks)."""
+def _bucket_by_dst(edges_ds, n_buckets: int, drop_dups: bool):
+    """One exchange: bucket edges by dst hash so a destination's edges
+    never span blocks (the stationary layout the broadcast path
+    needs); with ``drop_dups`` the in-group kernel also removes
+    duplicate (src, dst) pairs — WITHOUT it the multigraph is
+    preserved exactly (each copy keeps contributing rank mass)."""
     def add_bucket(t: pa.Table) -> pa.Table:
         dst = t["dst"].to_numpy(zero_copy_only=False)
         return (t.select(["src", "dst"])
                 .append_column("__b", pa.array(bucket_of(dst, n_buckets),
                                                pa.int64())))
 
-    def uniq(df: pd.DataFrame) -> pa.Table:
-        return arrow_table(
-            df[["src", "dst"]].drop_duplicates(ignore_index=True))
+    def group(df: pd.DataFrame) -> pa.Table:
+        out = df[["src", "dst"]]
+        if drop_dups:
+            out = out.drop_duplicates(ignore_index=True)
+        return arrow_table(out)
 
     return (coalesced(edges_ds.map_batches(add_bucket,
                                            batch_format="pyarrow"))
-            .groupby("__b").map_groups(uniq, batch_format="pandas"))
+            .groupby("__b").map_groups(group, batch_format="pandas"))
 
 
 def pagerank(edges_ds, iters: int = 3, damping_num: int = 85,
@@ -90,11 +94,10 @@ def pagerank(edges_ds, iters: int = 3, damping_num: int = 85,
     from ray.data.aggregate import Count
 
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
-    # the dst-bucket exchange is the dedup pass AND the stationary
-    # layout for the broadcast path; the distributed dual reuses it
-    # as its (deduped) edge input
-    edges = _dedup_by_dst(edges_ds, b) if dedup else coalesced(edges_ds)
-    edges = edges.materialize()
+    # the dst-bucket exchange is the (optional) dedup pass AND the
+    # stationary layout for the broadcast path; the distributed dual
+    # reuses it as its edge input
+    edges = _bucket_by_dst(edges_ds, b, drop_dups=dedup).materialize()
     deg = (edges.groupby("src").aggregate(Count(alias_name="deg"))
            .materialize())
     n = deg.count()
@@ -103,27 +106,19 @@ def pagerank(edges_ds, iters: int = 3, damping_num: int = 85,
 
     if n <= node_cap:
         return _pagerank_broadcast(edges, deg, n, r0, base, iters,
-                                   damping_num, damping_den, b,
-                                   dst_partitioned=dedup)
+                                   damping_num, damping_den, b)
     return _pagerank_distributed(edges, deg, r0, base, iters,
                                  damping_num, damping_den, b)
 
 
 def _pagerank_broadcast(edges, deg, n, r0, base, iters,
-                        damping_num, damping_den, n_buckets,
-                        dst_partitioned: bool):
-    """Stationary-edges path: per iteration ONE map over the edge
-    blocks with the (ids, deg, ranks) arrays broadcast; when blocks
-    are dst-partitioned the in-block sums are final, otherwise one
-    pre-combined groupby finishes them. Driver state is bounded by
-    node_cap int64 triples."""
+                        damping_num, damping_den, n_buckets):
+    """Stationary-edges path: per iteration ONE map over the
+    dst-partitioned edge blocks with the (ids, deg, ranks) arrays
+    broadcast — in-block per-dst sums are final, so the per-iteration
+    driver transfer is <= n (dst, sum) rows. Driver state is bounded
+    by node_cap int64 triples."""
     import ray
-    from ray.data.aggregate import Sum
-
-    if not dst_partitioned:
-        # relayout so each destination's edges live in ONE block: the
-        # per-iteration driver transfer is then <= n (dst, sum) rows
-        edges = _dedup_by_dst(edges, n_buckets).materialize()
 
     parts = [(b_["src"].to_numpy(zero_copy_only=False),
               b_["deg"].to_numpy(zero_copy_only=False))

@@ -259,27 +259,25 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
 def distinct_rows(ds, cols: list[str] | None = None,
                   n_buckets: int | None = None):
     """DISTINCT over whole rows (or ``cols``): per-batch combiner
-    dedup, then one bucketed exchange with an in-group exact
-    drop_duplicates — equality is on the VALUES (the bucket hash only
-    routes; collisions merely co-locate)."""
+    dedup, then one bucketed exchange with an in-group exact dedup —
+    equality is on the VALUES (the bucket hash only routes; collisions
+    merely co-locate). Arrow-native end to end (``group_by`` with no
+    aggregations), so nullable int64 columns never take the pandas
+    float64-widening detour that corrupts values above 2^53."""
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
 
     def prep(t: pa.Table) -> pa.Table:
         use = cols or t.column_names
-        t = t.select(use)
-        df = t.to_pandas().drop_duplicates(ignore_index=True)
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        return t.append_column(
-            "__jb", pa.array(_key_bucket(t, use, b), pa.int64()))
+        g = t.select(use).group_by(use).aggregate([])
+        return g.append_column(
+            "__jb", pa.array(_key_bucket(g, use, b), pa.int64()))
 
-    def uniq(df: pd.DataFrame) -> pa.Table:
-        out = (df.drop(columns="__jb")
-               .drop_duplicates(ignore_index=True))
-        return pa.Table.from_pandas(out, preserve_index=False) \
-                 .replace_schema_metadata(None)
+    def uniq(t: pa.Table) -> pa.Table:
+        use = [c for c in t.column_names if c != "__jb"]
+        return t.select(use).group_by(use).aggregate([])
 
     return (coalesced(ds.map_batches(prep, batch_format="pyarrow"))
-            .groupby("__jb").map_groups(uniq, batch_format="pandas"))
+            .groupby("__jb").map_groups(uniq, batch_format="pyarrow"))
 
 
 def intersect_distinct(left_ds, right_ds, cols: list[str],

@@ -683,8 +683,19 @@ def grouping_sets(ds, keys: list[str], sets: list[list[str]],
         else:
             tot = finest.aggregate(*[Sum(c, alias_name=c) for c in gb_cols])
             grand = {k: pa.array([all_sentinel], pa.string()) for k in keys}
-            for c in gb_cols:
-                grand[c] = pa.array([tot[c]])
+            if tot is None or tot.get(count_alias) is None:
+                # empty input: SQL ROLLUP/CUBE still emits ONE grand
+                # row (count 0, NULL sum)
+                grand[count_alias] = pa.array([0], pa.int64())
+                if sum_col:
+                    in_types = dict(zip(ds.schema().names,
+                                        ds.schema().types))
+                    st = in_types.get(sum_col, pa.float64())
+                    st = pa.int64() if pa.types.is_integer(st) else st
+                    grand[sum_alias] = pa.nulls(1, st)
+            else:
+                for c in gb_cols:
+                    grand[c] = pa.array([tot[c]])
             levels.append(ray.data.from_arrow(
                 pa.table(grand).select(out_names)))
 

@@ -19,6 +19,20 @@ from ..functions.hashing import bucket_of
 from .util import arrow_table, coalesced
 
 
+
+def _value_bins(v, bin_width: float):
+    """Shared bin rule for ALL range/interval joins: floor of the
+    float64 ratio, regardless of the column's storage type. Mixing an
+    integer-division rule for int columns with a float rule for float
+    columns would put the two sides of one join in different bin
+    spaces (silently dropping pairs) whenever their types differ or
+    bin_width is fractional; int64 microsecond timestamps are exact
+    in float64 (< 2^53), so the float rule is lossless for them.
+    """
+    return np.floor(np.asarray(v).astype(np.float64)
+                    / bin_width).astype(np.int64)
+
+
 def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
                     gap_s: float = 1800.0, value_col: str = "value",
                     tiebreak_col: str = "event_id",
@@ -161,9 +175,7 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
         raise ValueError(f"carried columns overlap: {sorted(overlap)}")
 
     def _bins(v: np.ndarray) -> np.ndarray:
-        if np.issubdtype(v.dtype, np.integer):
-            return v // np.int64(bin_width)
-        return np.floor(v / bin_width).astype(np.int64)
+        return _value_bins(v, bin_width)
 
     def prep_points(t: pa.Table) -> pa.Table:
         v = t[point_val].to_numpy(zero_copy_only=False)
@@ -530,9 +542,7 @@ def keyed_range_join(points_ds, intervals_ds, key_col: str,
     key_t = p_types[key_col]
 
     def _bins(v: np.ndarray) -> np.ndarray:
-        if np.issubdtype(v.dtype, np.integer):
-            return v // np.int64(bin_width)
-        return np.floor(v / bin_width).astype(np.int64)
+        return _value_bins(v, bin_width)
 
     def prep_points(t: pa.Table) -> pa.Table:
         v = t[point_val].to_numpy(zero_copy_only=False)
@@ -664,9 +674,15 @@ def funnel(ds, stages: list[str], key_col: str = "user_id",
             "stage": stages,
             "n_keys": np.array(counts, np.int64)}))
 
+    import ray.data as rd
+    # zero-count seed: every stage row exists even when no qualifying
+    # events do (the SQL mirror always returns len(stages) rows)
+    seed = rd.from_arrow(pa.table({
+        "stage": pa.array(stages, pa.string()),
+        "n_keys": pa.array(np.zeros(len(stages), np.int64))}))
     partials = (coalesced(ds.map_batches(prep, batch_format="pyarrow"))
                 .groupby("__b").map_groups(kernel, batch_format="pandas"))
-    return (partials.groupby("stage")
+    return (partials.union(seed).groupby("stage")
             .aggregate(Sum("n_keys", alias_name="n_keys")))
 
 

@@ -1576,3 +1576,84 @@ def test_time_weighted_matches_reference(ray_session):
         assert got.loc[uid, "wsum_q"] == int((vq * dt).sum())
         assert got.loc[uid, "dur_us"] == int(dt.sum())
         assert got.loc[uid, "n_intervals"] == int((dt > 0).sum())
+
+
+# ------------------------------------------- review-fix regressions
+
+def test_keyed_range_join_mixed_int_float_sides(ray_session):
+    """int64 points x float interval bounds with fractional bin_width:
+    both sides must share ONE bin space (review finding)."""
+    from osm2shp_ray.stages.temporal import keyed_range_join
+    pts = pd.DataFrame({"k": np.array([1, 1, 2], np.int64),
+                        "v": np.array([9, 3, 9], np.int64),  # INT values
+                        "pid": np.array([0, 1, 2], np.int64)})
+    ivs = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                        "lo": [8.9, 9.5], "hi": [9.1, 9.9],
+                        "iid": np.array([10, 11], np.int64)})
+    got = keyed_range_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs), "k", "v", "lo", "hi",
+        ["pid"], ["iid"], bin_width=2.5).to_pandas()
+    assert set(zip(got["pid"], got["iid"])) == {(0, 10)}
+
+
+def test_pagerank_multigraph_no_dedup_keeps_duplicates(ray_session):
+    """dedup=False must preserve multigraph semantics on BOTH paths:
+    duplicate edges contribute rank mass per copy (review finding)."""
+    from osm2shp_ray.stages.graph import pagerank, PR_SCALE
+    edges = [(0, 1), (1, 0), (0, 1), (1, 0), (1, 2), (2, 1)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(df), iters=2).take_all()}
+    b = {r["node"]: r["r"] for r in
+         pagerank(rd.from_pandas(df), iters=2, node_cap=0).take_all()}
+    assert a == b
+    # sequential reference WITH duplicates
+    nodes = [0, 1, 2]
+    deg = {0: 2, 1: 3, 2: 1}
+    r0 = PR_SCALE // 3
+    base = (15 * r0) // 100
+    r = {u: r0 for u in nodes}
+    for _ in range(2):
+        s = {u: 0 for u in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {u: base + (85 * s[u]) // 100 for u in nodes}
+    assert a == r
+
+
+def test_distinct_rows_nullable_int64_above_2_53(ray_session):
+    """Arrow-native dedup: nullable int64 values above 2^53 survive
+    exactly and nulls form one distinct row (review finding)."""
+    import pyarrow as pa
+    from osm2shp_ray.stages.joins import distinct_rows
+    big = (1 << 53) + 1
+    t = pa.table({"a": pa.array([big, big, big + 1, None], pa.int64()),
+                  "b": ["x", "x", "x", "y"]})
+    out = pa.concat_tables(
+        b_ for b_ in distinct_rows(rd.from_arrow(t))
+        .iter_batches(batch_format="pyarrow") if b_.num_rows)
+    assert out["a"].type == pa.int64()  # never float-widened
+    vals = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert vals == {(big, "x"), (big + 1, "x"), (None, "y")}
+
+
+def test_rollup_empty_input_grand_total(ray_session):
+    from osm2shp_ray.stages.sketch import rollup
+    import pyarrow as pa
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64())}))
+    got = rollup(empty, ["a", "b"], sum_col="v").to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["a"] == "*" and got.iloc[0]["n"] == 0
+    assert pd.isna(got.iloc[0]["total"])
+
+
+def test_funnel_emits_zero_rows_for_absent_stages(ray_session):
+    from osm2shp_ray.stages.temporal import funnel
+    df = pd.DataFrame({"user_id": [1], "event_type": ["signup"],
+                       "ts": [np.datetime64("2024-01-01", "us")]})
+    got = {r["stage"]: r["n_keys"]
+           for r in funnel(rd.from_pandas(df),
+                           ["view", "click", "purchase"]).take_all()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}
