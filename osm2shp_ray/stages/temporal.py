@@ -33,6 +33,32 @@ def _value_bins(v, bin_width: float):
                     / bin_width).astype(np.int64)
 
 
+
+def _explode_spans(lo, hi, bin_width: float, max_bins: int, label: str):
+    """Shared interval->bins replication for the range/interval/keyed
+    joins: returns (src, bins) where ``src[i]`` is the input row index
+    of replicated row i and ``bins[i]`` its bin. Intervals spanning
+    more than ``max_bins`` bins are dropped with a log line (never
+    silently) — route such outliers through a broadcast join."""
+    b0 = _value_bins(lo, bin_width)
+    b1 = _value_bins(hi, bin_width)
+    nb = b1 - b0 + 1
+    keep = nb <= max_bins
+    skipped = int(len(lo) - keep.sum())
+    if skipped:
+        print(f"{label}: skipped {skipped} intervals spanning "
+              f"> {max_bins} bins (bin_width={bin_width})")
+    src0 = np.flatnonzero(keep)
+    counts = nb[src0]
+    rep = np.repeat(np.arange(len(src0)), counts)
+    starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+              if len(src0) else np.empty(0, np.int64))
+    local = (np.arange(int(counts.sum()), dtype=np.int64)
+             - np.repeat(starts, counts))
+    src = src0[rep]
+    return src, b0[src] + local
+
+
 def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
                     gap_s: float = 1800.0, value_col: str = "value",
                     tiebreak_col: str = "event_id",
@@ -174,12 +200,10 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
     if overlap:
         raise ValueError(f"carried columns overlap: {sorted(overlap)}")
 
-    def _bins(v: np.ndarray) -> np.ndarray:
-        return _value_bins(v, bin_width)
 
     def prep_points(t: pa.Table) -> pa.Table:
         v = t[point_val].to_numpy(zero_copy_only=False)
-        cols = {"__bin": pa.array(_bins(v), pa.int64()),
+        cols = {"__bin": pa.array(_value_bins(v, bin_width), pa.int64()),
                 "__v": pa.array(v.astype(np.float64)),
                 "__lo": pa.nulls(t.num_rows, pa.float64()),
                 "__hi": pa.nulls(t.num_rows, pa.float64())}
@@ -193,25 +217,11 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
     def prep_intervals(t: pa.Table) -> pa.Table:
         lo = t[lo_col].to_numpy(zero_copy_only=False)
         hi = t[hi_col].to_numpy(zero_copy_only=False)
-        b0 = _bins(lo)
-        b1 = _bins(hi)
-        nb = b1 - b0 + 1
-        keep = nb <= max_bins
-        skipped = int(len(lo) - keep.sum())
-        if skipped:
-            print(f"range_join: skipped {skipped} intervals spanning "
-                  f"> {max_bins} bins (bin_width={bin_width})")
-        src0 = np.flatnonzero(keep)
-        counts = nb[src0]
-        rep = np.repeat(np.arange(len(src0)), counts)
-        starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
-                  if len(src0) else np.empty(0, np.int64))
-        local = (np.arange(int(counts.sum()), dtype=np.int64)
-                 - np.repeat(starts, counts))
-        src = src0[rep]
+        src, bins = _explode_spans(lo, hi, bin_width, max_bins,
+                                   "range_join")
         take = pa.array(src, pa.int64())
         n = len(src)
-        cols = {"__bin": pa.array(b0[src] + local, pa.int64()),
+        cols = {"__bin": pa.array(bins, pa.int64()),
                 "__v": pa.nulls(n, pa.float64()),
                 "__lo": pa.array(lo[src].astype(np.float64)),
                 "__hi": pa.array(hi[src].astype(np.float64))}
@@ -447,25 +457,11 @@ def interval_join(left_ds, right_ds, lo_col: str, hi_col: str,
                 pad: list[str], pad_types: dict) -> pa.Table:
         lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
         hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b0 = np.floor(lo / bin_width).astype(np.int64)
-        b1 = np.floor(hi / bin_width).astype(np.int64)
-        nb = b1 - b0 + 1
-        keep = nb <= max_bins
-        skipped = int(len(lo) - keep.sum())
-        if skipped:
-            print(f"interval_join: skipped {skipped} intervals spanning "
-                  f"> {max_bins} bins (bin_width={bin_width})")
-        src0 = np.flatnonzero(keep)
-        counts = nb[src0]
-        rep = np.repeat(np.arange(len(src0)), counts)
-        starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
-                  if len(src0) else np.empty(0, np.int64))
-        local = (np.arange(int(counts.sum()), dtype=np.int64)
-                 - np.repeat(starts, counts))
-        src = src0[rep]
+        src, bins = _explode_spans(lo, hi, bin_width, max_bins,
+                                   "interval_join")
         take = pa.array(src, pa.int64())
         n = len(src)
-        cols = {"__bin": pa.array(b0[src] + local, pa.int64()),
+        cols = {"__bin": pa.array(bins, pa.int64()),
                 "__lo": pa.array(lo[src]), "__hi": pa.array(hi[src]),
                 "__side": pa.array(np.full(n, side, np.int8))}
         for c in carry:
@@ -541,14 +537,12 @@ def keyed_range_join(points_ds, intervals_ds, key_col: str,
         raise ValueError(f"carried columns overlap: {sorted(overlap)}")
     key_t = p_types[key_col]
 
-    def _bins(v: np.ndarray) -> np.ndarray:
-        return _value_bins(v, bin_width)
 
     def prep_points(t: pa.Table) -> pa.Table:
         v = t[point_val].to_numpy(zero_copy_only=False)
         k = t[key_col].to_numpy(zero_copy_only=False)
         cols = {"__kb": pa.array(bucket_of(k, b), pa.int64()),
-                "__bin": pa.array(_bins(v), pa.int64()),
+                "__bin": pa.array(_value_bins(v, bin_width), pa.int64()),
                 "__key": t[key_col],
                 "__v": pa.array(v.astype(np.float64)),
                 "__lo": pa.nulls(t.num_rows, pa.float64()),
@@ -564,26 +558,12 @@ def keyed_range_join(points_ds, intervals_ds, key_col: str,
         lo = t[lo_col].to_numpy(zero_copy_only=False)
         hi = t[hi_col].to_numpy(zero_copy_only=False)
         k = t[key_col].to_numpy(zero_copy_only=False)
-        b0 = _bins(lo)
-        b1 = _bins(hi)
-        nb = b1 - b0 + 1
-        keep = nb <= max_bins
-        skipped = int(len(lo) - keep.sum())
-        if skipped:
-            print(f"keyed_range_join: skipped {skipped} intervals "
-                  f"spanning > {max_bins} bins (bin_width={bin_width})")
-        src0 = np.flatnonzero(keep)
-        counts = nb[src0]
-        rep = np.repeat(np.arange(len(src0)), counts)
-        starts = (np.concatenate(([0], np.cumsum(counts)[:-1]))
-                  if len(src0) else np.empty(0, np.int64))
-        local = (np.arange(int(counts.sum()), dtype=np.int64)
-                 - np.repeat(starts, counts))
-        src = src0[rep]
+        src, bins = _explode_spans(lo, hi, bin_width, max_bins,
+                                   "keyed_range_join")
         take = pa.array(src, pa.int64())
         n = len(src)
         cols = {"__kb": pa.array(bucket_of(k[src], b), pa.int64()),
-                "__bin": pa.array(b0[src] + local, pa.int64()),
+                "__bin": pa.array(bins, pa.int64()),
                 "__key": t[key_col].take(take),
                 "__v": pa.nulls(n, pa.float64()),
                 "__lo": pa.array(lo[src].astype(np.float64)),
