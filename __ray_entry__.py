@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": q.q_funnel,
         "q_retention": q.q_retention,
         "q_time_weighted": q.q_time_weighted,
+        "q_rolling_sum": q.q_rolling_sum,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1280,6 +1281,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq * dt) AS BIGINT) AS wsum_q,
                    CAST(sum(dt) AS BIGINT) AS dur_us
             FROM o GROUP BY user_id""",
+        # ROWS-frame moving sum: quantized ints make the prefix-
+        # difference kernel exact vs the window frame
+        "q_rolling_sum": """
+            SELECT event_id, user_id,
+                   CAST(least(row_number() OVER w, 5) AS BIGINT)
+                     AS n_in_frame,
+                   sum(CAST(floor(value * 10000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                     AS roll_q
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

@@ -237,6 +237,7 @@ def run_bench() -> dict:
         ("q_funnel", q.q_funnel),
         ("q_retention", q.q_retention),
         ("q_time_weighted", q.q_time_weighted),
+        ("q_rolling_sum", q.q_rolling_sum),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

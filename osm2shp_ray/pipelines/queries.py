@@ -1944,3 +1944,19 @@ def q_time_weighted(sf_dir: str):
                 _read(sf_dir, "events",
                       ["user_id", "ts", "value", "event_id"]))
             .to_pandas())
+
+
+ROLL_WINDOW = 5
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user moving sum over the last ROLL_WINDOW events
+    (stages/temporal.py::rolling_sum): integer-quantized prefix-
+    difference kernel, one bucketed exchange; exact vs the SQL ROWS
+    frame."""
+    from ..stages import temporal
+    return (temporal.rolling_sum(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "value"]),
+                ROLL_WINDOW)
+            .to_pandas())

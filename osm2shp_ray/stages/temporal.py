@@ -749,3 +749,57 @@ def time_weighted(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def rolling_sum(ds, window: int, key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                tiebreak_col: str = "event_id", quant: int = 10_000,
+                n_buckets: int | None = None):
+    """Per-key ROWS-frame window aggregate: for each row, the sum of
+    the quantized value over the frame ``window - 1 PRECEDING ..
+    CURRENT ROW`` in (ts, tiebreak) order — the moving-sum/moving-
+    average primitive. Values quantize to integers (``floor(v *
+    quant)``), so the prefix-difference kernel is exact and the SQL
+    ``sum() OVER (... ROWS BETWEEN n PRECEDING AND CURRENT ROW)``
+    mirror matches bit-for-bit.
+
+    Same single-exchange shape as lag_rank: bucket by key hash, one
+    sorted numpy kernel per bucket (per-key cumulative sums minus the
+    lagged cumulative, frames clipped at each key's start — never a
+    per-key loop).
+
+    Output: (tiebreak_col, key_col, n_in_frame: int64, roll_q: int64).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        m = len(keys)
+        vq = np.floor(df[value_col].to_numpy() * quant).astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - start  # 0-based in-key rank
+        cum = np.cumsum(vq)
+        # frame start index, clipped at the key boundary
+        f0 = np.maximum(start, idx - (window - 1))
+        prev = np.where(f0 > 0, cum[f0 - 1], 0)
+        # rows before the key's first row must not leak in: when
+        # f0 == start, cum[f0-1] is the PREVIOUS key's cumulative
+        roll = cum - prev
+        n_in = idx - f0 + 1
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys,
+            "n_in_frame": n_in.astype(np.int64),
+            "roll_q": roll.astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

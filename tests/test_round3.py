@@ -1657,3 +1657,31 @@ def test_funnel_emits_zero_rows_for_absent_stages(ray_session):
            for r in funnel(rd.from_pandas(df),
                            ["view", "click", "purchase"]).take_all()}
     assert got == {"view": 0, "click": 0, "purchase": 0}
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    from osm2shp_ray.stages.temporal import rolling_sum
+    rng = np.random.default_rng(43)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n),
+        "ts": base + rng.integers(0, 10**8, n).astype("timedelta64[us]"),
+        "value": rng.normal(0, 40, n)})
+    got = (rolling_sum(rd.from_pandas(df).repartition(6), 5)
+           .to_pandas().set_index("event_id").sort_index())
+    s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    s["vq"] = np.floor(s["value"] * 10000).astype(np.int64)
+    want_roll = (s.groupby("user_id")["vq"]
+                 .rolling(5, min_periods=1).sum()
+                 .reset_index(level=0, drop=True).astype(np.int64))
+    want_n = (s.groupby("user_id")["vq"]
+              .rolling(5, min_periods=1).count()
+              .reset_index(level=0, drop=True).astype(np.int64))
+    s["want_roll"], s["want_n"] = want_roll, want_n
+    s = s.set_index("event_id").sort_index()
+    assert (got["roll_q"] == s["want_roll"]).all()
+    assert (got["n_in_frame"] == s["want_n"]).all()
+    with pytest.raises(ValueError):
+        rolling_sum(rd.from_pandas(df), 0)
