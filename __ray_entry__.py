@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_retention": q.q_retention,
         "q_time_weighted": q.q_time_weighted,
         "q_rolling_sum": q.q_rolling_sum,
+        "q_props_stats": q.q_props_stats,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1293,6 +1294,15 @@ def oracle_sql() -> dict[str, str]:
                      AS roll_q
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "q_props_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS min_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS max_k
+            FROM events GROUP BY event_type""",
         "q_pagerank": pr_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact

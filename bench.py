@@ -238,6 +238,7 @@ def run_bench() -> dict:
         ("q_retention", q.q_retention),
         ("q_time_weighted", q.q_time_weighted),
         ("q_rolling_sum", q.q_rolling_sum),
+        ("q_props_stats", q.q_props_stats),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

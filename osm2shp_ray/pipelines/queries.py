@@ -1973,3 +1973,19 @@ def q_rolling_sum(sf_dir: str):
                       ["event_id", "user_id", "ts", "value"]),
                 ROLL_WINDOW)
             .to_pandas())
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured access (stages/text.py::json_extract_field):
+    the JSON props payload's $.k field extracted vectorized into
+    int64, then an exact integer aggregate per event type."""
+    from ray.data.aggregate import Max, Min
+    ev = text.json_extract_field(
+        _read(sf_dir, "events", ["event_type", "props"]),
+        "props", "k", "k")
+    return (ev.groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("k", alias_name="sum_k"),
+                       Min("k", alias_name="min_k"),
+                       Max("k", alias_name="max_k"))
+            .to_pandas())

@@ -749,3 +749,26 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
         qlp_r = np.floor(scale * np.log(cr / t_raw))
         w = (qlp_t - qlp_r).astype(np.int64)
     return _token_value_scan(ds, text_col, id_col, toks, w, "w_sum")
+
+
+def json_extract_field(ds, col: str, key: str, out_col: str,
+                       as_int: bool = True):
+    """Semi-structured column access: extract ``$.key`` from a JSON
+    string column into a typed column (int64 or string), vectorized
+    via polars' JSON path kernel — one stateless map, no shuffle.
+    Malformed JSON and missing keys yield typed nulls (failures stay
+    data, the codec-stage contract)."""
+    import polars as pl
+
+    def extract(t: pa.Table) -> pa.Table:
+        c = t[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        v = pl.from_arrow(c).str.json_path_match(f"$.{key}")
+        if as_int:
+            v = v.cast(pl.Int64, strict=False)
+        arr = v.to_arrow()
+        if as_int:
+            arr = arr.cast(pa.int64())
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -90,7 +90,7 @@ SQL_CHECKED = [
     "q_interval_overlap", "q_skyline", "q_corr_events", "q_pps_sample",
     "q_set_intersect", "q_set_except", "q_keyed_window_join",
     "q_cube_docs", "q_entropy_by_user", "q_funnel",
-    "q_retention", "q_time_weighted", "q_rolling_sum",
+    "q_retention", "q_time_weighted", "q_rolling_sum", "q_props_stats",
 ]
 
 

@@ -1685,3 +1685,15 @@ def test_rolling_sum_matches_pandas(ray_session):
     assert (got["n_in_frame"] == s["want_n"]).all()
     with pytest.raises(ValueError):
         rolling_sum(rd.from_pandas(df), 0)
+
+
+def test_json_extract_field_handles_garbage(ray_session):
+    from osm2shp_ray.stages.text import json_extract_field
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                       "props": ['{"k": 42}', '{"k": -7}', "not json",
+                                 '{"other": 1}', None]})
+    got = (json_extract_field(rd.from_pandas(df), "props", "k", "k")
+           .to_pandas().set_index("id").sort_index())
+    assert got.loc[1, "k"] == 42 and got.loc[2, "k"] == -7
+    assert pd.isna(got.loc[3, "k"]) and pd.isna(got.loc[4, "k"])
+    assert pd.isna(got.loc[5, "k"])
