@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_weighted": q.q_time_weighted,
         "q_rolling_sum": q.q_rolling_sum,
         "q_props_stats": q.q_props_stats,
+        "q_pivot_events": q.q_pivot_events,
+        "q_session_ids": q.q_session_ids,
+        "q_transition_counts": q.q_transition_counts,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1294,6 +1297,47 @@ def oracle_sql() -> dict[str, str]:
                      AS roll_q
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # classic CASE-sum pivot; the engine counts per category into
+        # fixed int64 columns, so every value is an exact integer
+        "q_pivot_events": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id""",
+        # row-level sessionization: strict > on integer-microsecond
+        # gaps, same break rule as q_session_windows
+        "q_session_ids": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, user_id,
+                   CAST(sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_seq
+            FROM o""",
+        "q_transition_counts": """
+            WITH o AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_state
+              FROM events)
+            SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE to_state IS NOT NULL GROUP BY 1, 2""",
         "q_props_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)

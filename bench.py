@@ -239,6 +239,9 @@ def run_bench() -> dict:
         ("q_time_weighted", q.q_time_weighted),
         ("q_rolling_sum", q.q_rolling_sum),
         ("q_props_stats", q.q_props_stats),
+        ("q_pivot_events", q.q_pivot_events),
+        ("q_session_ids", q.q_session_ids),
+        ("q_transition_counts", q.q_transition_counts),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -1975,6 +1975,46 @@ def q_rolling_sum(sf_dir: str):
             .to_pandas())
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SESSION_ID_GAP_S = 1800.0
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT event_type into per-category count columns per user
+    (stages/sketch.py::pivot_counts): the per-batch combiner emits
+    already-wide partial rows so the exchange carries one row per
+    (key, batch), never per event; SQL mirror is the CASE-sum pivot."""
+    from ..stages import sketch
+    return (sketch.pivot_counts(
+                _read(sf_dir, "events", ["user_id", "event_type"]),
+                "user_id", "event_type", EVENT_TYPES)
+            .to_pandas())
+
+
+def q_session_ids(sf_dir: str):
+    """Row-level sessionization (stages/temporal.py::session_ids):
+    every event gets its user's 1-based session ordinal (new session
+    when the gap exceeds SESSION_ID_GAP_S) — the enrichment dual of
+    q_session_windows' per-session aggregate. One bucketed exchange."""
+    from ..stages import temporal
+    return (temporal.session_ids(
+                _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+                gap_s=SESSION_ID_GAP_S)
+            .to_pandas())
+
+
+def q_transition_counts(sf_dir: str):
+    """First-order event-type transition matrix
+    (stages/temporal.py::transition_counts): consecutive per-user
+    (state -> next state) pairs counted; per-bucket partial counts
+    keep the final reduce at |states|^2 rows."""
+    from ..stages import temporal
+    return (temporal.transition_counts(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "event_type"]))
+            .to_pandas())
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured access (stages/text.py::json_extract_field):
     the JSON props payload's $.k field extracted vectorized into

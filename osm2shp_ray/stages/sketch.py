@@ -1008,3 +1008,34 @@ def grouped_entropy(ds, key_col: str, val_col: str,
     return (coalesced(counts.map_batches(add_bucket,
                                          batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def pivot_counts(ds, key_col: str, val_col: str, categories: list[str],
+                 prefix: str = "n_"):
+    """PIVOT a categorical column into per-category count columns —
+    one narrow exchange: the per-batch combiner emits one row per key
+    with fixed ``prefix + category`` int64 columns (unknown categories
+    are counted into none of them; pass the full domain), then a
+    groupby-sum over the already-wide rows. The SQL mirror is the
+    classic CASE-sum pivot.
+    """
+    from ray.data.aggregate import Sum
+
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    out_cols = [prefix + c for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: k})
+        for c, oc in zip(categories, out_cols):
+            df[oc] = (v == c).astype(np.int64)
+        g = df.groupby(key_col, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    return (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in out_cols]))

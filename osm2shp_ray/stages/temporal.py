@@ -803,3 +803,87 @@ def rolling_sum(ds, window: int, key_col: str = "user_id",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def session_ids(ds, key_col: str = "user_id", ts_col: str = "ts",
+                gap_s: float = 1800.0, tiebreak_col: str = "event_id",
+                n_buckets: int | None = None):
+    """Sessionized event ENRICHMENT: every row gets its key's session
+    ordinal (1-based, new session when the gap to the previous event
+    exceeds ``gap_s``) — the row-level dual of ``session_windows``'s
+    per-session aggregate, for grouping downstream work by session.
+    Same single-exchange shape as lag_rank.
+
+    Output: (tiebreak_col, key_col, session_seq: int64).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        m = len(keys)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gap = np.concatenate(([0], np.diff(ts))) > gap_s * 1e6
+        brk = (new_key | gap).astype(np.int64)
+        s = np.cumsum(brk)
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        seq = s - s[start] + 1  # per-key ordinal (1 at the key's start)
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys, "session_seq": seq.astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      state_col: str = "event_type",
+                      tiebreak_col: str = "event_id",
+                      n_buckets: int | None = None):
+    """First-order transition matrix of a per-key event stream:
+    counts of consecutive (state -> next state) pairs across all
+    keys. One bucketed exchange; the per-bucket kernel emits PARTIAL
+    pair counts (states x states rows per bucket), then a tiny
+    groupby-sum — the Markov-chain estimation shape.
+
+    States must be strings (the empty-bucket schema pin below is
+    typed; see util.arrow_table for why pinning matters).
+
+    Output: (from_state, to_state, n: int64).
+    """
+    from ray.data.aggregate import Sum
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        st = df[state_col].to_numpy()
+        same = keys[1:] == keys[:-1] if len(keys) else np.empty(0, bool)
+        pairs = pd.DataFrame({"from_state": st[:-1][same],
+                              "to_state": st[1:][same]})
+        if not len(pairs):
+            # all keys in this bucket are singletons: pin the schema so
+            # the downstream groupby never sees null-typed columns
+            return pa.table({"from_state": pa.array([], pa.string()),
+                             "to_state": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        out = (pairs.groupby(["from_state", "to_state"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return arrow_table(out)
+
+    partials = (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+                .groupby("__b").map_groups(kernel, batch_format="pandas"))
+    return (partials.groupby(["from_state", "to_state"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -91,6 +91,9 @@ SQL_CHECKED = [
     "q_set_intersect", "q_set_except", "q_keyed_window_join",
     "q_cube_docs", "q_entropy_by_user", "q_funnel",
     "q_retention", "q_time_weighted", "q_rolling_sum", "q_props_stats",
+    # round 3 (6th session): pivot + row-level sessionization +
+    # transition matrix
+    "q_pivot_events", "q_session_ids", "q_transition_counts",
 ]
 
 

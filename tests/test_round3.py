@@ -1697,3 +1697,50 @@ def test_json_extract_field_handles_garbage(ray_session):
     assert got.loc[1, "k"] == 42 and got.loc[2, "k"] == -7
     assert pd.isna(got.loc[3, "k"]) and pd.isna(got.loc[4, "k"])
     assert pd.isna(got.loc[5, "k"])
+
+
+def test_session_ids_boundary_exact(ray_session):
+    # gap strictly greater than gap_s breaks; equality does NOT
+    from osm2shp_ray.stages.temporal import session_ids
+    ts = pd.to_datetime([0, 1800_000_000, 3600_000_001, 100], unit="us")
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2],
+                       "ts": ts, "event_id": [10, 11, 12, 13]})
+    out = session_ids(rd.from_pandas(df), gap_s=1800.0).to_pandas()
+    got = dict(zip(out["event_id"], out["session_seq"]))
+    # 0 -> 1800s gap (== gap, same session) -> 1800.000001s gap (new)
+    assert got == {10: 1, 11: 1, 12: 2, 13: 1}
+
+
+def test_transition_counts_singleton_keys(ray_session):
+    # every key a singleton in some buckets: the empty-pair schema pin
+    # must keep the downstream groupby green
+    from osm2shp_ray.stages.temporal import transition_counts
+    ts = pd.to_datetime(range(6), unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 4],
+        "ts": ts,
+        "event_id": list(range(6)),
+        "event_type": ["a", "b", "a", "x", "y", "z"]})
+    out = transition_counts(rd.from_pandas(df)).to_pandas()
+    got = {(r.from_state, r.to_state): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    from osm2shp_ray.stages.sketch import pivot_counts
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 500),
+                       "c": rng.choice(["u", "v", "w"], 500)})
+    out = (pivot_counts(rd.from_pandas(df), "k", "c", ["u", "v", "w"])
+           .to_pandas().sort_values("k", ignore_index=True))
+    ref = (pd.crosstab(df["k"], df["c"])
+           .reindex(columns=["u", "v", "w"], fill_value=0)
+           .rename(columns=lambda c: "n_" + c)
+           .reset_index().rename_axis(None, axis=1)
+           .sort_values("k", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        out[["k", "n_u", "n_v", "n_w"]].astype({"n_u": np.int64,
+                                                "n_v": np.int64,
+                                                "n_w": np.int64}),
+        ref.astype({"n_u": np.int64, "n_v": np.int64, "n_w": np.int64}),
+        check_dtype=False)
