@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_weighted": q.q_time_weighted,
         "q_rolling_sum": q.q_rolling_sum,
         "q_props_stats": q.q_props_stats,
+        "q05_local_supplier": q.q05_local_supplier,
+        "q10_returned_items": q.q10_returned_items,
         "q_pivot_events": q.q_pivot_events,
         "q_session_ids": q.q_session_ids,
         "q_transition_counts": q.q_transition_counts,
@@ -1297,6 +1299,38 @@ def oracle_sql() -> dict[str, str]:
                      AS roll_q
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # TPC-H Q5/Q10 analogs: micro-unit quantized revenue (floor of
+        # the SAME-parenthesization float64 product) makes every sum an
+        # exact int64 in both engines
+        "q05_local_supplier": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                     AS revenue_q
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name""",
+        "q10_returned_items": """
+            WITH r AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_q
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o_orderdate < TIMESTAMP '1996-10-01'
+              GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, r.revenue_q, c.c_acctbal,
+                   n.n_name
+            FROM r JOIN customer c USING (c_custkey)
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY revenue_q DESC, c_custkey LIMIT 20""",
         # classic CASE-sum pivot; the engine counts per category into
         # fixed int64 columns, so every value is an exact integer
         "q_pivot_events": """

@@ -239,6 +239,8 @@ def run_bench() -> dict:
         ("q_time_weighted", q.q_time_weighted),
         ("q_rolling_sum", q.q_rolling_sum),
         ("q_props_stats", q.q_props_stats),
+        ("q05_local_supplier", q.q05_local_supplier),
+        ("q10_returned_items", q.q10_returned_items),
         ("q_pivot_events", q.q_pivot_events),
         ("q_session_ids", q.q_session_ids),
         ("q_transition_counts", q.q_transition_counts),

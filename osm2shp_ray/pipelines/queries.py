@@ -2029,3 +2029,152 @@ def q_props_stats(sf_dir: str):
                        Min("k", alias_name="min_k"),
                        Max("k", alias_name="max_k"))
             .to_pandas())
+
+
+Q5_REGION = "ASIA"
+
+
+def _rev_q(t: pa.Table) -> pa.Array:
+    # micro-unit quantized revenue: floor(ext * (1 - disc) * 10000),
+    # same parenthesization as the SQL mirror so the float64 product
+    # is bit-identical before the floor (int64 sums are then exact
+    # under any combine order)
+    rev = pc.multiply(
+        pc.multiply(t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        pa.scalar(10000.0))
+    return pc.floor(rev).cast(pa.int64())
+
+
+def q05_local_supplier(sf_dir: str):
+    """TPC-H Q5 analog (local supplier volume): revenue by nation where
+    customer and supplier share the nation, region-filtered, one order
+    year. 6-table plan — region/nation are driver-resolved broadcasts
+    (5/25 fixed rows), the three big-big joins (orders |x| customer,
+    lineitem |x| supplier, then on orderkey) run through the bucketed
+    hash_join; revenue is integer-quantized so per-nation sums are
+    exact. A per-batch Arrow combiner pre-aggregates to <=25 rows per
+    block before the final groupby."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    nations = _read(sf_dir, "nation").take_all()
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    keep_nk = sorted(n["n_nationkey"] for n in nations
+                     if region[n["n_regionkey"]] == Q5_REGION)
+    nk_name = {n["n_nationkey"]: n["n_name"] for n in nations}
+    keep_arr = pa.array(keep_nk, pa.int64())
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def cust_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_nationkey"], value_set=keep_arr))
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    oc = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_map, batch_format="pyarrow"),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_map, batch_format="pyarrow"),
+        on="o_custkey", n_buckets=32).select_columns(
+            ["o_orderkey", "c_nationkey"])
+
+    def supp_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["s_nationkey"], value_set=keep_arr))
+        return pa.table({"l_suppkey": t["s_suppkey"],
+                         "s_nationkey": t["s_nationkey"]})
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_q": _rev_q(t)})
+
+    ls = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_map, batch_format="pyarrow"),
+        on="l_suppkey", n_buckets=32).select_columns(
+            ["o_orderkey", "s_nationkey", "rev_q"])
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        g = (t.select(["s_nationkey", "rev_q"]).group_by("s_nationkey")
+             .aggregate([("rev_q", "sum")]))
+        return g.rename_columns(["s_nationkey", "rev_q"])
+
+    agg = (coalesced(hash_join(ls, oc, on="o_orderkey", n_buckets=32)
+                     .map_batches(local_partial, batch_format="pyarrow"))
+           .groupby("s_nationkey")
+           .aggregate(Sum("rev_q", alias_name="revenue_q")))
+
+    def add_name(t: pa.Table) -> pa.Table:
+        # post-aggregate: <=25 rows ever reach this map
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nk_name[int(k)] for k in nk], pa.string()),
+            "revenue_q": t["revenue_q"]})
+
+    return agg.map_batches(add_name, batch_format="pyarrow").to_pandas()
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 analog (returned-item reporting): top 20 customers by
+    quantized revenue from flag-'R' lineitems in one quarter.
+    lineitem |x| orders through the bucketed hash_join, per-customer
+    Arrow combiner + groupby-sum BEFORE the customer join (the join's
+    left side is one row per buying customer, not per lineitem), then
+    sort/limit and a 20-row nation-name tag."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    lo = pa.scalar(datetime.datetime(1996, 7, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 10, 1), type=pa.timestamp("us"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_q": _rev_q(t)})
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    jo = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_map, batch_format="pyarrow"),
+        on="o_orderkey", n_buckets=32)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_custkey", "rev_q"]).group_by("o_custkey")
+             .aggregate([("rev_q", "sum")]))
+        return g.rename_columns(["c_custkey", "rev_q"])
+
+    per_cust = (coalesced(jo.map_batches(cust_partial,
+                                         batch_format="pyarrow"))
+                .groupby("c_custkey")
+                .aggregate(Sum("rev_q", alias_name="revenue_q")))
+
+    top = (hash_join(per_cust,
+                     _read(sf_dir, "customer",
+                           ["c_custkey", "c_name", "c_acctbal",
+                            "c_nationkey"]),
+                     on="c_custkey", n_buckets=32)
+           .sort(["revenue_q", "c_custkey"], descending=[True, False])
+           .limit(20).to_pandas())
+
+    nk_name = {n["n_nationkey"]: n["n_name"]
+               for n in _read(sf_dir, "nation").take_all()}
+    top["n_name"] = top.pop("c_nationkey").map(nk_name)
+    return top[["c_custkey", "c_name", "revenue_q", "c_acctbal", "n_name"]]

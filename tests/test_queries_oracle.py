@@ -94,6 +94,7 @@ SQL_CHECKED = [
     # round 3 (6th session): pivot + row-level sessionization +
     # transition matrix
     "q_pivot_events", "q_session_ids", "q_transition_counts",
+    "q05_local_supplier", "q10_returned_items",
 ]
 
 
