@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_stats": q.q_props_stats,
         "q05_local_supplier": q.q05_local_supplier,
         "q10_returned_items": q.q10_returned_items,
+        "q15_top_supplier": q.q15_top_supplier,
+        "q18_large_volume": q.q18_large_volume,
         "q_pivot_events": q.q_pivot_events,
         "q_session_ids": q.q_session_ids,
         "q_transition_counts": q.q_transition_counts,
@@ -1331,6 +1333,34 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN customer c USING (c_custkey)
                    JOIN nation n ON c.c_nationkey = n.n_nationkey
             ORDER BY revenue_q DESC, c_custkey LIMIT 20""",
+        # scalar-subquery shape: global max over the aggregate, ties
+        # kept; int64-exact so tie membership is deterministic
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                       AS total_rev_q
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, total_rev_q FROM r
+            WHERE total_rev_q = (SELECT max(total_rev_q) FROM r)""",
+        # HAVING gate on a distributed aggregate, then join back;
+        # quantities are integral floats so x100 int64 sums are exact
+        "q18_large_volume": """
+            WITH t AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT)
+                       AS total_qty_q
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity * 100 AS BIGINT)) > 30000)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty_q
+            FROM t JOIN orders USING (o_orderkey)
+                   JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         # classic CASE-sum pivot; the engine counts per category into
         # fixed int64 columns, so every value is an exact integer
         "q_pivot_events": """

@@ -241,6 +241,8 @@ def run_bench() -> dict:
         ("q_props_stats", q.q_props_stats),
         ("q05_local_supplier", q.q05_local_supplier),
         ("q10_returned_items", q.q10_returned_items),
+        ("q15_top_supplier", q.q15_top_supplier),
+        ("q18_large_volume", q.q18_large_volume),
         ("q_pivot_events", q.q_pivot_events),
         ("q_session_ids", q.q_session_ids),
         ("q_transition_counts", q.q_transition_counts),

@@ -2178,3 +2178,79 @@ def q10_returned_items(sf_dir: str):
                for n in _read(sf_dir, "nation").take_all()}
     top["n_name"] = top.pop("c_nationkey").map(nk_name)
     return top[["c_custkey", "c_name", "revenue_q", "c_acctbal", "n_name"]]
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog (top supplier): per-supplier quantized revenue
+    over one quarter, then every supplier whose revenue equals the
+    GLOBAL max (ties kept, exact under int64). The max of the tiny
+    aggregate is taken driver-side (one scalar, |suppliers| rows) and
+    pushed as a filter — the scalar-subquery shape."""
+    from ..stages.util import coalesced
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev_q": _rev_q(t)})
+             .group_by("s_suppkey").aggregate([("rev_q", "sum")]))
+        return g.rename_columns(["s_suppkey", "rev_q"])
+
+    per_supp = (coalesced(
+                    _read(sf_dir, "lineitem",
+                          ["l_suppkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+                    .map_batches(li_map, batch_format="pyarrow"))
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev_q", alias_name="total_rev_q"))
+                .materialize())  # consumed twice: max + filter
+    best = per_supp.max("total_rev_q")
+    return (per_supp
+            .filter(expr=f"total_rev_q == {best}")
+            .to_pandas())
+
+
+Q18_QTY = 300.0
+
+
+def q18_large_volume(sf_dir: str):
+    """TPC-H Q18 analog (large-volume customer): orders whose total
+    lineitem quantity exceeds Q18_QTY — a HAVING gate on a distributed
+    aggregate — joined back to orders and customer. The gate keeps the
+    join-back left side tiny (only qualifying orders shuffle)."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        qq = pc.multiply(t["l_quantity"], pa.scalar(100.0)) \
+               .cast(pa.int64())  # quantities are x.0 floats: exact
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "qty_q": qq})
+             .group_by("o_orderkey").aggregate([("qty_q", "sum")]))
+        return g.rename_columns(["o_orderkey", "qty_q"])
+
+    big = (coalesced(_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                     .map_batches(li_partial, batch_format="pyarrow"))
+           .groupby("o_orderkey")
+           .aggregate(Sum("qty_q", alias_name="total_qty_q"))
+           .filter(expr=f"total_qty_q > {int(Q18_QTY * 100)}"))
+
+    withord = hash_join(
+        big,
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        on="o_orderkey", n_buckets=32)
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [{"o_custkey": "c_custkey"}.get(c, c) for c in t.column_names])
+
+    out = (hash_join(
+               withord.map_batches(rn, batch_format="pyarrow"),
+               _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+               on="c_custkey", n_buckets=32)
+           .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .limit(100).to_pandas())
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty_q"]]

@@ -95,6 +95,7 @@ SQL_CHECKED = [
     # transition matrix
     "q_pivot_events", "q_session_ids", "q_transition_counts",
     "q05_local_supplier", "q10_returned_items",
+    "q15_top_supplier", "q18_large_volume",
 ]
 
 
