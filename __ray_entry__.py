@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_events": q.q_pivot_events,
         "q_session_ids": q.q_session_ids,
         "q_transition_counts": q.q_transition_counts,
+        "q_word_count": q.q_word_count,
+        "q_profile_docs": q.q_profile_docs,
+        "q_snapshot_diff": q.q_snapshot_diff,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1477,4 +1480,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_frames + {VIDEO_EVERY_N} - 1) // {VIDEO_EVERY_N}
                         AS BIGINT) AS n_frames
             FROM read_parquet('{video_meta_pq}')""",
+        # canonical word count: same [a-z0-9_]+ tokenizer as the
+        # engine's unigram_counts; deterministic (c desc, tok) ties
+        "q_word_count": """
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9_]+')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 20""",
+        # per-column profile; engine counts distinct over the string
+        # rendering (injective for these int64/string columns)
+        "q_profile_docs": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+                FROM documents"""
+            for c in ["doc_id", "lang", "n_chars", "source", "text"]),
+        # keyed snapshot reconciliation over the two derived views —
+        # moduli/bump mirror queries.py::_snap_views exactly
+        "q_snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey AS k,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS p
+              FROM orders WHERE o_orderkey % 97 <> 3),
+            new AS (
+              SELECT o_orderkey AS k,
+                     CAST(floor(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 11 = 0 THEN 100
+                              ELSE 0 END AS p
+              FROM orders WHERE o_orderkey % 89 <> 7),
+            d AS (
+              SELECT CASE WHEN old.k IS NULL THEN 'added'
+                          WHEN new.k IS NULL THEN 'removed'
+                          WHEN old.p <> new.p THEN 'changed'
+                          ELSE 'same' END AS status,
+                     coalesce(old.k, new.k) AS k
+              FROM old FULL OUTER JOIN new ON old.k = new.k)
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS key_sum
+            FROM d GROUP BY status""",
     }

@@ -2254,3 +2254,95 @@ def q18_large_volume(sf_dir: str):
            .limit(100).to_pandas())
     return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty_q"]]
+
+
+WORD_TOPK = 20
+
+
+def q_word_count(sf_dir: str):
+    """The canonical MapReduce word count, top-WORD_TOPK: per-batch
+    polars explode+count combiner (stages/text.py::unigram_counts —
+    the exchange carries one row per DISTINCT token per batch), one
+    groupby sum, then sort/limit with a deterministic (c desc, tok)
+    tie order mirrored by the SQL."""
+    wc = text.unigram_counts(_read(sf_dir, "documents", ["text"]))
+    return (wc.sort(["c", "tok"], descending=[True, False])
+            .limit(WORD_TOPK).to_pandas())
+
+
+PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def q_profile_docs(sf_dir: str):
+    """Ingestion data-quality profile of the documents table
+    (stages/sketch.py::profile_columns): per column, exact row /
+    null / distinct counts in one pass + two narrow distinct-pair
+    exchanges."""
+    from ..stages import sketch
+    return sketch.profile_columns(
+        _read(sf_dir, "documents", PROFILE_COLS), PROFILE_COLS)
+
+
+SNAP_OLD_MOD, SNAP_OLD_DROP = 97, 3
+SNAP_NEW_MOD, SNAP_NEW_DROP = 89, 7
+SNAP_CHG_MOD = 11
+
+
+def _snap_views(sf_dir: str):
+    """Two deterministic snapshot views of orders: 'old' drops keys
+    where k % SNAP_OLD_MOD == SNAP_OLD_DROP, 'new' drops
+    k % SNAP_NEW_MOD == SNAP_NEW_DROP and bumps the quantized price
+    by 100 where k % SNAP_CHG_MOD == 0 — planting all four diff
+    statuses. Both engines derive the views from the same parquet."""
+    def mk(drop_mod: int, drop_rem: int, bump: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"]
+            keep = pc.not_equal(
+                pc.subtract(k, pc.multiply(
+                    pc.divide(k, drop_mod), drop_mod)),
+                pa.scalar(drop_rem, pa.int64()))
+            t = t.filter(keep)
+            price_q = pc.floor(pc.multiply(t["o_totalprice"],
+                                           pa.scalar(100.0))) \
+                        .cast(pa.int64())
+            if bump:
+                k2 = t["o_orderkey"]
+                is_chg = pc.equal(
+                    pc.subtract(k2, pc.multiply(
+                        pc.divide(k2, SNAP_CHG_MOD), SNAP_CHG_MOD)),
+                    pa.scalar(0, pa.int64()))
+                price_q = pc.add(price_q, pc.if_else(
+                    is_chg, pa.scalar(100, pa.int64()),
+                    pa.scalar(0, pa.int64())))
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "price_q": price_q})
+        return f
+    base = lambda: _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    old = base().map_batches(mk(SNAP_OLD_MOD, SNAP_OLD_DROP, False),
+                             batch_format="pyarrow")
+    new = base().map_batches(mk(SNAP_NEW_MOD, SNAP_NEW_DROP, True),
+                             batch_format="pyarrow")
+    return old, new
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Keyed snapshot reconciliation (stages/joins.py::snapshot_diff):
+    full-outer join of two derived order snapshots, row statuses
+    added/removed/changed/same, then an exact integer aggregate
+    (count + key sum) per status — 4 rows out of one wide exchange."""
+    from ..stages import joins
+    from ..stages.util import coalesced
+    old, new = _snap_views(sf_dir)
+    diff = joins.snapshot_diff(old, new, on="o_orderkey",
+                               compare=["price_q"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["status", "o_orderkey"]).group_by("status")
+             .aggregate([("o_orderkey", "sum"), ("o_orderkey", "count")]))
+        return g.rename_columns(["status", "key_sum", "n"])
+
+    return (coalesced(diff.map_batches(partial, batch_format="pyarrow"))
+            .groupby("status")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("key_sum", alias_name="key_sum"))
+            .to_pandas())

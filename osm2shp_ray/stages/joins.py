@@ -299,3 +299,61 @@ def except_distinct(left_ds, right_ds, cols: list[str],
                      right_ds.map_batches(lambda t: t.select(cols),
                                           batch_format="pyarrow"),
                      on=cols, how="left_anti", n_buckets=n_buckets)
+
+
+def snapshot_diff(old_ds, new_ds, on, compare: list[str],
+                  n_buckets: int | None = None):
+    """Keyed table diff — the dataset-reconciliation op behind
+    incremental crawl refreshes and output regression checks: full
+    outer ``hash_join`` old vs new on ``on``, then classify every key
+    as 'added' (new only) / 'removed' (old only) / 'changed' (both
+    sides, any ``compare`` column differs, null-safe) / 'same'.
+
+    Old-side compare columns are renamed ``<c>__old`` pre-join so the
+    non-key namespaces stay disjoint; explicit int8 presence markers
+    disambiguate a missing side from a legitimately-null compare
+    value. One wide exchange (the join); classification is a
+    stateless vectorized map over the joined stream.
+
+    Output: key column(s) + ``status`` (string) + the new-side
+    ``compare`` columns (typed null for removed keys).
+    """
+    import pyarrow.compute as pc
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def prep_old(t: pa.Table) -> pa.Table:
+        t = t.select(keys + compare).rename_columns(
+            keys + [f"{c}__old" for c in compare])
+        return t.append_column(
+            "__in_old", pa.array(np.ones(len(t), np.int8)))
+
+    def prep_new(t: pa.Table) -> pa.Table:
+        t = t.select(keys + compare)
+        return t.append_column(
+            "__in_new", pa.array(np.ones(len(t), np.int8)))
+
+    joined = hash_join(old_ds.map_batches(prep_old, batch_format="pyarrow"),
+                       new_ds.map_batches(prep_new, batch_format="pyarrow"),
+                       on=keys, how="full_outer", n_buckets=n_buckets)
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(t["__in_old"])
+        in_new = pc.is_valid(t["__in_new"])
+        diff = pa.array(np.zeros(len(t), bool))
+        for c in compare:
+            a, b = t[f"{c}__old"], t[c]
+            ne = pc.fill_null(pc.not_equal(a, b), False)
+            one_null = pc.xor(pc.is_valid(a), pc.is_valid(b))
+            diff = pc.or_(diff, pc.or_(ne, one_null))
+        status = pc.if_else(
+            pc.invert(in_old), pa.scalar("added"),
+            pc.if_else(pc.invert(in_new), pa.scalar("removed"),
+                       pc.if_else(diff, pa.scalar("changed"),
+                                  pa.scalar("same"))))
+        out = t.select(keys + compare)
+        return out.append_column("status", status.combine_chunks()
+                                 if isinstance(status, pa.ChunkedArray)
+                                 else status)
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -1039,3 +1039,56 @@ def pivot_counts(ds, key_col: str, val_col: str, categories: list[str],
     return (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
             .groupby(key_col)
             .aggregate(*[Sum(c, alias_name=c) for c in out_cols]))
+
+
+def profile_columns(ds, cols: list[str]):
+    """Single-pass data-quality profile — the ingestion-validation op
+    a 100-TB pipeline runs before anything else: per column, row
+    count, null count, and EXACT distinct count.
+
+    Shape: (a) a per-batch stats combiner emits one (col, n, n_null)
+    row per column per batch — the counter exchange is
+    O(cols x blocks), never O(rows); (b) the distinct side explodes
+    each batch to locally-deduped (col, val) string rows and reuses
+    ``distinct_count`` (two narrow exchanges bounded by DISTINCT
+    pairs). Values cross the exchange as strings; at petabyte scale
+    you would dedup on a 128-bit value hash instead (collision odds
+    ~n^2/2^128) — the string form keeps the DuckDB oracle compare
+    exact here. The final merge of the two |cols|-row aggregates is
+    driver-side (bounded by the column count, not the data).
+
+    Output: (col: string, n: int64, n_null: int64, n_distinct: int64),
+    one row per profiled column; n_distinct counts non-null values
+    (SQL count(DISTINCT col) semantics).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array([len(t)] * len(cols), pa.int64()),
+            "n_null": pa.array([t[c].null_count for c in cols], pa.int64()),
+        })
+
+    def explode_vals(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(pc.cast(t[c].combine_chunks(), pa.string()))
+            u = u.drop_null()
+            names.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table({"col": pa.concat_arrays(names),
+                         "val": pa.concat_arrays(vals)})
+
+    stats = (ds.map_batches(partial_stats, batch_format="pyarrow")
+             .groupby("col")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("n_null", alias_name="n_null"))
+             .to_pandas())
+    nd = distinct_count(ds.map_batches(explode_vals, batch_format="pyarrow"),
+                        "col", "val").to_pandas()
+    out = stats.merge(nd, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("col", ignore_index=True)

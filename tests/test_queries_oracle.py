@@ -96,6 +96,9 @@ SQL_CHECKED = [
     "q_pivot_events", "q_session_ids", "q_transition_counts",
     "q05_local_supplier", "q10_returned_items",
     "q15_top_supplier", "q18_large_volume",
+    # round 3 (7th session): classic word count, ingestion column
+    # profiling, keyed snapshot reconciliation diff
+    "q_word_count", "q_profile_docs", "q_snapshot_diff",
 ]
 
 

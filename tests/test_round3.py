@@ -1744,3 +1744,47 @@ def test_pivot_counts_matches_pandas(ray_session):
                                                 "n_w": np.int64}),
         ref.astype({"n_u": np.int64, "n_v": np.int64, "n_w": np.int64}),
         check_dtype=False)
+
+
+# --- 7th session: profiling, snapshot diff -------------------------
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.sketch import profile_columns
+
+    df = pd.DataFrame({
+        "a": [1, 1, 2, None, None],
+        "b": ["x", "y", "x", "x", None],
+    })
+    out = profile_columns(rd.from_pandas(df), ["a", "b"])
+    got = {r["col"]: (r["n"], r["n_null"], r["n_distinct"])
+           for _, r in out.iterrows()}
+    assert got["a"] == (5, 2, 2)
+    assert got["b"] == (5, 1, 2)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.joins import snapshot_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "v": [10, 20, 30, None]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "v": [20, 31, None, 50]})
+    out = (snapshot_diff(rd.from_pandas(old), rd.from_pandas(new),
+                         on="k", compare=["v"])
+           .to_pandas().set_index("k"))
+    assert out.loc[1, "status"] == "removed"
+    assert out.loc[2, "status"] == "same"
+    assert out.loc[3, "status"] == "changed"
+    assert out.loc[4, "status"] == "same"      # null == null
+    assert out.loc[5, "status"] == "added"
+    # one-sided null counts as changed
+    old2 = pd.DataFrame({"k": [7], "v": [1.0]})
+    new2 = pd.DataFrame({"k": [7], "v": [None]})
+    out2 = (snapshot_diff(rd.from_pandas(old2), rd.from_pandas(new2),
+                          on="k", compare=["v"]).to_pandas())
+    assert out2["status"].tolist() == ["changed"]
