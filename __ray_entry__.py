@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_word_count": q.q_word_count,
         "q_profile_docs": q.q_profile_docs,
         "q_snapshot_diff": q.q_snapshot_diff,
+        "q_fuzzy_names": q.q_fuzzy_names,
+        "q_triangle_count": q.q_triangle_count,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1519,4 +1521,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(k) AS BIGINT) AS key_sum
             FROM d GROUP BY status""",
+        # Levenshtein similarity self-join; the engine's length-bin
+        # blocking is lossless, so the all-pairs SQL is an exact mirror
+        "q_fuzzy_names": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 2""",
+        # co-purchase triangles; naive (u < v) 3-way join — the count
+        # equals the engine's degree-oriented plan by construction
+        "q_triangle_count": """
+            WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+                     AS n_triangles""",
     }

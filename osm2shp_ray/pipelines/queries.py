@@ -2346,3 +2346,40 @@ def q_snapshot_diff(sf_dir: str):
             .aggregate(Sum("n", alias_name="n"),
                        Sum("key_sum", alias_name="key_sum"))
             .to_pandas())
+
+
+FUZZY_K = 2
+
+
+def q_fuzzy_names(sf_dir: str):
+    """Record-linkage similarity self-join (stages/text.py::
+    edit_distance_pairs): all distinct part-name pairs within
+    Levenshtein distance FUZZY_K via lossless length-bin blocking and
+    a pair-vectorized DP; mirrored by DuckDB's levenshtein()."""
+    return text.edit_distance_pairs(
+        _read(sf_dir, "part", ["p_name"]), "p_name", k=FUZZY_K) \
+        .to_pandas()
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangles of the part co-purchase graph
+    (stages/graph.py::triangle_count): distinct (order, part) rows,
+    one equi-self-join per order to derive undirected edges, then the
+    degree-oriented wedge plan — the skew-safe alternative to the
+    naive (u < v) self-join the SQL mirror uses (counts are equal;
+    orientation only changes the join geometry)."""
+    from ..stages import graph
+    from ..stages.joins import distinct_rows, hash_join
+
+    pr = distinct_rows(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(lambda t: t.rename_columns(["o", "p"]),
+                     batch_format="pyarrow"),
+        ["o", "p"])
+    pairs = (hash_join(pr,
+                       pr.map_batches(lambda t: t.rename_columns(
+                           ["o", "p2"]), batch_format="pyarrow"),
+                       on="o")
+             .map_batches(lambda t: t.filter(pc.less(t["p"], t["p2"]))
+                          .select(["p", "p2"]), batch_format="pyarrow"))
+    return graph.triangle_count(pairs, "p", "p2")

@@ -99,6 +99,7 @@ SQL_CHECKED = [
     # round 3 (7th session): classic word count, ingestion column
     # profiling, keyed snapshot reconciliation diff
     "q_word_count", "q_profile_docs", "q_snapshot_diff",
+    "q_fuzzy_names", "q_triangle_count",
 ]
 
 

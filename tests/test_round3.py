@@ -1788,3 +1788,57 @@ def test_snapshot_diff_statuses(ray_session):
     out2 = (snapshot_diff(rd.from_pandas(old2), rd.from_pandas(new2),
                           on="k", compare=["v"]).to_pandas())
     assert out2["status"].tolist() == ["changed"]
+
+
+def test_edit_distance_pairs_brute_force(ray_session):
+    import itertools
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.text import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            new = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                new[j] = min(dp[j] + 1, new[j - 1] + 1,
+                             dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = new
+        return dp[len(b)]
+
+    words = ["cold widget", "bold widget", "old widget", "large bolt",
+             "large bolts", "blue rod", "blu rod", "blue rode", "x",
+             "xy", "xyz", "", "a b", "ab", "small widget",
+             "smal widget", "smallwidget", "large bolt"]
+    uniq = sorted(set(words))
+    expect = sorted((a, b, lev(a, b))
+                    for a, b in itertools.combinations(uniq, 2)
+                    if lev(a, b) <= 2)
+    got = (edit_distance_pairs(
+               rd.from_pandas(pd.DataFrame({"name": words})), "name", k=2)
+           .to_pandas())
+    assert sorted(map(tuple, got[["name_a", "name_b", "dist"]].values)) \
+        == expect
+
+
+def test_triangle_count_brute_force(ray_session):
+    import itertools
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    eu = rng.integers(0, 40, 180)
+    ev = rng.integers(0, 40, 180)
+    out = triangle_count(
+        rd.from_pandas(pd.DataFrame({"u": eu, "v": ev})), "u", "v")
+    E = {(min(a, b), max(a, b)) for a, b in zip(eu, ev) if a != b}
+    adj: dict = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    assert int(out["n_edges"][0]) == len(E)
+    assert int(out["n_triangles"][0]) == tri
