@@ -1533,7 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         # equals the engine's degree-oriented plan by construction
         "q_triangle_count": """
             WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                        FROM lineitem),
+                        FROM lineitem WHERE l_partkey % 3 = 0),
             e AS (SELECT DISTINCT a.p AS u, b.p AS v
                   FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p)
             SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,

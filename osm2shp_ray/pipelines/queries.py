@@ -2361,25 +2361,37 @@ def q_fuzzy_names(sf_dir: str):
         .to_pandas()
 
 
+TRI_PART_MOD = 3
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangles of the part co-purchase graph
     (stages/graph.py::triangle_count): distinct (order, part) rows,
     one equi-self-join per order to derive undirected edges, then the
     degree-oriented wedge plan — the skew-safe alternative to the
     naive (u < v) self-join the SQL mirror uses (counts are equal;
-    orientation only changes the join geometry)."""
+    orientation only changes the join geometry). Parts are thinned to
+    every TRI_PART_MOD-th key: the full fixture graph is near-complete
+    (avg degree >100), so its wedge volume measures brute arithmetic,
+    not the operator."""
     from ..stages import graph
     from ..stages.joins import distinct_rows, hash_join
 
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["o", "p"])
+        return t.filter(pc.equal(
+            pc.subtract(t["p"], pc.multiply(
+                pc.divide(t["p"], TRI_PART_MOD), TRI_PART_MOD)),
+            pa.scalar(0, pa.int64())))
+
     pr = distinct_rows(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(lambda t: t.rename_columns(["o", "p"]),
-                     batch_format="pyarrow"),
-        ["o", "p"])
+        .map_batches(thin, batch_format="pyarrow"),
+        ["o", "p"], n_buckets=32)
     pairs = (hash_join(pr,
                        pr.map_batches(lambda t: t.rename_columns(
                            ["o", "p2"]), batch_format="pyarrow"),
-                       on="o")
+                       on="o", n_buckets=32)
              .map_batches(lambda t: t.filter(pc.less(t["p"], t["p2"]))
                           .select(["p", "p2"]), batch_format="pyarrow"))
-    return graph.triangle_count(pairs, "p", "p2")
+    return graph.triangle_count(pairs, "p", "p2", n_buckets=32)
