@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": q.q_snapshot_diff,
         "q_fuzzy_names": q.q_fuzzy_names,
         "q_triangle_count": q.q_triangle_count,
+        "q_rolling_anomaly": q.q_rolling_anomaly,
+        "q_kl_drift": q.q_kl_drift,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1542,4 +1544,47 @@ def oracle_sql() -> dict[str, str]:
                     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
                      AS n_triangles""",
+        # windowed z-score outlier flag, divisions cleared to int64:
+        # (n*v - s)^2 > z^2 * (n*ssq - s^2) over ROWS-frame sums
+        "q_rolling_anomaly": """
+            WITH b AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            w AS (SELECT event_id, user_id, vq,
+                         count(*) OVER f AS n,
+                         sum(vq) OVER f AS s,
+                         sum(vq * vq) OVER f AS ssq
+                  FROM b
+                  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, CAST(n AS BIGINT) AS n_in_frame,
+                   CAST(CASE WHEN n >= 6
+                             AND (n * vq - s) * (n * vq - s)
+                                 > 4 * (n * ssq - s * s)
+                        THEN 1 ELSE 0 END AS BIGINT) AS flag
+            FROM w""",
+        # per-source KL vs the pooled corpus in quantized micro-nats;
+        # identical float expression shape on both sides (lm_score
+        # contract), int64 term sums are order-independent
+        "q_kl_drift": """
+            WITH st AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT source,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9_]+')) AS tok
+                    FROM documents)
+              GROUP BY source, tok),
+            s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                  FROM st GROUP BY source),
+            g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cg
+                  FROM st GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM st)
+            SELECT st.source, s.n,
+                   CAST(sum(CAST(floor(1000000.0 *
+                         ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                               / (CAST(cg AS DOUBLE) / nn))))
+                        AS BIGINT)) AS BIGINT) AS kl_q
+            FROM st JOIN s USING (source) JOIN g USING (tok), tot
+            GROUP BY st.source, s.n""",
     }

@@ -2395,3 +2395,29 @@ def q_triangle_count(sf_dir: str):
              .map_batches(lambda t: t.filter(pc.less(t["p"], t["p2"]))
                           .select(["p", "p2"]), batch_format="pyarrow"))
     return graph.triangle_count(pairs, "p", "p2", n_buckets=32)
+
+
+# window must exceed z^2 + 1 or the population-z bound
+# (max z^2 = n - 1) makes the flag unsatisfiable
+ANOM_WINDOW, ANOM_Z, ANOM_MIN_N = 8, 2, 6
+
+
+def q_rolling_anomaly(sf_dir: str):
+    """Streaming windowed z-score outlier flag per user
+    (stages/temporal.py::rolling_anomaly): the |v - mean| > z*std test
+    cleared to exact int64 arithmetic, one bucketed exchange; SQL
+    mirror is the same inequality over ROWS-frame window sums."""
+    from ..stages import temporal
+    return (temporal.rolling_anomaly(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "value"]),
+                window=ANOM_WINDOW, z_num=ANOM_Z, min_n=ANOM_MIN_N)
+            .to_pandas())
+
+
+def q_kl_drift(sf_dir: str):
+    """Per-source corpus drift (stages/text.py::kl_drift): KL of each
+    source's unigram distribution from the pooled corpus, quantized
+    micro-nat terms summed as int64 — order-independent, SQL-exact."""
+    return text.kl_drift(_read(sf_dir, "documents", ["source", "text"]),
+                         "source")

@@ -887,3 +887,61 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
                 .groupby("__b").map_groups(kernel, batch_format="pandas"))
     return (partials.groupby(["from_state", "to_state"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def rolling_anomaly(ds, window: int, z_num: int = 2, min_n: int = 3,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value",
+                    tiebreak_col: str = "event_id", quant: int = 100,
+                    n_buckets: int | None = None):
+    """Per-key windowed z-score anomaly flag — streaming outlier
+    detection over event values: a row is anomalous when its quantized
+    value deviates from its ROWS-frame mean (``window - 1 PRECEDING ..
+    CURRENT ROW``) by more than ``z_num`` population standard
+    deviations, with at least ``min_n`` rows in the frame.
+
+    The test is EXACT INTEGER arithmetic — |v - s/n| > z*std is
+    algebraically cleared of divisions to
+    ``(n*v - s)^2 > z^2 * (n*ssq - s^2)`` over int64 frame sums
+    (s = sum, ssq = sum of squares), so the SQL window mirror matches
+    bit-for-bit with no float tolerance. Same single-exchange shape as
+    rolling_sum: bucket by key hash, one sorted prefix-difference
+    kernel per bucket (cumulative v and v^2), never a per-key loop.
+
+    Output: (tiebreak_col, key_col, n_in_frame: int64, flag: int64).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        keys = df[key_col].to_numpy()
+        m = len(keys)
+        vq = np.floor(df[value_col].to_numpy() * quant).astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        f0 = np.maximum(start, idx - (window - 1))
+        cum = np.cumsum(vq)
+        cum2 = np.cumsum(vq * vq)
+        s = cum - np.where(f0 > 0, cum[f0 - 1], 0)
+        ssq = cum2 - np.where(f0 > 0, cum2[f0 - 1], 0)
+        n = idx - f0 + 1
+        lhs = (n * vq - s) ** 2
+        rhs = z_num * z_num * (n * ssq - s * s)
+        flag = ((n >= min_n) & (lhs > rhs)).astype(np.int64)
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys,
+            "n_in_frame": n.astype(np.int64),
+            "flag": flag}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

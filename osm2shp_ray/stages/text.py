@@ -875,3 +875,75 @@ def edit_distance_pairs(ds, col: str, k: int = 2,
     return (coalesced(uniq.map_batches(replicate, batch_format="pyarrow"))
             .groupby("bin")
             .map_groups(pair_kernel, batch_format="pyarrow"))
+
+
+def kl_drift(ds, group_col: str = "source", text_col: str = "text",
+             scale: int = 1_000_000):
+    """Per-group corpus drift: KL divergence of each group's unigram
+    token distribution from the GLOBAL corpus distribution — the
+    domain-mixing monitor of training-data curation (a source whose
+    language shifts shows a rising KL against the pooled corpus).
+
+    Quantization contract (the lm_score pattern): each token
+    contributes ``floor(scale * (c/n) * ln((c/n) / (cg/nn)))`` —
+    c = the (group, token) count, n = the group's token total,
+    cg/nn = the global analogs — and the per-group score is the INT64
+    SUM of those terms, order-independent and bit-exact against the
+    SQL mirror (identical expression shape, IEEE doubles both sides).
+
+    Exchanges: one (group, tok) count reduce (per-batch polars
+    combiner first), one tok-level global-count reduce, one hash_join
+    to attach global counts, one final per-group sum. Group totals
+    (one row per group) are the only driver-side state — bounded by
+    the number of sources, not the corpus.
+
+    Output: (group_col, n: int64, kl_q: int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .util import coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t[group_col].combine_chunks() \
+            if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
+        long = _token_rows(t[text_col])
+        frame = pl.DataFrame({
+            group_col: pl.from_arrow(grp.take(pa.array(long["i"].to_numpy()))),
+            "tok": long["tok"]})
+        cnt = frame.group_by([group_col, "tok"]).len()
+        return pa.table({
+            group_col: cnt[group_col].to_arrow().cast(pa.string()),
+            "tok": cnt["tok"].to_arrow().cast(pa.string()),
+            "c": pa.array(cnt["len"].to_numpy().astype(np.int64),
+                          pa.int64())})
+
+    counts = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+              .groupby([group_col, "tok"])
+              .aggregate(Sum("c", alias_name="c"))
+              .materialize())  # consumed three times below
+    grp_rows = (counts.groupby(group_col)
+                .aggregate(Sum("c", alias_name="n")).take_all())
+    n_by = {r[group_col]: int(r["n"]) for r in grp_rows}
+    nn = float(sum(n_by.values()))
+    glob = counts.groupby("tok").aggregate(Sum("c", alias_name="cg"))
+    joined = hash_join(counts, glob, on="tok")
+
+    def term(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = t[group_col].to_pandas()
+        n = g.map(n_by).to_numpy(dtype=np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cg = t["cg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = c / n
+        q = cg / nn
+        tq = np.floor(scale * (p * np.log(p / q))).astype(np.int64)
+        return pa.table({group_col: t[group_col],
+                         "term_q": pa.array(tq, pa.int64())})
+
+    out = (joined.map_batches(term, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("term_q", alias_name="kl_q"))
+           .to_pandas())
+    out["n"] = out[group_col].map(n_by).astype("int64")
+    return out[[group_col, "n", "kl_q"]]

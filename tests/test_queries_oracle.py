@@ -100,6 +100,7 @@ SQL_CHECKED = [
     # profiling, keyed snapshot reconciliation diff
     "q_word_count", "q_profile_docs", "q_snapshot_diff",
     "q_fuzzy_names", "q_triangle_count",
+    "q_rolling_anomaly", "q_kl_drift",
 ]
 
 

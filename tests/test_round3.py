@@ -1842,3 +1842,69 @@ def test_triangle_count_brute_force(ray_session):
               if b in adj[a] and c in adj[a] and c in adj[b])
     assert int(out["n_edges"][0]) == len(E)
     assert int(out["n_triangles"][0]) == tri
+
+
+def test_rolling_anomaly_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import rolling_anomaly
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+        "value": np.where(rng.random(n) < 0.05,
+                          rng.uniform(400, 500, n),
+                          rng.uniform(0, 10, n)),
+    })
+    W, Z, MINN, Q = 8, 2, 6, 100
+    got = (rolling_anomaly(rd.from_pandas(df), window=W, z_num=Z,
+                           min_n=MINN, quant=Q)
+           .to_pandas().set_index("event_id").sort_index())
+
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    vq = np.floor(df["value"].to_numpy() * Q).astype(np.int64)
+    df["vq"] = vq
+    exp_flag, exp_n = {}, {}
+    for _, g in df.groupby("user_id"):
+        v = g["vq"].to_numpy()
+        for i in range(len(v)):
+            f0 = max(0, i - (W - 1))
+            fr = v[f0:i + 1].astype(object)  # python ints: no overflow
+            nn, s, ssq = len(fr), sum(fr), sum(x * x for x in fr)
+            lhs = (nn * int(v[i]) - s) ** 2
+            rhs = Z * Z * (nn * ssq - s * s)
+            eid = int(g["event_id"].iloc[i])
+            exp_flag[eid] = int(nn >= MINN and lhs > rhs)
+            exp_n[eid] = nn
+    assert got["flag"].to_dict() == exp_flag
+    assert got["n_in_frame"].to_dict() == exp_n
+    assert sum(exp_flag.values()) > 0  # the planted outliers fire
+
+
+def test_kl_drift_identical_sources_zero(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.text import kl_drift
+
+    # both sources have the SAME token distribution -> p == q for
+    # every term -> ln(1) == 0 -> kl_q exactly 0
+    docs = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 4,
+        "text": ["x y z", "x x y", "z z y", "x y y"] * 2,
+    })
+    out = kl_drift(rd.from_pandas(docs), "source")
+    assert sorted(out["source"]) == ["a", "b"]
+    assert (out["kl_q"] == 0).all()
+    assert (out["n"] == 12).all()
+
+    # skewed source diverges positively
+    docs2 = pd.DataFrame({
+        "source": ["a"] * 8 + ["b"] * 2,
+        "text": ["x y"] * 8 + ["q q q q", "q q q q"],
+    })
+    out2 = kl_drift(rd.from_pandas(docs2), "source").set_index("source")
+    assert out2.loc["b", "kl_q"] > 0
