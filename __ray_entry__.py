@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": q.q_triangle_count,
         "q_rolling_anomaly": q.q_rolling_anomaly,
         "q_kl_drift": q.q_kl_drift,
+        "q_melt_lineitem": q.q_melt_lineitem,
+        "q_event_sequences": q.q_event_sequences,
+        "q_interval_coverage": q.q_interval_coverage,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1587,4 +1590,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)) AS BIGINT) AS kl_q
             FROM st JOIN s USING (source) JOIN g USING (tok), tot
             GROUP BY st.source, s.n""",
+        # UNPIVOT mirror: stacked UNION ALL per measure, then the
+        # same quantized aggregate
+        "q_melt_lineitem": """
+            WITH m AS (
+              SELECT 'l_quantity' AS variable,
+                     CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+            SELECT variable, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_q
+            FROM m GROUP BY variable""",
+        "q_event_sequences": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id""",
+        # interval union per key: running max of earlier hi values
+        # (frame excludes the current row), contributions clipped at 0
+        "q_interval_coverage": """
+            WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+                               epoch_us(ts) + 300000000 AS hi
+                        FROM events),
+            w AS (SELECT user_id, lo, hi,
+                         max(hi) OVER (PARTITION BY user_id
+                                       ORDER BY lo, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev
+                  FROM iv)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR lo > prev
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+                   CAST(sum(greatest(0, hi - greatest(lo,
+                        coalesce(prev, lo)))) AS BIGINT) AS covered
+            FROM w GROUP BY user_id""",
     }

@@ -2421,3 +2421,65 @@ def q_kl_drift(sf_dir: str):
     micro-nat terms summed as int64 — order-independent, SQL-exact."""
     return text.kl_drift(_read(sf_dir, "documents", ["source", "text"]),
                          "source")
+
+
+MELT_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def q_melt_lineitem(sf_dir: str):
+    """UNPIVOT (stages/sketch.py::melt): three lineitem measures to
+    long (variable, value) rows — stateless, shuffle-free — then a
+    quantized integer aggregate per variable for a compact compare."""
+    from ..stages import sketch
+    from ..stages.util import coalesced
+    m = sketch.melt(_read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_linenumber"] + MELT_COLS),
+                    ["l_orderkey", "l_linenumber"], MELT_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vq = pc.floor(pc.multiply(t["value"], pa.scalar(100.0))) \
+               .cast(pa.int64())
+        g = (pa.table({"variable": t["variable"], "vq": vq})
+             .group_by("variable")
+             .aggregate([("vq", "sum"), ("vq", "count")]))
+        return g.rename_columns(["variable", "sum_q", "n"])
+
+    return (coalesced(m.map_batches(partial, batch_format="pyarrow"))
+            .groupby("variable")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q"))
+            .to_pandas())
+
+
+def q_event_sequences(sf_dir: str):
+    """Ordered behavior-sequence construction per user
+    (stages/temporal.py::event_sequences) — the string_agg(... ORDER
+    BY) analog that turns event streams into sequence training rows."""
+    from ..stages import temporal
+    return (temporal.event_sequences(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "event_type"]))
+            .to_pandas())
+
+
+COVER_SPAN_US = 300_000_000
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user activity time-coverage (stages/temporal.py::
+    interval_coverage): union length and island count of 5-minute
+    windows around each event — exact int64 microseconds against the
+    SQL window-frame mirror."""
+    from ..stages import temporal
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        lo = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "lo": lo,
+            "hi": pc.add(lo, pa.scalar(COVER_SPAN_US, pa.int64()))})
+
+    iv = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(mk_iv, batch_format="pyarrow")
+    return temporal.interval_coverage(iv, "user_id", "lo", "hi",
+                                      "event_id").to_pandas()

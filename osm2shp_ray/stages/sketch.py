@@ -1092,3 +1092,25 @@ def profile_columns(ds, cols: list[str]):
     out = stats.merge(nd, on="col", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out.sort_values("col", ignore_index=True)
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", val_col: str = "value"):
+    """UNPIVOT — the inverse of ``pivot_counts``: wide value columns
+    become (id..., variable, value) long rows. A stateless per-batch
+    map (each batch emits len(value_cols) stacked copies of itself),
+    no shuffle; value columns are cast to float64 (the usual melt
+    contract for mixed numeric inputs). Row order is irrelevant
+    downstream — consumers aggregate or join on the id columns."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_col] = pa.array([c] * len(t), pa.string())
+            cols[val_col] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

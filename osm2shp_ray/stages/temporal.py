@@ -945,3 +945,87 @@ def rolling_anomaly(ds, window: int, z_num: int = 2, min_n: int = 3,
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def event_sequences(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "event_type",
+                    tiebreak_col: str = "event_id", sep: str = ">",
+                    n_buckets: int | None = None):
+    """Ordered per-key sequence construction — string_agg(val, sep
+    ORDER BY ts, tiebreak): the session/behavior-sequence builder that
+    turns event streams into training examples. One bucketed exchange;
+    inside each bucket a C-level pandas groupby joins the pre-sorted
+    values (never a per-key python loop over rows).
+
+    Output: (key_col, n: int64, seq: string).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        g = df.groupby(key_col, sort=True)[val_col]
+        out = pd.DataFrame({
+            "n": g.size().astype(np.int64),
+            "seq": g.agg(sep.join)}).reset_index()
+        return arrow_table(out[[key_col, "n", "seq"]])
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def interval_coverage(ds, key_col: str, lo_col: str, hi_col: str,
+                      tiebreak_col: str, n_buckets: int | None = None):
+    """Per-key interval-UNION length — merge overlapping [lo, hi]
+    intervals and report total covered span plus the merged-island
+    count (time-coverage dedup: "how much wall-clock does this user's
+    activity actually cover?").
+
+    Incremental-union kernel, fully vectorized: sort by (key, lo,
+    tiebreak); each row contributes ``max(0, hi - max(lo, m))`` where
+    ``m`` is the running max of earlier hi values within the key (a
+    C-level pandas per-group cummax — resets at key borders without
+    the offset trick, which would overflow int64 for microsecond
+    timestamps x many keys); a row opens a new island when ``lo > m``.
+    One bucketed exchange; int64 arithmetic end to end, so the SQL
+    window-frame mirror is exact.
+
+    Output: (key_col, n_islands: int64, covered: int64).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, lo_col, tiebreak_col],
+                            kind="mergesort")
+        keys = df[key_col].to_numpy()
+        lo = df[lo_col].to_numpy().astype(np.int64)
+        hi = df[hi_col].to_numpy().astype(np.int64)
+        m = len(keys)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gid = np.cumsum(new_key) - 1
+        run = pd.Series(hi).groupby(gid).cummax().to_numpy()
+        prev = np.concatenate(([0], run[:-1]))
+        sentinel = np.iinfo(np.int64).min
+        prev[new_key] = sentinel  # no earlier hi within the key
+        contrib = np.maximum(0, hi - np.maximum(lo, prev))
+        island = (lo > prev).astype(np.int64)
+        nk = int(gid[-1]) + 1 if m else 0
+        cov = np.zeros(nk, np.int64)
+        isl = np.zeros(nk, np.int64)
+        np.add.at(cov, gid, contrib)
+        np.add.at(isl, gid, island)
+        return arrow_table(pd.DataFrame({
+            key_col: keys[new_key], "n_islands": isl, "covered": cov}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "q_word_count", "q_profile_docs", "q_snapshot_diff",
     "q_fuzzy_names", "q_triangle_count",
     "q_rolling_anomaly", "q_kl_drift",
+    "q_melt_lineitem", "q_event_sequences", "q_interval_coverage",
 ]
 
 

@@ -1908,3 +1908,61 @@ def test_kl_drift_identical_sources_zero(ray_session):
     })
     out2 = kl_drift(rd.from_pandas(docs2), "source").set_index("source")
     assert out2.loc["b", "kl_q"] > 0
+
+
+def test_interval_coverage_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import interval_coverage
+
+    rng = np.random.default_rng(11)
+    n = 300
+    lo = rng.integers(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame({"k": rng.integers(0, 9, n),
+                       "id": np.arange(n, dtype=np.int64),
+                       "lo": lo,
+                       "hi": lo + rng.integers(1, 60, n)})
+    got = (interval_coverage(rd.from_pandas(df), "k", "lo", "hi", "id")
+           .to_pandas().set_index("k").sort_index())
+
+    for k, g in df.groupby("k"):
+        ivs = sorted(zip(g["lo"], g["hi"]))
+        islands, cov, cur_lo, cur_hi = 0, 0, None, None
+        for a, b in ivs:
+            if cur_hi is None or a > cur_hi:
+                if cur_hi is not None:
+                    cov += cur_hi - cur_lo
+                islands += 1
+                cur_lo, cur_hi = a, b
+            else:
+                cur_hi = max(cur_hi, b)
+        cov += cur_hi - cur_lo
+        assert got.loc[k, "n_islands"] == islands
+        assert got.loc[k, "covered"] == cov
+
+
+def test_event_sequences_and_melt(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import event_sequences
+    from osm2shp_ray.stages.sketch import melt
+
+    df = pd.DataFrame({
+        "event_id": [3, 1, 2, 4],
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime([30, 10, 10, 5], unit="s"),
+        "event_type": ["c", "a", "b", "x"],
+    })
+    out = (event_sequences(rd.from_pandas(df))
+           .to_pandas().set_index("user_id"))
+    # ties on ts break by event_id: a (id 1) before b (id 2)
+    assert out.loc[1, "seq"] == "a>b>c" and out.loc[1, "n"] == 3
+    assert out.loc[2, "seq"] == "x"
+
+    wide = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [10.0, 20.0]})
+    long = melt(rd.from_pandas(wide), ["id"], ["x", "y"]).to_pandas()
+    assert len(long) == 4
+    assert set(long["variable"]) == {"x", "y"}
+    assert long.set_index(["id", "variable"]).loc[(2, "y"), "value"] == 20.0
