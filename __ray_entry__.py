@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_melt_lineitem": q.q_melt_lineitem,
         "q_event_sequences": q.q_event_sequences,
         "q_interval_coverage": q.q_interval_coverage,
+        "q_tile_extent": q.q_tile_extent,
+        "q_haversine_knn": q.q_haversine_knn,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1628,4 +1630,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(greatest(0, hi - greatest(lo,
                         coalesce(prev, lo)))) AS BIGINT) AS covered
             FROM w GROUP BY user_id""",
+        # ST_Extent analog per coarse tile; min/max select existing
+        # float values (no arithmetic), rounding is half-away both sides
+        "q_tile_extent": f"""
+            SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912
+                     + (x13 // 128) AS cell6,
+                   round(min(x), 6) AS xmin, round(max(x), 6) AS xmax,
+                   round(min(y), 6) AS ymin, round(max(y), 6) AS ymax,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({cells}) c JOIN ({pts}) p USING (c_custkey)
+            GROUP BY 1""",
+        # haversine kNN quantized to whole meters — coarse enough to
+        # dwarf libm ulp drift; identical IEEE expression shape
+        # (explicit * rad literal, s*s not pow) on both sides
+        "q_haversine_knn": f"""
+            SELECT c_custkey,
+                   CAST(floor(2.0 * asin(sqrt(least(1.0, sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) * sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) + cos(34.5678905 * 0.017453292519943295) * cos(y * 0.017453292519943295) * (sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0) * sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0))))) * 6371000.0) AS BIGINT) AS dist_q
+            FROM ({pts})
+            ORDER BY dist_q, c_custkey LIMIT 20""",
     }

@@ -246,6 +246,18 @@ def run_bench() -> dict:
         ("q_pivot_events", q.q_pivot_events),
         ("q_session_ids", q.q_session_ids),
         ("q_transition_counts", q.q_transition_counts),
+        ("q_word_count", q.q_word_count),
+        ("q_profile_docs", q.q_profile_docs),
+        ("q_snapshot_diff", q.q_snapshot_diff),
+        ("q_fuzzy_names", q.q_fuzzy_names),
+        ("q_triangle_count", q.q_triangle_count),
+        ("q_rolling_anomaly", q.q_rolling_anomaly),
+        ("q_kl_drift", q.q_kl_drift),
+        ("q_melt_lineitem", q.q_melt_lineitem),
+        ("q_event_sequences", q.q_event_sequences),
+        ("q_interval_coverage", q.q_interval_coverage),
+        ("q_tile_extent", q.q_tile_extent),
+        ("q_haversine_knn", q.q_haversine_knn),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -2483,3 +2483,65 @@ def q_interval_coverage(sf_dir: str):
         .map_batches(mk_iv, batch_format="pyarrow")
     return temporal.interval_coverage(iv, "user_id", "lo", "hi",
                                       "event_id").to_pandas()
+
+
+def q_tile_extent(sf_dir: str):
+    """ST_Extent analog: per coarse tile (cell6), the bounding box and
+    point count of the customer point set — one combiner-first groupby
+    (min/max/count are all mergeable partials). Coordinates are the
+    shared integer-derived floats, so min/max selection is bit-exact."""
+    def enc(t: pa.Table) -> pa.Table:
+        lat = t["y"].to_numpy(zero_copy_only=False)
+        lon = t["x"].to_numpy(zero_copy_only=False)
+        c6 = cell_to_parent(latlng_to_cell(lat, lon, CELL_RES), TILE_RES)
+        return t.append_column("cell6",
+                               pa.array(c6.astype(np.int64), pa.int64()))
+    out = (_customer_points(sf_dir)
+           .map_batches(enc, batch_format="pyarrow")
+           .groupby("cell6")
+           .aggregate(Min("x", alias_name="xmin"),
+                      Max("x", alias_name="xmax"),
+                      Min("y", alias_name="ymin"),
+                      Max("y", alias_name="ymax"),
+                      Count(alias_name="n"))
+           .to_pandas())
+    return _round_cols(out, ["xmin", "xmax", "ymin", "ymax"], 6)
+
+
+HAV_R = 6371000.0
+HAV_K = 20
+HAV_RAD = 0.017453292519943295  # the float64 nearest pi/180
+
+
+def q_haversine_knn(sf_dir: str):
+    """Great-circle kNN: top-HAV_K customers nearest the fixed query
+    point by haversine distance, quantized to floor(d) whole meters:
+    numpy and DuckDB libm sin/asin differ by ulps, so the quantum must
+    dwarf the drift (measured: 0.1 um quantization flipped 1 value in
+    20 at sf0.01; at 1 m the boundary-collision odds are ~1e-6/row).
+    Per-batch partial top-k bounds the exchange to k rows per block
+    before the global sort/limit."""
+    # explicit x * RAD literal on BOTH sides (not radians()/np.radians
+    # — a different op order there can differ by 1 ulp), and s*s
+    # instead of pow(s, 2) for the same reason
+    qlat, qlon = KNN_Q[1] * HAV_RAD, KNN_Q[0] * HAV_RAD
+
+    def dist_q(t: pa.Table) -> pa.Table:
+        lat = t["y"].to_numpy(zero_copy_only=False) * HAV_RAD
+        lon = t["x"].to_numpy(zero_copy_only=False) * HAV_RAD
+        s1 = np.sin((lat - qlat) / 2.0)
+        s2 = np.sin((lon - qlon) / 2.0)
+        a = s1 * s1 + np.cos(qlat) * np.cos(lat) * (s2 * s2)
+        d = 2.0 * np.arcsin(np.sqrt(np.minimum(1.0, a))) * HAV_R
+        dq = np.floor(d).astype(np.int64)
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        # partial top-k (ties widened by the deterministic id order)
+        if len(dq) > HAV_K:
+            sel = np.lexsort((k, dq))[:HAV_K]
+            dq, k = dq[sel], k[sel]
+        return pa.table({"c_custkey": pa.array(k, pa.int64()),
+                         "dist_q": pa.array(dq, pa.int64())})
+
+    return (_customer_points(sf_dir)
+            .map_batches(dist_q, batch_format="pyarrow")
+            .sort(["dist_q", "c_custkey"]).limit(HAV_K).to_pandas())

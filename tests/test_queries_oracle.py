@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "q_fuzzy_names", "q_triangle_count",
     "q_rolling_anomaly", "q_kl_drift",
     "q_melt_lineitem", "q_event_sequences", "q_interval_coverage",
+    "q_tile_extent", "q_haversine_knn",
 ]
 
 
