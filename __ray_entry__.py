@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": q.q_interval_coverage,
         "q_tile_extent": q.q_tile_extent,
         "q_haversine_knn": q.q_haversine_knn,
+        "q_share_of_value": q.q_share_of_value,
+        "q_chi_square": q.q_chi_square,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1648,4 +1650,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(2.0 * asin(sqrt(least(1.0, sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) * sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) + cos(34.5678905 * 0.017453292519943295) * cos(y * 0.017453292519943295) * (sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0) * sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0))))) * 6371000.0) AS BIGINT) AS dist_q
             FROM ({pts})
             ORDER BY dist_q, c_custkey LIMIT 20""",
+        # ratio-to-report: integer ppm share, floor division on
+        # non-negative operands both sides
+        "q_share_of_value": """
+            WITH b AS (SELECT event_id, user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events)
+            SELECT event_id, user_id, vq,
+                   CAST((1000000 * vq)
+                        // sum(vq) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS share_ppm
+            FROM b""",
+        # chi-square cross-tab incl. zero cells; e = rt*ct/n and the
+        # quantized term share one expression shape with the engine
+        "q_chi_square": """
+            WITH b AS (SELECT event_type AS a,
+                              (epoch_us(ts) // 3600000000) % 24 AS h
+                       FROM events),
+            cells AS (SELECT a, h, CAST(count(*) AS BIGINT) AS o
+                      FROM b GROUP BY a, h),
+            ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt
+                   FROM cells GROUP BY a),
+            cb AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct
+                   FROM cells GROUP BY h),
+            tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+            grid AS (SELECT ra.rt, cb.ct, coalesce(cells.o, 0) AS o
+                     FROM ra CROSS JOIN cb
+                     LEFT JOIN cells ON cells.a = ra.a
+                                    AND cells.h = cb.h)
+            SELECT (SELECT CAST(sum(o) AS BIGINT) FROM cells) AS n,
+                   CAST(((SELECT count(*) FROM ra) - 1)
+                        * ((SELECT count(*) FROM cb) - 1)
+                        AS BIGINT) AS dof,
+                   CAST(sum(CAST(floor(1000000.0 * (((CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n) * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n)) / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n))) AS BIGINT))
+                        AS BIGINT) AS chi2_q
+            FROM grid, tot""",
     }

@@ -258,6 +258,8 @@ def run_bench() -> dict:
         ("q_interval_coverage", q.q_interval_coverage),
         ("q_tile_extent", q.q_tile_extent),
         ("q_haversine_knn", q.q_haversine_knn),
+        ("q_share_of_value", q.q_share_of_value),
+        ("q_chi_square", q.q_chi_square),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -2545,3 +2545,34 @@ def q_haversine_knn(sf_dir: str):
     return (_customer_points(sf_dir)
             .map_batches(dist_q, batch_format="pyarrow")
             .sort(["dist_q", "c_custkey"]).limit(HAV_K).to_pandas())
+
+
+def q_share_of_value(sf_dir: str):
+    """Ratio-to-report window (stages/sketch.py::share_of_total):
+    each event's exact integer parts-per-million share of its user's
+    quantized value total — one bucketed exchange."""
+    from ..stages import sketch
+    return (sketch.share_of_total(
+                _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+                "user_id", "value", "event_id")
+            .to_pandas())
+
+
+def q_chi_square(sf_dir: str):
+    """Cross-tab independence audit (stages/sketch.py::chi_square):
+    chi-square of event_type x hour-of-day over distributed cell
+    counts; the statistic runs on the bounded contingency grid with
+    zero cells included, quantized micro-units summed as int64."""
+    from ..stages import sketch
+
+    def hour(t: pa.Table) -> pa.Table:
+        h = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        h = pc.subtract(pc.divide(h, 3600000000),
+                        pc.multiply(pc.divide(pc.divide(h, 3600000000), 24),
+                                    pa.scalar(24, pa.int64())))
+        return pa.table({"event_type": t["event_type"], "h": h})
+
+    return sketch.chi_square(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(hour, batch_format="pyarrow"),
+        "event_type", "h")

@@ -1114,3 +1114,83 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def share_of_total(ds, key_col: str, val_col: str, id_col: str,
+                   quant: int = 100, scale: int = 1_000_000,
+                   n_buckets: int | None = None):
+    """Ratio-to-report window: each row's share of its key's total,
+    in exact integer parts-per-``scale`` — ``(scale * vq) // sum(vq)
+    OVER (PARTITION BY key)`` with floor(v * quant) int64 values, so
+    the SQL mirror is bit-exact (non-negative operands make // floor
+    division on both sides). One bucketed exchange; per-key totals
+    come from a vectorized scatter-add inside the group kernel.
+
+    Output: (id_col, key_col, vq: int64, share_ppm: int64).
+    """
+    import pandas as pd
+    from ..functions.hashing import bucket_of
+    from .util import arrow_table
+
+    b = n_buckets or 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(k, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(key_col, kind="mergesort")
+        k = df[key_col].to_numpy()
+        vq = np.floor(df[val_col].to_numpy() * quant).astype(np.int64)
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        gid = np.cumsum(new_key) - 1
+        tot = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+        np.add.at(tot, gid, vq)
+        share = (scale * vq) // tot[gid]
+        return arrow_table(pd.DataFrame({
+            id_col: df[id_col].to_numpy(), key_col: k,
+            "vq": vq, "share_ppm": share.astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def chi_square(ds, a_col: str, b_col: str, scale: int = 1_000_000):
+    """Chi-square independence test between two categorical columns —
+    the cross-tab drift/bias check of dataset audits. Observed cell
+    counts reduce distributed (per-batch combiner first); the final
+    statistic runs over the |A| x |B| contingency table on the driver
+    (bounded by category cardinalities, never by rows), INCLUDING
+    zero cells, each term quantized
+    ``floor(scale * ((o - e)^2 / e))`` with ``e = (rt * ct) / n`` in
+    IEEE doubles of identical expression shape on both sides, summed
+    as int64 (order-independent).
+
+    Returns a 1-row pandas DataFrame (n, dof, chi2_q).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select([a_col, b_col]).group_by([a_col, b_col])
+             .aggregate([(a_col, "count")]))
+        return g.rename_columns([a_col, b_col, "o"])
+
+    cells = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+             .groupby([a_col, b_col])
+             .aggregate(Sum("o", alias_name="o"))
+             .to_pandas())
+    rt = cells.groupby(a_col)["o"].sum()
+    ct = cells.groupby(b_col)["o"].sum()
+    n = float(cells["o"].sum())
+    full = (pd.MultiIndex.from_product([rt.index, ct.index],
+                                       names=[a_col, b_col])
+            .to_frame(index=False)
+            .merge(cells, on=[a_col, b_col], how="left"))
+    o = full["o"].fillna(0).to_numpy(dtype=np.float64)
+    e = (rt.loc[full[a_col]].to_numpy(dtype=np.float64)
+         * ct.loc[full[b_col]].to_numpy(dtype=np.float64)) / n
+    term = np.floor(scale * (((o - e) * (o - e)) / e)).astype(np.int64)
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    return pd.DataFrame({"n": [np.int64(n)], "dof": [np.int64(dof)],
+                         "chi2_q": [np.int64(term.sum())]})

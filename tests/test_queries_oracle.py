@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "q_rolling_anomaly", "q_kl_drift",
     "q_melt_lineitem", "q_event_sequences", "q_interval_coverage",
     "q_tile_extent", "q_haversine_knn",
+    "q_share_of_value", "q_chi_square",
 ]
 
 

@@ -1966,3 +1966,44 @@ def test_event_sequences_and_melt(ray_session):
     assert len(long) == 4
     assert set(long["variable"]) == {"x", "y"}
     assert long.set_index(["id", "variable"]).loc[(2, "y"), "value"] == 20.0
+
+
+def test_share_of_total_sums_to_scale(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.sketch import share_of_total
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "k": rng.integers(0, 6, 100),
+                       "v": rng.uniform(0.01, 50, 100)})
+    out = (share_of_total(rd.from_pandas(df), "k", "v", "id")
+           .to_pandas())
+    # floor division: per-key share sums land in (scale - n, scale]
+    g = out.groupby("k").agg(s=("share_ppm", "sum"), n=("id", "count"))
+    assert ((g["s"] <= 1_000_000) & (g["s"] > 1_000_000 - g["n"])).all()
+    # exact expected value for one row
+    r = out[out["id"] == 0].iloc[0]
+    tot = out[out["k"] == r["k"]]["vq"].sum()
+    assert r["share_ppm"] == (1_000_000 * r["vq"]) // tot
+
+
+def test_chi_square_independent_and_dependent(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.sketch import chi_square
+
+    # perfectly independent 2x2 (uniform) -> chi2 == 0
+    df = pd.DataFrame({"a": ["x", "x", "y", "y"] * 50,
+                       "b": [0, 1, 0, 1] * 50})
+    out = chi_square(rd.from_pandas(df), "a", "b")
+    assert int(out["chi2_q"][0]) == 0 and int(out["dof"][0]) == 1
+    assert int(out["n"][0]) == 200
+
+    # perfectly dependent -> chi2_q ~= scale * n
+    df2 = pd.DataFrame({"a": ["x"] * 100 + ["y"] * 100,
+                        "b": [0] * 100 + [1] * 100})
+    out2 = chi_square(rd.from_pandas(df2), "a", "b")
+    assert int(out2["chi2_q"][0]) == 1_000_000 * 200
