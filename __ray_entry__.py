@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_haversine_knn": q.q_haversine_knn,
         "q_share_of_value": q.q_share_of_value,
         "q_chi_square": q.q_chi_square,
+        "q_minmax_scale": q.q_minmax_scale,
+        "q_grouped_mad": q.q_grouped_mad,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1685,4 +1687,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(1000000.0 * (((CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n) * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n)) / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / n))) AS BIGINT))
                         AS BIGINT) AS chi2_q
             FROM grid, tot""",
+        # per-key min-max scaling: one fixed-form double division,
+        # degenerate keys (max == min) emit 0
+        "q_minmax_scale": """
+            WITH b AS (SELECT event_id, user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            mm AS (SELECT user_id, min(vq) AS lo, max(vq) AS hi
+                   FROM b GROUP BY user_id)
+            SELECT event_id, b.user_id, vq,
+                   CAST(CASE WHEN hi > lo
+                        THEN floor(1000000.0 *
+                             (CAST(vq - lo AS DOUBLE)
+                              / CAST(hi - lo AS DOUBLE)))
+                        ELSE 0 END AS BIGINT) AS scaled_q
+            FROM b JOIN mm USING (user_id)""",
+        # exact per-key median + MAD over quantized ints (both sides
+        # average the two middles in float64 on even counts)
+        "q_grouped_mad": """
+            WITH b AS (SELECT user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            m AS (SELECT user_id, median(vq) AS med
+                  FROM b GROUP BY user_id)
+            SELECT b.user_id, CAST(count(*) AS BIGINT) AS n,
+                   any_value(m.med) AS med,
+                   median(abs(b.vq - m.med)) AS mad
+            FROM b JOIN m USING (user_id) GROUP BY b.user_id""",
     }

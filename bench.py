@@ -260,6 +260,8 @@ def run_bench() -> dict:
         ("q_haversine_knn", q.q_haversine_knn),
         ("q_share_of_value", q.q_share_of_value),
         ("q_chi_square", q.q_chi_square),
+        ("q_minmax_scale", q.q_minmax_scale),
+        ("q_grouped_mad", q.q_grouped_mad),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

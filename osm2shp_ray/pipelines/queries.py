@@ -2576,3 +2576,25 @@ def q_chi_square(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts"])
         .map_batches(hour, batch_format="pyarrow"),
         "event_type", "h")
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-user min-max feature scaling (stages/sketch.py::
+    minmax_scale): quantized int64 in, one fixed-form float division,
+    floor-quantized scaled value out — SQL-exact."""
+    from ..stages import sketch
+    return (sketch.minmax_scale(
+                _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+                "user_id", "value", "event_id")
+            .to_pandas())
+
+
+def q_grouped_mad(sf_dir: str):
+    """Per-user robust spread (stages/sketch.py::grouped_mad): exact
+    median + median absolute deviation of quantized values, C-level
+    group medians in one bucketed exchange."""
+    from ..stages import sketch
+    return (sketch.grouped_mad(
+                _read(sf_dir, "events", ["user_id", "value"]),
+                "user_id", "value")
+            .to_pandas())

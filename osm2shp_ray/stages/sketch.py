@@ -1194,3 +1194,85 @@ def chi_square(ds, a_col: str, b_col: str, scale: int = 1_000_000):
     dof = (len(rt) - 1) * (len(ct) - 1)
     return pd.DataFrame({"n": [np.int64(n)], "dof": [np.int64(dof)],
                          "chi2_q": [np.int64(term.sum())]})
+
+
+def minmax_scale(ds, key_col: str, val_col: str, id_col: str,
+                 quant: int = 100, scale: int = 1_000_000,
+                 n_buckets: int | None = None):
+    """Per-key min-max normalization — the feature-scaling step of ML
+    preprocessing: ``floor(scale * (vq - min) / (max - min))`` over
+    quantized int64 values (degenerate keys with max == min emit 0).
+    The only float op is one fixed-form division, identical on both
+    sides. Same single-exchange kernel shape as share_of_total.
+
+    Output: (id_col, key_col, vq: int64, scaled_q: int64).
+    """
+    import pandas as pd
+    from ..functions.hashing import bucket_of
+    from .util import arrow_table
+
+    b = n_buckets or 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(k, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(key_col, kind="mergesort")
+        k = df[key_col].to_numpy()
+        vq = np.floor(df[val_col].to_numpy() * quant).astype(np.int64)
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        gid = np.cumsum(new_key) - 1
+        nk = int(gid[-1]) + 1 if len(gid) else 0
+        lo = np.full(nk, np.iinfo(np.int64).max)
+        hi = np.full(nk, np.iinfo(np.int64).min)
+        np.minimum.at(lo, gid, vq)
+        np.maximum.at(hi, gid, vq)
+        span = (hi - lo)[gid].astype(np.float64)
+        num = (vq - lo[gid]).astype(np.float64)
+        scaled = np.where(span > 0,
+                          np.floor(scale * (num / np.where(span > 0,
+                                                           span, 1.0))),
+                          0.0).astype(np.int64)
+        return arrow_table(pd.DataFrame({
+            id_col: df[id_col].to_numpy(), key_col: k,
+            "vq": vq, "scaled_q": scaled}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_mad(ds, key_col: str, val_col: str, quant: int = 100,
+                n_buckets: int | None = None):
+    """Per-key robust spread: exact median and median absolute
+    deviation of the quantized values — both medians are pandas
+    C-level group medians over int64 (even counts average the two
+    middles in float64, exactly matching SQL median() on BIGINT).
+    One bucketed exchange; rows never leave their bucket twice.
+
+    Output: (key_col, n: int64, med: double, mad: double).
+    """
+    import pandas as pd
+    from ..functions.hashing import bucket_of
+    from .util import arrow_table
+
+    b = n_buckets or 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(k, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        vq = np.floor(df[val_col].to_numpy() * quant).astype(np.int64)
+        work = pd.DataFrame({key_col: df[key_col].to_numpy(), "vq": vq})
+        med = work.groupby(key_col)["vq"].median()
+        dev = (work["vq"] - work[key_col].map(med)).abs()
+        work["dev"] = dev
+        agg = work.groupby(key_col).agg(
+            n=("vq", "size"), med=("vq", "median"), mad=("dev", "median"))
+        out = agg.reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return arrow_table(out[[key_col, "n", "med", "mad"]])
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "q_melt_lineitem", "q_event_sequences", "q_interval_coverage",
     "q_tile_extent", "q_haversine_knn",
     "q_share_of_value", "q_chi_square",
+    "q_minmax_scale", "q_grouped_mad",
 ]
 
 

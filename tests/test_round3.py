@@ -2007,3 +2007,29 @@ def test_chi_square_independent_and_dependent(ray_session):
                         "b": [0] * 100 + [1] * 100})
     out2 = chi_square(rd.from_pandas(df2), "a", "b")
     assert int(out2["chi2_q"][0]) == 1_000_000 * 200
+
+
+def test_minmax_scale_and_grouped_mad(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.sketch import grouped_mad, minmax_scale
+
+    df = pd.DataFrame({"id": np.arange(7, dtype=np.int64),
+                       "k": [1, 1, 1, 1, 2, 2, 3],
+                       "v": [0.0, 5.0, 10.0, 2.5, 4.0, 4.0, 9.0]})
+    out = (minmax_scale(rd.from_pandas(df), "k", "v", "id")
+           .to_pandas().set_index("id"))
+    assert out.loc[0, "scaled_q"] == 0
+    assert out.loc[2, "scaled_q"] == 1_000_000
+    assert out.loc[1, "scaled_q"] == 500_000
+    assert out.loc[3, "scaled_q"] == 250_000
+    # degenerate keys (single value or constant) emit 0
+    assert out.loc[4, "scaled_q"] == 0 and out.loc[6, "scaled_q"] == 0
+
+    mad = (grouped_mad(rd.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k"))
+    # k=1: vq = [0, 500, 1000, 250]; median = 375; |dev| = [375, 125,
+    # 625, 125] -> mad = 250
+    assert mad.loc[1, "med"] == 375.0 and mad.loc[1, "mad"] == 250.0
+    assert mad.loc[2, "mad"] == 0.0 and mad.loc[3, "n"] == 1
