@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi_square": q.q_chi_square,
         "q_minmax_scale": q.q_minmax_scale,
         "q_grouped_mad": q.q_grouped_mad,
+        "q_percent_rank": q.q_percent_rank,
+        "q_dedup_keep_best": q.q_dedup_keep_best,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1714,4 +1716,26 @@ def oracle_sql() -> dict[str, str]:
                    any_value(m.med) AS med,
                    median(abs(b.vq - m.med)) AS mad
             FROM b JOIN m USING (user_id) GROUP BY b.user_id""",
+        # percent_rank with SQL rank()-tie semantics, one fixed-form
+        # division quantized on both sides
+        "q_percent_rank": """
+            SELECT doc_id, source,
+                   CAST(CASE WHEN count(*) OVER w > 1
+                        THEN floor(1000000.0 *
+                             (CAST(rank() OVER (PARTITION BY source
+                                                ORDER BY n_chars) - 1
+                                   AS DOUBLE)
+                              / CAST(count(*) OVER w - 1 AS DOUBLE)))
+                        ELSE 0 END AS BIGINT) AS pr_q
+            FROM documents
+            WINDOW w AS (PARTITION BY source)""",
+        # keep-best compaction: QUALIFY row_number over (score DESC,
+        # id) = 1 per composite key
+        "q_dedup_keep_best": """
+            SELECT user_id, event_type, event_id,
+                   round(value, 4) AS value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY value DESC, event_id) = 1""",
     }

@@ -262,6 +262,8 @@ def run_bench() -> dict:
         ("q_chi_square", q.q_chi_square),
         ("q_minmax_scale", q.q_minmax_scale),
         ("q_grouped_mad", q.q_grouped_mad),
+        ("q_percent_rank", q.q_percent_rank),
+        ("q_dedup_keep_best", q.q_dedup_keep_best),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -102,3 +102,12 @@ def bucket_of(keys: np.ndarray, n_buckets: int, seed: int = 0) -> np.ndarray:
     order and skew the shuffle)."""
     z = splitmix64(keys.astype(np.uint64) ^ np.uint64(seed))
     return (z % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucket_any(keys: np.ndarray, n_buckets: int, seed: int = 0) -> np.ndarray:
+    """``bucket_of`` for keys of ANY dtype: integer arrays take the
+    avalanche path; string/object arrays hash via FNV-1a first."""
+    if keys.dtype.kind in ("i", "u"):
+        return bucket_of(keys, n_buckets, seed)
+    h = hash_strings(keys, seed)
+    return (h % np.uint64(n_buckets)).astype(np.int64)

@@ -2598,3 +2598,28 @@ def q_grouped_mad(sf_dir: str):
                 _read(sf_dir, "events", ["user_id", "value"]),
                 "user_id", "value")
             .to_pandas())
+
+
+def q_percent_rank(sf_dir: str):
+    """Per-source percent_rank of document length (stages/sketch.py::
+    percent_rank): SQL rank()-with-ties semantics, quantized
+    floor(1e6 * (rank-1)/(n-1)) with a single fixed-form division."""
+    from ..stages import sketch
+    return (sketch.percent_rank(
+                _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+                "source", "n_chars", "doc_id")
+            .to_pandas())
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-best compaction (stages/dedup.py::dedup_keep_best): one
+    row per (user_id, event_type) keeping the highest value (event_id
+    tiebreak) — the canonical-representative selection of curation
+    dedup, with per-batch local-best pre-reduction."""
+    from ..stages import dedup as dd
+    out = (dd.dedup_keep_best(
+               _read(sf_dir, "events", ["user_id", "event_type",
+                                        "value", "event_id"]),
+               ["user_id", "event_type"], "value", "event_id")
+           .to_pandas())
+    return _round_cols(out, ["value"], 4)

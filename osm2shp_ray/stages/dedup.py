@@ -891,3 +891,48 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text",
     return hash_join(new_ds.map_batches(new_pairs, batch_format="pyarrow"),
                      seen, on="gh", how="left_anti",
                      bloom_prefilter=bloom_prefilter)
+
+
+def dedup_keep_best(ds, key_cols, score_col: str, id_col: str,
+                    n_buckets: int | None = None):
+    """Keep-BEST exact dedup — the curation variant of keep-first:
+    among rows sharing ``key_cols`` (e.g. identical normalized text),
+    keep the one with the highest ``score_col`` (ties broken by the
+    smallest ``id_col``), so the canonical representative of every
+    duplicate cluster is the best-quality one, not an arbitrary one.
+
+    One bucketed exchange on the key hash; inside each group a
+    vectorized lexsort picks the per-key argmax (never a per-key
+    loop). Per-batch pre-reduction keeps only each batch's local best
+    per key, so the exchange carries at most (distinct keys x blocks)
+    rows.
+
+    Output: (key_col, id_col, score_col) — one row per distinct key.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import bucket_any
+    from .util import arrow_table, coalesced
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    b = n_buckets or 64
+    order = keys + [score_col, id_col]
+    asc = [True] * len(keys) + [False, True]
+
+    def local_best(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [score_col, id_col]).to_pandas()
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        df = df[~df[keys].duplicated().to_numpy()]
+        # equal composite keys share keys[0], so bucketing on it alone
+        # co-locates them (no composite hash needed)
+        df["__b"] = bucket_any(df[keys[0]].to_numpy(), b)
+        return arrow_table(df.reset_index(drop=True))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        df = df[~df[keys].duplicated().to_numpy()]
+        return arrow_table(df[keys + [id_col, score_col]]
+                           .reset_index(drop=True))
+
+    return (coalesced(ds.map_batches(local_best, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -1276,3 +1276,53 @@ def grouped_mad(ds, key_col: str, val_col: str, quant: int = 100,
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def percent_rank(ds, key_col: str, val_col: str, id_col: str,
+                 scale: int = 1_000_000, n_buckets: int | None = None):
+    """Per-key percent_rank window — ``floor(scale * (rank - 1) /
+    (n - 1))`` with rank over (val, id) order, single-row keys emit 0
+    (SQL percent_rank() semantics). Rank arithmetic is integer; the
+    one division is a fixed-form double op identical in the SQL
+    mirror. Same single-exchange kernel shape as share_of_total.
+
+    Output: (id_col, key_col, pr_q: int64).
+    """
+    import pandas as pd
+    from ..functions.hashing import bucket_any
+    from .util import arrow_table
+
+    b = n_buckets or 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_any(k, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, val_col, id_col], kind="mergesort")
+        k = df[key_col].to_numpy()
+        v = df[val_col].to_numpy()
+        m = len(k)
+        new_key = np.concatenate(([True], k[1:] != k[:-1]))
+        gid = np.cumsum(new_key) - 1
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # SQL rank(): ties share the FIRST row number of their value run
+        new_val = new_key | np.concatenate(([True], v[1:] != v[:-1]))
+        vstart = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = vstart - start + 1
+        nk = int(gid[-1]) + 1 if m else 0
+        n = np.zeros(nk, np.int64)
+        np.add.at(n, gid, 1)
+        den = n[gid] - 1
+        pr = np.where(den > 0,
+                      np.floor(scale * ((rank - 1).astype(np.float64)
+                                        / np.where(den > 0, den, 1)
+                                        .astype(np.float64))),
+                      0.0).astype(np.int64)
+        return arrow_table(pd.DataFrame({
+            id_col: df[id_col].to_numpy(), key_col: k, "pr_q": pr}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

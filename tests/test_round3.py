@@ -2033,3 +2033,29 @@ def test_minmax_scale_and_grouped_mad(ray_session):
     # 625, 125] -> mad = 250
     assert mad.loc[1, "med"] == 375.0 and mad.loc[1, "mad"] == 250.0
     assert mad.loc[2, "mad"] == 0.0 and mad.loc[3, "n"] == 1
+
+
+def test_percent_rank_and_keep_best(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.sketch import percent_rank
+    from osm2shp_ray.stages.dedup import dedup_keep_best
+
+    df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                       "k": ["a", "a", "a", "a", "b", "b"],
+                       "v": [10, 20, 20, 30, 7, 7]})
+    out = (percent_rank(rd.from_pandas(df), "k", "v", "id")
+           .to_pandas().set_index("id"))
+    # rank() ties: ranks are 1,2,2,4 over n=4 -> pr = 0, 1/3, 1/3, 1
+    third = int(np.floor(1e6 * (1.0 / 3.0)))
+    assert out.loc[0, "pr_q"] == 0
+    assert out.loc[1, "pr_q"] == third and out.loc[2, "pr_q"] == third
+    assert out.loc[3, "pr_q"] == 1_000_000
+    # both "b" rows tie at rank 1 -> pr 0
+    assert out.loc[4, "pr_q"] == 0 and out.loc[5, "pr_q"] == 0
+
+    best = (dedup_keep_best(rd.from_pandas(df), ["k"], "v", "id")
+            .to_pandas().set_index("k"))
+    assert best.loc["a", "id"] == 3 and best.loc["a", "v"] == 30
+    assert best.loc["b", "id"] == 4  # score tie -> smallest id
