@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_mad": q.q_grouped_mad,
         "q_percent_rank": q.q_percent_rank,
         "q_dedup_keep_best": q.q_dedup_keep_best,
+        "q_ewma": q.q_ewma,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1738,4 +1739,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id, event_type
                 ORDER BY value DESC, event_id) = 1""",
+        # integer EWMA recurrence unrolled by a RECURSIVE CTE — floor
+        # division on non-negative int64 operands, bit-exact per step
+        "q_ewma": """
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS vq,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, event_id, rn, vq, vq AS ewma_q
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.event_id, b.rn, b.vq,
+                     (3 * r.ewma_q + 1 * b.vq) // 4
+              FROM b JOIN r ON b.user_id = r.user_id
+                           AND b.rn = r.rn + 1)
+            SELECT event_id, user_id, vq, ewma_q FROM r""",
     }

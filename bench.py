@@ -264,6 +264,7 @@ def run_bench() -> dict:
         ("q_grouped_mad", q.q_grouped_mad),
         ("q_percent_rank", q.q_percent_rank),
         ("q_dedup_keep_best", q.q_dedup_keep_best),
+        ("q_ewma", q.q_ewma),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

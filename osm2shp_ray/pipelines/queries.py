@@ -2623,3 +2623,19 @@ def q_dedup_keep_best(sf_dir: str):
                ["user_id", "event_type"], "value", "event_id")
            .to_pandas())
     return _round_cols(out, ["value"], 4)
+
+
+EWMA_NUM, EWMA_DEN = 3, 4
+
+
+def q_ewma(sf_dir: str):
+    """Per-user integer EWMA (stages/temporal.py::ewma): the
+    sequential streaming recurrence s_t = (3*s + vq) // 4, bit-exact
+    against a SQL RECURSIVE CTE; the kernel steps once per max
+    per-key depth, vectorized across keys."""
+    from ..stages import temporal
+    return (temporal.ewma(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "value"]),
+                num=EWMA_NUM, den=EWMA_DEN)
+            .to_pandas())

@@ -1029,3 +1029,51 @@ def interval_coverage(ds, key_col: str, lo_col: str, hi_col: str,
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def ewma(ds, key_col: str = "user_id", ts_col: str = "ts",
+         value_col: str = "value", tiebreak_col: str = "event_id",
+         num: int = 3, den: int = 4, quant: int = 100,
+         n_buckets: int | None = None):
+    """Per-key exponentially weighted moving average — the sequential
+    streaming-state recurrence family: ``s_1 = vq_1`` and
+    ``s_t = (num * s_{t-1} + (den - num) * vq_t) // den`` over
+    quantized int64 values in (ts, tiebreak) order. Pure integer
+    floor arithmetic on non-negative operands, so the SQL RECURSIVE
+    CTE mirror reproduces every step bit-for-bit.
+
+    The kernel vectorizes ACROSS KEYS: after one sort, step t updates
+    row t of every key simultaneously (gather from the previous row,
+    one vector op per step) — the loop is over the MAX per-key depth,
+    never over rows or keys.
+
+    Output: (tiebreak_col, key_col, vq: int64, ewma_q: int64).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        keys = df[key_col].to_numpy()
+        m = len(keys)
+        vq = np.floor(df[value_col].to_numpy() * quant).astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(m, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rn = idx - start
+        s = vq.copy()
+        max_rn = int(rn.max()) if m else 0
+        for t in range(1, max_rn + 1):
+            pos = np.nonzero(rn == t)[0]
+            s[pos] = (num * s[pos - 1] + (den - num) * vq[pos]) // den
+        return arrow_table(pd.DataFrame({
+            tiebreak_col: df[tiebreak_col].to_numpy(),
+            key_col: keys, "vq": vq, "ewma_q": s}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

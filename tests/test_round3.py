@@ -2059,3 +2059,28 @@ def test_percent_rank_and_keep_best(ray_session):
             .to_pandas().set_index("k"))
     assert best.loc["a", "id"] == 3 and best.loc["a", "v"] == 30
     assert best.loc["b", "id"] == 4  # score tie -> smallest id
+
+
+def test_ewma_matches_scalar_recurrence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import ewma
+
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.uniform(0, 100, n)})
+    got = (ewma(rd.from_pandas(df), num=3, den=4)
+           .to_pandas().set_index("event_id"))
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    for _, g in df.groupby("user_id"):
+        vq = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+        s = int(vq[0])
+        for i, eid in enumerate(g["event_id"]):
+            if i > 0:
+                s = (3 * s + 1 * int(vq[i])) // 4
+            assert got.loc[int(eid), "ewma_q"] == s
