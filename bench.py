@@ -325,7 +325,12 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # default N=8 vs 4N=32; override for hosts whose hypervisor caps
+    # SUSTAINED cycles below 32 cores (burst-vs-sustained spin probes
+    # in BASELINE.md) — a 2-vs-8 pair keeps both legs under the cap
+    # and still measures the engine's N -> 4N behavior
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     # generate the enlarged fixture once (Ray-parallel), untimed
     pre = dict(os.environ, RAY_GRAFT_CPUS=str(hi))
     subprocess.run([sys.executable, "-c",
