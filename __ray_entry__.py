@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_percent_rank": q.q_percent_rank,
         "q_dedup_keep_best": q.q_dedup_keep_best,
         "q_ewma": q.q_ewma,
+        "q_ohlc": q.q_ohlc,
+        "q_union_by_name": q.q_union_by_name,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -1757,4 +1759,34 @@ def oracle_sql() -> dict[str, str]:
               FROM b JOIN r ON b.user_id = r.user_id
                            AND b.rn = r.rn + 1)
             SELECT event_id, user_id, vq, ewma_q FROM r""",
+        # OHLC: open/close via ordered first/last aggregates, ties
+        # broken by event_id on both sides
+        "q_ohlc": """
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS bucket_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   first(value ORDER BY ts, event_id) AS open,
+                   max(value) AS high, min(value) AS low,
+                   last(value ORDER BY ts, event_id) AS close
+            FROM events GROUP BY user_id, bucket_id""",
+        # UNION ALL BY NAME: supplier lacks mktsegment -> typed nulls,
+        # counted per origin
+        "q_union_by_name": """
+            WITH u AS (
+              SELECT 'customer' AS origin, c_custkey AS key,
+                     CAST(c_nationkey AS BIGINT) AS nationkey,
+                     CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_q,
+                     c_mktsegment AS mktsegment
+              FROM customer
+              UNION ALL BY NAME
+              SELECT 'supplier' AS origin, s_suppkey AS key,
+                     CAST(s_nationkey AS BIGINT) AS nationkey,
+                     CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_q
+              FROM supplier)
+            SELECT origin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(key) AS BIGINT) AS key_sum,
+                   CAST(sum(acctbal_q) AS BIGINT) AS bal_sum_q,
+                   CAST(sum(CASE WHEN mktsegment IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS seg_nulls
+            FROM u GROUP BY origin""",
     }

@@ -265,6 +265,8 @@ def run_bench() -> dict:
         ("q_percent_rank", q.q_percent_rank),
         ("q_dedup_keep_best", q.q_dedup_keep_best),
         ("q_ewma", q.q_ewma),
+        ("q_ohlc", q.q_ohlc),
+        ("q_union_by_name", q.q_union_by_name),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -2639,3 +2639,72 @@ def q_ewma(sf_dir: str):
                       ["event_id", "user_id", "ts", "value"]),
                 num=EWMA_NUM, den=EWMA_DEN)
             .to_pandas())
+
+
+OHLC_BUCKET_S = 3600
+
+
+def q_ohlc(sf_dir: str):
+    """Per-user hourly OHLC bars (stages/temporal.py::ohlc):
+    open/high/low/close are pure selections in (ts, event_id) order,
+    exact across engines; one bucketed exchange."""
+    from ..stages import temporal
+    return (temporal.ohlc(
+                _read(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "value"]),
+                bucket_s=OHLC_BUCKET_S)
+            .to_pandas())
+
+
+def q_union_by_name(sf_dir: str):
+    """UNION ALL BY NAME (stages/joins.py::union_by_name): customer
+    and supplier rows aligned into one schema (missing columns as
+    typed nulls), then an exact aggregate per origin over shared and
+    one-sided columns."""
+    from ..stages import joins
+
+    def cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "origin": pa.array(["customer"] * len(t), pa.string()),
+            "key": t["c_custkey"],
+            "nationkey": t["c_nationkey"].cast(pa.int64()),
+            "acctbal_q": pc.floor(pc.multiply(t["c_acctbal"],
+                                              pa.scalar(100.0)))
+                           .cast(pa.int64()),
+            "mktsegment": t["c_mktsegment"]})
+
+    def supp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "origin": pa.array(["supplier"] * len(t), pa.string()),
+            "key": t["s_suppkey"],
+            "nationkey": t["s_nationkey"].cast(pa.int64()),
+            "acctbal_q": pc.floor(pc.multiply(t["s_acctbal"],
+                                              pa.scalar(100.0)))
+                           .cast(pa.int64())})
+
+    u = joins.union_by_name([
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(cust, batch_format="pyarrow"),
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(supp, batch_format="pyarrow")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg_null = pc.cast(pc.is_null(t["mktsegment"]), pa.int64())
+        g = (pa.table({"origin": t["origin"], "key": t["key"],
+                       "acctbal_q": t["acctbal_q"],
+                       "seg_nulls": seg_null})
+             .group_by("origin")
+             .aggregate([("key", "count"), ("key", "sum"),
+                         ("acctbal_q", "sum"), ("seg_nulls", "sum")]))
+        return g.rename_columns(["origin", "n", "key_sum",
+                                 "bal_sum_q", "seg_nulls"])
+
+    return (u.map_batches(partial, batch_format="pyarrow")
+            .groupby("origin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("key_sum", alias_name="key_sum"),
+                       Sum("bal_sum_q", alias_name="bal_sum_q"),
+                       Sum("seg_nulls", alias_name="seg_nulls"))
+            .to_pandas())

@@ -357,3 +357,45 @@ def snapshot_diff(old_ds, new_ds, on, compare: list[str],
                                  else status)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def union_by_name(datasets: list, fill_types: dict | None = None):
+    """SQL UNION ALL BY NAME: concatenate Datasets whose schemas
+    differ, aligning columns by name — missing columns come back as
+    typed nulls (never NaN-widened floats). The target schema is the
+    name-ordered union of all input schemas; ``fill_types`` overrides
+    the Arrow type for columns absent from some inputs (otherwise the
+    type comes from the first dataset that has the column). A
+    stateless per-batch projection + Dataset.union — no shuffle.
+    """
+    def _pa_type(t):
+        # Ray's Schema yields numpy dtypes for pandas-backed datasets
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            if np.dtype(t) == np.dtype(object):
+                return pa.string()
+            return pa.from_numpy_dtype(np.dtype(t))
+        except TypeError:
+            return pa.string()
+
+    schemas = [ds.schema() for ds in datasets]
+    types: dict = dict(fill_types or {})
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            types.setdefault(name, _pa_type(typ))
+    cols = sorted(types)
+
+    def align(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[c] = t[c] if c in t.column_names \
+                else pa.nulls(len(t), types[c])
+        return pa.table(out)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    u = aligned[0]
+    for nxt in aligned[1:]:
+        u = u.union(nxt)
+    return u

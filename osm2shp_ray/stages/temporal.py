@@ -1077,3 +1077,44 @@ def ewma(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def ohlc(ds, key_col: str = "user_id", ts_col: str = "ts",
+         value_col: str = "value", tiebreak_col: str = "event_id",
+         bucket_s: int = 3600, n_buckets: int | None = None):
+    """Time-bucketed OHLC — per (key, time bucket): the first (open),
+    max (high), min (low), and last (close) value in (ts, tiebreak)
+    order, plus the row count. Open/close are order-statistics
+    selections, not arithmetic, so raw float values compare exactly
+    across engines. One bucketed exchange; first/last come from a
+    C-level sorted drop_duplicates, min/max from a groupby — never a
+    per-key loop.
+
+    Output: (key_col, bucket_id: int64, n: int64, open/high/low/close
+    double).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(__bid=ts // (bucket_s * 1_000_000))
+        df = df.sort_values([key_col, "__bid", ts_col, tiebreak_col],
+                            kind="mergesort")
+        g = df.groupby([key_col, "__bid"], sort=False)[value_col]
+        first = g.first()
+        last = g.last()
+        agg = g.agg(["size", "max", "min"])
+        out = pd.DataFrame({
+            "n": agg["size"].astype(np.int64),
+            "open": first, "high": agg["max"],
+            "low": agg["min"], "close": last}).reset_index()
+        out = out.rename(columns={"__bid": "bucket_id"})
+        return arrow_table(out)
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -106,7 +106,7 @@ SQL_CHECKED = [
     "q_share_of_value", "q_chi_square",
     "q_minmax_scale", "q_grouped_mad",
     "q_percent_rank", "q_dedup_keep_best",
-    "q_ewma",
+    "q_ewma", "q_ohlc", "q_union_by_name",
 ]
 
 

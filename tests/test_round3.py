@@ -2084,3 +2084,31 @@ def test_ewma_matches_scalar_recurrence(ray_session):
             if i > 0:
                 s = (3 * s + 1 * int(vq[i])) // 4
             assert got.loc[int(eid), "ewma_q"] == s
+
+
+def test_ohlc_and_union_by_name(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.temporal import ohlc
+    from osm2shp_ray.stages.joins import union_by_name
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 7],
+        "ts": pd.to_datetime([10, 20, 30, 3700], unit="s"),
+        "value": [5.0, 9.0, 1.0, 4.0]})
+    out = (ohlc(rd.from_pandas(df)).to_pandas()
+           .set_index("bucket_id").sort_index())
+    assert out.loc[0, "open"] == 5.0 and out.loc[0, "close"] == 1.0
+    assert out.loc[0, "high"] == 9.0 and out.loc[0, "low"] == 1.0
+    assert out.loc[0, "n"] == 3 and out.loc[1, "open"] == 4.0
+
+    a = rd.from_pandas(pd.DataFrame({"x": [1, 2], "y": ["p", "q"]}))
+    c = rd.from_pandas(pd.DataFrame({"x": [3], "z": [9.5]}))
+    u = union_by_name([a, c]).to_pandas().sort_values("x",
+                                                      ignore_index=True)
+    assert list(u.columns) == ["x", "y", "z"]
+    assert u["y"].isna().tolist() == [False, False, True]
+    assert u["z"].isna().tolist() == [True, True, False]
