@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q.q10_returned_items,
         "q15_top_supplier": q.q15_top_supplier,
         "q18_large_volume": q.q18_large_volume,
+        "q13_cust_distribution": q.q13_cust_distribution,
+        "q17_small_qty_revenue": q.q17_small_qty_revenue,
+        "q22_idle_rich_customers": q.q22_idle_rich_customers,
         "q_pivot_events": q.q_pivot_events,
         "q_session_ids": q.q_session_ids,
         "q_transition_counts": q.q_transition_counts,
@@ -1382,6 +1385,60 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN orders USING (o_orderkey)
                    JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        # Q13: LEFT OUTER join with the filter in the ON clause —
+        # zero-order customers survive with count 0 — then a histogram
+        # of the per-customer counts
+        "q13_cust_distribution": """
+            WITH pc_ AS (
+              SELECT c_custkey,
+                     CAST(count(o_custkey) AS BIGINT) AS n_orders
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS custdist
+            FROM pc_ GROUP BY n_orders
+            ORDER BY custdist DESC, n_orders DESC""",
+        # Q17: per-part average-quantity threshold, integer-exact
+        # (qty < sum/(5*cnt) <=> 5*cnt*qty_q < sum_q at x100); prices
+        # sum as floor(x*100) int64 before the final division
+        "q17_small_qty_revenue": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#13' AND p_size <= 5),
+            li AS (SELECT l_partkey,
+                          CAST(l_quantity * 100 AS BIGINT) AS qq,
+                          CAST(floor(l_extendedprice * 100) AS BIGINT)
+                            AS price_q
+                   FROM lineitem JOIN pk ON p_partkey = l_partkey),
+            th AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(sum(qq) AS BIGINT) AS sq
+                   FROM li GROUP BY l_partkey)
+            SELECT round(coalesce(CAST(sum(price_q) AS BIGINT), 0)
+                         / 100.0 / 7.0, 4) AS avg_yearly
+            FROM li JOIN th USING (l_partkey)
+            WHERE 5 * cnt * qq < sq""",
+        # Q22: global positive-balance average broadcast into the
+        # filter (integer-exact bal_q*n > sum_q), then NOT EXISTS
+        # anti-join and a per-nation rollup
+        "q22_idle_rich_customers": """
+            WITH c AS (SELECT c_custkey,
+                              CAST(c_nationkey AS BIGINT) AS nationkey,
+                              CAST(floor(c_acctbal * 100) AS BIGINT)
+                                AS bal_q
+                       FROM customer
+                       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            s AS (SELECT CAST(sum(bal_q) AS BIGINT) AS sq,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c WHERE bal_q > 0),
+            q AS (SELECT nationkey, bal_q FROM c, s
+                  WHERE bal_q * n > sq
+                    AND NOT EXISTS (SELECT 1 FROM orders
+                                    WHERE o_custkey = c_custkey
+                                      AND o_orderdate
+                                          >= TIMESTAMP '2000-08-01'))
+            SELECT nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(bal_q) / 100.0, 4) AS totacctbal
+            FROM q GROUP BY nationkey""",
         # classic CASE-sum pivot; the engine counts per category into
         # fixed int64 columns, so every value is an exact integer
         "q_pivot_events": """

@@ -2256,6 +2256,153 @@ def q18_large_volume(sf_dir: str):
                 "o_totalprice", "total_qty_q"]]
 
 
+Q13_SKIP_PRIO = "1-URGENT"
+
+
+def q13_cust_distribution(sf_dir: str):
+    """TPC-H Q13 analog (customer distribution): orders-per-customer
+    including zero-order customers — a LEFT OUTER join whose null side
+    is semantically load-bearing — then a histogram of the counts.
+    Orders pre-aggregate per batch (the exchange carries one row per
+    distinct custkey per batch); the left join is the generic bucketed
+    hash_join; the final histogram groups the |customers|-row result
+    by its count value, so the second exchange is tiny."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"],
+                                  pa.scalar(Q13_SKIP_PRIO)))
+        g = (pa.table({"c_custkey": t["o_custkey"]})
+             .group_by("c_custkey").aggregate([("c_custkey", "count")]))
+        return g.rename_columns(["c_custkey", "n_part"])
+
+    per_cust = (coalesced(
+                    _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+                    .map_batches(o_partial, batch_format="pyarrow"))
+                .groupby("c_custkey")
+                .aggregate(Sum("n_part", alias_name="n_orders")))
+    joined = hash_join(_read(sf_dir, "customer", ["c_custkey"]),
+                       per_cust, on="c_custkey", how="left", n_buckets=32)
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_orders"].cast(pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({"n_orders": n})
+
+    return (joined.map_batches(zero_fill, batch_format="pyarrow")
+            .groupby("n_orders").aggregate(Count(alias_name="custdist"))
+            .sort(["custdist", "n_orders"], descending=[True, True])
+            .to_pandas())
+
+
+Q17_BRAND, Q17_MAX_SIZE = "Brand#13", 5
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 analog (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken — the decorrelated per-key-scalar join-back shape. The
+    brand/size part filter semijoins lineitem (bucketed hash_join, no
+    broadcast of the fact side); per-part (count, sum_qty) aggregates
+    on the small survivor set; the threshold compare is integer-exact:
+    qty < sum/(5*cnt)  <=>  5*cnt*qty_q < sum_q under the x100
+    quantization. Prices sum as floor(x*100) int64 so the global sum
+    is combine-order-independent; one output row."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    pk = (_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+          .filter(expr=f"p_brand == '{Q17_BRAND}' and "
+                       f"p_size <= {Q17_MAX_SIZE}")
+          .map_batches(lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+                       batch_format="pyarrow"))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        qq = pc.multiply(t["l_quantity"], pa.scalar(100.0)) \
+               .cast(pa.int64())  # quantities are x.0 floats: exact
+        pq_ = pc.floor(pc.multiply(t["l_extendedprice"],
+                                   pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qq": qq,
+                         "price_q": pq_})
+
+    li = hash_join(
+        coalesced(_read(sf_dir, "lineitem",
+                        ["l_partkey", "l_quantity", "l_extendedprice"])
+                  .map_batches(li_prep, batch_format="pyarrow")),
+        pk, on="l_partkey", how="left_semi", n_buckets=32).materialize()
+    th = (li.groupby("l_partkey")
+          .aggregate(Count(alias_name="cnt"), Sum("qq", alias_name="sq")))
+    def below_threshold(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["cnt"].cast(pa.int64()),
+                                      pa.scalar(5, pa.int64())), t["qq"])
+        return t.filter(pc.less(lhs, t["sq"]))
+
+    small = (hash_join(li, th, on="l_partkey", n_buckets=16)
+             .map_batches(below_threshold, batch_format="pyarrow"))
+    tot = small.sum("price_q") or 0
+    return pd.DataFrame(
+        {"avg_yearly": [float(np.sign(tot) *
+                              np.floor(abs(tot / 100.0 / 7.0) * 1e4 + 0.5)
+                              / 1e4)]})
+
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_CUT = datetime.datetime(2000, 8, 1)
+
+
+def q22_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 analog (global-accounts anti-join): customers from a
+    fixed nation list with above-average positive balance and NO
+    order since Q22_CUT (this corpus has no order-less customers, so
+    the idleness gate is date-scoped to keep the anti-join's result
+    non-degenerate). The global average is a 2-scalar aggregate
+    broadcast into a filter (compare is integer-exact:
+    bal_q * n > sum_q); the no-recent-orders gate is the bucketed
+    left_anti hash_join; the final per-nation rollup exchanges
+    O(nations) rows."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    in_list = ", ".join(str(n) for n in Q22_NATIONS)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_nationkey"].cast(pa.int64()),
+                     value_set=pa.array(Q22_NATIONS, pa.int64()))
+        t = t.filter(m)
+        bal_q = pc.floor(pc.multiply(t["c_acctbal"],
+                                     pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "nationkey": t["c_nationkey"].cast(pa.int64()),
+                         "bal_q": bal_q})
+
+    cust = coalesced(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(prep, batch_format="pyarrow")).materialize()
+    pos = cust.filter(expr="bal_q > 0")
+    sq, n = pos.sum("bal_q") or 0, pos.count()
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal_q"], pa.scalar(int(n), pa.int64())),
+            pa.scalar(int(sq), pa.int64()))),
+        batch_format="pyarrow")
+    cut = pa.scalar(Q22_CUT, type=pa.timestamp("us"))
+    o_keys = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(lambda t: pa.table({
+                  "c_custkey": t.filter(pc.greater_equal(
+                      t["o_orderdate"], cut))["o_custkey"]}),
+                  batch_format="pyarrow"))
+    idle = hash_join(rich, o_keys, on="c_custkey", how="left_anti",
+                     n_buckets=32)
+    out = (idle.groupby("nationkey")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("bal_q", alias_name="bal_q_sum"))
+           .to_pandas())
+    out["totacctbal"] = out["bal_q_sum"] / 100.0
+    return _round_cols(out[["nationkey", "numcust", "totacctbal"]],
+                       ["totacctbal"])
+
+
 WORD_TOPK = 20
 
 

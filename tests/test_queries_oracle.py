@@ -107,6 +107,11 @@ SQL_CHECKED = [
     "q_minmax_scale", "q_grouped_mad",
     "q_percent_rank", "q_dedup_keep_best",
     "q_ewma", "q_ohlc", "q_union_by_name",
+    # round 3 (8th session): TPC-H plan-shape completions — Q13 left
+    # outer histogram, Q17 per-key avg join-back, Q22 global-scalar
+    # broadcast + date-scoped anti-join
+    "q13_cust_distribution", "q17_small_qty_revenue",
+    "q22_idle_rich_customers",
 ]
 
 
