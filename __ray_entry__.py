@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semantic_dedup": q.q_semantic_dedup,
         "q_mixture_sample": q.q_mixture_sample,
         "q_decontaminate": q.q_decontaminate,
+        "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -444,6 +445,29 @@ def oracle_sql() -> dict[str, str]:
         FROM ng JOIN ev USING (gh)
         WHERE ng.doc_id % {DECON_EVAL_MOD} <> 0
         GROUP BY ng.doc_id"""
+
+    # repeated-substring coverage: distinct word 3-grams per doc,
+    # grams carried by >= 2 docs, integer-exact coverage percentage
+    from osm2shp_ray.pipelines.queries import DUP_NGRAM_N
+    dup_gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(DUP_NGRAM_N))
+    dup_ngram_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') a
+          FROM documents
+        ), ng AS (
+          SELECT DISTINCT doc_id, {h60(dup_gram)} AS gh
+          FROM tok, unnest(generate_series(1, len(a) - {DUP_NGRAM_N - 1}))
+               AS t(i)
+        ), dup AS (
+          SELECT gh FROM ng GROUP BY gh HAVING count(*) >= 2
+        ), per AS (
+          SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+          FROM ng LEFT JOIN dup d USING (gh) GROUP BY ng.doc_id)
+        SELECT doc_id, n_grams, n_dup,
+               (10000 * n_dup) // n_grams AS dup_pct_q
+        FROM per"""
 
     # unigram LM scoring: per-token logprob quantized to integer
     # micro-nats (floor(scale * ln(c/T))) so per-doc sums are
@@ -1127,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
              AND p.tus >= c.lo AND p.tus <= c.lo + 43200000000
             GROUP BY c.event_id""",
         "q_decontaminate": decon_sql,
+        "q_dup_ngram_ratio": dup_ngram_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

@@ -2403,6 +2403,21 @@ def q22_idle_rich_customers(sf_dir: str):
                        ["totacctbal"])
 
 
+DUP_NGRAM_N = 3
+
+
+def q_dup_ngram_ratio(sf_dir: str):
+    """Repeated-substring coverage per document
+    (stages/text.py::dup_ngram_stats — the Lee-et-al. exact
+    substring-dedup signal): distinct word 3-grams per doc, how many
+    are shared with another doc, and the integer-exact coverage
+    percentage. Gram hashes are the 60-bit md5 convention, so the SQL
+    mirror reproduces membership exactly."""
+    return text.dup_ngram_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n=DUP_NGRAM_N).to_pandas()
+
+
 WORD_TOPK = 20
 
 

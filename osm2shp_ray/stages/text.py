@@ -947,3 +947,57 @@ def kl_drift(ds, group_col: str = "source", text_col: str = "text",
            .to_pandas())
     out["n"] = out[group_col].map(n_by).astype("int64")
     return out[[group_col, "n", "kl_q"]]
+
+
+def dup_ngram_stats(ds, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 32):
+    """Per-document duplicated-shingle coverage — the corpus-level
+    repeated-substring signal behind exact substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    for every document, how many of its distinct word ``n``-grams
+    appear in at least one OTHER document, and what fraction of the
+    document that covers.
+
+    Plan shape: one streaming pass emits distinct (doc, gram-hash)
+    rows (documents never span batches, so within-doc dedup is local);
+    a groupby on the 60-bit gram hash counts carrier docs; grams with
+    >= 2 carriers semijoin back (bucketed ``hash_join``, same key, no
+    text ever shuffles — only int64 hash rows); two tiny per-doc
+    aggregates finish. The coverage percentage is integer-exact:
+    ``dup_pct_q = (10000 * n_dup) // n_grams``.
+    """
+    from ray.data.aggregate import Count
+
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .util import coalesced
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ridx, gh = _ngram_hash_frame(t[text_col], n)
+        df = pl.DataFrame({id_col: ids[ridx], "gh": gh}).unique()
+        return df.to_arrow().select([id_col, "gh"])
+
+    grams = coalesced(ds.map_batches(gram_rows, batch_format="pyarrow")) \
+        .materialize()  # consumed twice: per-doc totals + carrier counts
+    per_doc = grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+    dup_keys = (grams.groupby("gh").aggregate(Count(alias_name="n_docs"))
+                .filter(expr="n_docs >= 2")
+                .map_batches(lambda t: pa.table({"gh": t["gh"]}),
+                             batch_format="pyarrow"))
+    per_doc_dup = (hash_join(grams, dup_keys, on="gh", how="left_semi",
+                             n_buckets=n_buckets)
+                   .groupby(id_col).aggregate(Count(alias_name="n_dup")))
+    out = hash_join(per_doc, per_doc_dup, on=id_col, how="left",
+                    n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].cast(pa.int64())
+        nd = pc.fill_null(t["n_dup"].cast(pa.int64()),
+                          pa.scalar(0, pa.int64()))
+        pct = pc.divide(pc.multiply(nd, pa.scalar(10000, pa.int64())), ng)
+        return pa.table({id_col: t[id_col], "n_grams": ng, "n_dup": nd,
+                         "dup_pct_q": pct})
+
+    return out.map_batches(finish, batch_format="pyarrow")
