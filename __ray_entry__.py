@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (entities / clip metadata written at fixture time)
         "q_convert_images": q.q_convert_images,
         "q_way_length": q.q_way_length,
+        "q_way_area": q.q_way_area,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
                                                QSKETCH_QS, QSKETCH_W, STRAT_K,
                                                SUP_LAT_MULT, SUP_LON_MULT,
                                                VIDEO_CLIPS_N, VIDEO_EVERY_N,
+                                               WAY_AREA_RINGS,
                                                _WAY_CLS_SQL)
     from osm2shp_ray.sources.fixtures import (cached_audio_meta_parquet,
                                               cached_clip_meta_parquet,
@@ -1240,6 +1242,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nv) AS BIGINT) AS n_vertices,
                    round(sum(L), 4) AS total_len
             FROM seg GROUP BY layer""",
+        # implicit-ring shoelace area over customer-derived rings:
+        # same fold order as the engine (sequential list_sum, wrap
+        # term added last), per-ring int64 quantization
+        "q_way_area": f"""
+            WITH v AS (
+              SELECT c_custkey % {WAY_AREA_RINGS} AS ring_id,
+                     c_custkey AS pos,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat
+              FROM customer),
+            w AS (
+              SELECT ring_id,
+                     list(lon ORDER BY pos) AS xs,
+                     list(lat ORDER BY pos) AS ys
+              FROM v GROUP BY ring_id)
+            SELECT ring_id, CAST(len(xs) AS BIGINT) AS n_verts,
+                   CAST(floor(abs(
+                     list_sum(list_transform(range(1, len(xs)), j ->
+                       xs[j]*ys[j+1] - xs[j+1]*ys[j]))
+                     + (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]))
+                     * 500000) AS BIGINT) AS ring_area_q
+            FROM w WHERE len(xs) >= 3""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

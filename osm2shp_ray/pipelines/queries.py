@@ -958,6 +958,55 @@ def q_way_length(sf_dir: str):
                        ["total_len"])
 
 
+WAY_AREA_RINGS = 25
+
+
+def q_way_area(sf_dir: str):
+    """Implicit-ring shoelace polygon area per ring
+    (stages/geometry.py::ring_area_partial_batch — the polygon
+    analytic of the reference's is_area layers): deterministic
+    WGS84 rings built from the customer table (the custkey_lonlat
+    point grid; ring = custkey % WAY_AREA_RINGS, vertex order =
+    custkey), assembled per ring in a bucketed map_groups, area
+    computed by the SAME kernel the convert chain uses on assembled
+    ways. Per-ring |S| quantizes to int64 micro-units with a strict
+    vertex-order fold, so every value is bit-equal to the sequential
+    DuckDB mirror. One groupby exchange on narrow (ring, pos, lon,
+    lat) rows; the kernel is vectorized over the ring's list
+    buffers."""
+    from ..stages import geometry
+
+    def to_verts(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = custkey_lonlat(ck)
+        return pa.table({
+            "ring_id": pa.array(ck % WAY_AREA_RINGS, pa.int64()),
+            "pos": pa.array(ck, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64())})
+
+    def ring_kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by("pos")
+        n = len(t)
+        off = pa.array([0, n], pa.int32())
+        one = pa.table({
+            "layer_idx": pa.array(
+                [int(t["ring_id"][0].as_py())], pa.int64()),
+            "xs": pa.ListArray.from_arrays(off, t["lon"].combine_chunks()),
+            "ys": pa.ListArray.from_arrays(off, t["lat"].combine_chunks())})
+        out = geometry.ring_area_partial_batch(one)
+        return pa.table({
+            "ring_id": out["layer_idx"],
+            "n_verts": pa.array([n] * len(out), pa.int64()),
+            "ring_area_q": out["part_area_q"]})
+
+    verts = (_read(sf_dir, "customer", ["c_custkey"])
+             .map_batches(to_verts, batch_format="pyarrow"))
+    return (verts.groupby("ring_id")
+            .map_groups(ring_kernel, batch_format="pyarrow")
+            .to_pandas())
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows (30 min) over the event log."""
     from ..stages.temporal import session_windows

@@ -250,6 +250,60 @@ def length_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def ring_area_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-layer implicit-ring shoelace area partial over assembled
+    ways (way_id, layer_idx, xs, ys) -> at most n_layers rows per
+    batch: (layer_idx, part_polys, part_area_q).
+
+    The polygon analytic of the reference's area layers (is_area ways
+    close into rings, /root/reference/osm/handler.cc area handling):
+    each way with >= 3 vertices is treated as the ring formed by its
+    vertex cycle (wrap edge last->first appended). The shoelace fold
+    runs in strict vertex order (np.add.at accumulates sequentially,
+    the same left fold DuckDB's list_sum performs), the wrap term adds
+    last, and |S| quantizes per way to int64 half-micro-units
+    (floor(|S| * 500000) == floor(area * 1e6)) BEFORE any cross-batch
+    sum — so the distributed total is combine-order independent and
+    bit-equal to the sequential SQL mirror."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    empty = pa.table({"layer_idx": pa.array([], pa.int64()),
+                      "part_polys": pa.array([], pa.int64()),
+                      "part_area_q": pa.array([], pa.int64())})
+    n = len(batch)
+    if n == 0:
+        return empty
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    layer_idx = batch["layer_idx"].to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    keep = counts >= 3
+    if not keep.any():
+        return empty
+    S = np.zeros(n, np.float64)
+    if len(fx) >= 2:
+        t = fx[:-1] * fy[1:] - fx[1:] * fy[:-1]
+        cross = offsets[1:-1] - 1  # phantom terms spanning two ways
+        cross = cross[(cross >= 0) & (cross < len(t))]
+        t[cross] = 0.0
+        vert_way = np.repeat(np.arange(n), counts)
+        np.add.at(S, vert_way[: len(t)], t)
+    last, first = offsets[1:] - 1, offsets[:-1]
+    S = S + (fx[last] * fy[first] - fx[first] * fy[last])
+    area_q = np.floor(np.abs(S) * 500000.0).astype(np.int64)
+    uq, inv = np.unique(layer_idx[keep], return_inverse=True)
+    part_polys = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+    part_area = np.zeros(len(uq), np.int64)
+    np.add.at(part_area, inv, area_q[keep])
+    return pa.table({
+        "layer_idx": pa.array(uq.astype(np.int64), pa.int64()),
+        "part_polys": pa.array(part_polys, pa.int64()),
+        "part_area_q": pa.array(part_area, pa.int64()),
+    })
+
+
 # ------------------------------------------------------------ P5: break
 
 def _piece_id(way_id: int, piece: int) -> int:

@@ -111,7 +111,7 @@ SQL_CHECKED = [
     # outer histogram, Q17 per-key avg join-back, Q22 global-scalar
     # broadcast + date-scoped anti-join
     "q13_cust_distribution", "q17_small_qty_revenue",
-    "q22_idle_rich_customers", "q_dup_ngram_ratio",
+    "q22_idle_rich_customers", "q_dup_ngram_ratio", "q_way_area",
 ]
 
 

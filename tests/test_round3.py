@@ -2112,3 +2112,36 @@ def test_ohlc_and_union_by_name(ray_session):
     assert list(u.columns) == ["x", "y", "z"]
     assert u["y"].isna().tolist() == [False, False, True]
     assert u["z"].isna().tolist() == [True, True, False]
+
+
+def test_ring_area_partial_batch_known_shapes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from osm2shp_ray.stages.geometry import ring_area_partial_batch
+
+    def mk(rings, layers):
+        offs = np.cumsum([0] + [len(r) for r in rings]).astype(np.int32)
+        fx = np.array([p[0] for r in rings for p in r], dtype=float)
+        fy = np.array([p[1] for r in rings for p in r], dtype=float)
+        return pa.table({
+            "layer_idx": pa.array(layers, pa.int64()),
+            "xs": pa.ListArray.from_arrays(pa.array(offs), pa.array(fx)),
+            "ys": pa.ListArray.from_arrays(pa.array(offs), pa.array(fy))})
+
+    # open unit square (implicit wrap), CW triangle (abs), 2-vertex
+    # way (excluded), explicitly closed unit square (wrap term = 0)
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    tri = [(0, 0), (0, 2), (2, 0)]  # clockwise, area 2
+    seg = [(0, 0), (5, 5)]
+    sq_closed = sq + [sq[0]]
+    t = mk([sq, tri, seg, sq_closed], [0, 0, 1, 2])
+    out = ring_area_partial_batch(t).to_pandas().set_index("layer_idx")
+    assert out.loc[0, "part_polys"] == 2
+    assert out.loc[0, "part_area_q"] == 1_000_000 + 2_000_000
+    assert 1 not in out.index  # <3 vertices never counts
+    assert out.loc[2, "part_polys"] == 1
+    assert out.loc[2, "part_area_q"] == 1_000_000
+
+    # empty batch and all-short batch both return the empty schema
+    assert len(ring_area_partial_batch(mk([], []))) == 0
+    assert len(ring_area_partial_batch(mk([seg], [3]))) == 0
