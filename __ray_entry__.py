@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_convert_images": q.q_convert_images,
         "q_way_length": q.q_way_length,
         "q_way_area": q.q_way_area,
+        "q_bbox_join": q.q_bbox_join,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1266,6 +1267,41 @@ def oracle_sql() -> dict[str, str]:
                      + (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]))
                      * 500000) AS BIGINT) AS ring_area_q
             FROM w WHERE len(xs) >= 3""",
+        # rectangle-overlap join: closed-interval intersection in both
+        # axes; the engine's owner-cell emission is exactly-once, so
+        # the naive cross join is an exact mirror (identical float
+        # derivations, overlap area quantized the same way)
+        "q_bbox_join": f"""
+            WITH c AS (
+              SELECT c_custkey,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat,
+                     2.0 + (c_custkey % 7) AS hx,
+                     2.0 + (c_custkey % 5) AS hy
+              FROM customer),
+            s AS (
+              SELECT s_suppkey,
+                     ((s_suppkey * {SUP_LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((s_suppkey * {SUP_LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat,
+                     2.0 + (s_suppkey % 4) AS hx,
+                     2.0 + (s_suppkey % 6) AS hy
+              FROM supplier)
+            SELECT c_custkey, s_suppkey,
+                   CAST(floor(
+                     (least(c.lon + c.hx, s.lon + s.hx)
+                      - greatest(c.lon - c.hx, s.lon - s.hx))
+                     * (least(c.lat + c.hy, s.lat + s.hy)
+                        - greatest(c.lat - c.hy, s.lat - s.hy))
+                     * 1000000) AS BIGINT) AS overlap_q
+            FROM c, s
+            WHERE c.lon - c.hx <= s.lon + s.hx
+              AND s.lon - s.hx <= c.lon + c.hx
+              AND c.lat - c.hy <= s.lat + s.hy
+              AND s.lat - s.hy <= c.lat + c.hy""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

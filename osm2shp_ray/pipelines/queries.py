@@ -958,6 +958,48 @@ def q_way_length(sf_dir: str):
                        ["total_len"])
 
 
+BBOX_CELL = 16.0
+
+
+def q_bbox_join(sf_dir: str):
+    """Rectangle-overlap spatial join (stages/spatial.py::bbox_join):
+    customer-derived bboxes x supplier-derived bboxes on the
+    custkey_lonlat point grid, exactly-once owner-cell emission, with
+    the integer-quantized overlap area. Every float derives
+    identically on both engines, so the SQL cross-join mirror is
+    exact."""
+    from ..stages.spatial import bbox_join
+
+    def crects(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = custkey_lonlat(ck)
+        hx, hy = 2.0 + (ck % 7), 2.0 + (ck % 5)
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "x_lo": pa.array(lon - hx),
+                         "x_hi": pa.array(lon + hx),
+                         "y_lo": pa.array(lat - hy),
+                         "y_hi": pa.array(lat + hy)})
+
+    def srects(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        lon = (sk * SUP_LON_MULT) % 360000000 / 1e6 - 180.0
+        lat = (sk * SUP_LAT_MULT) % 180000000 / 1e6 - 90.0
+        hx, hy = 2.0 + (sk % 4), 2.0 + (sk % 6)
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
+                         "x_lo": pa.array(lon - hx),
+                         "x_hi": pa.array(lon + hx),
+                         "y_lo": pa.array(lat - hy),
+                         "y_hi": pa.array(lat + hy)})
+
+    out = bbox_join(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(crects, batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey"])
+        .map_batches(srects, batch_format="pyarrow"),
+        ["c_custkey"], ["s_suppkey"], cell=BBOX_CELL)
+    return out.to_pandas()
+
+
 WAY_AREA_RINGS = 25
 
 

@@ -643,3 +643,122 @@ def distance_join(left_ds, right_ds, radius: float,
                .union(right_ds.map_batches(prep_right, batch_format="pyarrow")))
     return (coalesced(unioned).groupby("__dcell")
             .map_groups(join_group, batch_format="pyarrow"))
+
+
+def bbox_join(left_ds, right_ds, left_cols: list[str],
+              right_cols: list[str], cell: float,
+              max_cells: int = 256,
+              x_lo: str = "x_lo", x_hi: str = "x_hi",
+              y_lo: str = "y_lo", y_hi: str = "y_hi"):
+    """Rectangle-OVERLAP spatial join without an equi key: one row per
+    (left, right) pair whose closed bboxes intersect in BOTH axes —
+    the 2D generalization of ``temporal.interval_join``'s owner-bin
+    contract. Both inputs carry bounds under the same four column
+    names; carried columns must be disjoint.
+
+    Scale shape: each rect replicates to every ``cell``-sized grid
+    square its bbox overlaps (one vectorized grouped-arange explode,
+    no Python loop); a pair is emitted ONLY in its owner square
+    ``(floor(max(lx)/cell), floor(max(ly)/cell))`` — the square
+    holding the overlap region's min corner, which both rects provably
+    cover — so output is exactly-once with no dedup pass. One groupby
+    on the (bx, by) square; the in-square kernel is a vectorized
+    l x r mask. Pick ``cell`` near the typical rect size to keep
+    replication O(1); rects covering more than ``max_cells`` squares
+    are skipped with a log line (route such outliers through a
+    broadcast join instead). Emits ``overlap_q``:
+    floor(1e6 * overlap_w * overlap_h), float-identical on both
+    engines because every operand derives identically.
+    """
+    from .util import coalesced
+
+    if cell <= 0:
+        raise ValueError(f"cell must be positive, got {cell}")
+    bounds = [x_lo, x_hi, y_lo, y_hi]
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"carried columns overlap: {sorted(overlap)}")
+
+    def explode(t: pa.Table, side: int, carry: list[str]) -> pa.Table:
+        xl = t[x_lo].to_numpy(zero_copy_only=False).astype(np.float64)
+        xh = t[x_hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        yl = t[y_lo].to_numpy(zero_copy_only=False).astype(np.float64)
+        yh = t[y_hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        bx0 = np.floor(xl / cell).astype(np.int64)
+        bx1 = np.floor(xh / cell).astype(np.int64)
+        by0 = np.floor(yl / cell).astype(np.int64)
+        by1 = np.floor(yh / cell).astype(np.int64)
+        nx, ny = bx1 - bx0 + 1, by1 - by0 + 1
+        counts = nx * ny
+        wide = counts > max_cells
+        if wide.any():
+            import logging
+            logging.getLogger(__name__).warning(
+                "bbox_join: skipping %d rects covering > %d cells",
+                int(wide.sum()), max_cells)
+            counts = np.where(wide, 0, counts)
+        total = int(counts.sum())
+        src = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(total, dtype=np.int64) - starts[src]
+        ny_s = ny[src]
+        bx = bx0[src] + within // ny_s
+        by = by0[src] + within % ny_s
+        take = pa.array(src, pa.int64())
+        cols = {"__bx": pa.array(bx, pa.int64()),
+                "__by": pa.array(by, pa.int64()),
+                "__xl": pa.array(xl[src]), "__xh": pa.array(xh[src]),
+                "__yl": pa.array(yl[src]), "__yh": pa.array(yh[src]),
+                "__side": pa.array(np.full(total, side, np.int8))}
+        for c in carry:
+            cols[c] = t[c].take(take)
+        return pa.table(cols)
+
+    unioned = coalesced(
+        left_ds.map_batches(lambda t: explode(t, 0, left_cols),
+                            batch_format="pyarrow")
+        .union(right_ds.map_batches(lambda t: explode(t, 1, right_cols),
+                                    batch_format="pyarrow")))
+
+    out_types = {**l_types, **r_types}
+    out_schema = pa.schema([(c, out_types[c])
+                            for c in left_cols + right_cols]
+                           + [("overlap_q", pa.int64())])
+
+    def match(t: pa.Table) -> pa.Table:
+        is_l = pc.equal(t["__side"], 0)
+        lt = t.filter(is_l)
+        rt = t.filter(pc.invert(is_l))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lxl = lt["__xl"].to_numpy(zero_copy_only=False)[:, None]
+        lxh = lt["__xh"].to_numpy(zero_copy_only=False)[:, None]
+        lyl = lt["__yl"].to_numpy(zero_copy_only=False)[:, None]
+        lyh = lt["__yh"].to_numpy(zero_copy_only=False)[:, None]
+        rxl = rt["__xl"].to_numpy(zero_copy_only=False)[None, :]
+        rxh = rt["__xh"].to_numpy(zero_copy_only=False)[None, :]
+        ryl = rt["__yl"].to_numpy(zero_copy_only=False)[None, :]
+        ryh = rt["__yh"].to_numpy(zero_copy_only=False)[None, :]
+        bx = int(t["__bx"][0].as_py())
+        by = int(t["__by"][0].as_py())
+        mx = np.maximum(lxl, rxl)
+        my = np.maximum(lyl, ryl)
+        owner = (np.floor(mx / cell) == bx) & (np.floor(my / cell) == by)
+        hit = (lxl <= rxh) & (rxl <= lxh) & (lyl <= ryh) & (ryl <= lyh) \
+            & owner
+        li_, ri_ = np.nonzero(hit)
+        w = np.minimum(lxh[li_, 0], rxh[0, ri_]) - mx[li_, ri_]
+        h = np.minimum(lyh[li_, 0], ryh[0, ri_]) - my[li_, ri_]
+        oq = np.floor(w * h * 1e6).astype(np.int64)
+        cols = {c: lt[c].take(pa.array(li_, pa.int64()))
+                for c in left_cols}
+        for c in right_cols:
+            cols[c] = rt[c].take(pa.array(ri_, pa.int64()))
+        cols["overlap_q"] = pa.array(oq, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return unioned.groupby(["__bx", "__by"]).map_groups(
+        match, batch_format="pyarrow")

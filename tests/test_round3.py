@@ -2145,3 +2145,46 @@ def test_ring_area_partial_batch_known_shapes(ray_session):
     # empty batch and all-short batch both return the empty schema
     assert len(ring_area_partial_batch(mk([], []))) == 0
     assert len(ring_area_partial_batch(mk([seg], [3]))) == 0
+
+
+def test_bbox_join_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from osm2shp_ray.stages.spatial import bbox_join
+
+    rng = np.random.default_rng(20260818)
+
+    def rects(n, key):
+        cx = rng.uniform(-50, 50, n)
+        cy = rng.uniform(-50, 50, n)
+        hx = rng.uniform(0.1, 12.0, n)  # some rects span many cells
+        hy = rng.uniform(0.1, 12.0, n)
+        return pd.DataFrame({key: np.arange(n, dtype=np.int64),
+                             "x_lo": cx - hx, "x_hi": cx + hx,
+                             "y_lo": cy - hy, "y_hi": cy + hy})
+
+    L, R = rects(120, "lid"), rects(90, "rid")
+    out = (bbox_join(rd.from_pandas(L), rd.from_pandas(R),
+                     ["lid"], ["rid"], cell=5.0, max_cells=10_000)
+           .to_pandas().sort_values(["lid", "rid"], ignore_index=True))
+
+    la = L.to_numpy(); ra = R.to_numpy()
+    hits = []
+    for _, l in L.iterrows():
+        m = ((l.x_lo <= R.x_hi) & (R.x_lo <= l.x_hi)
+             & (l.y_lo <= R.y_hi) & (R.y_lo <= l.y_hi))
+        for _, r in R[m].iterrows():
+            w = min(l.x_hi, r.x_hi) - max(l.x_lo, r.x_lo)
+            h = min(l.y_hi, r.y_hi) - max(l.y_lo, r.y_lo)
+            hits.append((int(l.lid), int(r.rid),
+                         int(np.floor(w * h * 1e6))))
+    exp = (pd.DataFrame(hits, columns=["lid", "rid", "overlap_q"])
+           .sort_values(["lid", "rid"], ignore_index=True))
+    assert len(out) == len(exp) and len(exp) > 100
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    # exactly-once even when a pair's overlap spans many owner
+    # candidates: no duplicate (lid, rid)
+    assert not out.duplicated(["lid", "rid"]).any()
