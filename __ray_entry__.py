@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_way_length": q.q_way_length,
         "q_way_area": q.q_way_area,
         "q_bbox_join": q.q_bbox_join,
+        "q_image_stats": q.q_image_stats,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -230,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
     video_meta_pq = cached_video_meta_parquet(VIDEO_CLIPS_N)
     from osm2shp_ray.pipelines.queries import CLIP_IMAGES_N
     clip_meta_pq = cached_clip_meta_parquet(CLIP_IMAGES_N)
+    from osm2shp_ray.sources.fixtures import cached_image_stats_parquet
+    image_stats_pq = cached_image_stats_parquet(POSTPROCESS_IMAGES_N)
 
     def img_entities(path: str) -> str:
         return ("SELECT *, regexp_extract_all(caption, '[^ ]+=[^ ]*') AS tl "
@@ -1302,6 +1305,13 @@ def oracle_sql() -> dict[str, str]:
               AND s.lon - s.hx <= c.lon + c.hx
               AND c.lat - c.hy <= s.lat + s.hy
               AND s.lat - s.hy <= c.lat + c.hy""",
+        # exact channel statistics: the engine decodes the PNG rows
+        # and must reproduce the generator-side ground truth of the
+        # encoded pixels bit-for-bit
+        "q_image_stats": f"""
+            SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
+            FROM read_parquet('{image_stats_pq}')
+            WHERE fmt = 'png'""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

@@ -2509,6 +2509,25 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_image_stats(sf_dir: str):
+    """Exact per-image channel statistics over the mandated image
+    table (stages/images.py::channel_stats): real PNG decode, int64
+    channel sums / extrema — every value bit-equal to the
+    generator-side ground truth of the encoded pixels (the
+    decode-correctness hash gate; lossy rows are excluded because
+    their decode is not the source array)."""
+    from ..sources.fixtures import (cached_image_stats_parquet,
+                                    cached_images_parquet)
+    from ..stages.images import channel_stats
+    cached_image_stats_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes", "fmt"])
+    out = channel_stats(images.filter(expr="fmt == 'png'"),
+                        batch_size=512)
+    return out.drop_columns(["fmt"]).to_pandas()
+
+
 WORD_TOPK = 20
 
 

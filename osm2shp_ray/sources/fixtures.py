@@ -416,3 +416,39 @@ def cached_clip_meta_parquet(n: int) -> str:
     for d in range(12):
         cols[f"m{d}"] = pa.array(ms[:, d], pa.float64())
     return _atomic_parquet(pa.table(cols), path)
+
+
+def cached_image_stats_parquet(n: int) -> str:
+    """Per-image channel ground truth for the images fixture: int64
+    R/G/B sums and global pixel min/max computed here from
+    ground_truth_pixels — the exact array the PNG rows encode
+    losslessly, so the engine's decode + channel-stats stage must
+    reproduce every value bit-exactly on fmt='png' rows (lossy rows
+    carry the truth of the SOURCE pixels, not of a decode)."""
+    path = os.path.join(FIXTURE_ROOT, f"image_stats_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    idx = np.arange(n, dtype=np.int64)
+    ws = _SIZES[idx % 3]
+    hs = _SIZES[(idx // 3) % 3]
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    rs, gs, bs, mins, maxs, npx = [], [], [], [], [], []
+    for i in idx:
+        img = ground_truth_pixels(int(i), int(ws[i]), int(hs[i]))
+        px = img.astype(np.int64)
+        rs.append(int(px[:, :, 0].sum()))
+        gs.append(int(px[:, :, 1].sum()))
+        bs.append(int(px[:, :, 2].sum()))
+        mins.append(int(px.min()))
+        maxs.append(int(px.max()))
+        npx.append(int(img.shape[0] * img.shape[1]))
+    return _atomic_parquet(pa.table({
+        "image_id": pa.array([f"img-{i:09d}" for i in idx], pa.string()),
+        "fmt": pa.array(fmt.tolist(), pa.string()),
+        "n_px": pa.array(npx, pa.int64()),
+        "r_sum": pa.array(rs, pa.int64()),
+        "g_sum": pa.array(gs, pa.int64()),
+        "b_sum": pa.array(bs, pa.int64()),
+        "px_min": pa.array(mins, pa.int64()),
+        "px_max": pa.array(maxs, pa.int64()),
+    }), path)
