@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": q.q_mixture_sample,
         "q_decontaminate": q.q_decontaminate,
         "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
+        "q_chunk_dedup": q.q_chunk_dedup,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -451,6 +452,31 @@ def oracle_sql() -> dict[str, str]:
         FROM ng JOIN ev USING (gh)
         WHERE ng.doc_id % {DECON_EVAL_MOD} <> 0
         GROUP BY ng.doc_id"""
+
+    # chunk-level first-wins dedup: global winner per chunk hash is
+    # min(doc << 20 | pos); DuckDB re-derives the identical packing
+    from osm2shp_ray.pipelines.queries import CHUNK_W
+    chunk_dedup_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') a
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, i AS cidx,
+                 {h60(f"array_to_string(a[(i*{CHUNK_W}+1):(i*{CHUNK_W}+{CHUNK_W})], ' ')")}
+                   AS gh
+          FROM tok, unnest(generate_series(
+                 0, CAST(ceil(len(a) / {CHUNK_W}.0) AS BIGINT) - 1)) t(i)
+        ), win AS (
+          SELECT gh, min(doc_id * 1048576 + cidx) AS pk FROM ch GROUP BY gh
+        ), tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+          FROM ch GROUP BY doc_id
+        ), k AS (
+          SELECT pk // 1048576 AS doc_id, CAST(count(*) AS BIGINT) AS n_kept
+          FROM win GROUP BY 1
+        )
+        SELECT tot.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept
+        FROM tot LEFT JOIN k USING (doc_id)"""
 
     # repeated-substring coverage: distinct word 3-grams per doc,
     # grams carried by >= 2 docs, integer-exact coverage percentage
@@ -1158,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.event_id""",
         "q_decontaminate": decon_sql,
         "q_dup_ngram_ratio": dup_ngram_sql,
+        "q_chunk_dedup": chunk_dedup_sql,
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

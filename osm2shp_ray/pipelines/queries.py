@@ -2509,6 +2509,20 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+CHUNK_W = 8
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Sub-document first-wins chunk dedup
+    (stages/text.py::chunk_dedup_stats): per doc, total 8-word chunks
+    and how many survive global first-occurrence dedup. The winner
+    election is a Min over the packed (doc, pos) key grouped by the
+    60-bit chunk hash — SQL re-derives the identical packing."""
+    return text.chunk_dedup_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        width=CHUNK_W).to_pandas()
+
+
 def q_image_stats(sf_dir: str):
     """Exact per-image channel statistics over the mandated image
     table (stages/images.py::channel_stats): real PNG decode, int64

@@ -1001,3 +1001,85 @@ def dup_ngram_stats(ds, n: int = 3, text_col: str = "text",
                          "dup_pct_q": pct})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_dedup_stats(ds, width: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 32):
+    """Sub-document exact dedup with first-wins reassembly counts —
+    the chunk-granular variant of corpus dedup (Lee et al.): each
+    document splits into consecutive non-overlapping ``width``-word
+    chunks; for every distinct chunk the GLOBAL winner is the
+    lexicographically smallest (doc, chunk-position) occurrence; the
+    result reports, per document, how many of its chunks survive.
+
+    Plan shape: one streaming pass emits (doc, chunk-pos, 60-bit
+    chunk hash) rows; the winner election is a single Min aggregate
+    over the packed (doc << 20 | pos) key grouped by hash (no text
+    shuffles); per-doc totals and kept counts meet in a bucketed left
+    join. The packed key bounds chunk positions at 2^20 — documents
+    are pre-chunked upstream at any realistic corpus, and the bound
+    is asserted, never silently wrapped.
+    """
+    from ray.data.aggregate import Count, Min
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hash60
+    from .joins import hash_join
+    from .util import coalesced
+
+    POS_BITS = 20
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        toks = _token_lists(t[text_col])
+        long = (pl.DataFrame({"i": pl.Series(np.arange(len(toks),
+                                                       dtype=np.int64)),
+                              "tok": toks})
+                .explode("tok").drop_nulls("tok"))
+        if long.height == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cidx": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64())})
+        long = long.with_columns(
+            ((pl.col("tok").cum_count().over("i") - 1) // width)
+            .alias("cidx"))
+        ch = (long.group_by(["i", "cidx"], maintain_order=True)
+              .agg(pl.col("tok").str.join(" ").alias("chunk")))
+        cidx = ch["cidx"].to_numpy()
+        if cidx.size and int(cidx.max()) >= (1 << POS_BITS):
+            raise ValueError("chunk position exceeds the packed-key "
+                             "bound; pre-chunk oversized documents")
+        return pa.table({
+            id_col: pa.array(ids[ch["i"].to_numpy()], pa.int64()),
+            "cidx": pa.array(cidx, pa.int64()),
+            "gh": pa.array(md5_hash60(ch["chunk"].to_numpy()), pa.int64())})
+
+    chunks = coalesced(ds.map_batches(chunk_rows, batch_format="pyarrow"))
+
+    def pack(t: pa.Table) -> pa.Table:
+        pk = pc.add(pc.multiply(t[id_col],
+                                pa.scalar(1 << POS_BITS, pa.int64())),
+                    t["cidx"])
+        return pa.table({"gh": t["gh"], "pk": pk, id_col: t[id_col]})
+
+    packed = chunks.map_batches(pack, batch_format="pyarrow") \
+        .materialize()  # consumed twice: totals + winner election
+    totals = packed.groupby(id_col).aggregate(Count(alias_name="n_chunks"))
+    winners = (packed.groupby("gh").aggregate(Min("pk", alias_name="pk"))
+               .map_batches(lambda t: pa.table({
+                   id_col: pc.divide(t["pk"],
+                                     pa.scalar(1 << POS_BITS, pa.int64()))}),
+                   batch_format="pyarrow"))
+    kept = winners.groupby(id_col).aggregate(Count(alias_name="n_kept"))
+    out = hash_join(totals, kept, on=id_col, how="left",
+                    n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_chunks": t["n_chunks"].cast(pa.int64()),
+            "n_kept": pc.fill_null(t["n_kept"].cast(pa.int64()),
+                                   pa.scalar(0, pa.int64()))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
