@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q.q_decontaminate,
         "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
         "q_chunk_dedup": q.q_chunk_dedup,
+        "q_gap_fill": q.q_gap_fill,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -1185,6 +1186,22 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": decon_sql,
         "q_dup_ngram_ratio": dup_ngram_sql,
         "q_chunk_dedup": chunk_dedup_sql,
+        # dense daily grid: every day in [min, max] per user exists,
+        # zero-filled; same integer epoch-us floor-div day key
+        "q_gap_fill": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket
+              FROM events),
+            c AS (SELECT user_id, bucket,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                  FROM b GROUP BY 1),
+            g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+                  FROM r)
+            SELECT g.user_id, g.bucket, coalesce(c.n_events, 0) AS n_events
+            FROM g LEFT JOIN c USING (user_id, bucket)""",
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

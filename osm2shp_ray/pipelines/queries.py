@@ -2509,6 +2509,19 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_gap_fill(sf_dir: str):
+    """Dense per-user daily event grid with zero-filled gaps
+    (stages/temporal.py::gap_fill): every day between a user's first
+    and last event gets a row, empty days as n_events = 0 — the
+    densification step windowed metrics need. Buckets are exact
+    integer floor-divs of epoch microseconds on both engines."""
+    from ..stages.temporal import gap_fill
+    return gap_fill(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id", ts_col="ts", bucket_s=86400,
+        count_col="n_events").to_pandas()
+
+
 CHUNK_W = 8
 
 

@@ -1118,3 +1118,67 @@ def ohlc(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def gap_fill(ds, key_col: str, ts_col: str, bucket_s: float,
+             count_col: str = "n_events", max_buckets: int = 100_000,
+             n_buckets: int | None = None):
+    """Dense per-key time grid with zero-filled gaps: one output row
+    per (key, bucket) for EVERY bucket between the key's first and
+    last event — the missing-bucket densification every
+    windowed-metrics pipeline needs before rates/anomaly scoring
+    (a groupby alone silently drops empty buckets).
+
+    Plan shape: per-batch (key, bucket) partial counts combine before
+    one groupby exchange; per-key [min, max] bucket ranges reduce from
+    those narrow rows (second exchange is O(distinct key-buckets));
+    the dense grid replicates from the ranges with the shared
+    grouped-arange explode (``_explode_spans`` — vectorized, keys
+    spanning more than ``max_buckets`` are dropped with a log line,
+    never silently); actual counts meet the grid in a bucketed left
+    join, nulls zero-fill. No stage ever materializes rows per EVENT
+    — only per (key, bucket).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .util import coalesced
+    from .joins import hash_join
+
+    bucket_us = int(bucket_s * 1e6)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        b = us // bucket_us  # integer floor-div: exact at boundaries
+        g = (pa.table({key_col: t[key_col],
+                       "bucket": pa.array(b, pa.int64())})
+             .group_by([key_col, "bucket"]).aggregate([("bucket", "count")]))
+        return g.rename_columns([key_col, "bucket", "c"])
+
+    counts = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+              .groupby([key_col, "bucket"])
+              .aggregate(Sum("c", alias_name=count_col))
+              .materialize())  # consumed twice: ranges + join
+    ranges = (counts.groupby(key_col)
+              .aggregate(Min("bucket", alias_name="bmin"),
+                         Max("bucket", alias_name="bmax")))
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t["bmin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t["bmax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        src, bins = _explode_spans(lo, hi, 1.0, max_buckets, "gap_fill")
+        return pa.table({key_col: t[key_col].take(pa.array(src, pa.int64())),
+                         "bucket": pa.array(bins, pa.int64())})
+
+    grid = ranges.map_batches(explode, batch_format="pyarrow")
+    out = hash_join(grid, counts, on=[key_col, "bucket"], how="left",
+                    n_buckets=n_buckets or 32)
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            key_col: t[key_col], "bucket": t["bucket"],
+            count_col: pc.fill_null(t[count_col].cast(pa.int64()),
+                                    pa.scalar(0, pa.int64()))})
+
+    return out.map_batches(zero_fill, batch_format="pyarrow")
