@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_way_length": q.q_way_length,
         "q_way_area": q.q_way_area,
         "q_bbox_join": q.q_bbox_join,
+        "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
@@ -1314,6 +1315,43 @@ def oracle_sql() -> dict[str, str]:
                      + (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]))
                      * 500000) AS BIGINT) AS ring_area_q
             FROM w WHERE len(xs) >= 3""",
+        # shoelace centroid over the same rings: identical folds, the
+        # wrap terms added last, floor micro-degree quantization;
+        # S = 0 (collinear) rings drop on both engines
+        "q_ring_centroid": f"""
+            WITH v AS (
+              SELECT c_custkey % {WAY_AREA_RINGS} AS ring_id,
+                     c_custkey AS pos,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat
+              FROM customer),
+            w AS (
+              SELECT ring_id,
+                     list(lon ORDER BY pos) AS xs,
+                     list(lat ORDER BY pos) AS ys
+              FROM v GROUP BY ring_id),
+            c AS (
+              SELECT ring_id, CAST(len(xs) AS BIGINT) AS n_verts,
+                     list_sum(list_transform(range(1, len(xs)), j ->
+                       xs[j]*ys[j+1] - xs[j+1]*ys[j]))
+                       + (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]) AS s,
+                     list_sum(list_transform(range(1, len(xs)), j ->
+                       (xs[j]+xs[j+1])
+                         * (xs[j]*ys[j+1] - xs[j+1]*ys[j])))
+                       + (xs[len(xs)]+xs[1])
+                         * (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]) AS sx,
+                     list_sum(list_transform(range(1, len(xs)), j ->
+                       (ys[j]+ys[j+1])
+                         * (xs[j]*ys[j+1] - xs[j+1]*ys[j])))
+                       + (ys[len(ys)]+ys[1])
+                         * (xs[len(xs)]*ys[1] - xs[1]*ys[len(ys)]) AS sy
+              FROM w WHERE len(xs) >= 3)
+            SELECT ring_id, n_verts,
+                   CAST(floor(sx / (3.0 * s) * 1000000) AS BIGINT) AS cx_q,
+                   CAST(floor(sy / (3.0 * s) * 1000000) AS BIGINT) AS cy_q
+            FROM c WHERE floor(abs(s) * 500000) >= 100""",
         # rectangle-overlap join: closed-interval intersection in both
         # axes; the engine's owner-cell emission is exactly-once, so
         # the naive cross join is an exact mirror (identical float

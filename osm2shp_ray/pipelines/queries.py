@@ -1003,21 +1003,13 @@ def q_bbox_join(sf_dir: str):
 WAY_AREA_RINGS = 25
 
 
-def q_way_area(sf_dir: str):
-    """Implicit-ring shoelace polygon area per ring
-    (stages/geometry.py::ring_area_partial_batch — the polygon
-    analytic of the reference's is_area layers): deterministic
-    WGS84 rings built from the customer table (the custkey_lonlat
-    point grid; ring = custkey % WAY_AREA_RINGS, vertex order =
-    custkey), assembled per ring in a bucketed map_groups, area
-    computed by the SAME kernel the convert chain uses on assembled
-    ways. Per-ring |S| quantizes to int64 micro-units with a strict
-    vertex-order fold, so every value is bit-equal to the sequential
-    DuckDB mirror. One groupby exchange on narrow (ring, pos, lon,
-    lat) rows; the kernel is vectorized over the ring's list
-    buffers."""
-    from ..stages import geometry
-
+def _customer_rings(sf_dir: str):
+    """Deterministic WGS84 rings from the customer table (the
+    custkey_lonlat point grid; ring = custkey % WAY_AREA_RINGS,
+    vertex order = custkey), assembled per ring in a bucketed
+    map_groups into one (ring_id, xs, ys) list row each — the shared
+    input of the ring-area and ring-centroid queries. One groupby
+    exchange on narrow (ring, pos, lon, lat) rows."""
     def to_verts(t: pa.Table) -> pa.Table:
         ck = t["c_custkey"].to_numpy(zero_copy_only=False)
         lon, lat = custkey_lonlat(ck)
@@ -1027,25 +1019,61 @@ def q_way_area(sf_dir: str):
             "lon": pa.array(lon, pa.float64()),
             "lat": pa.array(lat, pa.float64())})
 
-    def ring_kernel(t: pa.Table) -> pa.Table:
+    def assemble(t: pa.Table) -> pa.Table:
         t = t.sort_by("pos")
         n = len(t)
         off = pa.array([0, n], pa.int32())
-        one = pa.table({
-            "layer_idx": pa.array(
+        return pa.table({
+            "ring_id": pa.array(
                 [int(t["ring_id"][0].as_py())], pa.int64()),
             "xs": pa.ListArray.from_arrays(off, t["lon"].combine_chunks()),
             "ys": pa.ListArray.from_arrays(off, t["lat"].combine_chunks())})
-        out = geometry.ring_area_partial_batch(one)
-        return pa.table({
-            "ring_id": out["layer_idx"],
-            "n_verts": pa.array([n] * len(out), pa.int64()),
-            "ring_area_q": out["part_area_q"]})
 
-    verts = (_read(sf_dir, "customer", ["c_custkey"])
-             .map_batches(to_verts, batch_format="pyarrow"))
-    return (verts.groupby("ring_id")
-            .map_groups(ring_kernel, batch_format="pyarrow")
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(to_verts, batch_format="pyarrow")
+            .groupby("ring_id")
+            .map_groups(assemble, batch_format="pyarrow"))
+
+
+def q_way_area(sf_dir: str):
+    """Implicit-ring shoelace polygon area per ring
+    (stages/geometry.py::ring_area_partial_batch — the polygon
+    analytic of the reference's is_area layers) over the shared
+    customer-derived rings. Per-ring |S| quantizes to int64
+    micro-units with a strict vertex-order fold, so every value is
+    bit-equal to the sequential DuckDB mirror."""
+    from ..stages import geometry
+
+    def area_kernel(t: pa.Table) -> pa.Table:
+        # ring ids are unique per row, so the layer-partial kernel
+        # returns exactly one row per kept ring; vertex counts join
+        # back in-batch on the id
+        out = (geometry.ring_area_partial_batch(
+                   pa.table({"layer_idx": t["ring_id"],
+                             "xs": t["xs"], "ys": t["ys"]}))
+               .rename_columns(["ring_id", "part_polys", "ring_area_q"])
+               .drop_columns(["part_polys"]))
+        nv = pa.table({
+            "ring_id": t["ring_id"],
+            "n_verts": pc.list_value_length(t["xs"]).cast(pa.int64())})
+        j = out.join(nv, keys="ring_id")
+        return j.select(["ring_id", "n_verts", "ring_area_q"])
+
+    return (_customer_rings(sf_dir)
+            .map_batches(area_kernel, batch_format="pyarrow")
+            .to_pandas())
+
+
+def q_ring_centroid(sf_dir: str):
+    """Shoelace polygon centroid per ring
+    (stages/geometry.py::ring_centroid_batch) over the same
+    customer-derived rings as q_way_area: C = (Sx, Sy) / (3 S) with
+    strict vertex-order folds and floor micro-degree quantization —
+    degenerate (collinear, S = 0) rings drop on both engines."""
+    from ..stages import geometry
+    return (_customer_rings(sf_dir)
+            .map_batches(geometry.ring_centroid_batch,
+                         batch_format="pyarrow")
             .to_pandas())
 
 

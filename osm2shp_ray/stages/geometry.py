@@ -304,6 +304,71 @@ def ring_area_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _ring_folds(batch: pa.Table):
+    """Shared sequential shoelace folds over (xs, ys) list columns:
+    returns (counts, S, Sx, Sy) per row — S the signed shoelace sum
+    (2A), Sx/Sy the centroid numerator folds — each a strict
+    vertex-order left fold plus the wrap term added last, the exact
+    order DuckDB's list_sum + trailing addition evaluates."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    n = len(batch)
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    S = np.zeros(n, np.float64)
+    Sx = np.zeros(n, np.float64)
+    Sy = np.zeros(n, np.float64)
+    if len(fx) >= 2:
+        t = fx[:-1] * fy[1:] - fx[1:] * fy[:-1]
+        tx = (fx[:-1] + fx[1:]) * t
+        ty = (fy[:-1] + fy[1:]) * t
+        cross = offsets[1:-1] - 1
+        cross = cross[(cross >= 0) & (cross < len(t))]
+        t[cross] = 0.0
+        tx[cross] = 0.0
+        ty[cross] = 0.0
+        vert_way = np.repeat(np.arange(n), counts)
+        vw = vert_way[: len(t)]
+        np.add.at(S, vw, t)
+        np.add.at(Sx, vw, tx)
+        np.add.at(Sy, vw, ty)
+    last, first = offsets[1:] - 1, offsets[:-1]
+    wt = fx[last] * fy[first] - fx[first] * fy[last]
+    S = S + wt
+    Sx = Sx + (fx[last] + fx[first]) * wt
+    Sy = Sy + (fy[last] + fy[first]) * wt
+    return counts, S, Sx, Sy
+
+
+def ring_centroid_batch(batch: pa.Table, id_col: str = "ring_id",
+                        min_area_q: int = 100) -> pa.Table:
+    """Per-ring polygon centroid (id, n_verts, cx_q, cy_q): the
+    standard shoelace centroid C = (Sx, Sy) / (3 S), quantized to
+    int64 micro-degrees with floor (toward -inf on both engines).
+    Rings with < 3 vertices or quantized area below ``min_area_q``
+    (floor(|S| * 5e5) — the q_way_area unit) are dropped: a
+    self-intersecting vertex cycle whose signed area nearly cancels
+    has an unbounded shoelace centroid, and the default gate
+    (|S| >= 2e-4 deg^2) provably keeps |C| * 1e6 inside int64 for
+    WGS84 coordinates. Both conditions mirror in the SQL."""
+    counts, S, Sx, Sy = _ring_folds(batch)
+    aq = np.floor(np.abs(S) * 500000.0)
+    keep = (counts >= 3) & (aq >= min_area_q)
+    idx = np.flatnonzero(keep)
+    take = pa.array(idx, pa.int64())
+    cx = Sx[idx] / (3.0 * S[idx])
+    cy = Sy[idx] / (3.0 * S[idx])
+    return pa.table({
+        id_col: batch[id_col].take(take),
+        "n_verts": pa.array(counts[idx], pa.int64()),
+        "cx_q": pa.array(np.floor(cx * 1e6).astype(np.int64), pa.int64()),
+        "cy_q": pa.array(np.floor(cy * 1e6).astype(np.int64), pa.int64()),
+    })
+
+
 # ------------------------------------------------------------ P5: break
 
 def _piece_id(way_id: int, piece: int) -> int:
