@@ -267,6 +267,16 @@ def run_bench() -> dict:
         ("q_ewma", q.q_ewma),
         ("q_ohlc", q.q_ohlc),
         ("q_union_by_name", q.q_union_by_name),
+        ("q13_cust_distribution", q.q13_cust_distribution),
+        ("q17_small_qty_revenue", q.q17_small_qty_revenue),
+        ("q22_idle_rich_customers", q.q22_idle_rich_customers),
+        ("q_dup_ngram_ratio", q.q_dup_ngram_ratio),
+        ("q_way_area", q.q_way_area),
+        ("q_ring_centroid", q.q_ring_centroid),
+        ("q_bbox_join", q.q_bbox_join),
+        ("q_image_stats", q.q_image_stats),
+        ("q_chunk_dedup", q.q_chunk_dedup),
+        ("q_gap_fill", q.q_gap_fill),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

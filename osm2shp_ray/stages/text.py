@@ -958,15 +958,17 @@ def dup_ngram_stats(ds, n: int = 3, text_col: str = "text",
     appear in at least one OTHER document, and what fraction of the
     document that covers.
 
-    Plan shape: one streaming pass emits distinct (doc, gram-hash)
-    rows (documents never span batches, so within-doc dedup is local);
-    a groupby on the 60-bit gram hash counts carrier docs; grams with
-    >= 2 carriers semijoin back (bucketed ``hash_join``, same key, no
-    text ever shuffles — only int64 hash rows); two tiny per-doc
-    aggregates finish. The coverage percentage is integer-exact:
+    Plan shape (3 exchanges): one streaming pass emits distinct
+    (doc, gram-hash) rows (documents never span batches, so
+    within-doc dedup is local); a groupby on the 60-bit gram hash
+    counts carrier docs; ONE bucketed ``hash_join`` carries the
+    carrier count back onto every gram row (no text ever shuffles —
+    only int64 hash rows); a single per-doc aggregate then produces
+    both the total and the duplicated-gram count, so no per-doc join
+    or null-fill is needed. The coverage percentage is integer-exact:
     ``dup_pct_q = (10000 * n_dup) // n_grams``.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     import pyarrow.compute as pc
 
@@ -980,22 +982,25 @@ def dup_ngram_stats(ds, n: int = 3, text_col: str = "text",
         return df.to_arrow().select([id_col, "gh"])
 
     grams = coalesced(ds.map_batches(gram_rows, batch_format="pyarrow")) \
-        .materialize()  # consumed twice: per-doc totals + carrier counts
-    per_doc = grams.groupby(id_col).aggregate(Count(alias_name="n_grams"))
-    dup_keys = (grams.groupby("gh").aggregate(Count(alias_name="n_docs"))
-                .filter(expr="n_docs >= 2")
-                .map_batches(lambda t: pa.table({"gh": t["gh"]}),
-                             batch_format="pyarrow"))
-    per_doc_dup = (hash_join(grams, dup_keys, on="gh", how="left_semi",
-                             n_buckets=n_buckets)
-                   .groupby(id_col).aggregate(Count(alias_name="n_dup")))
-    out = hash_join(per_doc, per_doc_dup, on=id_col, how="left",
-                    n_buckets=n_buckets)
+        .materialize()  # consumed twice: carrier counts + join-back
+    carriers = grams.groupby("gh").aggregate(Count(alias_name="n_docs"))
+    joined = hash_join(grams, carriers, on="gh", n_buckets=n_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        dup = pc.if_else(pc.greater_equal(t["n_docs"].cast(pa.int64()),
+                                          pa.scalar(2, pa.int64())),
+                         pa.scalar(1, pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({id_col: t[id_col], "dup": dup})
+
+    out = (joined.map_batches(flag, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Count(alias_name="n_grams"),
+                      Sum("dup", alias_name="n_dup")))
 
     def finish(t: pa.Table) -> pa.Table:
         ng = t["n_grams"].cast(pa.int64())
-        nd = pc.fill_null(t["n_dup"].cast(pa.int64()),
-                          pa.scalar(0, pa.int64()))
+        nd = t["n_dup"].cast(pa.int64())
         pct = pc.divide(pc.multiply(nd, pa.scalar(10000, pa.int64())), ng)
         return pa.table({id_col: t[id_col], "n_grams": ng, "n_dup": nd,
                          "dup_pct_q": pct})
