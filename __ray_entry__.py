@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_gap_fill": q.q_gap_fill,
+        "q16_part_supplier_counts": q.q16_part_supplier_counts,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -1203,6 +1204,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM r)
             SELECT g.user_id, g.bucket, coalesce(c.n_events, 0) AS n_events
             FROM g LEFT JOIN c USING (user_id, bucket)""",
+        # Q16: exact distinct-supplier counts per part group with a
+        # NOT-IN supplier exclusion and an excluded brand
+        "q16_part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT s_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey AS p_partkey,
+                         l_suppkey AS s_suppkey FROM lineitem) pr
+            JOIN part USING (p_partkey)
+            WHERE p_brand <> 'Brand#13'
+              AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_suppkey % 7 = 0)
+            GROUP BY 1, 2, 3""",
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

@@ -2537,6 +2537,60 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+Q16_EXCLUDE_BRAND = "Brand#13"
+
+
+def q16_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 analog (parts/supplier relationship): per
+    (p_brand, p_type, p_size) group, the EXACT count of distinct
+    suppliers offering the part — with an excluded-supplier NOT-IN
+    list (s_suppkey % 7 == 0, the deterministic stand-in for Q16's
+    complaints predicate; non-empty at every scale so the anti-join
+    side always has a schema) and an excluded brand. The
+    distinct count is exact and distributed: lineitem projects to
+    distinct (partkey, suppkey) pairs per batch, one pair-level
+    groupby dedups globally, the excluded-supplier set applies as a
+    bucketed left_anti hash_join (never a driver collection), and the
+    final group count runs over already-distinct pairs."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return (pa.table({"p_partkey": t["l_partkey"],
+                          "s_suppkey": t["l_suppkey"]})
+                .group_by(["p_partkey", "s_suppkey"]).aggregate([]))
+
+    pairs = (coalesced(_read(sf_dir, "lineitem",
+                             ["l_partkey", "l_suppkey"])
+                       .map_batches(pair_rows, batch_format="pyarrow"))
+             .groupby(["p_partkey", "s_suppkey"])
+             .aggregate(Count(alias_name="__c"))
+             .drop_columns(["__c"]))
+    def bad_rows(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"]
+        m = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)),
+                     pa.scalar(0, pa.int64()))
+        return pa.table({"s_suppkey": t.filter(m)["s_suppkey"]})
+
+    bad_supp = (_read(sf_dir, "supplier", ["s_suppkey"])
+                .map_batches(bad_rows, batch_format="pyarrow"))
+    ok_pairs = hash_join(pairs, bad_supp, on="s_suppkey",
+                         how="left_anti", n_buckets=32)
+    parts = (_read(sf_dir, "part",
+                   ["p_partkey", "p_brand", "p_type", "p_size"])
+             .filter(expr=f"p_brand != '{Q16_EXCLUDE_BRAND}'"))
+    joined = hash_join(ok_pairs, parts, on="p_partkey", n_buckets=32)
+    # exact count(DISTINCT suppkey): dedup (group, suppkey) first —
+    # a supplier offering two parts of one group must count once
+    distinct_gs = (joined
+                   .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+                   .aggregate(Count(alias_name="__c"))
+                   .drop_columns(["__c"]))
+    return (distinct_gs.groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Count(alias_name="supplier_cnt"))
+            .to_pandas())
+
+
 def q_gap_fill(sf_dir: str):
     """Dense per-user daily event grid with zero-filled gaps
     (stages/temporal.py::gap_fill): every day between a user's first
