@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_gap_fill": q.q_gap_fill,
         "q16_part_supplier_counts": q.q16_part_supplier_counts,
+        "q_trimmed_mean": q.q_trimmed_mean,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -1217,6 +1218,23 @@ def oracle_sql() -> dict[str, str]:
               AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                     WHERE s_suppkey % 7 = 0)
             GROUP BY 1, 2, 3""",
+        # 10%-trimmed per-user aggregate: drop floor(n/10) rows from
+        # each end of the (value_q, event_id) order, integer-exact
+        "q_trimmed_mean": """
+            WITH v AS (
+              SELECT user_id, event_id,
+                     CAST(floor(value * 10000) AS BIGINT) AS vq
+              FROM events),
+            r AS (
+              SELECT user_id, vq,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY vq, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM v)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(vq) AS BIGINT) AS kept_sum_q
+            FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+            GROUP BY user_id""",
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

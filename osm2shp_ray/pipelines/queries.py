@@ -2537,6 +2537,42 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+TRIM_FRAC_DENOM = 10  # drop floor(n/10) rows from each end
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Per-user 10%-trimmed aggregate of event values: drop the
+    lowest and highest floor(n/10) rows by (quantized value, event_id)
+    order, then report the surviving count and integer sum — the
+    outlier-robust mean's exact building blocks (the mean itself is
+    kept_sum_q / n_kept, left unrounded to stay integer-exact). One
+    bucketed groupby; the in-group kernel is a vectorized sort+slice,
+    one kernel call per group batch, never per row."""
+    def kernel(t: pa.Table) -> pa.Table:
+        vq = pc.floor(pc.multiply(t["value"], pa.scalar(10000.0))) \
+               .cast(pa.int64())
+        t2 = pa.table({"user_id": t["user_id"], "vq": vq,
+                       "event_id": t["event_id"]}).sort_by(
+            [("vq", "ascending"), ("event_id", "ascending")])
+        n = len(t2)
+        k = n // TRIM_FRAC_DENOM
+        kept = t2.slice(k, max(0, n - 2 * k))
+        if len(kept) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "kept_sum_q": pa.array([], pa.int64())})
+        s = pc.sum(kept["vq"]).as_py()
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "kept_sum_q": pa.array([int(s)], pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(kernel, batch_format="pyarrow")
+            .to_pandas())
+
+
 Q16_EXCLUDE_BRAND = "Brand#13"
 
 
