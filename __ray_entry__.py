@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gap_fill": q.q_gap_fill,
         "q16_part_supplier_counts": q.q16_part_supplier_counts,
         "q_trimmed_mean": q.q_trimmed_mean,
+        "q_embed_centroid": q.q_embed_centroid,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -1235,6 +1236,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vq) AS BIGINT) AS kept_sum_q
             FROM r WHERE rn > n // 10 AND rn <= n - n // 10
             GROUP BY user_id""",
+        # per-label embedding centroid sums: quantize-then-sum, the
+        # float32 -> float64 promotion is exact on both engines
+        "q_embed_centroid": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(d AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_q
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS d
+                  FROM embeddings)
+            GROUP BY 1, 2""",
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

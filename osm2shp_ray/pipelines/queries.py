@@ -2537,6 +2537,16 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_embed_centroid(sf_dir: str):
+    """Per-label embedding centroid sums (stages/ann.py::
+    label_centroids): exact (label, dim, n, sum_q) vector aggregate
+    with quantize-then-sum int64 exactness — each batch scatters to
+    label partials, the exchange never carries vectors."""
+    from ..stages.ann import label_centroids
+    return label_centroids(
+        _read(sf_dir, "embeddings", ["embedding", "label"])).to_pandas()
+
+
 TRIM_FRAC_DENOM = 10  # drop floor(n/10) rows from each end
 
 

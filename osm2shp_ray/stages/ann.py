@@ -556,3 +556,48 @@ def centroid_outliers(ds, centroid_ids: np.ndarray, centroids: np.ndarray,
                          "d2": pa.array(d2[keep], pa.float64())})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def label_centroids(ds, vec_col: str = "embedding",
+                    label_col: str = "label"):
+    """Per-label embedding centroid building blocks — the vector
+    aggregate every clustering / class-prototype pipeline needs: for
+    each (label, dimension), the exact element count and the int64 sum
+    of floor(v * 1e6)-quantized components (quantize-then-sum makes
+    the distributed total combine-order independent; the centroid is
+    sum_q / n, left undivided to stay integer-exact).
+
+    Plan shape: each batch reduces to at most n_labels x d rows via
+    one np.add.at scatter over the zero-copy (n, d) matrix — the
+    exchange carries label-level partials only, never vectors — then
+    one narrow groupby sums them."""
+    from ray.data.aggregate import Sum
+
+    from .util import coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t[vec_col])
+        if m.size == 0:
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        vq = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        labels = t[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uq), vq.shape[1]
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, inv, vq)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            label_col: pa.array(np.repeat(uq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    k), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+            "sum_q": pa.array(sums.reshape(-1), pa.int64())})
+
+    return (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby([label_col, "dim"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q")))
