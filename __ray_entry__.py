@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_part_supplier_counts": q.q16_part_supplier_counts,
         "q_trimmed_mean": q.q_trimmed_mean,
         "q_embed_centroid": q.q_embed_centroid,
+        "q12_priority_lines": q.q12_priority_lines,
+        "q_cdc_merge": q.q_cdc_merge,
+        "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
@@ -1248,6 +1251,52 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS d
                   FROM embeddings)
             GROUP BY 1, 2""",
+        # Q12: CASE pivot over the lineitem->orders join, one year
+        "q12_priority_lines": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag""",
+        # CDC merge: last change per customer wins; a trailing delete
+        # removes the key from the final state
+        "q_cdc_merge": """
+            WITH r AS (
+              SELECT o_custkey AS c_custkey, o_orderkey,
+                     CAST(floor(o_totalprice * 100) AS BIGINT)
+                       AS price_q,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC,
+                                                 o_orderkey DESC) AS rn
+              FROM orders)
+            SELECT c_custkey, price_q AS last_price_q
+            FROM r WHERE rn = 1 AND o_orderkey % 11 <> 0""",
+        # weighted median: smallest value whose cumulative weight
+        # reaches half the group total, deterministic scan order
+        "q_weighted_median": """
+            WITH v AS (
+              SELECT l_partkey % 50 AS grp,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS vq,
+                     CAST(l_quantity * 100 AS BIGINT) AS wq,
+                     l_orderkey, l_linenumber
+              FROM lineitem),
+            c AS (
+              SELECT grp, vq, wq,
+                     sum(wq) OVER (PARTITION BY grp
+                                   ORDER BY vq, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(wq) OVER (PARTITION BY grp) AS W
+              FROM v)
+            SELECT grp, CAST(min(W) AS BIGINT) AS w_total_q,
+                   CAST(min(CASE WHEN 2 * cw >= W THEN vq END)
+                        AS BIGINT) AS wmedian_q
+            FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,

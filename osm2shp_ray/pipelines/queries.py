@@ -2537,6 +2537,138 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+Q12_LO = datetime.datetime(1996, 1, 1)
+Q12_HI = datetime.datetime(1997, 1, 1)
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 analog (shipping priority audit): lineitems shipped
+    within one year joined back to their order's priority, CASE-summed
+    into high/low counts per returnflag. The join ships only
+    (orderkey, returnflag) fact rows; the CASE pivot pre-aggregates
+    per batch so the final exchange is O(flags)."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    lo = pa.scalar(Q12_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q12_HI, type=pa.timestamp("us"))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"]})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_shipdate"])
+          .map_batches(li_prep, batch_format="pyarrow"))
+    joined = hash_join(
+        li, _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        on="o_orderkey", n_buckets=32)
+
+    def case_partial(t: pa.Table) -> pa.Table:
+        is_high = pc.is_in(t["o_orderpriority"],
+                           value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_ = pc.if_else(is_high, pa.scalar(1, pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        lo_ = pc.if_else(is_high, pa.scalar(0, pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "h": hi_, "l": lo_})
+             .group_by("l_returnflag")
+             .aggregate([("h", "sum"), ("l", "sum")]))
+        return g.rename_columns(["l_returnflag", "h", "l"])
+
+    return (coalesced(joined.map_batches(case_partial,
+                                         batch_format="pyarrow"))
+            .groupby("l_returnflag")
+            .aggregate(Sum("h", alias_name="high_line_count"),
+                       Sum("l", alias_name="low_line_count"))
+            .to_pandas())
+
+
+CDC_DEL_MOD = 11
+
+
+def q_cdc_merge(sf_dir: str):
+    """CDC / MERGE semantics — apply a changelog to reach final
+    state: orders form a per-customer change stream ordered by
+    (o_orderdate, o_orderkey); every o_orderkey % CDC_DEL_MOD == 0
+    row is a DELETE, the rest are UPSERTs of the quantized price. The
+    final state keeps, per customer, the value of the LAST change —
+    absent entirely if that change is a delete. One bucketed groupby;
+    the in-group kernel picks the max packed (epoch-day, orderkey)
+    version vectorized."""
+    def kernel(t: pa.Table) -> pa.Table:
+        us = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        day = us // 86_400_000_000
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        packed = day * (1 << 40) + ok
+        i = int(np.argmax(packed))
+        if int(ok[i]) % CDC_DEL_MOD == 0:  # last change is a delete
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "last_price_q": pa.array([], pa.int64())})
+        price_q = int(np.floor(
+            float(t["o_totalprice"][i].as_py()) * 100.0))
+        return pa.table({
+            "c_custkey": pa.array([int(t["o_custkey"][0].as_py())],
+                                  pa.int64()),
+            "last_price_q": pa.array([price_q], pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice"])
+            .groupby("o_custkey")
+            .map_groups(kernel, batch_format="pyarrow")
+            .to_pandas())
+
+
+WMED_GROUPS = 50
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-group weighted median: group = l_partkey % WMED_GROUPS,
+    value = quantized extended price, weight = quantity — the
+    smallest value whose cumulative weight reaches half the group's
+    total (2 * cumw >= W, ties in value broken by orderkey/linenumber
+    for a deterministic scan order). One bucketed groupby; the
+    in-group kernel is one vectorized sort + cumsum."""
+    def prep(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"]
+        grp = pc.subtract(pk, pc.multiply(
+            pc.divide(pk, WMED_GROUPS), WMED_GROUPS))
+        vq = pc.floor(pc.multiply(t["l_extendedprice"],
+                                  pa.scalar(100.0))).cast(pa.int64())
+        wq = pc.multiply(t["l_quantity"], pa.scalar(100.0)) \
+               .cast(pa.int64())
+        return pa.table({"grp": grp, "vq": vq, "wq": wq,
+                         "ok": t["l_orderkey"],
+                         "ln": t["l_linenumber"].cast(pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        vq = t["vq"].to_numpy(zero_copy_only=False)
+        wq = t["wq"].to_numpy(zero_copy_only=False)
+        ok = t["ok"].to_numpy(zero_copy_only=False)
+        ln = t["ln"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok, vq))
+        cw = np.cumsum(wq[order])
+        W = int(cw[-1])
+        i = int(np.searchsorted(2 * cw, W, side="left"))
+        return pa.table({
+            "grp": pa.array([int(t["grp"][0].as_py())], pa.int64()),
+            "w_total_q": pa.array([W], pa.int64()),
+            "wmedian_q": pa.array([int(vq[order][i])], pa.int64())})
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_quantity",
+                   "l_orderkey", "l_linenumber"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("grp")
+            .map_groups(kernel, batch_format="pyarrow")
+            .to_pandas())
+
+
 def q_embed_centroid(sf_dir: str):
     """Per-label embedding centroid sums (stages/ann.py::
     label_centroids): exact (label, dim, n, sum_q) vector aggregate
