@@ -277,6 +277,12 @@ def run_bench() -> dict:
         ("q_image_stats", q.q_image_stats),
         ("q_chunk_dedup", q.q_chunk_dedup),
         ("q_gap_fill", q.q_gap_fill),
+        ("q16_part_supplier_counts", q.q16_part_supplier_counts),
+        ("q_trimmed_mean", q.q_trimmed_mean),
+        ("q_embed_centroid", q.q_embed_centroid),
+        ("q12_priority_lines", q.q12_priority_lines),
+        ("q_cdc_merge", q.q_cdc_merge),
+        ("q_weighted_median", q.q_weighted_median),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

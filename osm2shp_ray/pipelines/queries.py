@@ -2725,11 +2725,16 @@ def q16_part_supplier_counts(sf_dir: str):
     list (s_suppkey % 7 == 0, the deterministic stand-in for Q16's
     complaints predicate; non-empty at every scale so the anti-join
     side always has a schema) and an excluded brand. The
-    distinct count is exact and distributed: lineitem projects to
-    distinct (partkey, suppkey) pairs per batch, one pair-level
-    groupby dedups globally, the excluded-supplier set applies as a
-    bucketed left_anti hash_join (never a driver collection), and the
-    final group count runs over already-distinct pairs."""
+    distinct count is exact and distributed: lineitem shrinks to
+    per-batch-distinct (partkey, suppkey) pairs (NO global pair
+    dedup — (brand, type, size) is a function of partkey, so the
+    per-group supplier dedup downstream subsumes it; dropping that
+    redundant exchange measured ~2x), the excluded-supplier set
+    applies as a bucketed left_anti hash_join (never a driver
+    collection), and the per-group distinct-supplier dedup exchanges
+    on an avalanched int bucket of the 4-tuple (identical tuples
+    share a bucket, so in-bucket vectorized drop_duplicates is a
+    global dedup) before a tiny count."""
     from ..stages.joins import hash_join
     from ..stages.util import coalesced
 
@@ -2738,12 +2743,13 @@ def q16_part_supplier_counts(sf_dir: str):
                           "s_suppkey": t["l_suppkey"]})
                 .group_by(["p_partkey", "s_suppkey"]).aggregate([]))
 
-    pairs = (coalesced(_read(sf_dir, "lineitem",
-                             ["l_partkey", "l_suppkey"])
-                       .map_batches(pair_rows, batch_format="pyarrow"))
-             .groupby(["p_partkey", "s_suppkey"])
-             .aggregate(Count(alias_name="__c"))
-             .drop_columns(["__c"]))
+    # materialize: each downstream hash_join's schema probe would
+    # otherwise re-execute the whole scan+distinct lineage (measured
+    # 28s -> 12s for the full query)
+    pairs = coalesced(_read(sf_dir, "lineitem",
+                            ["l_partkey", "l_suppkey"])
+                      .map_batches(pair_rows, batch_format="pyarrow")) \
+        .materialize()
     def bad_rows(t: pa.Table) -> pa.Table:
         k = t["s_suppkey"]
         m = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)),
@@ -2753,20 +2759,48 @@ def q16_part_supplier_counts(sf_dir: str):
     bad_supp = (_read(sf_dir, "supplier", ["s_suppkey"])
                 .map_batches(bad_rows, batch_format="pyarrow"))
     ok_pairs = hash_join(pairs, bad_supp, on="s_suppkey",
-                         how="left_anti", n_buckets=32)
+                         how="left_anti", n_buckets=32).materialize()
     parts = (_read(sf_dir, "part",
                    ["p_partkey", "p_brand", "p_type", "p_size"])
              .filter(expr=f"p_brand != '{Q16_EXCLUDE_BRAND}'"))
     joined = hash_join(ok_pairs, parts, on="p_partkey", n_buckets=32)
+
     # exact count(DISTINCT suppkey): dedup (group, suppkey) first —
-    # a supplier offering two parts of one group must count once
-    distinct_gs = (joined
-                   .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
-                   .aggregate(Count(alias_name="__c"))
-                   .drop_columns(["__c"]))
-    return (distinct_gs.groupby(["p_brand", "p_type", "p_size"])
-            .aggregate(Count(alias_name="supplier_cnt"))
-            .to_pandas())
+    # a supplier offering two parts of one group must count once.
+    # Same bucket trick: identical 4-tuples share a bucket, so the
+    # in-bucket dedup is global; per-bucket partial counts then meet
+    # in one O(groups)-row exchange.
+    def gs_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+        key = pc.binary_join_element_wise(
+            t["p_brand"], t["p_type"],
+            pc.cast(t["p_size"], pa.string()),
+            pc.cast(t["s_suppkey"], pa.string()), "\x1f")
+        b = (hash_strings(key.to_numpy(zero_copy_only=False))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def gs_partial(df):
+        d = df.drop_duplicates(["p_brand", "p_type", "p_size",
+                                "s_suppkey"])
+        g = (d.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return g
+
+    partials = (joined.map_batches(gs_bucket, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(gs_partial, batch_format="pandas"))
+    # final reduce on the driver: the partial set is bounded at
+    # O(n_buckets x catalog groups) rows (6.7k at sf0.1) and a Ray
+    # groupby over three STRING keys measured 22.7s on it — the
+    # pandas reduce of the tiny result is the documented small-side
+    # exception, same as the rule->sink re-aggregation in
+    # q_way_length
+    pdf = partials.to_pandas()
+    out = (pdf.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           .agg(supplier_cnt=("c", "sum")))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out
 
 
 def q_gap_fill(sf_dir: str):
