@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bbox_join": q.q_bbox_join,
         "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
+        "q_video_scenes": q.q_video_scenes,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -242,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
     clip_meta_pq = cached_clip_meta_parquet(CLIP_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_image_stats_parquet
     image_stats_pq = cached_image_stats_parquet(POSTPROCESS_IMAGES_N)
+    from osm2shp_ray.sources.fixtures import cached_video_scene_parquet
+    video_scene_pq = cached_video_scene_parquet(VIDEO_CLIPS_N)
 
     def img_entities(path: str) -> str:
         return ("SELECT *, regexp_extract_all(caption, '[^ ]+=[^ ]*') AS tl "
@@ -1488,6 +1491,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
             FROM read_parquet('{image_stats_pq}')
             WHERE fmt = 'png'""",
+        # scene changes: integer frame differencing must reproduce
+        # the generator-side ground truth of the encoded frames
+        "q_video_scenes": f"""
+            SELECT clip_id, n_frames, n_changes, mad_q_sum
+            FROM read_parquet('{video_scene_pq}')""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

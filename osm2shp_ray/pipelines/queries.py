@@ -2537,6 +2537,22 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_video_scenes(sf_dir: str):
+    """Per-clip video scene-change detection
+    (stages/audio.py::scene_changes): QVID decode + exact integer
+    frame differencing; every value bit-equal to the generator-side
+    ground truth of the encoded frames (zlib is lossless)."""
+    from ..sources.fixtures import (SCENE_THRESH_Q,
+                                    cached_video_scene_parquet,
+                                    video_batch)
+    from ..stages.audio import scene_changes
+    cached_video_scene_parquet(VIDEO_CLIPS_N)  # oracle side input
+    clips = rd.from_arrow(video_batch(np.arange(VIDEO_CLIPS_N)))
+    out = scene_changes(clips, thresh_q=SCENE_THRESH_Q)
+    return out.select_columns(
+        ["clip_id", "n_frames", "n_changes", "mad_q_sum"]).to_pandas()
+
+
 Q12_LO = datetime.datetime(1996, 1, 1)
 Q12_HI = datetime.datetime(1997, 1, 1)
 

@@ -452,3 +452,39 @@ def cached_image_stats_parquet(n: int) -> str:
         "px_min": pa.array(mins, pa.int64()),
         "px_max": pa.array(maxs, pa.int64()),
     }), path)
+
+
+SCENE_THRESH_Q = 85_000  # milli-units of mean |diff|; the fixture's
+# frames are independent noise, so per-pair mad_q clusters tightly
+# (80.6k-90.8k measured) and the median threshold exercises both
+# classes while staying sensitive to exact integer reproduction
+
+
+def cached_video_scene_parquet(n: int, n_frames: int = 12,
+                               w: int = 16, h: int = 12) -> str:
+    """Per-clip frame-differencing ground truth for the video fixture:
+    for consecutive frame pairs, mad_q = (1000 * sum|a-b|) // (w*h*3)
+    in exact int64; n_changes counts pairs with mad_q >= SCENE_THRESH_Q.
+    Computed here from ground_truth_pixels — the QVID blocks are
+    zlib-lossless, so the engine's decode must reproduce every value
+    bit-exactly."""
+    path = os.path.join(FIXTURE_ROOT,
+                        f"video_scene_n{n}_f{n_frames}.parquet")
+    if os.path.exists(path):
+        return path
+    denom = w * h * 3
+    ids, chg, sums = [], [], []
+    for i in range(n):
+        frames = [ground_truth_pixels(i * 1000 + k, w, h).astype(np.int64)
+                  for k in range(n_frames)]
+        madqs = [int(1000 * np.abs(frames[k] - frames[k - 1]).sum())
+                 // denom for k in range(1, n_frames)]
+        ids.append(f"vid-{i:06d}")
+        chg.append(sum(1 for m in madqs if m >= SCENE_THRESH_Q))
+        sums.append(sum(madqs))
+    return _atomic_parquet(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "n_frames": pa.array(np.full(n, n_frames, np.int64), pa.int64()),
+        "n_changes": pa.array(chg, pa.int64()),
+        "mad_q_sum": pa.array(sums, pa.int64()),
+    }), path)
