@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
         "q_video_scenes": q.q_video_scenes,
+        "q_new_users_daily": q.q_new_users_daily,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1496,6 +1497,22 @@ def oracle_sql() -> dict[str, str]:
         "q_video_scenes": f"""
             SELECT clip_id, n_frames, n_changes, mad_q_sum
             FROM read_parquet('{video_scene_pq}')""",
+        # daily new users + cumulative: first-event day per user, day
+        # histogram, running sum over the bounded day rows
+        "q_new_users_daily": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                       AS day
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            h AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+                  FROM f GROUP BY day)
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_users
+            FROM h""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

@@ -2537,6 +2537,37 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_new_users_daily(sf_dir: str):
+    """Daily user-activation counts with the cumulative total:
+    per-user first PURCHASE day (one Min exchange with a per-batch
+    combiner; the purchase scope spreads activations across the date
+    range — every user's first raw event lands on day one in this
+    corpus), a tiny day histogram, and the running sum over the
+    bounded-by-time-range day rows on the driver (the running_total
+    stage's documented small-prefix exception). Day keys are exact
+    integer floor-divs of epoch microseconds."""
+    from ..stages.util import coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        g = (pa.table({"user_id": t["user_id"],
+                       "day": pa.array(us // 86_400_000_000, pa.int64())})
+             .group_by("user_id").aggregate([("day", "min")]))
+        return g.rename_columns(["user_id", "day"])
+
+    first = (coalesced(_read(sf_dir, "events",
+                             ["user_id", "ts", "event_type"])
+                       .map_batches(partial, batch_format="pyarrow"))
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    hist = (first.groupby("day").aggregate(Count(alias_name="n_new"))
+            .to_pandas().sort_values("day", ignore_index=True))
+    hist["cum_users"] = hist["n_new"].cumsum().astype("int64")
+    hist["n_new"] = hist["n_new"].astype("int64")
+    return hist
+
+
 def q_video_scenes(sf_dir: str):
     """Per-clip video scene-change detection
     (stages/audio.py::scene_changes): QVID decode + exact integer
