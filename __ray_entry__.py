@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_stats": q.q_image_stats,
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
+        "q_focal_density": q.q_focal_density,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1513,6 +1514,22 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS cum_users
             FROM h""",
+        # raster focal sum: 3x3 neighborhood self-join over the
+        # integer cell grid (identical integer binning on both sides)
+        "q_focal_density": f"""
+            WITH p AS (
+              SELECT ((c_custkey * {LON_MULT}) % 360000000) * 64
+                       // 360000000 AS x,
+                     ((c_custkey * {LAT_MULT}) % 180000000) * 64
+                       // 180000000 AS y
+              FROM customer),
+            c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY x, y)
+            SELECT a.x, a.y, a.n, CAST(sum(b.n) AS BIGINT) AS focal_n
+            FROM c a JOIN c b
+              ON b.x BETWEEN a.x - 1 AND a.x + 1
+             AND b.y BETWEEN a.y - 1 AND a.y + 1
+            GROUP BY a.x, a.y, a.n""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

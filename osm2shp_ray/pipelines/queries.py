@@ -2537,6 +2537,61 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+FOCAL_RES_BITS = 6
+
+
+def q_focal_density(sf_dir: str):
+    """Raster focal (3x3 neighborhood) density: customer points bin
+    into a 2^13-wide integer grid, each cell BROADCASTS its count to
+    its nine neighbors (vectorized 9-way replicate of the tiny cell
+    table — the raster focal-sum kernel without any windowed join),
+    one groupby sums arrivals, and a bucketed join attaches each real
+    cell's own count. Pure integer grid math mirrors the SQL
+    (self-join on BETWEEN +-1) exactly."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    side = 1 << FOCAL_RES_BITS
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        x = (ck * LON_MULT % 360000000) * side // 360000000
+        y = (ck * LAT_MULT % 180000000) * side // 180000000
+        key = x * side + y
+        g = (pa.table({"cell": pa.array(key, pa.int64())})
+             .group_by("cell").aggregate([("cell", "count")]))
+        return g.rename_columns(["cell", "c"])
+
+    cells = (coalesced(_read(sf_dir, "customer", ["c_custkey"])
+                       .map_batches(to_cells, batch_format="pyarrow"))
+             .groupby("cell").aggregate(Sum("c", alias_name="n"))
+             .materialize())  # consumed twice: replicate + join-back
+
+    def replicate(t: pa.Table) -> pa.Table:
+        key = t["cell"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = key // side, key % side
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                # mask out-of-grid targets: the packed key would wrap
+                # a y-edge neighbor onto the adjacent x row, which the
+                # (x, y) BETWEEN join in the mirror never matches
+                ok = (nx >= 0) & (nx < side) & (ny >= 0) & (ny < side)
+                outs.append(pa.table({
+                    "cell": pa.array((nx * side + ny)[ok], pa.int64()),
+                    "nb": pa.array(n[ok], pa.int64())}))
+        return pa.concat_tables(outs)
+
+    focal = (cells.map_batches(replicate, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("nb", alias_name="focal_n")))
+    out = hash_join(cells, focal, on="cell", n_buckets=16).to_pandas()
+    out["x"] = (out["cell"] // side).astype("int64")
+    out["y"] = (out["cell"] % side).astype("int64")
+    return out[["x", "y", "n", "focal_n"]]
+
+
 def q_new_users_daily(sf_dir: str):
     """Daily user-activation counts with the cumulative total:
     per-user first PURCHASE day (one Min exchange with a per-batch
