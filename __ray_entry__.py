@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
         "q_focal_density": q.q_focal_density,
+        "q_impute_values": q.q_impute_values,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1530,6 +1531,24 @@ def oracle_sql() -> dict[str, str]:
               ON b.x BETWEEN a.x - 1 AND a.x + 1
              AND b.y BETWEEN a.y - 1 AND a.y + 1
             GROUP BY a.x, a.y, a.n""",
+        # per-key mean imputation: integer floor-mean of non-missing
+        # values fills the missing ones; all-missing keys drop
+        "q_impute_values": """
+            WITH v AS (
+              SELECT event_id, user_id,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(floor(value * 10000) AS BIGINT)
+                     END AS vq
+              FROM events),
+            m AS (
+              SELECT user_id,
+                     CAST(sum(vq) AS BIGINT)
+                       // CAST(count(vq) AS BIGINT) AS mean_q
+              FROM v WHERE vq IS NOT NULL GROUP BY user_id)
+            SELECT event_id, coalesce(v.vq, m.mean_q) AS value_q,
+                   CAST(CASE WHEN v.vq IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS imputed
+            FROM v JOIN m USING (user_id)""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

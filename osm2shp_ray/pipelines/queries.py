@@ -2537,6 +2537,57 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_impute_values(sf_dir: str):
+    """Per-key mean imputation — the data-cleaning join-back: error
+    events' values are treated as missing and filled with the user's
+    integer floor-mean of non-missing quantized values. One per-user
+    (sum, count) exchange with a per-batch combiner, one bucketed
+    join-back, vectorized coalesce; users with only missing values
+    drop on both engines (inner join)."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    def prep(t: pa.Table) -> pa.Table:
+        vq = pc.floor(pc.multiply(t["value"], pa.scalar(10000.0))) \
+               .cast(pa.int64())
+        miss = pc.equal(t["event_type"], pa.scalar("error"))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "vq": vq,
+                         "miss": miss})
+
+    rows = (_read(sf_dir, "events",
+                  ["event_id", "user_id", "value", "event_type"])
+            .map_batches(prep, batch_format="pyarrow").materialize())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.invert(t["miss"]))
+        g = (pa.table({"user_id": keep["user_id"], "sq": keep["vq"]})
+             .group_by("user_id")
+             .aggregate([("sq", "sum"), ("sq", "count")]))
+        return g.rename_columns(["user_id", "sq", "cnt"])
+
+    means = (coalesced(rows.map_batches(stats_partial,
+                                        batch_format="pyarrow"))
+             .groupby("user_id")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("cnt", alias_name="cnt"))
+             .map_batches(lambda t: pa.table({
+                 "user_id": t["user_id"],
+                 "mean_q": pc.divide(t["sq"].cast(pa.int64()),
+                                     t["cnt"].cast(pa.int64()))}),
+                 batch_format="pyarrow"))
+    joined = hash_join(rows, means, on="user_id", n_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        value_q = pc.if_else(t["miss"], t["mean_q"], t["vq"])
+        imputed = pc.if_else(t["miss"], pa.scalar(1, pa.int64()),
+                             pa.scalar(0, pa.int64()))
+        return pa.table({"event_id": t["event_id"], "value_q": value_q,
+                         "imputed": imputed})
+
+    return joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+
+
 FOCAL_RES_BITS = 6
 
 
