@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_new_users_daily": q.q_new_users_daily,
         "q_focal_density": q.q_focal_density,
         "q_impute_values": q.q_impute_values,
+        "q_fill_forward": q.q_fill_forward,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1549,6 +1550,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN v.vq IS NULL THEN 1 ELSE 0 END
                         AS BIGINT) AS imputed
             FROM v JOIN m USING (user_id)""",
+        # LOCF forward fill: dense per-cohort day grid, ASOF JOIN
+        # carries the last observed daily total into the gaps
+        "q_fill_forward": """
+            WITH o AS (
+              SELECT o_custkey % 20 AS k,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       AS day,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS pq
+              FROM orders),
+            d AS (SELECT k, day, CAST(sum(pq) AS BIGINT) AS v
+                  FROM o GROUP BY k, day),
+            r AS (SELECT k, min(day) AS mn, max(day) AS mx
+                  FROM d GROUP BY k),
+            g AS (SELECT k, unnest(generate_series(mn, mx)) AS day
+                  FROM r)
+            SELECT g.k, g.day, d.v AS locf_q
+            FROM g ASOF JOIN d ON g.k = d.k AND g.day >= d.day""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

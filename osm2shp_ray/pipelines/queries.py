@@ -2537,6 +2537,42 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+LOCF_COHORTS = 20
+
+
+def q_fill_forward(sf_dir: str):
+    """Time-series forward fill (LOCF) — dense per-cohort daily order
+    totals with gaps carrying the last observed value forward
+    (stages/temporal.py::locf_fill: grid explode + bucketed left join
+    + one vectorized per-key fill). DuckDB mirrors it with ASOF
+    JOIN."""
+    from ..stages.temporal import locf_fill
+    from ..stages.util import coalesced
+
+    def daily(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"]
+        k = pc.subtract(ck, pc.multiply(
+            pc.divide(ck, LOCF_COHORTS), LOCF_COHORTS))
+        us = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        pq_ = pc.floor(pc.multiply(t["o_totalprice"],
+                                   pa.scalar(100.0))).cast(pa.int64())
+        g = (pa.table({"k": k,
+                       "day": pa.array(us // 86_400_000_000, pa.int64()),
+                       "pq": pq_})
+             .group_by(["k", "day"]).aggregate([("pq", "sum")]))
+        return g.rename_columns(["k", "day", "locf_q"])
+
+    sparse = (coalesced(_read(sf_dir, "orders",
+                              ["o_custkey", "o_orderdate", "o_totalprice"])
+                        .map_batches(daily, batch_format="pyarrow"))
+              .groupby(["k", "day"])
+              .aggregate(Sum("locf_q", alias_name="locf_q"))
+              .materialize())
+    return locf_fill(sparse, key_col="k", bucket_col="day",
+                     value_col="locf_q").to_pandas()
+
+
 def q_impute_values(sf_dir: str):
     """Per-key mean imputation — the data-cleaning join-back: error
     events' values are treated as missing and filled with the user's

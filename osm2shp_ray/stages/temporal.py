@@ -1182,3 +1182,60 @@ def gap_fill(ds, key_col: str, ts_col: str, bucket_s: float,
                                     pa.scalar(0, pa.int64()))})
 
     return out.map_batches(zero_fill, batch_format="pyarrow")
+
+
+def locf_fill(sparse_ds, key_col: str, bucket_col: str, value_col: str,
+              max_buckets: int = 100_000, n_buckets: int | None = None):
+    """Last-observation-carried-forward over a dense per-key bucket
+    grid: given SPARSE (key, bucket, value) observations, emit one row
+    per (key, bucket) for every bucket between the key's first and
+    last observation, carrying the latest observed value forward into
+    the gaps — the time-series forward-fill (LOCF) primitive,
+    composed from the gap-fill grid explode and a per-key vectorized
+    fill kernel.
+
+    Plan shape: per-key [min, max] ranges reduce from the sparse rows
+    (tiny); the dense grid replicates via the shared grouped-arange
+    explode (keys spanning > ``max_buckets`` drop with a log line);
+    observations meet the grid in a bucketed left join; ONE per-key
+    map_groups runs the fill as two numpy passes (sort +
+    maximum.accumulate over observed indices) — never a Python row
+    loop. The grid starts at a real observation, so every output row
+    has a value.
+    """
+    from ray.data.aggregate import Max, Min
+
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    ranges = (sparse_ds.groupby(key_col)
+              .aggregate(Min(bucket_col, alias_name="bmin"),
+                         Max(bucket_col, alias_name="bmax")))
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t["bmin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t["bmax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        src, bins = _explode_spans(lo, hi, 1.0, max_buckets, "locf_fill")
+        return pa.table({key_col: t[key_col].take(pa.array(src, pa.int64())),
+                         bucket_col: pa.array(bins, pa.int64())})
+
+    grid = ranges.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(grid, sparse_ds, on=[key_col, bucket_col],
+                       how="left", n_buckets=n_buckets or 32)
+
+    def fill(t: pa.Table) -> pa.Table:
+        order = np.argsort(t[bucket_col].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        v = t[value_col].to_numpy(zero_copy_only=False)[order]
+        valid = ~pd.isna(v)
+        idx = np.where(valid, np.arange(len(v)), 0)
+        np.maximum.accumulate(idx, out=idx)
+        filled = pa.array(
+            np.where(valid, v, 0)[idx].astype(np.int64), pa.int64())
+        return pa.table({
+            key_col: t[key_col].take(pa.array(order, pa.int64())),
+            bucket_col: t[bucket_col].take(pa.array(order, pa.int64())),
+            value_col: filled})
+
+    return joined.groupby(key_col).map_groups(fill, batch_format="pyarrow")

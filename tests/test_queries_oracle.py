@@ -116,7 +116,7 @@ SQL_CHECKED = [
     "q_ring_centroid", "q16_part_supplier_counts", "q_trimmed_mean",
     "q_embed_centroid", "q12_priority_lines", "q_cdc_merge",
     "q_weighted_median", "q_video_scenes", "q_new_users_daily",
-    "q_focal_density", "q_impute_values",
+    "q_focal_density", "q_impute_values", "q_fill_forward",
 ]
 
 
