@@ -283,6 +283,11 @@ def run_bench() -> dict:
         ("q12_priority_lines", q.q12_priority_lines),
         ("q_cdc_merge", q.q_cdc_merge),
         ("q_weighted_median", q.q_weighted_median),
+        ("q_video_scenes", q.q_video_scenes),
+        ("q_new_users_daily", q.q_new_users_daily),
+        ("q_focal_density", q.q_focal_density),
+        ("q_impute_values", q.q_impute_values),
+        ("q_fill_forward", q.q_fill_forward),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
