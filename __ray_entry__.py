@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_focal_density": q.q_focal_density,
         "q_impute_values": q.q_impute_values,
         "q_fill_forward": q.q_fill_forward,
+        "q04_order_priority": q.q04_order_priority,
+        "q_partitioned_write": q.q_partitioned_write,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1567,6 +1569,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM r)
             SELECT g.k, g.day, d.v AS locf_q
             FROM g ASOF JOIN d ON g.k = d.k AND g.day >= d.day""",
+        # Q4: EXISTS semi-join + per-priority rollup
+        "q04_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity >= 45)
+            GROUP BY o_orderpriority""",
+        # partitioned-sink round trip: the aggregate over what was
+        # written and read back must equal the direct aggregate
+        "q_partitioned_write": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 10000) AS BIGINT))
+                        AS BIGINT) AS vq_sum
+            FROM events GROUP BY event_type""",
         # audio/video: aggregates re-derived from fixture ground-truth
         # metadata (per-clip rms computed by the GENERATOR from the
         # exact int16 samples it encodes; PCM16 decode is lossless)

@@ -2537,6 +2537,82 @@ def q_dup_ngram_ratio(sf_dir: str):
         n=DUP_NGRAM_N).to_pandas()
 
 
+def q_partitioned_write(sf_dir: str):
+    """Partitioned-sink round trip under the hash gate: events write
+    to hive-partitioned parquet (one directory per event_type — the
+    resumable-output layout every pipeline sink here uses), read back
+    with column pruning, and re-aggregate per partition. Values are
+    quantized BEFORE the write so the round trip is bit-exact; the
+    scratch directory is per-process and removed after the read."""
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="q_pwrite_", dir="/tmp")
+    try:
+        def prep(t: pa.Table) -> pa.Table:
+            vq = pc.floor(pc.multiply(t["value"],
+                                      pa.scalar(10000.0))).cast(pa.int64())
+            return pa.table({"event_id": t["event_id"],
+                             "event_type": t["event_type"], "vq": vq})
+
+        (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .write_parquet(out_dir, partition_cols=["event_type"]))
+        back = rd.read_parquet(out_dir, columns=["event_type", "vq"])
+        out = (back.groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("vq", alias_name="vq_sum"))
+               .to_pandas())
+        # hive partition values read back as dictionary/categorical
+        out["event_type"] = out["event_type"].astype(str)
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+Q04_LO = datetime.datetime(1996, 7, 1)
+Q04_HI = datetime.datetime(1996, 10, 1)
+
+
+def q04_order_priority(sf_dir: str):
+    """TPC-H Q4 analog (order-priority checking): orders of one
+    quarter having AT LEAST ONE large-quantity lineitem (the EXISTS
+    shape; this corpus lacks commit/receipt dates, so the qualifying
+    predicate is l_quantity >= 45 — selective like the original's
+    late-lineitem test), counted per priority. The EXISTS gate is the
+    bucketed left_semi hash_join against per-batch-distinct
+    qualifying orderkeys; the final rollup exchanges O(priorities)
+    rows."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    lo = pa.scalar(Q04_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q04_HI, type=pa.timestamp("us"))
+
+    ords = (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .map_batches(lambda t: t.filter(
+                pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                        pc.less(t["o_orderdate"], hi))),
+                batch_format="pyarrow"))
+
+    def big_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"],
+                                      pa.scalar(45.0)))
+        return (pa.table({"o_orderkey": t["l_orderkey"]})
+                .group_by("o_orderkey").aggregate([]))
+
+    big = coalesced(_read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_quantity"])
+                    .map_batches(big_keys, batch_format="pyarrow"))
+    qualifying = hash_join(ords, big, on="o_orderkey",
+                           how="left_semi", n_buckets=32)
+    return (qualifying.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count"))
+            .to_pandas())
+
+
 LOCF_COHORTS = 20
 
 

@@ -117,6 +117,9 @@ SQL_CHECKED = [
     "q_embed_centroid", "q12_priority_lines", "q_cdc_merge",
     "q_weighted_median", "q_video_scenes", "q_new_users_daily",
     "q_focal_density", "q_impute_values", "q_fill_forward",
+    # round 3 (9th session): Q4 EXISTS semi-join, partitioned-sink
+    # round trip
+    "q04_order_priority", "q_partitioned_write",
 ]
 
 
