@@ -128,6 +128,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fill_forward": q.q_fill_forward,
         "q04_order_priority": q.q04_order_priority,
         "q_partitioned_write": q.q_partitioned_write,
+        "q06_forecast_revenue": q.q06_forecast_revenue,
+        "q14_promo_revenue": q.q14_promo_revenue,
+        "q19_discounted_revenue": q.q19_discounted_revenue,
+        "q07_volume_shipping": q.q07_volume_shipping,
+        "q08_market_share": q.q08_market_share,
+        "q09_product_profit": q.q09_product_profit,
+        "q02_min_cost_supplier": q.q02_min_cost_supplier,
+        "q11_important_stock": q.q11_important_stock,
+        "q20_dominant_suppliers": q.q20_dominant_suppliers,
+        "q21_sole_blocking_supplier": q.q21_sole_blocking_supplier,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
         "q_semantic_dedup": q.q_semantic_dedup,
@@ -1697,6 +1707,181 @@ def oracle_sql() -> dict[str, str]:
                      AS roll_q
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # Q6: scan-only aggregate — revenue here is ext * discount
+        # (the discount amount), not ext * (1 - discount)
+        "q06_forecast_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                     AS revenue_q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
+        # Q14: conditional share over a join; the share divides two
+        # exact BIGINTs (DuckDB '/' on BIGINTs yields DOUBLE)
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT) AS rq,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l_shipdate < TIMESTAMP '1996-10-01')
+            SELECT CAST(sum(CASE WHEN is_promo THEN rq ELSE 0 END)
+                        AS BIGINT) AS promo_rev_q,
+                   CAST(sum(rq) AS BIGINT) AS total_rev_q,
+                   round(sum(CASE WHEN is_promo THEN rq ELSE 0 END)
+                         / sum(rq), 4) AS promo_share
+            FROM j""",
+        # Q19: disjunction of (brand, size-range, qty-range)
+        # conjunctions straddling the lineitem|x|part join
+        "q19_discounted_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                     AS revenue_q
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        # Q7: two-nation shipping volume by (supp nation, cust nation,
+        # ship year)
+        "q07_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                     AS revenue_q
+            FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3""",
+        # Q8: per-year national market share among region customers'
+        # orders of one part type; share divides two exact BIGINTs
+        "q08_market_share": """
+            WITH a AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT) AS rq,
+                     s_nationkey = 5 AS is_nation
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN is_nation THEN rq ELSE 0 END)
+                        AS BIGINT) AS nation_rev_q,
+                   CAST(sum(rq) AS BIGINT) AS total_rev_q,
+                   round(sum(CASE WHEN is_nation THEN rq ELSE 0 END)
+                         / sum(rq), 4) AS mkt_share
+            FROM a GROUP BY o_year""",
+        # Q9: profit = revenue - retail cost (no partsupp table in
+        # this corpus; p_retailprice * l_quantity stands in for
+        # supplycost), both terms floor-quantized BEFORE subtraction
+        "q09_product_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)
+                            - CAST(floor(p_retailprice * l_quantity
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                     AS profit_q
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2""",
+        # Q2: per-part argmin with ties — distinct lineitem pairs are
+        # the part<->supplier link (no partsupp table); cent-quantized
+        # balances make the min/equality re-check integer-exact
+        "q02_min_cost_supplier": """
+            WITH link AS (SELECT DISTINCT l_partkey AS p_partkey,
+                                 l_suppkey AS s_suppkey FROM lineitem),
+            cand AS (
+              SELECT link.p_partkey, s.s_name,
+                     CAST(floor(s.s_acctbal * 100) AS BIGINT) AS bal_q
+              FROM link JOIN supplier s ON link.s_suppkey = s.s_suppkey
+                        JOIN nation n ON s.s_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            best AS (SELECT p_partkey, min(bal_q) AS min_bal_q
+                     FROM cand GROUP BY 1)
+            SELECT c.p_partkey, p.p_name, c.s_name, c.bal_q
+            FROM cand c
+              JOIN best b ON c.p_partkey = b.p_partkey
+                         AND c.bal_q = b.min_bal_q
+              JOIN part p ON c.p_partkey = p.p_partkey
+            WHERE p.p_size = 15""",
+        # Q11: HAVING against a global-scalar fraction — the integer
+        # gate value_q > total // 2000 is exactly v*2000 > total
+        "q11_important_stock": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT)
+                       AS value_q
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_nationkey = 12)
+              GROUP BY 1)
+            SELECT p_partkey, value_q FROM v
+            WHERE value_q > (SELECT CAST(sum(value_q) AS BIGINT) // 2000
+                             FROM v)""",
+        # Q20: suppliers dominating some red part's 1996 flow
+        # (share > 50% replaces the availqty test; 2*sq > tq integer)
+        "q20_dominant_suppliers": """
+            WITH li AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(l_quantity * 100 AS BIGINT) AS qty_q
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE '%red%')),
+            pairs AS (SELECT p_partkey, s_suppkey,
+                             CAST(sum(qty_q) AS BIGINT) AS sq
+                      FROM li GROUP BY 1, 2),
+            tot AS (SELECT p_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                    FROM pairs GROUP BY 1)
+            SELECT DISTINCT pairs.s_suppkey, s.s_name
+            FROM pairs JOIN tot USING (p_partkey)
+                       JOIN supplier s ON pairs.s_suppkey = s.s_suppkey
+            WHERE 2 * sq > tq""",
+        # Q21: the ONLY late supplier in a multi-supplier order
+        # (l_quantity >= 45 stands in for the missing commit/receipt
+        # dates); deterministic top-10 by (numwait DESC, suppkey)
+        "q21_sole_blocking_supplier": """
+            WITH o AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN l_quantity >= 45
+                                         THEN l_suppkey END) AS n_late,
+                     min(CASE WHEN l_quantity >= 45
+                              THEN l_suppkey END) AS s_suppkey
+              FROM lineitem GROUP BY 1)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait,
+                   s.s_suppkey
+            FROM o JOIN supplier s USING (s_suppkey)
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s.s_name, s.s_suppkey
+            ORDER BY numwait DESC, s.s_suppkey LIMIT 10""",
         # TPC-H Q5/Q10 analogs: micro-unit quantized revenue (floor of
         # the SAME-parenthesization float64 product) makes every sum an
         # exact int64 in both engines

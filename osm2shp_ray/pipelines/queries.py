@@ -3566,3 +3566,632 @@ def q_union_by_name(sf_dir: str):
                        Sum("bal_sum_q", alias_name="bal_sum_q"),
                        Sum("seg_nulls", alias_name="seg_nulls"))
             .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape completions (9th session): Q6 scan-only aggregate,
+# Q14 conditional-share join, Q19 disjunctive-predicate join, Q7/Q8/Q9
+# multi-dimension join plans. All money sums are micro-unit int64
+# (exact under any combine order); shares are int64/int64 divisions
+# rounded half-away like the SQL mirror.
+
+Q06_LO = datetime.datetime(1996, 1, 1)
+Q06_HI = datetime.datetime(1997, 1, 1)
+
+
+def q06_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 analog (forecasting revenue change): scan-only filter +
+    one global sum — NO join, NO shuffle; every block reduces to one
+    int64 partial and the driver adds |blocks| scalars. The fastest
+    possible plan shape: pruned 4-column read, vectorized triple
+    predicate, combiner-only aggregation."""
+    lo = pa.scalar(Q06_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q06_HI, type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.and_(
+                        pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                        pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        rq = pc.floor(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]),
+            pa.scalar(10000.0))).cast(pa.int64())
+        s = pc.sum(rq).as_py()
+        return pa.table({"rq": pa.array([0 if s is None else s], pa.int64())})
+
+    ds = (_read(sf_dir, "lineitem",
+                ["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+          .map_batches(partial, batch_format="pyarrow"))
+    return pd.DataFrame({"revenue_q": pd.Series([ds.sum("rq")],
+                                                dtype="int64")})
+
+
+Q14_LO = datetime.datetime(1996, 9, 1)
+Q14_HI = datetime.datetime(1996, 10, 1)
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 analog (promotion effect): one-month lineitem joined
+    to part through the bucketed hash_join, conditional share of
+    PROMO-type revenue. Both sums are exact int64; the single ratio is
+    computed driver-side from the two global scalars (no float enters
+    a shuffle)."""
+    from ..stages.joins import hash_join
+
+    lo = pa.scalar(Q14_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q14_HI, type=pa.timestamp("us"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({"p_partkey": t["l_partkey"], "rq": _rev_q(t)})
+
+    j = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        on="p_partkey", n_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(pc.equal(t["p_type"], "PROMO"),
+                           t["rq"], pa.scalar(0, pa.int64()))
+        ps = pc.sum(promo).as_py() or 0
+        ts = pc.sum(t["rq"]).as_py() or 0
+        return pa.table({"p": pa.array([ps], pa.int64()),
+                         "t": pa.array([ts], pa.int64())})
+
+    sums = (j.map_batches(partial, batch_format="pyarrow")
+            .aggregate(Sum("p", alias_name="p"), Sum("t", alias_name="t")))
+    out = pd.DataFrame({"promo_rev_q": pd.Series([sums["p"]], dtype="int64"),
+                        "total_rev_q": pd.Series([sums["t"]], dtype="int64"),
+                        "promo_share": [sums["p"] / sums["t"]]})
+    return _round_cols(out, ["promo_share"])
+
+
+Q19_GROUPS = [
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+]
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 analog (discounted revenue, disjunctive predicates):
+    an OR of three (brand, size-range, quantity-range) conjunctions
+    that straddle the lineitem|x|part join. The part side is
+    pre-filtered to the UNION of the brand/size groups and the
+    lineitem side to the union quantity envelope (predicate pushdown
+    through a disjunction), so the join moves only plausible rows;
+    the exact 3-way disjunction is applied post-join vectorized."""
+    from ..stages.joins import hash_join
+
+    qty_lo = min(g[3] for g in Q19_GROUPS)
+    qty_hi = max(g[4] for g in Q19_GROUPS)
+
+    def part_map(t: pa.Table) -> pa.Table:
+        keep = pa.array(np.zeros(t.num_rows, np.bool_))
+        for b, slo, shi, _, _ in Q19_GROUPS:
+            keep = pc.or_(keep, pc.and_(
+                pc.equal(t["p_brand"], b),
+                pc.and_(pc.greater_equal(t["p_size"], pa.scalar(slo)),
+                        pc.less_equal(t["p_size"], pa.scalar(shi)))))
+        return t.filter(keep).select(["p_partkey", "p_brand", "p_size"])
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_quantity"], pa.scalar(qty_lo)),
+            pc.less_equal(t["l_quantity"], pa.scalar(qty_hi))))
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "l_quantity": t["l_quantity"], "rq": _rev_q(t)})
+
+    j = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .map_batches(part_map, batch_format="pyarrow"),
+        on="p_partkey", n_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pa.array(np.zeros(t.num_rows, np.bool_))
+        for b, slo, shi, qlo, qhi in Q19_GROUPS:
+            keep = pc.or_(keep, pc.and_(
+                pc.and_(pc.equal(t["p_brand"], b),
+                        pc.and_(pc.greater_equal(t["p_size"],
+                                                 pa.scalar(slo)),
+                                pc.less_equal(t["p_size"],
+                                              pa.scalar(shi)))),
+                pc.and_(pc.greater_equal(t["l_quantity"], pa.scalar(qlo)),
+                        pc.less_equal(t["l_quantity"], pa.scalar(qhi)))))
+        s = pc.sum(pc.if_else(keep, t["rq"],
+                              pa.scalar(0, pa.int64()))).as_py()
+        return pa.table({"rq": pa.array([0 if s is None else s],
+                                        pa.int64())})
+
+    ds = j.map_batches(partial, batch_format="pyarrow")
+    return pd.DataFrame({"revenue_q": pd.Series([ds.sum("rq")],
+                                                dtype="int64")})
+
+
+Q07_NATIONS = (3, 8)  # NATION_3 <-> NATION_8, both shipping directions
+# (3 and 8 have suppliers at every sf, sf0.001 included)
+Q07_LO = datetime.datetime(1995, 1, 1)
+Q07_HI = datetime.datetime(1997, 1, 1)
+
+
+def q07_volume_shipping(sf_dir: str):
+    """TPC-H Q7 analog (volume shipping): revenue shipped between two
+    nations, by (supplier nation, customer nation, ship year). Both
+    nation filters are pushed below their joins (supplier/customer
+    shrink to the two nations BEFORE any wide exchange); the three
+    big-big joins are bucketed hash_joins; per-batch partials reduce
+    to <=2x2x|years| rows before the final groupby."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    keep = pa.array(list(Q07_NATIONS), pa.int64())
+    lo = pa.scalar(Q07_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q07_HI, type=pa.timestamp("us"))
+    nk_name = {n["n_nationkey"]: n["n_name"]
+               for n in _read(sf_dir, "nation").take_all()}
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "o_orderkey": t["l_orderkey"],
+                         "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                         "rq": _rev_q(t)})
+
+    def supp_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["s_nationkey"], value_set=keep))
+        return pa.table({"l_suppkey": t["s_suppkey"],
+                         "s_nk": t["s_nationkey"]})
+
+    ls = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"]).map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_map, batch_format="pyarrow"),
+        on="l_suppkey", n_buckets=32,
+        # the nation filter may match no suppliers at tiny sf
+        right_schema=pa.schema([("l_suppkey", pa.int64()),
+                                ("s_nk", pa.int32())])).select_columns(
+            ["o_orderkey", "s_nk", "l_year", "rq"])
+
+    def cust_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_nationkey"], value_set=keep))
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nk": t["c_nationkey"]})
+
+    oc = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(cust_map, batch_format="pyarrow"),
+        on="o_custkey", n_buckets=32).select_columns(
+            ["o_orderkey", "c_nk"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["s_nk"], t["c_nk"]))
+        g = (t.select(["s_nk", "c_nk", "l_year", "rq"])
+             .group_by(["s_nk", "c_nk", "l_year"])
+             .aggregate([("rq", "sum")]))
+        return g.rename_columns(["s_nk", "c_nk", "l_year", "rq"])
+
+    agg = (coalesced(hash_join(ls, oc, on="o_orderkey", n_buckets=32)
+                     .map_batches(partial, batch_format="pyarrow"))
+           .groupby(["s_nk", "c_nk", "l_year"])
+           .aggregate(Sum("rq", alias_name="revenue_q"))
+           .to_pandas())
+    agg["supp_nation"] = agg.pop("s_nk").map(nk_name)
+    agg["cust_nation"] = agg.pop("c_nk").map(nk_name)
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue_q"]]
+
+
+Q08_REGION = "ASIA"
+Q08_NATION = 5          # the nation whose market share is measured
+Q08_TYPE = "ECONOMY"
+
+
+def q08_market_share(sf_dir: str):
+    """TPC-H Q8 analog (national market share): among region-ASIA
+    customers' orders of one part type, the share of revenue supplied
+    by NATION_5 per order year. Part-type and customer-region filters
+    push below their joins; the region keep-set is a driver broadcast
+    (25 fixed nation rows); shares are int64/int64 driver divisions
+    on the <=|years|-row result."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    nations = _read(sf_dir, "nation").take_all()
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    keep_cust_nk = pa.array(
+        sorted(n["n_nationkey"] for n in nations
+               if region[n["n_regionkey"]] == Q08_REGION), pa.int64())
+    lo = pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "o_orderkey": t["l_orderkey"], "rq": _rev_q(t)})
+
+    lp = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]).map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["p_type"], Q08_TYPE)).select(["p_partkey"]),
+            batch_format="pyarrow"),
+        on="p_partkey", how="left_semi", n_buckets=32)
+
+    lps = hash_join(
+        lp, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nk": t["s_nationkey"]}),
+            batch_format="pyarrow"),
+        on="l_suppkey", n_buckets=32).select_columns(
+            ["o_orderkey", "s_nk", "rq"])
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.year(t["o_orderdate"])
+                         .cast(pa.int64())})
+
+    oc = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_map, batch_format="pyarrow"),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(lambda t: pa.table({"o_custkey": t.filter(
+            pc.is_in(t["c_nationkey"], value_set=keep_cust_nk))
+            ["c_custkey"]}), batch_format="pyarrow"),
+        on="o_custkey", how="left_semi", n_buckets=32).select_columns(
+            ["o_orderkey", "o_year"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nat = pc.if_else(pc.equal(t["s_nk"], pa.scalar(Q08_NATION,
+                                                       pa.int64())),
+                         t["rq"], pa.scalar(0, pa.int64()))
+        g = (pa.table({"o_year": t["o_year"], "nrq": nat, "rq": t["rq"]})
+             .group_by("o_year")
+             .aggregate([("nrq", "sum"), ("rq", "sum")]))
+        return g.rename_columns(["o_year", "nrq", "rq"])
+
+    agg = (coalesced(hash_join(lps, oc, on="o_orderkey", n_buckets=32)
+                     .map_batches(partial, batch_format="pyarrow"))
+           .groupby("o_year")
+           .aggregate(Sum("nrq", alias_name="nation_rev_q"),
+                      Sum("rq", alias_name="total_rev_q"))
+           .to_pandas())
+    agg["mkt_share"] = agg["nation_rev_q"] / agg["total_rev_q"]
+    return _round_cols(agg, ["mkt_share"])
+
+
+Q09_NAME_SUB = "red"
+
+
+def q09_product_profit(sf_dir: str):
+    """TPC-H Q9 analog (product-type profit): for parts whose name
+    contains a substring, profit = revenue minus retail cost
+    (p_retailprice * quantity stands in for ps_supplycost — the
+    fixture has no partsupp table), grouped by supplier nation and
+    order year. Both money terms are floor-quantized per row BEFORE
+    the subtraction so int64 group sums are exact and
+    order-independent."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    nk_name = {n["n_nationkey"]: n["n_name"]
+               for n in _read(sf_dir, "nation").take_all()}
+
+    def part_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], Q09_NAME_SUB))
+        return t.select(["p_partkey", "p_retailprice"])
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "o_orderkey": t["l_orderkey"],
+                         "l_quantity": t["l_quantity"], "rq": _rev_q(t)})
+
+    lp = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(part_map, batch_format="pyarrow"),
+        on="p_partkey", n_buckets=32)
+
+    def amount(t: pa.Table) -> pa.Table:
+        cq = pc.floor(pc.multiply(
+            pc.multiply(t["p_retailprice"], t["l_quantity"]),
+            pa.scalar(10000.0))).cast(pa.int64())
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "amt": pc.subtract(t["rq"], cq)})
+
+    lpa = lp.map_batches(amount, batch_format="pyarrow")
+
+    lps = hash_join(
+        lpa, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(lambda t: pa.table(
+            {"l_suppkey": t["s_suppkey"], "s_nk": t["s_nationkey"]}),
+            batch_format="pyarrow"),
+        on="l_suppkey", n_buckets=32).select_columns(
+            ["o_orderkey", "s_nk", "amt"])
+
+    oy = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_year": pc.year(t["o_orderdate"])
+                            .cast(pa.int64())}), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["s_nk", "o_year", "amt"])
+             .group_by(["s_nk", "o_year"]).aggregate([("amt", "sum")]))
+        return g.rename_columns(["s_nk", "o_year", "amt"])
+
+    agg = (coalesced(hash_join(lps, oy, on="o_orderkey", n_buckets=32)
+                     .map_batches(partial, batch_format="pyarrow"))
+           .groupby(["s_nk", "o_year"])
+           .aggregate(Sum("amt", alias_name="profit_q"))
+           .to_pandas())
+    agg["n_name"] = agg.pop("s_nk").map(nk_name)
+    return agg[["n_name", "o_year", "profit_q"]]
+
+
+Q02_REGION = "EUROPE"
+Q02_SIZE = 15
+
+
+def q02_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 analog (minimum-cost supplier): for each size-15 part,
+    the region-EUROPE supplier(s) with the LOWEST account balance
+    among suppliers that ever shipped it (the fixture has no partsupp
+    table — distinct lineitem (part, supplier) pairs are the link
+    relation, and s_acctbal stands in for ps_supplycost). The
+    correlated scalar subquery becomes a per-part Min aggregate
+    joined back (the q17 shape, per key); ties keep every minimal
+    supplier exactly like the SQL. Balances are cent-quantized so the
+    min and the equality re-check are integer-exact."""
+    from ..stages.joins import distinct_rows, hash_join
+    from ..stages.util import coalesced
+
+    nations = _read(sf_dir, "nation").take_all()
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    keep_nk = pa.array(sorted(n["n_nationkey"] for n in nations
+                              if region[n["n_regionkey"]] == Q02_REGION),
+                       pa.int64())
+
+    link = distinct_rows(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(lambda t: (pa.table({"p_partkey": t["l_partkey"],
+                                          "s_suppkey": t["l_suppkey"]})
+                                .group_by(["p_partkey", "s_suppkey"])
+                                .aggregate([])), batch_format="pyarrow"),
+        n_buckets=32)
+
+    def supp_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["s_nationkey"], value_set=keep_nk))
+        return pa.table({
+            "s_suppkey": t["s_suppkey"], "s_name": t["s_name"],
+            "bal_q": pc.floor(pc.multiply(t["s_acctbal"],
+                                          pa.scalar(100.0)))
+            .cast(pa.int64())})
+
+    cand = hash_join(
+        link, _read(sf_dir, "supplier",
+                    ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+        .map_batches(supp_map, batch_format="pyarrow"),
+        on="s_suppkey", n_buckets=32,
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_name", pa.string()),
+                                ("bal_q", pa.int64())])).materialize()
+    # consumed twice: per-part min + equality re-check
+
+    best = (coalesced(cand.map_batches(
+                lambda t: (t.select(["p_partkey", "bal_q"])
+                           .group_by("p_partkey")
+                           .aggregate([("bal_q", "min")])
+                           .rename_columns(["p_partkey", "bal_q"])),
+                batch_format="pyarrow"))
+            .groupby("p_partkey")
+            .aggregate(Min("bal_q", alias_name="min_bal_q")))
+
+    win = (hash_join(cand, best, on="p_partkey", n_buckets=32)
+           .map_batches(lambda t: t.filter(
+               pc.equal(t["bal_q"], t["min_bal_q"]))
+               .select(["p_partkey", "s_name", "bal_q"]),
+               batch_format="pyarrow"))
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["p_size"], pa.scalar(Q02_SIZE)))
+            .select(["p_partkey", "p_name"]), batch_format="pyarrow")
+    return (hash_join(win, parts, on="p_partkey", n_buckets=32)
+            .sort(["p_partkey", "s_name"])
+            .to_pandas()[["p_partkey", "p_name", "s_name", "bal_q"]])
+
+
+Q11_NATION = 12  # has suppliers at every sf, sf0.001 included
+Q11_FRACTION_DEN = 2000   # keep parts above 1/2000 of total value
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 analog (important stock identification): per-part
+    shipped value from one nation's suppliers, keeping parts whose
+    value exceeds total_value / 2000. The global scalar is a
+    distributed reduce over the per-part aggregate; the fraction gate
+    is the INTEGER comparison v_q > total_q // 2000 (exactly
+    equivalent to v_q * 2000 > total_q without overflow risk), so
+    threshold membership is deterministic."""
+    from ..stages.joins import hash_join
+    from ..stages.util import coalesced
+
+    def supp_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"],
+                              pa.scalar(Q11_NATION, pa.int32())))
+        return pa.table({"l_suppkey": t["s_suppkey"]})
+
+    def li_map(t: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "p_partkey": t["l_partkey"], "rq": _rev_q(t)})
+
+    j = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(supp_map, batch_format="pyarrow"),
+        on="l_suppkey", how="left_semi", n_buckets=32,
+        right_schema=pa.schema([("l_suppkey", pa.int64())]))
+
+    per_part = (coalesced(j.map_batches(
+                    lambda t: (t.select(["p_partkey", "rq"])
+                               .group_by("p_partkey")
+                               .aggregate([("rq", "sum")])
+                               .rename_columns(["p_partkey", "value_q"])),
+                    batch_format="pyarrow"))
+                .groupby("p_partkey")
+                .aggregate(Sum("value_q", alias_name="value_q"))
+                .materialize())  # consumed twice: total + gate
+    total = per_part.sum("value_q")
+    if total is None:  # no supplier of that nation at this sf
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "value_q": pd.Series(dtype="int64")})
+    cut = total // Q11_FRACTION_DEN
+    return (per_part.filter(expr=f"value_q > {cut}")
+            .sort("p_partkey").to_pandas())
+
+
+Q20_YEAR_LO = datetime.datetime(1996, 1, 1)
+Q20_YEAR_HI = datetime.datetime(1997, 1, 1)
+Q20_NAME_SUB = "red"
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 analog (potential part promotion): suppliers that
+    DOMINATED the 1996 flow of some red-named part — shipped more
+    than half of that part's total quantity (the fixture has no
+    partsupp availqty; 'supplier's share > 50%' replaces
+    availqty > 0.5 * demand). Per-(part, supplier) and per-part
+    quantity sums are one exchange each over x100-quantized int64;
+    the half test is the integer comparison 2*sq > tq; qualifying
+    suppliers dedup to a distinct keyset that joins supplier names."""
+    from ..stages.joins import distinct_rows, hash_join
+    from ..stages.util import coalesced
+
+    lo = pa.scalar(Q20_YEAR_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(Q20_YEAR_HI, type=pa.timestamp("us"))
+
+    red_parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], Q20_NAME_SUB))
+        .select(["p_partkey"]), batch_format="pyarrow")
+
+    def li_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({
+            "p_partkey": t["l_partkey"], "s_suppkey": t["l_suppkey"],
+            "qty_q": pc.multiply(t["l_quantity"],
+                                 pa.scalar(100.0)).cast(pa.int64())})
+
+    li = hash_join(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        red_parts, on="p_partkey", how="left_semi", n_buckets=32)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(["p_partkey", "s_suppkey"])
+                .aggregate([("qty_q", "sum")])
+                .rename_columns(["p_partkey", "s_suppkey", "qty_q"]))
+
+    pairs = (coalesced(li.map_batches(pair_partial,
+                                      batch_format="pyarrow"))
+             .groupby(["p_partkey", "s_suppkey"])
+             .aggregate(Sum("qty_q", alias_name="sq"))
+             .materialize())  # consumed twice: totals + share test
+
+    totals = (pairs.groupby("p_partkey")
+              .aggregate(Sum("sq", alias_name="tq")))
+
+    dom = (hash_join(pairs, totals, on="p_partkey", n_buckets=32)
+           .map_batches(lambda t: pa.table({"s_suppkey": t.filter(
+               pc.greater(pc.multiply(t["sq"], pa.scalar(2, pa.int64())),
+                          t["tq"]))["s_suppkey"]}),
+               batch_format="pyarrow"))
+
+    return (hash_join(distinct_rows(dom, n_buckets=32),
+                      _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                      on="s_suppkey", n_buckets=32)
+            .sort("s_suppkey").to_pandas())
+
+
+Q21_LATE_QTY = 45.0
+
+
+def q21_sole_blocking_supplier(sf_dir: str):
+    """TPC-H Q21 analog (suppliers who kept orders waiting): in
+    multi-supplier orders, the supplier who was the ONLY one with a
+    late lineitem (the fixture lacks commit/receipt dates;
+    l_quantity >= 45 is the 'late' signal), counted per supplier,
+    top 10. Per-order supplier/late-supplier distinct counts run in
+    one bucketed exchange (a polars kernel per bucket, never per
+    order); qualifying orders are |orders|-bounded and the final
+    per-supplier count is a tiny groupby."""
+    from ..stages.joins import _key_bucket, hash_join
+    from ..stages.util import coalesced
+
+    n_buckets = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = pa.table({"k": t["l_orderkey"]})
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "late": pc.greater_equal(t["l_quantity"],
+                                     pa.scalar(Q21_LATE_QTY)),
+            "__jb": pa.array(_key_bucket(ok, ["k"], n_buckets),
+                             pa.int64())})
+
+    out_schema = pa.schema([("s_suppkey", pa.int64())])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t.select(["l_orderkey", "l_suppkey", "late"]))
+        g = (df.group_by("l_orderkey")
+             .agg(n_supp=pl.col("l_suppkey").n_unique(),
+                  n_late_supp=pl.col("l_suppkey").filter(
+                      pl.col("late")).n_unique(),
+                  late_supp=pl.col("l_suppkey").filter(
+                      pl.col("late")).min()))
+        q = g.filter((pl.col("n_supp") >= 2) & (pl.col("n_late_supp") == 1))
+        return (q.select(pl.col("late_supp").alias("s_suppkey"))
+                .to_arrow().cast(out_schema))
+
+    blocked = (coalesced(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_quantity"])
+        .map_batches(tag, batch_format="pyarrow"))
+        .groupby("__jb").map_groups(per_bucket, batch_format="pyarrow"))
+
+    counts = (blocked.groupby("s_suppkey")
+              .aggregate(Count(alias_name="numwait")))
+    return (hash_join(counts,
+                      _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                      on="s_suppkey", n_buckets=32)
+            .sort(["numwait", "s_suppkey"], descending=[True, False])
+            .limit(10).to_pandas()[["s_name", "numwait", "s_suppkey"]])

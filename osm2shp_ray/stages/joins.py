@@ -106,10 +106,22 @@ def _bloom_maybe(t: pa.Table, keys: list[str], words: np.ndarray,
     return hit
 
 
+def _fetched_schema(ds, side: str) -> pa.Schema:
+    s = ds.schema()
+    if s is None or not isinstance(s.base_schema, pa.Schema):
+        raise ValueError(
+            f"hash_join cannot infer the {side} side's schema — the "
+            "side executed to zero rows (Ray keeps no empty block to "
+            "read a schema from). Pass left_schema/right_schema when "
+            "a side can legitimately be empty.")
+    return s.base_schema
+
+
 def hash_join(left_ds, right_ds, on, how: str = "inner",
               n_buckets: int | None = None,
               bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
-              bloom_k: int = 4):
+              bloom_k: int = 4, left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Equi-join two Datasets on shared key column(s).
 
     ``how``: "inner" | "left" | "left_semi" | "left_anti" | "right" |
@@ -138,6 +150,11 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
       skip all merge work via the right-empty fast path.
     Output is byte-identical with and without the prefilter
     (tests/test_round3.py equivalence suite).
+
+    ``left_schema`` / ``right_schema``: explicit Arrow schemas for
+    sides that can legitimately execute to ZERO rows (a filter that
+    matches nothing) — Ray keeps no empty block to infer from, so
+    schema inference raises without a hint.
     """
     if how not in ("inner", "left", "left_semi", "left_anti",
                    "right", "full_outer"):
@@ -152,12 +169,18 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         words = build_bloom(right_ds, keys, bloom_bits, bloom_k)
         bloom_state = (ray.put(words), bloom_bits, bloom_k)
 
-    # normalize to arrow blocks so schema() yields real pa.DataTypes
-    # (pandas-backed datasets report Python classes otherwise)
+    # normalize to arrow blocks so schema() yields real pa.DataTypes.
+    # The normalization map forces schema() to EXECUTE a limit-1
+    # prefix and read the true output block schema — the lazy
+    # schema() shortcut is wrong for map_groups+Project plans (it
+    # reports an upstream operator's schema). The one case execution
+    # cannot answer is a ZERO-ROW side (Ray drops empty blocks, so
+    # schema() returns None): callers that can legitimately produce
+    # an empty side must pass left_schema/right_schema explicitly.
     left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow")
     right_ds = right_ds.map_batches(lambda t: t, batch_format="pyarrow")
-    lsch = left_ds.schema().base_schema
-    rsch = right_ds.schema().base_schema
+    lsch = left_schema or _fetched_schema(left_ds, "left")
+    rsch = right_schema or _fetched_schema(right_ds, "right")
     l_names = list(lsch.names)
     r_names = list(rsch.names)
     l_types = dict(zip(lsch.names, lsch.types))

@@ -120,6 +120,10 @@ SQL_CHECKED = [
     # round 3 (9th session): Q4 EXISTS semi-join, partitioned-sink
     # round trip
     "q04_order_priority", "q_partitioned_write",
+    "q06_forecast_revenue", "q14_promo_revenue", "q19_discounted_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q02_min_cost_supplier", "q11_important_stock",
+    "q20_dominant_suppliers", "q21_sole_blocking_supplier",
 ]
 
 
