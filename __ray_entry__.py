@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q07_volume_shipping": q.q07_volume_shipping,
         "q08_market_share": q.q08_market_share,
         "q09_product_profit": q.q09_product_profit,
+        "q_clip_tiles": q.q_clip_tiles,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -244,6 +245,11 @@ def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
     from osm2shp_ray.pipelines.queries import (REP_DUP_MAX, REP_BIGRAM_MAX,
                                                REP_SYMBOL_MAX, HH_PHI)
+
+    # tile rect literals for the clip oracle (repr round-trips floats)
+    _RECT_VALUES = ", ".join(
+        f"('{n}', {xlo!r}, {ylo!r}, {xhi!r}, {yhi!r})"
+        for n, xlo, ylo, xhi, yhi in PIP_RECTS)
 
     # the image/audio/video oracles read engine-independent fixture
     # side tables (the q_convert_pipeline pattern with the input shape
@@ -1808,6 +1814,57 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        # Liang-Barsky clip: sign-dispatched parametric divisions with
+        # +/-1e300 sentinels (no inf/NaN), GREATEST/LEAST interval
+        # intersection, per-pair micro-degree floor quantization —
+        # every float op mirrors stages/spatial.py::clip_to_rects
+        "q_clip_tiles": f"""
+            WITH seg AS (
+              SELECT ((o_orderkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS x1,
+                     ((o_orderkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS y1,
+                     ((o_orderkey * {SUP_LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS x2,
+                     ((o_orderkey * {SUP_LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS y2
+              FROM orders),
+            r(tile_id, x_lo, y_lo, x_hi, y_hi) AS (VALUES {_RECT_VALUES}),
+            p AS (
+              SELECT tile_id, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+                     x_lo, x_hi, y_lo, y_hi
+              FROM seg CROSS JOIN r),
+            tt AS (
+              SELECT tile_id,
+                CASE WHEN dx > 0 THEN (x_lo - x1) / dx
+                     WHEN dx < 0 THEN (x_hi - x1) / dx
+                     WHEN x1 >= x_lo AND x1 <= x_hi THEN -1e300
+                     ELSE 1e300 END AS tx_lo,
+                CASE WHEN dx > 0 THEN (x_hi - x1) / dx
+                     WHEN dx < 0 THEN (x_lo - x1) / dx
+                     WHEN x1 >= x_lo AND x1 <= x_hi THEN 1e300
+                     ELSE -1e300 END AS tx_hi,
+                CASE WHEN dy > 0 THEN (y_lo - y1) / dy
+                     WHEN dy < 0 THEN (y_hi - y1) / dy
+                     WHEN y1 >= y_lo AND y1 <= y_hi THEN -1e300
+                     ELSE 1e300 END AS ty_lo,
+                CASE WHEN dy > 0 THEN (y_hi - y1) / dy
+                     WHEN dy < 0 THEN (y_lo - y1) / dy
+                     WHEN y1 >= y_lo AND y1 <= y_hi THEN 1e300
+                     ELSE -1e300 END AS ty_hi,
+                sqrt(dx * dx + dy * dy) AS seg_len
+              FROM p),
+            c AS (
+              SELECT tile_id, GREATEST(0.0, tx_lo, ty_lo) AS t0,
+                     LEAST(1.0, tx_hi, ty_hi) AS t1, seg_len
+              FROM tt)
+            SELECT tile_id,
+                   CAST(sum(CASE WHEN t1 > t0 THEN
+                              CAST(floor(((t1 - t0) * seg_len)
+                                         * 10000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS clip_len_q,
+                   CAST(count(*) FILTER (t1 > t0) AS BIGINT) AS n_clipped
+            FROM c GROUP BY tile_id""",
         # Q2: per-part argmin with ties — distinct lineitem pairs are
         # the part<->supplier link (no partsupp table); cent-quantized
         # balances make the min/equality re-check integer-exact

@@ -4195,3 +4195,37 @@ def q21_sole_blocking_supplier(sf_dir: str):
                       on="s_suppkey", n_buckets=32)
             .sort(["numwait", "s_suppkey"], descending=[True, False])
             .limit(10).to_pandas()[["s_name", "numwait", "s_suppkey"]])
+
+
+def q_clip_tiles(sf_dir: str):
+    """Per-tile clipped polyline length (stages/spatial.py::
+    clip_to_rects — the ST_ClipByBox2D analog): order-key-derived
+    segments are Liang-Barsky-clipped against the 5 broadcast tile
+    rects; each batch emits O(n_tiles) partial rows, so the exchange
+    is tiny at any segment count. Lengths are micro-degree int64
+    per (segment, tile) pair — exact group sums, mirrored by the SQL
+    CASE cascade (sign-dispatched divisions, +/-1e300 sentinels)."""
+    from ..stages.spatial import clip_to_rects
+
+    def seg(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        x1, y1 = custkey_lonlat(ok)
+        x2 = (ok * SUP_LON_MULT) % 360000000 / 1e6 - 180.0
+        y2 = (ok * SUP_LAT_MULT) % 180000000 / 1e6 - 90.0
+        return pa.table({"x1": pa.array(x1), "y1": pa.array(y1),
+                         "x2": pa.array(x2), "y2": pa.array(y2)})
+
+    rects = pa.table({
+        "tile_id": pa.array([r[0] for r in PIP_RECTS]),
+        "x_lo": pa.array([r[1] for r in PIP_RECTS]),
+        "y_lo": pa.array([r[2] for r in PIP_RECTS]),
+        "x_hi": pa.array([r[3] for r in PIP_RECTS]),
+        "y_hi": pa.array([r[4] for r in PIP_RECTS]),
+    })
+    segs = (_read(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(seg, batch_format="pyarrow"))
+    return (clip_to_rects(segs, rects)
+            .groupby("tile_id")
+            .aggregate(Sum("clip_len_q", alias_name="clip_len_q"),
+                       Sum("n_clipped", alias_name="n_clipped"))
+            .sort("tile_id").to_pandas())

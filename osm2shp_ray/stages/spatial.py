@@ -762,3 +762,95 @@ def bbox_join(left_ds, right_ds, left_cols: list[str],
 
     return unioned.groupby(["__bx", "__by"]).map_groups(
         match, batch_format="pyarrow")
+
+
+def clip_to_rects(segments_ds, rects: pa.Table,
+                  cols: tuple[str, str, str, str] = ("x1", "y1",
+                                                     "x2", "y2"),
+                  rect_id_col: str = "tile_id",
+                  quant: float = 1e7):
+    """Liang-Barsky clip of line segments to axis-aligned rectangles
+    (the ST_ClipByBox2D analog of the tiling engine): for every
+    (segment, rect) pair that overlaps, the clipped-length
+    contribution, pre-summed per rect inside each batch.
+
+    Returns a Dataset of per-batch partials (rect_id, clip_len_q,
+    n_clipped) — callers finish with groupby(rect_id).sum, so the
+    exchange is O(n_rects) rows per block regardless of segment
+    count.
+
+    The parametric intervals use sign-dispatched divisions with
+    +/-1e300 sentinels for axis-parallel segments (NO inf/NaN ever
+    enters the pipeline, so the arithmetic is reproducible in plain
+    SQL); clipped length is floor-quantized to int64 micro-units per
+    PAIR before summation, making group sums exact under any combine
+    order. Rects are a driver-size table broadcast via ray.put (the
+    tile list is the small side — thousands, not billions); for
+    massive rect sets, grid-partition first with bbox_join's owner-
+    cell pattern.
+
+    Reference analog: the reference clips nothing itself — GRASS
+    v.in.region / v.overlay handle extraction windows after export
+    (mapgen.sh) — but a tiling engine at 10^12 rows must cut
+    geometry to tile boundaries before per-tile sinks.
+    """
+    import ray
+
+    rid = rects[rect_id_col].to_numpy(zero_copy_only=False)
+    rx_lo = rects["x_lo"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rx_hi = rects["x_hi"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ry_lo = rects["y_lo"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ry_hi = rects["y_hi"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rects_ref = ray.put((rid, rx_lo, rx_hi, ry_lo, ry_hi))
+    c_x1, c_y1, c_x2, c_y2 = cols
+    BIG = 1e300
+
+    def _axis_interval(p1, d, lo, hi):
+        """Per-axis parametric [t_lo, t_hi] of rect overlap; d == 0
+        dispatches to an in-range test with +/-BIG sentinels (exactly
+        mirrored by the SQL CASE)."""
+        # shapes: p1/d are (n_seg, 1); lo/hi are (n_rect,)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = (lo - p1) / d
+            b = (hi - p1) / d
+        pos = d > 0
+        neg = d < 0
+        t_lo = np.where(pos, a, np.where(neg, b, 0.0))
+        t_hi = np.where(pos, b, np.where(neg, a, 0.0))
+        inside = (p1 >= lo) & (p1 <= hi)
+        zero = ~(pos | neg)
+        t_lo = np.where(zero, np.where(inside, -BIG, BIG), t_lo)
+        t_hi = np.where(zero, np.where(inside, BIG, -BIG), t_hi)
+        return t_lo, t_hi
+
+    def clip_batch(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        r_id, x_lo, x_hi, y_lo, y_hi = _ray.get(rects_ref)
+        x1 = t[c_x1].to_numpy(zero_copy_only=False)[:, None]
+        y1 = t[c_y1].to_numpy(zero_copy_only=False)[:, None]
+        x2 = t[c_x2].to_numpy(zero_copy_only=False)[:, None]
+        y2 = t[c_y2].to_numpy(zero_copy_only=False)[:, None]
+        dx = x2 - x1
+        dy = y2 - y1
+        tx_lo, tx_hi = _axis_interval(x1, dx, x_lo, x_hi)
+        ty_lo, ty_hi = _axis_interval(y1, dy, y_lo, y_hi)
+        t0 = np.maximum(0.0, np.maximum(tx_lo, ty_lo))
+        t1 = np.minimum(1.0, np.minimum(tx_hi, ty_hi))
+        hit = t1 > t0
+        seg_len = np.sqrt(dx * dx + dy * dy)
+        # ((t1 - t0) * seg_len) * quant — parenthesization mirrored
+        # exactly by the SQL. Non-hit pairs can overflow float64 via
+        # the +/-1e300 sentinels; they are masked to 0 BEFORE the
+        # int64 cast (the SQL CASE guards the same way).
+        with np.errstate(over="ignore", invalid="ignore"):
+            contrib = np.floor(((t1 - t0) * seg_len) * quant)
+        contrib = np.where(hit, contrib, 0.0).astype(np.int64)
+        n_rect = r_id.shape[0]
+        return pa.table({
+            rect_id_col: pa.array(r_id, pa.string())
+            if r_id.dtype.kind in "OU" else pa.array(r_id),
+            "clip_len_q": pa.array(contrib.sum(axis=0), pa.int64()),
+            "n_clipped": pa.array(hit.sum(axis=0).astype(np.int64)),
+        })
+
+    return segments_ds.map_batches(clip_batch, batch_format="pyarrow")

@@ -182,3 +182,51 @@ def test_knn_auto_exact(ray_session):
     exp2 = set(np.asarray(np.argsort(d2, kind="stable")[:5]).tolist())
     got2 = spatial.knn_auto(ds, -150.0, 70.0, 5, id_col="pid").to_pandas()
     assert set(got2["pid"]) == exp2
+
+
+def test_clip_to_rects_properties(ray_session):
+    """Liang-Barsky clip invariants on random segments: clipped
+    length never exceeds segment length, fully-inside segments keep
+    full length, disjoint-bbox segments contribute nothing, and the
+    clipped fraction matches a dense parametric point-sampling
+    estimate."""
+    rng = np.random.default_rng(42)
+    n = 400
+    x1 = rng.uniform(-50, 50, n)
+    y1 = rng.uniform(-50, 50, n)
+    x2 = x1 + rng.uniform(-30, 30, n)
+    y2 = y1 + rng.uniform(-30, 30, n)
+    # axis-parallel edge cases
+    x2[:20] = x1[:20]
+    y2[20:40] = y1[20:40]
+    segs = pa.table({"x1": pa.array(x1), "y1": pa.array(y1),
+                     "x2": pa.array(x2), "y2": pa.array(y2)})
+    rects = pa.table({
+        "tile_id": pa.array(["r0", "r1", "r2"]),
+        "x_lo": pa.array([-10.0, -100.0, 200.0]),
+        "y_lo": pa.array([-10.0, -100.0, 200.0]),
+        "x_hi": pa.array([10.0, 100.0, 210.0]),
+        "y_hi": pa.array([10.0, 100.0, 210.0]),
+    })
+    out = (spatial.clip_to_rects(rd.from_arrow(segs), rects)
+           .groupby("tile_id")
+           .aggregate(rd.aggregate.Sum("clip_len_q", alias_name="len_q"),
+                      rd.aggregate.Sum("n_clipped", alias_name="n"))
+           .to_pandas().set_index("tile_id"))
+    seg_len = np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+    # r1 covers the whole sample domain: every positive-length segment
+    # is fully inside -> total equals the exact full length sum
+    full_q = np.floor((1.0 * seg_len) * 1e7).astype(np.int64).sum()
+    assert out.loc["r1", "len_q"] == full_q
+    assert out.loc["r1", "n"] == int((seg_len > 0).sum())
+    # r2 is disjoint from the domain
+    assert out.loc["r2", "len_q"] == 0 and out.loc["r2", "n"] == 0
+    # r0: compare against dense parametric sampling
+    ts = np.linspace(0.0, 1.0, 20001)[None, :]
+    px = x1[:, None] + (x2 - x1)[:, None] * ts
+    py = y1[:, None] + (y2 - y1)[:, None] * ts
+    inside = ((px >= -10) & (px <= 10) & (py >= -10) & (py <= 10))
+    est = (inside.mean(axis=1) * seg_len).sum()
+    got = out.loc["r0", "len_q"] / 1e7
+    assert got <= seg_len.sum() + 1e-9
+    assert abs(got - est) < seg_len.sum() * 2e-4
