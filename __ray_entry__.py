@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q08_market_share": q.q08_market_share,
         "q09_product_profit": q.q09_product_profit,
         "q_clip_tiles": q.q_clip_tiles,
+        "q_chunk_passages": q.q_chunk_passages,
+        "q_geohash_encode": q.q_geohash_encode,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -244,12 +246,30 @@ def oracle_sql() -> dict[str, str]:
                                               cached_video_meta_parquet)
     from osm2shp_ray.stages.text import LANG_PROFILES, FP_MOD
     from osm2shp_ray.pipelines.queries import (REP_DUP_MAX, REP_BIGRAM_MAX,
-                                               REP_SYMBOL_MAX, HH_PHI)
+                                               REP_SYMBOL_MAX, HH_PHI,
+                                               PASSAGE_W, PASSAGE_S)
 
     # tile rect literals for the clip oracle (repr round-trips floats)
     _RECT_VALUES = ", ".join(
         f"('{n}', {xlo!r}, {ylo!r}, {xhi!r}, {yhi!r})"
         for n, xlo, ylo, xhi, yhi in PIP_RECTS)
+
+    # geohash: unrolled 40-bit interleave (lon even bit slots from the
+    # msb, lat odd) over the same float->int grid math as
+    # functions/cells.py::geohash_encode, then 8 base32 substr picks
+    from osm2shp_ray.pipelines.queries import GEOHASH_P
+    _GH_NBITS = 5 * GEOHASH_P
+    _GH_NLON = (_GH_NBITS + 1) // 2
+    _GH_NLAT = _GH_NBITS // 2
+    _GH_BITS = " + ".join(
+        [f"(((lon_idx >> {_GH_NLON - 1 - i}) & 1) << "
+         f"{_GH_NBITS - 1 - 2 * i})" for i in range(_GH_NLON)]
+        + [f"(((lat_idx >> {_GH_NLAT - 1 - i}) & 1) << "
+           f"{_GH_NBITS - 2 - 2 * i})" for i in range(_GH_NLAT)])
+    _GH_STR = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"1 + CAST((gh >> {5 * (GEOHASH_P - 1 - j)}) & 31 AS INTEGER), 1)"
+        for j in range(GEOHASH_P))
 
     # the image/audio/video oracles read engine-independent fixture
     # side tables (the q_convert_pipeline pattern with the input shape
@@ -1814,6 +1834,46 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        "q_geohash_encode": f"""
+            WITH pt AS (
+              SELECT c_custkey,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat
+              FROM customer),
+            idx AS (
+              SELECT c_custkey,
+                     LEAST(CAST(floor(((lon + 180.0) / 360.0)
+                                      * {float(1 << _GH_NLON)!r})
+                                AS BIGINT), {(1 << _GH_NLON) - 1})
+                       AS lon_idx,
+                     LEAST(CAST(floor(((lat + 90.0) / 180.0)
+                                      * {float(1 << _GH_NLAT)!r})
+                                AS BIGINT), {(1 << _GH_NLAT) - 1})
+                       AS lat_idx
+              FROM pt),
+            g AS (SELECT c_custkey, {_GH_BITS} AS gh FROM idx)
+            SELECT c_custkey, gh, {_GH_STR} AS geohash FROM g""",
+        # overlapping sliding-window passages: last window reaches the
+        # final token; n_passages = 1 + ceil((n - W)/S) for n > W
+        "q_chunk_passages": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS a
+              FROM documents),
+            nz AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n
+                   FROM tok WHERE len(a) > 0)
+            SELECT doc_id, i AS chunk_idx,
+                   least(n - i * {PASSAGE_S}, {PASSAGE_W}) AS n_tokens,
+                   {{PASSAGE_H}} AS passage_h
+            FROM nz, unnest(generate_series(0,
+                 CAST(CASE WHEN n > {PASSAGE_W}
+                      THEN ceil((n - {PASSAGE_W}) / {PASSAGE_S}.0)
+                      ELSE 0 END AS BIGINT))) t(i)""".replace(
+            "{PASSAGE_H}",
+            h60(f"array_to_string(a[(i*{PASSAGE_S}+1):"
+                f"(i*{PASSAGE_S}+{PASSAGE_W})], ' ')")),
         # Liang-Barsky clip: sign-dispatched parametric divisions with
         # +/-1e300 sentinels (no inf/NaN), GREATEST/LEAST interval
         # intersection, per-pair micro-degree floor quantization —

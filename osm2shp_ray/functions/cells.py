@@ -133,3 +133,43 @@ def s2ish_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lon = (x.astype(np.float64) + 0.5) / n * 360.0 - 180.0
     lat = 90.0 - (y.astype(np.float64) + 0.5) / n * 180.0
     return lat, lon
+
+
+# Scheme C: standard GEOHASH (public base32 bit-interleave encoding —
+# the third cell scheme users of external tooling expect alongside the
+# H3/S2 analogs). Bit 0 (most significant of the 5*precision) comes
+# from longitude, alternating lon/lat, each axis a binary subdivision
+# of its domain — the classic Morton/geohash layout. Pure float->int
+# grid math, exactly reproducible in SQL (q_geohash_encode oracle).
+
+GEOHASH_BASE32 = b"0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray,
+                   precision: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized geohash: returns (packed int64 of the 5*precision
+    interleaved bits, base32 string array). precision <= 12 keeps the
+    packed value inside int64 (60 bits)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    lon_idx = np.floor(((lon + 180.0) / 360.0)
+                       * float(1 << n_lon)).astype(np.int64)
+    lat_idx = np.floor(((lat + 90.0) / 180.0)
+                       * float(1 << n_lat)).astype(np.int64)
+    lon_idx = np.minimum(lon_idx, (1 << n_lon) - 1)
+    lat_idx = np.minimum(lat_idx, (1 << n_lat) - 1)
+    gh = np.zeros(lon.shape[0], dtype=np.int64)
+    for i in range(n_lon):
+        gh |= ((lon_idx >> (n_lon - 1 - i)) & 1) << (nbits - 1 - 2 * i)
+    for i in range(n_lat):
+        gh |= ((lat_idx >> (n_lat - 1 - i)) & 1) << (nbits - 2 - 2 * i)
+    alphabet = np.frombuffer(GEOHASH_BASE32, dtype=np.uint8)
+    groups = np.empty((lon.shape[0], precision), dtype=np.uint8)
+    for j in range(precision):
+        groups[:, j] = alphabet[
+            (gh >> (5 * (precision - 1 - j))) & 31]
+    strs = np.frombuffer(groups.tobytes(), dtype=f"S{precision}")
+    return gh, strs.astype("U")

@@ -4229,3 +4229,39 @@ def q_clip_tiles(sf_dir: str):
             .aggregate(Sum("clip_len_q", alias_name="clip_len_q"),
                        Sum("n_clipped", alias_name="n_clipped"))
             .sort("tile_id").to_pandas())
+
+
+PASSAGE_W = 24
+PASSAGE_S = 12
+
+
+def q_chunk_passages(sf_dir: str):
+    """Full overlapping-passage table (stages/text.py::
+    chunk_passages): every (doc, passage) row with token count and
+    60-bit passage hash under the hash gate — one streaming
+    batch-local map, zero exchanges."""
+    from ..stages.text import chunk_passages
+    return chunk_passages(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          width=PASSAGE_W, stride=PASSAGE_S)
+
+
+GEOHASH_P = 8
+
+
+def q_geohash_encode(sf_dir: str):
+    """Standard geohash (functions/cells.py::geohash_encode — scheme C
+    alongside the quadcell/Hilbert analogs) of every customer point:
+    packed 40-bit interleave value + base32 string, one batch-local
+    map, zero exchanges; the SQL mirror unrolls the 40 bit terms."""
+    from ..functions.cells import geohash_encode
+
+    def enc(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = custkey_lonlat(ck)
+        gh, s = geohash_encode(lat, lon, GEOHASH_P)
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "gh": pa.array(gh, pa.int64()),
+                         "geohash": pa.array(s, pa.string())})
+
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(enc, batch_format="pyarrow"))

@@ -1088,3 +1088,62 @@ def chunk_dedup_stats(ds, width: int = 8, text_col: str = "text",
                                    pa.scalar(0, pa.int64()))})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_passages(ds, width: int, stride: int,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Overlapping sliding-window passage extraction — the RAG/
+    retrieval chunking primitive (unlike chunk_dedup_stats'
+    NON-overlapping windows): passage i of a document covers analysis
+    tokens [i*stride, i*stride + width); the last window always
+    reaches the final token. n_passages = 1 + ceil((n - width) /
+    stride) for n > width else 1; empty documents yield none.
+
+    Entirely batch-local (each document is one row): a single
+    streaming map emits (doc, passage idx, token count, 60-bit
+    passage hash) with NO exchange at any corpus size — downstream
+    dedup/embedding stages decide what to shuffle. Tokenisation and
+    the md5-derived passage hash are reproducible in SQL
+    (functions/hashing.md5_hash60), so the full passage table sits
+    under the DuckDB hash gate.
+    """
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError("require 0 < stride <= width")
+
+    from ..functions.hashing import md5_hash60
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("chunk_idx", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("passage_h", pa.int64())])
+
+    def passages(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        toks = _token_lists(t[text_col])
+        df = (pl.DataFrame({"i": pl.Series(np.arange(len(toks),
+                                                     dtype=np.int64)),
+                            "toks": toks})
+              .with_columns(n=pl.col("toks").list.len().cast(pl.Int64))
+              .filter(pl.col("n") > 0)
+              .with_columns(
+                  nch=pl.when(pl.col("n") > width)
+                  .then((pl.col("n") - width + (stride - 1)) // stride)
+                  .otherwise(0) + 1)
+              .with_columns(cidx=pl.int_ranges(0, pl.col("nch")))
+              .explode("cidx")
+              .with_columns(
+                  passage=pl.col("toks").list.slice(
+                      pl.col("cidx") * stride, width))
+              .with_columns(
+                  n_tokens=pl.col("passage").list.len().cast(pl.Int64),
+                  ptext=pl.col("passage").list.join(" ")))
+        if df.height == 0:
+            return out_schema.empty_table()
+        return pa.table({
+            id_col: pa.array(ids[df["i"].to_numpy()], pa.int64()),
+            "chunk_idx": df["cidx"].cast(pl.Int64).to_arrow(),
+            "n_tokens": df["n_tokens"].to_arrow(),
+            "passage_h": pa.array(md5_hash60(df["ptext"].to_numpy()),
+                                  pa.int64())}).cast(out_schema)
+
+    return ds.map_batches(passages, batch_format="pyarrow")

@@ -124,7 +124,7 @@ SQL_CHECKED = [
     "q07_volume_shipping", "q08_market_share", "q09_product_profit",
     "q02_min_cost_supplier", "q11_important_stock",
     "q20_dominant_suppliers", "q21_sole_blocking_supplier",
-    "q_clip_tiles",
+    "q_clip_tiles", "q_chunk_passages", "q_geohash_encode",
 ]
 
 
