@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_tiles": q.q_clip_tiles,
         "q_chunk_passages": q.q_chunk_passages,
         "q_geohash_encode": q.q_geohash_encode,
+        "q_geojson_roundtrip": q.q_geojson_roundtrip,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -1834,6 +1835,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        # GeoJSONL round trip: repr/shortest-float text serialization
+        # is bit-exact, so the read-back aggregate equals this direct
+        # derivation
+        "q_geojson_roundtrip": f"""
+            WITH pt AS (
+              SELECT 'L' || CAST(c_custkey % 4 AS VARCHAR) AS layer,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS lon,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS lat
+              FROM customer)
+            SELECT layer,
+                   CAST(sum(CAST(floor(lon * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS xq_sum,
+                   CAST(sum(CAST(floor(lat * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS yq_sum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pt GROUP BY layer""",
         "q_geohash_encode": f"""
             WITH pt AS (
               SELECT c_custkey,

@@ -288,6 +288,21 @@ def run_bench() -> dict:
         ("q_focal_density", q.q_focal_density),
         ("q_impute_values", q.q_impute_values),
         ("q_fill_forward", q.q_fill_forward),
+        ("q04_order_priority", q.q04_order_priority),
+        ("q_partitioned_write", q.q_partitioned_write),
+        ("q06_forecast_revenue", q.q06_forecast_revenue),
+        ("q14_promo_revenue", q.q14_promo_revenue),
+        ("q19_discounted_revenue", q.q19_discounted_revenue),
+        ("q07_volume_shipping", q.q07_volume_shipping),
+        ("q08_market_share", q.q08_market_share),
+        ("q09_product_profit", q.q09_product_profit),
+        ("q02_min_cost_supplier", q.q02_min_cost_supplier),
+        ("q11_important_stock", q.q11_important_stock),
+        ("q20_dominant_suppliers", q.q20_dominant_suppliers),
+        ("q21_sole_blocking_supplier", q.q21_sole_blocking_supplier),
+        ("q_clip_tiles", q.q_clip_tiles),
+        ("q_chunk_passages", q.q_chunk_passages),
+        ("q_geohash_encode", q.q_geohash_encode),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

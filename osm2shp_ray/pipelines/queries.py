@@ -4265,3 +4265,56 @@ def q_geohash_encode(sf_dir: str):
 
     return (_read(sf_dir, "customer", ["c_custkey"])
             .map_batches(enc, batch_format="pyarrow"))
+
+
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSONL sink/source round trip under the hash gate
+    (sources/geojson.py): customer points -> WKB -> content-addressed
+    .geojsonl shards -> parallel parse back -> per-layer aggregate.
+    repr/shortest-float serialization makes the coordinate round trip
+    bit-exact, so the aggregate over what was READ BACK equals the
+    direct SQL aggregate."""
+    import shutil
+    import tempfile
+
+    from ..functions import wkb as wkbmod
+    from ..sources.geojson import read_geojsonl, write_geojsonl
+
+    out_dir = tempfile.mkdtemp(prefix="q_geojson_", dir="/tmp")
+    try:
+        def mk(t: pa.Table) -> pa.Table:
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            lon, lat = custkey_lonlat(ck)
+            layer = np.char.add("L", (ck % 4).astype("U1"))
+            return pa.table({
+                "way_id": pa.array(ck, pa.int64()),
+                "layer": pa.array(layer, pa.string()),
+                "geometry_wkb": pa.array(
+                    wkbmod.encode_points(lon, lat), pa.binary())})
+
+        write_geojsonl(_read(sf_dir, "customer", ["c_custkey"])
+                       .map_batches(mk, batch_format="pyarrow"), out_dir)
+
+        def agg(t: pa.Table) -> pa.Table:
+            from ..functions import wkb as w
+            _, xs, ys = w.decode_batch(t["geometry_wkb"].to_pylist())
+            x = np.concatenate(xs) if xs else np.array([], np.float64)
+            y = np.concatenate(ys) if ys else np.array([], np.float64)
+            g = (pa.table({
+                "layer": t["layer"],
+                "xq": pa.array(np.floor(x * 1e6).astype(np.int64)),
+                "yq": pa.array(np.floor(y * 1e6).astype(np.int64))})
+                .group_by("layer")
+                .aggregate([("xq", "sum"), ("yq", "sum"),
+                            ("xq", "count")]))
+            return g.rename_columns(["layer", "xq", "yq", "n"])
+
+        return (read_geojsonl(out_dir)
+                .map_batches(agg, batch_format="pyarrow")
+                .groupby("layer")
+                .aggregate(Sum("xq", alias_name="xq_sum"),
+                           Sum("yq", alias_name="yq_sum"),
+                           Sum("n", alias_name="n"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

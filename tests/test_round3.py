@@ -2188,3 +2188,42 @@ def test_bbox_join_matches_brute_force(ray_session):
     # exactly-once even when a pair's overlap spans many owner
     # candidates: no duplicate (lid, rid)
     assert not out.duplicated(["lid", "rid"]).any()
+
+
+def test_geojsonl_roundtrip_all_geometries(ray_session, tmp_path):
+    """Point / LineString / Polygon features survive a GeoJSONL
+    write->read cycle bit-exactly (ids, layers, and every float64
+    coordinate)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2shp_ray.functions import wkb as wkbmod
+    from osm2shp_ray.sources.geojson import read_geojsonl, write_geojsonl
+
+    rng = np.random.default_rng(9)
+    pts = wkbmod.encode_points(rng.uniform(-180, 180, 5),
+                               rng.uniform(-90, 90, 5))
+    lx = rng.uniform(-180, 180, 7)
+    ly = rng.uniform(-90, 90, 7)
+    lines = wkbmod.encode_linestrings(np.array([0, 3, 7], np.int64),
+                                      lx, ly)
+    px = np.array([0.1, 1.3, 1.7, 0.1])
+    py = np.array([0.2, 0.4, 1.9, 0.2])
+    polys = wkbmod.encode_polygons(np.array([0, 4], np.int64), px, py)
+    blobs = pts + lines + polys
+    n = len(blobs)
+    t = pa.table({"way_id": pa.array(np.arange(n), pa.int64()),
+                  "layer": pa.array([f"L{i % 3}" for i in range(n)]),
+                  "geometry_wkb": pa.array(blobs, pa.binary())})
+    out = str(tmp_path / "gj")
+    assert write_geojsonl(rd.from_arrow(t), out) == n
+    back = (read_geojsonl(out).to_pandas()
+            .sort_values("way_id", ignore_index=True))
+    assert list(back["way_id"]) == list(range(n))
+    assert list(back["layer"]) == [f"L{i % 3}" for i in range(n)]
+    for i in range(n):
+        k0, x0, y0 = wkbmod.decode(blobs[i])
+        k1, x1, y1 = wkbmod.decode(back["geometry_wkb"][i])
+        assert k0 == k1
+        assert np.array_equal(x0, x1) and np.array_equal(y0, y1)
