@@ -53,8 +53,9 @@ def cmd_convert(args) -> int:
         actor.inc.remote("processed_images", meta.count())
         nodes, ways = adapter.adapt_images(meta)
     points, ways_out = convert.convert(nodes, ways)
-    if getattr(args, "shapefiles", False):
-        # consumed twice (parquet + shapefile export): materialize so
+    if getattr(args, "shapefiles", False) or getattr(args, "geojson",
+                                                     False):
+        # consumed twice (parquet + extra export): materialize so
         # the lineage doesn't re-execute the join per consumer
         points = points.materialize()
         ways_out = ways_out.materialize()
@@ -72,6 +73,10 @@ def cmd_convert(args) -> int:
         from .sources.shapefile import export_shapefiles
         export_shapefiles(points, ways_out,
                           os.path.join(args.out, "shapefiles"))
+    if getattr(args, "geojson", False):
+        from .sources.geojson import write_geojsonl
+        write_geojsonl(points, os.path.join(args.out, "geojson", "points"))
+        write_geojsonl(ways_out, os.path.join(args.out, "geojson", "ways"))
     # A4 analog: job-end totals (handler.cc:59-62) — now including
     # dropped_ways/unresolved_refs from the J2 gate
     report = ray.get(actor.report.remote())
@@ -91,7 +96,8 @@ def cmd_mapgen(args) -> int:
     assembled = fused.assembled_ways_fused(meta)
     cleaned = mapgen.postprocess_lines(assembled)
     out_ds = cleaned.map_batches(build_way_wkb_batch, batch_format="pyarrow")
-    if getattr(args, "shapefiles", False):
+    if getattr(args, "shapefiles", False) or getattr(args, "geojson",
+                                                     False):
         out_ds = out_ds.materialize()  # consumed twice (write + export)
     if args.resume:
         from .state import checkpoint
@@ -113,6 +119,9 @@ def cmd_mapgen(args) -> int:
         for layer in LINE_LAYERS:
             export_layer(out_ds.filter(expr=f"layer == '{layer}'"),
                          os.path.join(sdir, layer), SHPT_ARC)
+    if getattr(args, "geojson", False):
+        from .sources.geojson import write_geojsonl
+        write_geojsonl(out_ds, os.path.join(args.out, "geojson"))
     ray.shutdown()
     return 0
 
@@ -128,6 +137,8 @@ def main(argv=None) -> int:
         sp.add_argument("--shapefiles", action="store_true",
                         help="also export reference-parity .shp/.dbf/.prj "
                              "triples per layer")
+        sp.add_argument("--geojson", action="store_true",
+                        help="also export line-delimited GeoJSON shards")
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

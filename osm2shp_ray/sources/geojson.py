@@ -36,10 +36,11 @@ import numpy as np
 import pyarrow as pa
 
 
-def _features_to_lines(ids, layers, kinds, xs_list, ys_list) -> bytes:
+def _features_to_lines(ids, layers, names, kinds, xs_list,
+                       ys_list) -> bytes:
     out = []
-    for i, layer, kind, xs, ys in zip(ids, layers, kinds, xs_list,
-                                      ys_list):
+    for i, layer, name, kind, xs, ys in zip(ids, layers, names, kinds,
+                                            xs_list, ys_list):
         if kind == "point":
             geom = {"type": "Point",
                     "coordinates": [float(xs[0]), float(ys[0])]}
@@ -51,10 +52,11 @@ def _features_to_lines(ids, layers, kinds, xs_list, ys_list) -> bytes:
             geom = {"type": "LineString",
                     "coordinates": [[float(x), float(y)]
                                     for x, y in zip(xs, ys)]}
+        props = {"id": int(i), "layer": str(layer)}
+        if name is not None:
+            props["name"] = str(name)
         out.append(json.dumps(
-            {"type": "Feature",
-             "properties": {"id": int(i), "layer": str(layer)},
-             "geometry": geom},
+            {"type": "Feature", "properties": props, "geometry": geom},
             separators=(",", ":")))
     return ("\n".join(out) + "\n").encode() if out else b""
 
@@ -71,10 +73,15 @@ def write_geojsonl(ds, out_dir: str, id_col: str = "way_id",
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = (t[id_col].to_numpy(zero_copy_only=False)
+               if id_col in t.schema.names
+               else np.full(t.num_rows, -1, np.int64))
         layers = t[layer_col].to_pylist()
+        names = (t["name"].to_pylist() if "name" in t.schema.names
+                 else [None] * t.num_rows)
         kinds, xs_l, ys_l = wkbmod.decode_batch(t[wkb_col].to_pylist())
-        payload = _features_to_lines(ids, layers, kinds, xs_l, ys_l)
+        payload = _features_to_lines(ids, layers, names, kinds, xs_l,
+                                     ys_l)
         if payload:
             name = hashlib.md5(payload).hexdigest()[:20]
             final = os.path.join(out_dir, f"{name}.geojsonl")
@@ -105,7 +112,7 @@ def read_geojsonl(path: str, override_num_blocks: int | None = None):
         raise FileNotFoundError(f"no .geojsonl files under {path!r}")
 
     def parse(batch: pa.Table) -> pa.Table:
-        ids, layers, blobs = [], [], []
+        ids, layers, names, blobs = [], [], [], []
         for fp in batch["path"].to_pylist():
             with open(fp, "rb") as f:
                 for line in f:
@@ -116,6 +123,7 @@ def read_geojsonl(path: str, override_num_blocks: int | None = None):
                     props = feat["properties"]
                     ids.append(int(props["id"]))
                     layers.append(str(props["layer"]))
+                    names.append(props.get("name"))
                     if geom["type"] == "Point":
                         x, y = geom["coordinates"]
                         blobs.append(wkbmod.encode_points(
@@ -136,6 +144,7 @@ def read_geojsonl(path: str, override_num_blocks: int | None = None):
                             f"unsupported geometry {geom['type']!r}")
         return pa.table({"way_id": pa.array(ids, pa.int64()),
                          "layer": pa.array(layers, pa.string()),
+                         "name": pa.array(names, pa.string()),
                          "geometry_wkb": pa.array(blobs, pa.binary())})
 
     paths = pa.table({"path": pa.array(files, pa.string())})
