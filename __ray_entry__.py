@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_passages": q.q_chunk_passages,
         "q_geohash_encode": q.q_geohash_encode,
         "q_geojson_roundtrip": q.q_geojson_roundtrip,
+        "q_resample_segments": q.q_resample_segments,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -1835,6 +1836,41 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        # segment densify: k = ceil(len/step) sub-segments, k+1 points
+        # at t = j/k; zero-length segments emit one point (series end
+        # 0); every generated coordinate feeds the quantized sums
+        "q_resample_segments": f"""
+            WITH seg AS (
+              SELECT s_suppkey AS seg_id,
+                     ((s_suppkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS x1,
+                     ((s_suppkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS y1,
+                     ((s_suppkey * {SUP_LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS x2,
+                     ((s_suppkey * {SUP_LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS y2
+              FROM supplier),
+            d AS (SELECT seg_id, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+                  FROM seg),
+            kk AS (
+              SELECT seg_id, x1, y1, dx, dy,
+                     sqrt(dx * dx + dy * dy) AS len,
+                     GREATEST(CAST(ceil(sqrt(dx * dx + dy * dy)
+                                        / 1.0) AS BIGINT), 1) AS k
+              FROM d),
+            pts AS (
+              SELECT seg_id,
+                     x1 + dx * (j / CAST(k AS DOUBLE)) AS px,
+                     y1 + dy * (j / CAST(k AS DOUBLE)) AS py
+              FROM kk, unnest(generate_series(0,
+                   CASE WHEN len > 0 THEN k ELSE 0 END)) t(j))
+            SELECT seg_id, CAST(count(*) AS BIGINT) AS n_pts,
+                   CAST(sum(CAST(floor(px * 10000000.0) AS BIGINT))
+                        AS BIGINT) AS pxq_sum,
+                   CAST(sum(CAST(floor(py * 10000000.0) AS BIGINT))
+                        AS BIGINT) AS pyq_sum
+            FROM pts GROUP BY seg_id""",
         # GeoJSONL round trip: repr/shortest-float text serialization
         # is bit-exact, so the read-back aggregate equals this direct
         # derivation

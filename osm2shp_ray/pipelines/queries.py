@@ -4318,3 +4318,42 @@ def q_geojson_roundtrip(sf_dir: str):
                 .to_pandas())
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+RESAMPLE_STEP = 1.0
+
+
+def q_resample_segments(sf_dir: str):
+    """Segment densify (stages/geometry.py::resample_segments_batch —
+    ST_Segmentize analog): supplier-derived segments resampled to
+    <=1-degree spans, verified through per-segment point counts and
+    exact quantized coordinate sums (every generated point's value
+    feeds the gate). Batch-local ragged expansion — zero exchanges
+    before the per-segment combine."""
+    from ..stages.geometry import resample_segments_batch
+
+    def seg(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        x1, y1 = custkey_lonlat(sk)
+        x2 = (sk * SUP_LON_MULT) % 360000000 / 1e6 - 180.0
+        y2 = (sk * SUP_LAT_MULT) % 180000000 / 1e6 - 90.0
+        return pa.table({"seg_id": pa.array(sk, pa.int64()),
+                         "x1": pa.array(x1), "y1": pa.array(y1),
+                         "x2": pa.array(x2), "y2": pa.array(y2)})
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = (t.select(["seg_id", "pxq", "pyq"]).group_by("seg_id")
+             .aggregate([("pxq", "count"), ("pxq", "sum"),
+                         ("pyq", "sum")]))
+        return g.rename_columns(["seg_id", "n_pts", "pxq_sum", "pyq_sum"])
+
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(seg, batch_format="pyarrow")
+            .map_batches(lambda t: resample_segments_batch(
+                t, RESAMPLE_STEP), batch_format="pyarrow")
+            .map_batches(agg, batch_format="pyarrow")
+            .groupby("seg_id")
+            .aggregate(Sum("n_pts", alias_name="n_pts"),
+                       Sum("pxq_sum", alias_name="pxq_sum"),
+                       Sum("pyq_sum", alias_name="pyq_sum"))
+            .to_pandas())

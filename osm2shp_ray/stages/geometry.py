@@ -801,3 +801,49 @@ def merge_lines_group(df, stop_keys=None) -> pa.Table:
         "xs": pa.ListArray.from_arrays(off, pa.array(np.concatenate(out_x) if out_x else np.empty(0), pa.float64())),
         "ys": pa.ListArray.from_arrays(off, pa.array(np.concatenate(out_y) if out_y else np.empty(0), pa.float64())),
     })
+
+
+def resample_segments_batch(t: pa.Table, step: float,
+                            id_col: str = "seg_id",
+                            cols: tuple[str, str, str, str] = (
+                                "x1", "y1", "x2", "y2"),
+                            quant: float = 1e7) -> pa.Table:
+    """ST_Segmentize/densify analog: emit evenly spaced points along
+    each segment so no span exceeds ``step`` — k = ceil(len/step)
+    sub-segments, k+1 points at t = j/k (endpoints always included;
+    zero-length segments emit their single point once).
+
+    Fully vectorized ragged expansion (repeat + arange, no per-segment
+    loop) and batch-local (each segment's points come from its own
+    row), so the operator adds ZERO exchanges at any scale; callers
+    that need global order sort afterwards. Coordinates are emitted
+    both raw (float64, bit-identical to x1 + dx * (j/k)) and
+    floor-quantized int64 for exact downstream aggregation — the
+    parenthesization is mirrored by the q_resample_segments SQL.
+    """
+    c_x1, c_y1, c_x2, c_y2 = cols
+    sid = t[id_col].to_numpy(zero_copy_only=False)
+    x1 = t[c_x1].to_numpy(zero_copy_only=False)
+    y1 = t[c_y1].to_numpy(zero_copy_only=False)
+    x2 = t[c_x2].to_numpy(zero_copy_only=False)
+    y2 = t[c_y2].to_numpy(zero_copy_only=False)
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len = np.sqrt(dx * dx + dy * dy)
+    k = np.maximum(np.ceil(seg_len / step), 1.0).astype(np.int64)
+    npts = np.where(seg_len > 0, k + 1, 1)
+    total = int(npts.sum())
+    row = np.repeat(np.arange(sid.shape[0]), npts)
+    starts = np.concatenate([[0], np.cumsum(npts)[:-1]])
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, npts)
+    tpar = j / k[row].astype(np.float64)
+    px = x1[row] + dx[row] * tpar
+    py = y1[row] + dy[row] * tpar
+    return pa.table({
+        id_col: pa.array(sid[row]),
+        "j": pa.array(j, pa.int64()),
+        "px": pa.array(px, pa.float64()),
+        "py": pa.array(py, pa.float64()),
+        "pxq": pa.array(np.floor(px * quant).astype(np.int64)),
+        "pyq": pa.array(np.floor(py * quant).astype(np.int64)),
+    })
