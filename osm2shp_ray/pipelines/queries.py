@@ -4357,3 +4357,22 @@ def q_resample_segments(sf_dir: str):
                        Sum("pxq_sum", alias_name="pxq_sum"),
                        Sum("pyq_sum", alias_name="pyq_sum"))
             .to_pandas())
+
+
+def q_thumbnails(sf_dir: str):
+    """Exact thumbnail generation over the mandated image table
+    (stages/images.py::thumbnails): PNG decode -> integer 4x box
+    downsample -> channel sums, every value bit-equal to the
+    generator-side thumbnail ground truth (lossy rows excluded — their
+    decode is not the source array). The re-encoded thumbnail PNG's
+    losslessness is pytest-gated (test_round3.py)."""
+    from ..sources.fixtures import (cached_images_parquet,
+                                    cached_thumb_stats_parquet)
+    from ..stages.images import thumbnails
+    cached_thumb_stats_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes", "fmt"])
+    out = thumbnails(images.filter(expr="fmt == 'png'"), factor=4,
+                     batch_size=512)
+    return out.drop_columns(["fmt", "thumb"]).to_pandas()

@@ -488,3 +488,41 @@ def cached_video_scene_parquet(n: int, n_frames: int = 12,
         "n_changes": pa.array(chg, pa.int64()),
         "mad_q_sum": pa.array(sums, pa.int64()),
     }), path)
+
+
+def cached_thumb_stats_parquet(n: int, factor: int = 4) -> str:
+    """Per-image THUMBNAIL ground truth: exact integer box-downsample
+    of ground_truth_pixels by ``factor`` (block sums // factor^2 — the
+    fixture sizes are all multiples of 4), then int64 channel sums of
+    the thumbnail. PNG rows encode the source losslessly, so the
+    engine's decode -> downsample -> (re-encode ->) stats chain must
+    reproduce every value bit-exactly."""
+    path = os.path.join(FIXTURE_ROOT, f"thumb_stats_n{n}_f{factor}.parquet")
+    if os.path.exists(path):
+        return path
+    idx = np.arange(n, dtype=np.int64)
+    ws = _SIZES[idx % 3]
+    hs = _SIZES[(idx // 3) % 3]
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    tw, th, rs, gs, bs = [], [], [], [], []
+    f2 = factor * factor
+    for i in idx:
+        img = ground_truth_pixels(int(i), int(ws[i]), int(hs[i]))
+        h0, w0 = img.shape[0], img.shape[1]
+        blk = (img.astype(np.int64)
+               .reshape(h0 // factor, factor, w0 // factor, factor, 3)
+               .sum(axis=(1, 3)) // f2)
+        tw.append(int(w0 // factor))
+        th.append(int(h0 // factor))
+        rs.append(int(blk[:, :, 0].sum()))
+        gs.append(int(blk[:, :, 1].sum()))
+        bs.append(int(blk[:, :, 2].sum()))
+    return _atomic_parquet(pa.table({
+        "image_id": pa.array([f"img-{i:09d}" for i in idx], pa.string()),
+        "fmt": pa.array(fmt.tolist(), pa.string()),
+        "t_w": pa.array(tw, pa.int64()),
+        "t_h": pa.array(th, pa.int64()),
+        "tr_sum": pa.array(rs, pa.int64()),
+        "tg_sum": pa.array(gs, pa.int64()),
+        "tb_sum": pa.array(bs, pa.int64()),
+    }), path)

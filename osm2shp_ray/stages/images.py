@@ -273,3 +273,71 @@ def channel_stats(ds, concurrency=None, batch_size: int = 1024,
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(ChannelStats(), **kwargs)
+
+
+class Thumbnail:
+    """bytes -> thumbnail: exact integer box-downsample by ``factor``
+    (non-overlapping factor x factor block means, sums // factor^2 —
+    truncating division so the result is reproducible as pure integer
+    math), re-encoded as PNG. Emits the thumbnail payload plus exact
+    int64 channel sums and dims; images whose dimensions are not
+    multiples of ``factor`` crop the ragged right/bottom edge first
+    (documented; the fixture sizes divide evenly so nothing crops
+    there). Decode failures surface as t_w = 0 rows, never stream
+    aborts.
+
+    The resize path every multimodal pipeline needs (training-set
+    thumbnailing, pyramid levels); runs as stateless map_batches
+    tasks or an actor pool via ``thumbnails()``.
+    """
+
+    def __init__(self, factor: int = 4):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.factor
+        f2 = f * f
+        blobs = _binary_views(batch["bytes"])
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        tw = np.zeros(n, np.int64)
+        th = np.zeros(n, np.int64)
+        sums = np.zeros((n, 3), np.int64)
+        thumbs: list[bytes | None] = [None] * n
+        for i in range(n):
+            try:
+                img = codec.decode_image(blobs[i], fmts[i])
+            except Exception:
+                continue
+            h0 = (img.shape[0] // f) * f
+            w0 = (img.shape[1] // f) * f
+            if h0 == 0 or w0 == 0:
+                continue
+            blk = (img[:h0, :w0].astype(np.int64)
+                   .reshape(h0 // f, f, w0 // f, f, 3)
+                   .sum(axis=(1, 3)) // f2)
+            tw[i] = w0 // f
+            th[i] = h0 // f
+            sums[i] = blk.reshape(-1, 3).sum(axis=0)
+            thumbs[i] = codec.encode_png(blk.astype(np.uint8))
+        out = batch.drop_columns(["bytes"])
+        return (out
+                .append_column("thumb", pa.array(thumbs, pa.binary()))
+                .append_column("t_w", pa.array(tw, pa.int64()))
+                .append_column("t_h", pa.array(th, pa.int64()))
+                .append_column("tr_sum", pa.array(sums[:, 0], pa.int64()))
+                .append_column("tg_sum", pa.array(sums[:, 1], pa.int64()))
+                .append_column("tb_sum", pa.array(sums[:, 2], pa.int64())))
+
+
+def thumbnails(ds, factor: int = 4, concurrency=None,
+               batch_size: int = 512, num_cpus: float = 1.0):
+    """Distributed thumbnail generation — small batches keep
+    payload x concurrency inside worker heaps (binary columns)."""
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  num_cpus=num_cpus)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(Thumbnail(factor), **kwargs)

@@ -125,7 +125,7 @@ SQL_CHECKED = [
     "q02_min_cost_supplier", "q11_important_stock",
     "q20_dominant_suppliers", "q21_sole_blocking_supplier",
     "q_clip_tiles", "q_chunk_passages", "q_geohash_encode",
-    "q_geojson_roundtrip", "q_resample_segments",
+    "q_geojson_roundtrip", "q_resample_segments", "q_thumbnails",
 ]
 
 

@@ -2227,3 +2227,38 @@ def test_geojsonl_roundtrip_all_geometries(ray_session, tmp_path):
         k1, x1, y1 = wkbmod.decode(back["geometry_wkb"][i])
         assert k0 == k1
         assert np.array_equal(x0, x1) and np.array_equal(y0, y1)
+
+
+def test_thumbnail_png_roundtrip(ray_session):
+    """The re-encoded thumbnail PNG decodes back to the exact
+    downsampled array (PNG is lossless), and dims/sums match the
+    generator-side ground truth."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm2shp_ray.functions import codec
+    from osm2shp_ray.sources.fixtures import (cached_images_parquet,
+                                              cached_thumb_stats_parquet,
+                                              ground_truth_pixels)
+    from osm2shp_ray.stages.images import Thumbnail
+
+    n = 60
+    t = pq.read_table(cached_images_parquet(2000, use_ray=False)).slice(0, n)
+    out = Thumbnail(4)(t.select(["image_id", "bytes", "fmt", "w", "h"]))
+    gt = pq.read_table(cached_thumb_stats_parquet(2000)).slice(0, n)
+    f = 4
+    checked = 0
+    for i in range(n):
+        if out["fmt"][i].as_py() != "png":
+            continue
+        checked += 1
+        assert out["t_w"][i].as_py() == gt["t_w"][i].as_py()
+        assert out["t_h"][i].as_py() == gt["t_h"][i].as_py()
+        assert out["tr_sum"][i].as_py() == gt["tr_sum"][i].as_py()
+        w0, h0 = t["w"][i].as_py(), t["h"][i].as_py()
+        exp = (ground_truth_pixels(i, w0, h0).astype(np.int64)
+               .reshape(h0 // f, f, w0 // f, f, 3).sum(axis=(1, 3))
+               // (f * f)).astype(np.uint8)
+        back = codec.decode_image(out["thumb"][i].as_py(), "png")
+        assert np.array_equal(back, exp)
+    assert checked == n // 2
