@@ -303,6 +303,9 @@ def run_bench() -> dict:
         ("q_clip_tiles", q.q_clip_tiles),
         ("q_chunk_passages", q.q_chunk_passages),
         ("q_geohash_encode", q.q_geohash_encode),
+        ("q_geojson_roundtrip", q.q_geojson_roundtrip),
+        ("q_resample_segments", q.q_resample_segments),
+        ("q_thumbnails", q.q_thumbnails),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
