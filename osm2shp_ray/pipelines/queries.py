@@ -3832,7 +3832,10 @@ def q08_market_share(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.equal(t["p_type"], Q08_TYPE)).select(["p_partkey"]),
             batch_format="pyarrow"),
-        on="p_partkey", how="left_semi", n_buckets=32)
+        on="p_partkey", how="left_semi", n_buckets=32,
+        # the type filter keeps ~1/6 of parts: bloom drops most of
+        # lineitem BEFORE its widest exchange
+        bloom_prefilter=True)
 
     lps = hash_join(
         lp, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
@@ -3913,7 +3916,10 @@ def q09_product_profit(sf_dir: str):
         .map_batches(li_map, batch_format="pyarrow"),
         _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
         .map_batches(part_map, batch_format="pyarrow"),
-        on="p_partkey", n_buckets=32)
+        on="p_partkey", n_buckets=32,
+        # name-substring filter keeps a fraction of parts: bloom cuts
+        # the lineitem side before its widest exchange
+        bloom_prefilter=True)
 
     def amount(t: pa.Table) -> pa.Table:
         cq = pc.floor(pc.multiply(
@@ -4113,7 +4119,8 @@ def q20_dominant_suppliers(sf_dir: str):
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
         .map_batches(li_map, batch_format="pyarrow"),
-        red_parts, on="p_partkey", how="left_semi", n_buckets=32)
+        red_parts, on="p_partkey", how="left_semi", n_buckets=32,
+        bloom_prefilter=True)
 
     def pair_partial(t: pa.Table) -> pa.Table:
         return (t.group_by(["p_partkey", "s_suppkey"])
