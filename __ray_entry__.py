@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_geohash_encode": q.q_geohash_encode,
         "q_geojson_roundtrip": q.q_geojson_roundtrip,
         "q_resample_segments": q.q_resample_segments,
+        "q_knn_join": q.q_knn_join,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -1845,6 +1846,30 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        # exact self kNN join: row_number over the cross join mirrors
+        # knn_join's (d2, id) total order bit-for-bit
+        "q_knn_join": f"""
+            WITH pt AS (
+              SELECT c_custkey,
+                     ((c_custkey * {LON_MULT}) % 360000000)
+                       / 1000000.0 - 180.0 AS x,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       / 1000000.0 - 90.0 AS y
+              FROM customer),
+            p AS (
+              SELECT a.c_custkey AS c_custkey,
+                     b.c_custkey AS neighbor,
+                     (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM pt a JOIN pt b ON a.c_custkey <> b.c_custkey),
+            r AS (
+              SELECT c_custkey, neighbor, d2,
+                     row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY d2, neighbor) AS rn
+              FROM p)
+            SELECT c_custkey, CAST(rn AS BIGINT) AS rnk, neighbor,
+                   CAST(floor(d2 * 1000000000.0) AS BIGINT) AS d2q
+            FROM r WHERE rn <= 3""",
         # segment densify: k = ceil(len/step) sub-segments, k+1 points
         # at t = j/k; zero-length segments emit one point (series end
         # 0); every generated coordinate feeds the quantized sums

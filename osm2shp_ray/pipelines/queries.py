@@ -4383,3 +4383,43 @@ def q_thumbnails(sf_dir: str):
     out = thumbnails(images.filter(expr="fmt == 'png'"), factor=4,
                      batch_size=512)
     return out.drop_columns(["fmt", "thumb"]).to_pandas()
+
+
+KNN_JOIN_K = 3
+KNN_JOIN_RES = 3
+
+
+def q_knn_join(sf_dir: str):
+    """Self kNN JOIN over customer points (stages/spatial.py::
+    knn_join): the 3 nearest other customers for EVERY customer —
+    one 3x3 grid co-group exchange (rights replicate <=9x), per-group
+    blocked stable-argsort top-k, boundary-guarantee proof, and the
+    logged brute-force fallback for unproven lefts. Exact (d2, id)
+    order mirrored by SQL row_number over the cross join."""
+    from ..stages.spatial import knn_join
+
+    def pts(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = custkey_lonlat(ck)
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    left = (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(pts, batch_format="pyarrow"))
+    right = left.map_batches(
+        lambda t: pa.table({"neighbor": t["c_custkey"],
+                            "x": t["x"], "y": t["y"]}),
+        batch_format="pyarrow")
+    out = knn_join(left, right, KNN_JOIN_K, left_id="c_custkey",
+                   right_id="neighbor", res=KNN_JOIN_RES,
+                   exclude_self=True)
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "rnk": t["rank"],
+            "neighbor": t["neighbor"],
+            "d2q": pc.floor(pc.multiply(t["dist2"],
+                                        pa.scalar(1e9))).cast(pa.int64())})
+
+    return out.map_batches(quant, batch_format="pyarrow").to_pandas()

@@ -854,3 +854,281 @@ def clip_to_rects(segments_ds, rects: pa.Table,
         })
 
     return segments_ds.map_batches(clip_batch, batch_format="pyarrow")
+
+
+def knn_join(left_ds, right_ds, k: int,
+             left_id: str = "left_id", right_id: str = "right_id",
+             lon_col: str = "x", lat_col: str = "y",
+             res: int = 4, pair_block: int = 1 << 22,
+             fallback_cap: int = 2_000_000,
+             exclude_self: bool = False):
+    """Exact k-nearest-neighbors JOIN: for EVERY left point, its k
+    nearest right points by planar squared-degree distance, ties
+    broken by right id — the per-row generalization of the
+    north-rule's single-query kNN.
+
+    Scale design: one 3x3 grid co-group (the distance_join exchange —
+    right points replicate <= 9x, left points key by their own cell),
+    then per group a blocked distance matrix with per-left stable
+    argsort over rid-presorted candidates, so (d2, rid) order is
+    total and deterministic. A left row is PROVEN exact when it found
+    >= k candidates and its kth distance does not exceed the distance
+    to the covered 3x3 boundary (domain edges count as covered —
+    no points exist beyond the grid). Unproven lefts — sparse cells,
+    boundary-huggers — go to a SECOND pass: brute force against the
+    full right side with the unresolved lefts broadcast once
+    (ray.put), per-right-block partial top-k, and a final per-left
+    reduce. Both passes are exact, so the resolve test only routes
+    work and never changes the answer. The unresolved count is
+    asserted <= ``fallback_cap`` and logged (the knn_auto full-scan
+    fallback contract, stages/spatial.py:474) — at true scale pick
+    ``res`` so the fallback is the tail, or raise the cap knowingly.
+
+    Returns (left_id, rank 1..k, right_id, dist2). ``exclude_self``
+    drops candidate rows whose right id equals the left id (self
+    kNN join).
+    """
+    import ray
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_grid = np.int64(1) << np.int64(res)
+    wlon = 360.0 / (1 << res)
+    wlat = 180.0 / (1 << res)
+    lid_type = dict(zip(left_ds.schema().names,
+                        left_ds.schema().types))[left_id]
+    rid_type = dict(zip(right_ds.schema().names,
+                        right_ds.schema().types))[right_id]
+    BIG = 1e30
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        cell = cellmod.latlng_to_cell(lat, lon, res).astype(np.int64)
+        return pa.table({
+            "__dcell": pa.array(cell, pa.int64()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__lid": t[left_id],
+            "__rid": pa.nulls(t.num_rows, rid_type),
+            "__px": pa.array(lon, pa.float64()),
+            "__py": pa.array(lat, pa.float64()),
+        })
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        cell = cellmod.latlng_to_cell(lat, lon, res)
+        cx, cy = cellmod.cell_xy(cell)
+        n = t.num_rows
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), n)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), n)
+        nx = np.tile(cx, 9) + dx
+        ny = np.tile(cy, 9) + dy
+        ok = (nx >= 0) & (nx < n_grid) & (ny >= 0) & (ny < n_grid)
+        src = np.tile(np.arange(n, dtype=np.int64), 9)[ok]
+        ncell = ((np.uint64(res) << np.uint64(58))
+                 | (ny[ok].astype(np.uint64) << np.uint64(29))
+                 | nx[ok].astype(np.uint64)).astype(np.int64)
+        take = pa.array(src, pa.int64())
+        return pa.table({
+            "__dcell": pa.array(ncell, pa.int64()),
+            "__side": pa.array(np.ones(len(src), np.int8)),
+            "__lid": pa.nulls(len(src), lid_type),
+            "__rid": t[right_id].take(take),
+            "__px": pa.array(lon[src], pa.float64()),
+            "__py": pa.array(lat[src], pa.float64()),
+        })
+
+    out_schema = pa.schema([(left_id, lid_type), ("rank", pa.int64()),
+                            (right_id, rid_type),
+                            ("dist2", pa.float64()),
+                            ("__unres", pa.int8()),
+                            ("__px", pa.float64()),
+                            ("__py", pa.float64())])
+
+    def _topk_rows(lt_lid, lx, ly, r_rid, rx, ry, lid_is_rid_mask=None):
+        """Blocked exact top-k of (d2, rid) for each left row against
+        rid-PRESORTED right arrays. Returns (lid_idx, rank, rid_idx,
+        d2, kth_d2 per left, n_cand)."""
+        nl, nr = len(lx), len(rx)
+        rows = []
+        step = max(1, pair_block // max(1, nr))
+        for s in range(0, nl, step):
+            e = min(nl, s + step)
+            ddx = lx[s:e, None] - rx[None, :]
+            ddy = ly[s:e, None] - ry[None, :]
+            d2 = ddx * ddx + ddy * ddy
+            if lid_is_rid_mask is not None:
+                d2 = np.where(lid_is_rid_mask[s:e], BIG, d2)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            rows.append((s, e, idx, np.take_along_axis(d2, idx, axis=1)))
+        return rows
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0))
+        rt = t.filter(pa.array(side == 1))
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        lx = lt["__px"].to_numpy(zero_copy_only=False)
+        ly = lt["__py"].to_numpy(zero_copy_only=False)
+        lid = lt["__lid"]
+        if rt.num_rows == 0:
+            # no candidates at all: every left is unresolved
+            return pa.table({
+                left_id: lid, "rank": pa.array(
+                    np.zeros(lt.num_rows, np.int64)),
+                right_id: pa.nulls(lt.num_rows, rid_type),
+                "dist2": pa.array(np.zeros(lt.num_rows)),
+                "__unres": pa.array(np.ones(lt.num_rows, np.int8)),
+                "__px": pa.array(lx), "__py": pa.array(ly),
+            }).cast(out_schema)
+        # presort candidates by rid so stable argsort yields (d2, rid)
+        order = pc.sort_indices(rt["__rid"])
+        rt = rt.take(order)
+        rx = rt["__px"].to_numpy(zero_copy_only=False)
+        ry = rt["__py"].to_numpy(zero_copy_only=False)
+        rid = rt["__rid"]
+        self_mask = None
+        if exclude_self:
+            lid_np = lid.to_numpy(zero_copy_only=False)
+            rid_np = rid.to_numpy(zero_copy_only=False)
+            self_mask = lid_np[:, None] == rid_np[None, :]
+        nr = rt.num_rows
+        kk = min(k, nr)
+        # guarantee distance to the covered 3x3 boundary (domain
+        # edges covered by construction)
+        cell = cellmod.latlng_to_cell(ly, lx, res)
+        cx, cy = cellmod.cell_xy(cell)
+        cov_x_lo = np.where(cx >= 1, (cx - 1) * wlon - 180.0, -np.inf)
+        cov_x_hi = np.where(cx + 2 <= n_grid, (cx + 2) * wlon - 180.0,
+                            np.inf)
+        # grid y grows as lat falls: cell cy covers lat in
+        # [90-(cy+1)*wlat, 90-cy*wlat]; the 3x3 lat floor needs cy+1
+        # to exist, the ceiling needs cy-1
+        cov_y_lo = np.where(cy + 2 <= n_grid, 90.0 - (cy + 2) * wlat,
+                            -np.inf)
+        cov_y_hi = np.where(cy >= 1, 90.0 - (cy - 1) * wlat, np.inf)
+        g = np.minimum(np.minimum(lx - cov_x_lo, cov_x_hi - lx),
+                       np.minimum(ly - cov_y_lo, cov_y_hi - ly))
+        g = np.where(np.isfinite(g), g, BIG)
+        parts = []
+        for s, e, idx, d2k in _topk_rows(lid, lx, ly, rid, rx, ry,
+                                         self_mask):
+            n_here = e - s
+            # masked self rows carry BIG distances; the flat_d2 < BIG
+            # keep-filter drops those placeholders below
+            kth = d2k[:, kk - 1]
+            resolved = (nr >= k) & (kth <= g[s:e] * g[s:e]) & (
+                kth < BIG)
+            li = np.repeat(np.arange(s, e), kk)
+            ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                            n_here)
+            flat_idx = idx.reshape(-1)
+            flat_d2 = d2k.reshape(-1)
+            keep = np.repeat(resolved, kk) & (flat_d2 < BIG)
+            parts.append(pa.table({
+                left_id: lid.take(pa.array(li[keep], pa.int64())),
+                "rank": pa.array(ranks[keep]),
+                right_id: rid.take(pa.array(flat_idx[keep], pa.int64())),
+                "dist2": pa.array(flat_d2[keep]),
+                "__unres": pa.array(np.zeros(int(keep.sum()), np.int8)),
+                "__px": pa.array(lx[li[keep]]),
+                "__py": pa.array(ly[li[keep]]),
+            }).cast(out_schema))
+            un = ~resolved
+            if un.any():
+                sel = np.flatnonzero(un) + s
+                parts.append(pa.table({
+                    left_id: lid.take(pa.array(sel, pa.int64())),
+                    "rank": pa.array(np.zeros(len(sel), np.int64)),
+                    right_id: pa.nulls(len(sel), rid_type),
+                    "dist2": pa.array(np.zeros(len(sel))),
+                    "__unres": pa.array(np.ones(len(sel), np.int8)),
+                    "__px": pa.array(lx[sel]),
+                    "__py": pa.array(ly[sel]),
+                }).cast(out_schema))
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+    unioned = (left_ds.map_batches(prep_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(prep_right,
+                                           batch_format="pyarrow")))
+    pass1 = (coalesced(unioned).groupby("__dcell")
+             .map_groups(join_group, batch_format="pyarrow")
+             .materialize())  # consumed twice: resolved + unresolved
+
+    resolved = pass1.filter(expr="__unres == 0").select_columns(
+        [left_id, "rank", right_id, "dist2"])
+    unres = pass1.filter(expr="__unres == 1").select_columns(
+        [left_id, "__px", "__py"])
+    n_unres = unres.count()
+    if n_unres == 0:
+        return resolved
+    if n_unres > fallback_cap:
+        raise ValueError(
+            f"knn_join: {n_unres} unresolved lefts exceed fallback_cap="
+            f"{fallback_cap}; lower res (bigger cells) or raise the cap")
+    import logging
+    logging.getLogger(__name__).info(
+        "knn_join: %d lefts to brute-force fallback", n_unres)
+    ut = unres.take_all()
+    u_lid = np.array([r[left_id] for r in ut])
+    u_x = np.array([r["__px"] for r in ut], np.float64)
+    u_y = np.array([r["__py"] for r in ut], np.float64)
+    u_ref = ray.put((u_lid, u_x, u_y))
+
+    cand_schema = pa.schema([(left_id, lid_type), (right_id, rid_type),
+                             ("dist2", pa.float64())])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        b_lid, b_x, b_y = _ray.get(u_ref)
+        order = pc.sort_indices(t[right_id])
+        t = t.take(order)
+        rx = t[lon_col].to_numpy(zero_copy_only=False)
+        ry = t[lat_col].to_numpy(zero_copy_only=False)
+        rid = t[right_id]
+        nr = t.num_rows
+        kk = min(k, nr)
+        if nr == 0:
+            return cand_schema.empty_table()
+        parts = []
+        step = max(1, pair_block // max(1, nr))
+        for s in range(0, len(b_x), step):
+            e = min(len(b_x), s + step)
+            ddx = b_x[s:e, None] - rx[None, :]
+            ddy = b_y[s:e, None] - ry[None, :]
+            d2 = ddx * ddx + ddy * ddy
+            if exclude_self:
+                d2 = np.where(b_lid[s:e, None]
+                              == rid.to_numpy(zero_copy_only=False)[None, :],
+                              BIG, d2)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            d2k = np.take_along_axis(d2, idx, axis=1)
+            li = np.repeat(np.arange(s, e), kk)
+            flat = idx.reshape(-1)
+            fd2 = d2k.reshape(-1)
+            keep = fd2 < BIG
+            parts.append(pa.table({
+                left_id: pa.array(b_lid[li[keep]]),
+                right_id: rid.take(pa.array(flat[keep], pa.int64())),
+                "dist2": pa.array(fd2[keep]),
+            }).cast(cand_schema))
+        return (pa.concat_tables(parts) if parts
+                else cand_schema.empty_table())
+
+    def finish(df):
+        import pandas as pd
+        df = df.sort_values(["dist2", right_id]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[left_id, "rank", right_id, "dist2"]]
+
+    fb = (right_ds.map_batches(block_topk, batch_format="pyarrow")
+          .groupby(left_id).map_groups(finish, batch_format="pandas"))
+    fb = fb.map_batches(
+        lambda t: t.cast(pa.schema([(left_id, lid_type),
+                                    ("rank", pa.int64()),
+                                    (right_id, rid_type),
+                                    ("dist2", pa.float64())])),
+        batch_format="pyarrow")
+    return resolved.union(fb)

@@ -230,3 +230,47 @@ def test_clip_to_rects_properties(ray_session):
     got = out.loc["r0", "len_q"] / 1e7
     assert got <= seg_len.sum() + 1e-9
     assert abs(got - est) < seg_len.sum() * 2e-4
+
+
+@pytest.mark.parametrize("res,exclude_self", [(2, False), (5, False),
+                                              (3, True)])
+def test_knn_join_exact_vs_brute_force(ray_session, res, exclude_self):
+    """knn_join == brute-force top-k by (d2, rid) at coarse res (most
+    lefts proven in-group) AND fine res (most lefts through the
+    fallback), including the self-join variant."""
+    rng = np.random.default_rng(7 + res)
+    nl, nr, k = 300, 220, 4
+    lx = rng.uniform(-179, 179, nl)
+    ly = rng.uniform(-89, 89, nl)
+    lid = np.arange(nl, dtype=np.int64)
+    if exclude_self:
+        rx, ry, rid_a = lx, ly, lid
+    else:
+        rx = rng.uniform(-179, 179, nr)
+        ry = rng.uniform(-89, 89, nr)
+        rid_a = np.arange(1000, 1000 + nr, dtype=np.int64)
+    left = rd.from_arrow(pa.table({"left_id": pa.array(lid),
+                                   "x": pa.array(lx), "y": pa.array(ly)}))
+    right = rd.from_arrow(pa.table({"right_id": pa.array(rid_a),
+                                    "x": pa.array(rx), "y": pa.array(ry)}))
+    out = (spatial.knn_join(left, right, k, res=res,
+                            exclude_self=exclude_self)
+           .to_pandas().sort_values(["left_id", "rank"],
+                                    ignore_index=True))
+    # brute force
+    d2 = ((lx[:, None] - rx[None, :]) ** 2
+          + (ly[:, None] - ry[None, :]) ** 2)
+    if exclude_self:
+        d2[lid[:, None] == rid_a[None, :]] = np.inf
+    rows = []
+    for i in range(nl):
+        order = sorted(range(len(rx)), key=lambda j: (d2[i, j], rid_a[j]))
+        for rnk, j in enumerate(order[:k], 1):
+            if not np.isfinite(d2[i, j]):
+                continue
+            rows.append((lid[i], rnk, rid_a[j], d2[i, j]))
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["left_id", "rank", "right_id",
+                                      "dist2"])
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
