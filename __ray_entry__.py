@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_geojson_roundtrip": q.q_geojson_roundtrip,
         "q_resample_segments": q.q_resample_segments,
         "q_knn_join": q.q_knn_join,
+        "q_clip_ways": q.q_clip_ways,
         "q02_min_cost_supplier": q.q02_min_cost_supplier,
         "q11_important_stock": q.q11_important_stock,
         "q20_dominant_suppliers": q.q20_dominant_suppliers,
@@ -1846,6 +1847,61 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2""",
+        # clip the engine's own assembled ways: segments re-derived
+        # from the entities side table, identical Liang-Barsky cascade
+        "q_clip_ways": f"""
+            WITH e AS ({{IMG_ENTITIES}}),
+            {{IMG_WAY_CLS}},
+            ways AS (
+              SELECT l.way_id, l.layer,
+                     list(e.lon ORDER BY e.pos) AS xs,
+                     list(e.lat ORDER BY e.pos) AS ys
+              FROM wl l JOIN e USING (way_id)
+              WHERE l.layer IS NOT NULL
+              GROUP BY l.way_id, l.layer),
+            seg AS (
+              SELECT layer, xs[j] AS x1, ys[j] AS y1,
+                     xs[j+1] AS x2, ys[j+1] AS y2
+              FROM ways, unnest(range(1, len(xs))) t(j)),
+            r(tile_id, x_lo, y_lo, x_hi, y_hi) AS (VALUES {_RECT_VALUES}),
+            p AS (
+              SELECT layer, tile_id, x1, y1, x2 - x1 AS dx,
+                     y2 - y1 AS dy, x_lo, x_hi, y_lo, y_hi
+              FROM seg CROSS JOIN r),
+            tt AS (
+              SELECT layer, tile_id,
+                CASE WHEN dx > 0 THEN (x_lo - x1) / dx
+                     WHEN dx < 0 THEN (x_hi - x1) / dx
+                     WHEN x1 >= x_lo AND x1 <= x_hi THEN -1e300
+                     ELSE 1e300 END AS tx_lo,
+                CASE WHEN dx > 0 THEN (x_hi - x1) / dx
+                     WHEN dx < 0 THEN (x_lo - x1) / dx
+                     WHEN x1 >= x_lo AND x1 <= x_hi THEN 1e300
+                     ELSE -1e300 END AS tx_hi,
+                CASE WHEN dy > 0 THEN (y_lo - y1) / dy
+                     WHEN dy < 0 THEN (y_hi - y1) / dy
+                     WHEN y1 >= y_lo AND y1 <= y_hi THEN -1e300
+                     ELSE 1e300 END AS ty_lo,
+                CASE WHEN dy > 0 THEN (y_hi - y1) / dy
+                     WHEN dy < 0 THEN (y_lo - y1) / dy
+                     WHEN y1 >= y_lo AND y1 <= y_hi THEN 1e300
+                     ELSE -1e300 END AS ty_hi,
+                sqrt(dx * dx + dy * dy) AS seg_len
+              FROM p),
+            c AS (
+              SELECT layer, tile_id, GREATEST(0.0, tx_lo, ty_lo) AS t0,
+                     LEAST(1.0, tx_hi, ty_hi) AS t1, seg_len
+              FROM tt)
+            SELECT layer, tile_id,
+                   CAST(sum(CASE WHEN t1 > t0 THEN
+                              CAST(floor(((t1 - t0) * seg_len)
+                                         * 10000000.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS clip_len_q,
+                   CAST(count(*) FILTER (t1 > t0) AS BIGINT)
+                     AS n_clipped
+            FROM c GROUP BY layer, tile_id""".replace(
+            "{IMG_ENTITIES}", img_entities(entities2k_pq)).replace(
+            "{IMG_WAY_CLS}", IMG_WAY_CLS),
         # exact self kNN join: row_number over the cross join mirrors
         # knn_join's (d2, id) total order bit-for-bit
         "q_knn_join": f"""

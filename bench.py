@@ -307,6 +307,7 @@ def run_bench() -> dict:
         ("q_resample_segments", q.q_resample_segments),
         ("q_thumbnails", q.q_thumbnails),
         ("q_knn_join", q.q_knn_join),
+        ("q_clip_ways", q.q_clip_ways),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -4423,3 +4423,42 @@ def q_knn_join(sf_dir: str):
                                         pa.scalar(1e9))).cast(pa.int64())})
 
     return out.map_batches(quant, batch_format="pyarrow").to_pandas()
+
+
+def q_clip_ways(sf_dir: str):
+    """Clip the flagship's OWN assembled-way geometry to the tile
+    rects: adapter -> classify -> distributed join -> segment view
+    (geometry.way_segments_batch) -> grouped Liang-Barsky clip
+    (spatial.clip_to_rects group_col='layer') -> per (tile, layer)
+    exact clipped length + crossing-segment count. The SQL mirror
+    re-derives the same segments from the entities side table and
+    runs the identical CASE cascade."""
+    from ..sources.fixtures import (cached_entities_parquet,
+                                    cached_images_parquet)
+    from ..stages import geometry
+    from ..stages.classify import classify_ways_batch
+    from ..stages.join import resolve_ways
+    from ..stages.spatial import clip_to_rects
+    from . import adapter
+    cached_entities_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "caption", "phash"])
+    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    classified = ways.map_batches(classify_ways_batch,
+                                  batch_format="pyarrow")
+    assembled = resolve_ways(nodes, classified, n_buckets=16)
+    rects = pa.table({
+        "tile_id": pa.array([r[0] for r in PIP_RECTS]),
+        "x_lo": pa.array([r[1] for r in PIP_RECTS]),
+        "y_lo": pa.array([r[2] for r in PIP_RECTS]),
+        "x_hi": pa.array([r[3] for r in PIP_RECTS]),
+        "y_hi": pa.array([r[4] for r in PIP_RECTS]),
+    })
+    segs = assembled.map_batches(geometry.way_segments_batch,
+                                 batch_format="pyarrow")
+    return (clip_to_rects(segs, rects, group_col="layer")
+            .groupby(["layer", "tile_id"])
+            .aggregate(Sum("clip_len_q", alias_name="clip_len_q"),
+                       Sum("n_clipped", alias_name="n_clipped"))
+            .to_pandas())

@@ -847,3 +847,34 @@ def resample_segments_batch(t: pa.Table, step: float,
         "pxq": pa.array(np.floor(px * quant).astype(np.int64)),
         "pyq": pa.array(np.floor(py * quant).astype(np.int64)),
     })
+
+
+def way_segments_batch(batch: pa.Table) -> pa.Table:
+    """Assembled ways -> one row per consecutive vertex pair
+    (layer, x1, y1, x2, y2): the segment view that feeds clipping /
+    densify / intersection stages. Vectorized mask over the flattened
+    vertex arrays (the last vertex of each way emits no segment);
+    <2-vertex ways emit nothing."""
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    total = len(fx)
+    is_last = np.zeros(total, dtype=bool)
+    ends = offsets[1:] - 1
+    is_last[ends[ends >= 0]] = True
+    sel = np.flatnonzero(~is_last)
+    counts = np.maximum(np.diff(offsets) - 1, 0)
+    layer = layer_name_col(
+        batch["layer_idx"].to_numpy(zero_copy_only=False))
+    lay_seg = layer.take(pa.array(
+        np.repeat(np.arange(len(batch), dtype=np.int64), counts)))
+    return pa.table({
+        "layer": lay_seg,
+        "x1": pa.array(fx[sel], pa.float64()),
+        "y1": pa.array(fy[sel], pa.float64()),
+        "x2": pa.array(fx[sel + 1], pa.float64()),
+        "y2": pa.array(fy[sel + 1], pa.float64()),
+    })

@@ -768,7 +768,7 @@ def clip_to_rects(segments_ds, rects: pa.Table,
                   cols: tuple[str, str, str, str] = ("x1", "y1",
                                                      "x2", "y2"),
                   rect_id_col: str = "tile_id",
-                  quant: float = 1e7):
+                  quant: float = 1e7, group_col: str | None = None):
     """Liang-Barsky clip of line segments to axis-aligned rectangles
     (the ST_ClipByBox2D analog of the tiling engine): for every
     (segment, rect) pair that overlaps, the clipped-length
@@ -777,7 +777,9 @@ def clip_to_rects(segments_ds, rects: pa.Table,
     Returns a Dataset of per-batch partials (rect_id, clip_len_q,
     n_clipped) — callers finish with groupby(rect_id).sum, so the
     exchange is O(n_rects) rows per block regardless of segment
-    count.
+    count. With ``group_col`` (e.g. a layer), partials are per
+    (group, rect) — scatter-added per batch, so the exchange grows
+    only to O(n_rects x groups-per-batch).
 
     The parametric intervals use sign-dispatched divisions with
     +/-1e300 sentinels for axis-parallel segments (NO inf/NaN ever
@@ -846,11 +848,33 @@ def clip_to_rects(segments_ds, rects: pa.Table,
             contrib = np.floor(((t1 - t0) * seg_len) * quant)
         contrib = np.where(hit, contrib, 0.0).astype(np.int64)
         n_rect = r_id.shape[0]
+
+        def rect_col(take=None):
+            arr = r_id if take is None else r_id[take]
+            return (pa.array(arr, pa.string())
+                    if r_id.dtype.kind in "OU" else pa.array(arr))
+
+        if group_col is None:
+            return pa.table({
+                rect_id_col: rect_col(),
+                "clip_len_q": pa.array(contrib.sum(axis=0), pa.int64()),
+                "n_clipped": pa.array(hit.sum(axis=0).astype(np.int64)),
+            })
+        gvals = t[group_col].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(gvals, return_inverse=True)
+        acc = np.zeros((len(uniq), n_rect), np.int64)
+        cnt = np.zeros((len(uniq), n_rect), np.int64)
+        np.add.at(acc, codes, contrib)
+        np.add.at(cnt, codes, hit.astype(np.int64))
+        gi = np.repeat(np.arange(len(uniq)), n_rect)
+        ri = np.tile(np.arange(n_rect), len(uniq))
+        gcol = pa.array(uniq[gi]) if uniq.dtype.kind != "O" else \
+            pa.array(uniq[gi], pa.string())
         return pa.table({
-            rect_id_col: pa.array(r_id, pa.string())
-            if r_id.dtype.kind in "OU" else pa.array(r_id),
-            "clip_len_q": pa.array(contrib.sum(axis=0), pa.int64()),
-            "n_clipped": pa.array(hit.sum(axis=0).astype(np.int64)),
+            group_col: gcol,
+            rect_id_col: rect_col(ri),
+            "clip_len_q": pa.array(acc.reshape(-1), pa.int64()),
+            "n_clipped": pa.array(cnt.reshape(-1), pa.int64()),
         })
 
     return segments_ds.map_batches(clip_batch, batch_format="pyarrow")

@@ -126,7 +126,7 @@ SQL_CHECKED = [
     "q20_dominant_suppliers", "q21_sole_blocking_supplier",
     "q_clip_tiles", "q_chunk_passages", "q_geohash_encode",
     "q_geojson_roundtrip", "q_resample_segments", "q_thumbnails",
-    "q_knn_join",
+    "q_knn_join", "q_clip_ways",
 ]
 
 
