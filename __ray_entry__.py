@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_docs": q.q_rollup_docs,
         "q_ntile_events": q.q_ntile_events,
         "q_pagerank": q.q_pagerank,
+        "q_bfs_hops": q.q_bfs_hops,
         "q_exact_median": q.q_exact_median,
         "q_interval_overlap": q.q_interval_overlap,
         "q_skyline": q.q_skyline,
@@ -728,6 +729,27 @@ def oracle_sql() -> dict[str, str]:
     pr_sql = ("WITH " + ",\n".join(pr_ctes)
               + f"\nSELECT src AS node, CAST(r AS BIGINT) AS r"
                 f" FROM pr{PR_ITERS}")
+
+    # multi-source BFS: bounded recursive CTE; UNION (not ALL) dedups
+    # (node, h) pairs so the recursion terminates at the hop cap
+    from osm2shp_ray.pipelines.queries import BFS_MAX_HOPS, BFS_SEED_ORDERS
+    bfs_seeds = ", ".join(f"(CAST({k * 2} AS BIGINT))"
+                          for k in BFS_SEED_ORDERS)
+    bfs_sql = f"""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT l_orderkey * 2 AS src,
+                          l_partkey * 2 + 1 AS dst FROM lineitem
+          UNION ALL
+          SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem
+        ), walk(node, h) AS (
+          SELECT s.node, CAST(0 AS BIGINT) FROM (VALUES {bfs_seeds})
+            AS s(node)
+          UNION
+          SELECT e.dst, walk.h + 1 FROM walk JOIN e ON e.src = walk.node
+          WHERE walk.h < {BFS_MAX_HOPS}
+        )
+        SELECT node, CAST(min(h) AS BIGINT) AS hops
+        FROM walk GROUP BY node"""
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -2309,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
                      AS max_k
             FROM events GROUP BY event_type""",
         "q_pagerank": pr_sql,
+        "q_bfs_hops": bfs_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact
         "q_exact_median": """

@@ -224,6 +224,7 @@ def run_bench() -> dict:
         ("q_rollup_docs", q.q_rollup_docs),
         ("q_ntile_events", q.q_ntile_events),
         ("q_pagerank", q.q_pagerank),
+        ("q_bfs_hops", q.q_bfs_hops),
         ("q_exact_median", q.q_exact_median),
         ("q_interval_overlap", q.q_interval_overlap),
         ("q_skyline", q.q_skyline),

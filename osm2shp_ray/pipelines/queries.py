@@ -1827,6 +1827,33 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, iters=PR_ITERS, dedup=True).to_pandas()
 
 
+BFS_SEED_ORDERS = (1, 2, 3)   # o_orderkey 1..3 exist at every sf
+BFS_MAX_HOPS = 3
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (stages/graph.py::bfs_hops) over
+    the bipartite order<->part graph: layers of nodes reachable from
+    three seed orders within 3 hops, each node with its MINIMUM hop
+    count. The SQL mirror is the bounded recursive CTE; BFS layers
+    are pure set algebra, so both engines agree bit-for-bit."""
+    from ..stages.graph import bfs_hops
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    seeds = [k * 2 for k in BFS_SEED_ORDERS]
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).to_pandas()
+
+
 def q_exact_median(sf_dir: str):
     """EXACT global median of l_extendedprice (stages/sketch.py::
     exact_kth — multi-pass histogram-refinement selection): narrow
@@ -3729,10 +3756,12 @@ def q07_volume_shipping(sf_dir: str):
     """TPC-H Q7 analog (volume shipping): revenue shipped between two
     nations, by (supplier nation, customer nation, ship year). Both
     nation filters are pushed below their joins (supplier/customer
-    shrink to the two nations BEFORE any wide exchange); the three
-    big-big joins are bucketed hash_joins; per-batch partials reduce
+    shrink to the two nations BEFORE any wide exchange); the
+    filtered supplier/customer attaches are size-adaptive dim_joins
+    (broadcast under the cap, shuffle past it); the lineitem-x-orders
+    join stays a bucketed hash_join; per-batch partials reduce
     to <=2x2x|years| rows before the final groupby."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     keep = pa.array(list(Q07_NATIONS), pa.int64())
@@ -3754,7 +3783,7 @@ def q07_volume_shipping(sf_dir: str):
         return pa.table({"l_suppkey": t["s_suppkey"],
                          "s_nk": t["s_nationkey"]})
 
-    ls = hash_join(
+    ls = dim_join(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
                "l_discount"]).map_batches(li_map, batch_format="pyarrow"),
@@ -3771,7 +3800,7 @@ def q07_volume_shipping(sf_dir: str):
         return pa.table({"o_custkey": t["c_custkey"],
                          "c_nk": t["c_nationkey"]})
 
-    oc = hash_join(
+    oc = dim_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         .map_batches(cust_map, batch_format="pyarrow"),
@@ -3806,8 +3835,16 @@ def q08_market_share(sf_dir: str):
     by NATION_5 per order year. Part-type and customer-region filters
     push below their joins; the region keep-set is a driver broadcast
     (25 fixed nation rows); shares are int64/int64 driver divisions
-    on the <=|years|-row result."""
-    from ..stages.joins import hash_join
+    on the <=|years|-row result.
+
+    Join plan (size-adaptive): the filtered-part semi, the supplier
+    attach, and the customer semi run through ``dim_join`` —
+    broadcast (zero exchanges) while the build side is under the cap,
+    shuffle hash_join (with the bloom prefilter on the part semi)
+    when a side outgrows it at real scale. The lineitem-x-orders join
+    stays a bucketed hash_join: both sides scale with the fact
+    table."""
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     nations = _read(sf_dir, "nation").take_all()
@@ -3824,7 +3861,7 @@ def q08_market_share(sf_dir: str):
                          "l_suppkey": t["l_suppkey"],
                          "o_orderkey": t["l_orderkey"], "rq": _rev_q(t)})
 
-    lp = hash_join(
+    lp = dim_join(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
                "l_discount"]).map_batches(li_map, batch_format="pyarrow"),
@@ -3833,11 +3870,11 @@ def q08_market_share(sf_dir: str):
             pc.equal(t["p_type"], Q08_TYPE)).select(["p_partkey"]),
             batch_format="pyarrow"),
         on="p_partkey", how="left_semi", n_buckets=32,
-        # the type filter keeps ~1/6 of parts: bloom drops most of
-        # lineitem BEFORE its widest exchange
+        # shuffle fallback keeps the bloom: the type filter keeps ~1/6
+        # of parts, so bloom drops most of lineitem pre-exchange
         bloom_prefilter=True)
 
-    lps = hash_join(
+    lps = dim_join(
         lp, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
         .map_batches(lambda t: pa.table(
             {"l_suppkey": t["s_suppkey"], "s_nk": t["s_nationkey"]}),
@@ -3853,7 +3890,7 @@ def q08_market_share(sf_dir: str):
                          "o_year": pc.year(t["o_orderdate"])
                          .cast(pa.int64())})
 
-    oc = hash_join(
+    oc = dim_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(ord_map, batch_format="pyarrow"),
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -3892,8 +3929,14 @@ def q09_product_profit(sf_dir: str):
     fixture has no partsupp table), grouped by supplier nation and
     order year. Both money terms are floor-quantized per row BEFORE
     the subtraction so int64 group sums are exact and
-    order-independent."""
-    from ..stages.joins import hash_join
+    order-independent.
+
+    Join plan (size-adaptive): the filtered-part attach and the
+    supplier attach run through ``dim_join`` — broadcast while under
+    the cap, bloom-prefiltered shuffle join past it. The
+    lineitem-x-orders join stays a bucketed hash_join (both sides
+    scale with the fact table)."""
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     nk_name = {n["n_nationkey"]: n["n_name"]
@@ -3909,7 +3952,7 @@ def q09_product_profit(sf_dir: str):
                          "o_orderkey": t["l_orderkey"],
                          "l_quantity": t["l_quantity"], "rq": _rev_q(t)})
 
-    lp = hash_join(
+    lp = dim_join(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                "l_extendedprice", "l_discount"])
@@ -3917,8 +3960,8 @@ def q09_product_profit(sf_dir: str):
         _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
         .map_batches(part_map, batch_format="pyarrow"),
         on="p_partkey", n_buckets=32,
-        # name-substring filter keeps a fraction of parts: bloom cuts
-        # the lineitem side before its widest exchange
+        # shuffle fallback keeps the bloom: the name-substring filter
+        # keeps a fraction of parts, so bloom cuts lineitem pre-exchange
         bloom_prefilter=True)
 
     def amount(t: pa.Table) -> pa.Table:
@@ -3931,7 +3974,7 @@ def q09_product_profit(sf_dir: str):
 
     lpa = lp.map_batches(amount, batch_format="pyarrow")
 
-    lps = hash_join(
+    lps = dim_join(
         lpa, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
         .map_batches(lambda t: pa.table(
             {"l_suppkey": t["s_suppkey"], "s_nk": t["s_nationkey"]}),
@@ -3971,8 +4014,14 @@ def q02_min_cost_supplier(sf_dir: str):
     correlated scalar subquery becomes a per-part Min aggregate
     joined back (the q17 shape, per key); ties keep every minimal
     supplier exactly like the SQL. Balances are cent-quantized so the
-    min and the equality re-check are integer-exact."""
-    from ..stages.joins import distinct_rows, hash_join
+    min and the equality re-check are integer-exact.
+
+    Join plan (size-adaptive): the supplier attach, the per-part-min
+    join-back, and the filtered-part attach run through ``dim_join``
+    (broadcast under the cap, shuffle past it); the distinct link
+    relation keeps its one bucketed exchange — it scales with
+    lineitem."""
+    from ..stages.joins import dim_join, distinct_rows, hash_join
     from ..stages.util import coalesced
 
     nations = _read(sf_dir, "nation").take_all()
@@ -3998,7 +4047,7 @@ def q02_min_cost_supplier(sf_dir: str):
                                           pa.scalar(100.0)))
             .cast(pa.int64())})
 
-    cand = hash_join(
+    cand = dim_join(
         link, _read(sf_dir, "supplier",
                     ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
         .map_batches(supp_map, batch_format="pyarrow"),
@@ -4017,7 +4066,7 @@ def q02_min_cost_supplier(sf_dir: str):
             .groupby("p_partkey")
             .aggregate(Min("bal_q", alias_name="min_bal_q")))
 
-    win = (hash_join(cand, best, on="p_partkey", n_buckets=32)
+    win = (dim_join(cand, best, on="p_partkey", n_buckets=32)
            .map_batches(lambda t: t.filter(
                pc.equal(t["bal_q"], t["min_bal_q"]))
                .select(["p_partkey", "s_name", "bal_q"]),
@@ -4027,7 +4076,7 @@ def q02_min_cost_supplier(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.equal(t["p_size"], pa.scalar(Q02_SIZE)))
             .select(["p_partkey", "p_name"]), batch_format="pyarrow")
-    return (hash_join(win, parts, on="p_partkey", n_buckets=32)
+    return (dim_join(win, parts, on="p_partkey", n_buckets=32)
             .sort(["p_partkey", "s_name"])
             .to_pandas()[["p_partkey", "p_name", "s_name", "bal_q"]])
 
@@ -4096,8 +4145,10 @@ def q20_dominant_suppliers(sf_dir: str):
     availqty > 0.5 * demand). Per-(part, supplier) and per-part
     quantity sums are one exchange each over x100-quantized int64;
     the half test is the integer comparison 2*sq > tq; qualifying
-    suppliers dedup to a distinct keyset that joins supplier names."""
-    from ..stages.joins import distinct_rows, hash_join
+    suppliers dedup to a distinct keyset that joins supplier names.
+    The red-part semi, the per-part-totals join-back, and the
+    supplier-name attach are size-adaptive dim_joins."""
+    from ..stages.joins import dim_join, distinct_rows, hash_join
     from ..stages.util import coalesced
 
     lo = pa.scalar(Q20_YEAR_LO, type=pa.timestamp("us"))
@@ -4115,7 +4166,7 @@ def q20_dominant_suppliers(sf_dir: str):
             "qty_q": pc.multiply(t["l_quantity"],
                                  pa.scalar(100.0)).cast(pa.int64())})
 
-    li = hash_join(
+    li = dim_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -4136,15 +4187,15 @@ def q20_dominant_suppliers(sf_dir: str):
     totals = (pairs.groupby("p_partkey")
               .aggregate(Sum("sq", alias_name="tq")))
 
-    dom = (hash_join(pairs, totals, on="p_partkey", n_buckets=32)
+    dom = (dim_join(pairs, totals, on="p_partkey", n_buckets=32)
            .map_batches(lambda t: pa.table({"s_suppkey": t.filter(
                pc.greater(pc.multiply(t["sq"], pa.scalar(2, pa.int64())),
                           t["tq"]))["s_suppkey"]}),
                batch_format="pyarrow"))
 
-    return (hash_join(distinct_rows(dom, n_buckets=32),
-                      _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-                      on="s_suppkey", n_buckets=32)
+    return (dim_join(distinct_rows(dom, n_buckets=32),
+                     _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                     on="s_suppkey", n_buckets=32)
             .sort("s_suppkey").to_pandas())
 
 

@@ -298,3 +298,139 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
         on=["src", "dst"], how="left_semi", n_buckets=n_buckets)
     return pd.DataFrame({"n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(closed.count())]})
+
+
+def bfs_hops(edges_ds, sources, max_hops: int,
+             n_buckets: int | None = None,
+             edge_cap: int = 5_000_000):
+    """Multi-source unweighted BFS over a directed edge Dataset
+    ``(src: int64, dst: int64)``: returns ``(node, hops)`` with the
+    MINIMUM hop count from any source, for every node within
+    ``max_hops`` (sources themselves at hops 0). Fourth graph family
+    next to components / pagerank / triangle_count; the engine analog
+    of a bounded recursive-CTE traversal.
+
+    ``sources`` is a driver-known seed array (the usual BFS contract:
+    seeds are a query parameter, not data-scale).
+
+    Capped dual (the pagerank pattern):
+
+    - ``edges.count() <= edge_cap``: ZERO exchanges — the edge set is
+      materialized once (no repartition; block layout is irrelevant
+      because the driver unions per-block unique frontiers), and each
+      hop is one embarrassingly-parallel map with the sorted frontier
+      broadcast via ``ray.put``. Driver state (visited ids + hops) is
+      bounded by the distinct-node count <= 2 * edge_cap.
+    - above the cap: fully distributed — per hop one left_semi
+      hash_join (frontier onto edges) + a distinct + a left_anti
+      against the visited set; no driver-side node array at any size.
+
+    Both paths compute the identical frontier sequence
+    (equivalence-tested; BFS layers are set-valued, so there is no
+    arithmetic-order concern at all).
+    """
+    import ray
+    from .joins import distinct_rows
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(seeds) == 0:
+        raise ValueError("bfs_hops needs at least one source node")
+
+    edges = edges_ds.map_batches(lambda t: t.select(["src", "dst"]),
+                                 batch_format="pyarrow").materialize()
+    if edges.count() <= edge_cap:
+        return _bfs_broadcast(edges, seeds, max_hops)
+    return _bfs_distributed(edges, seeds, max_hops, b)
+
+
+def _bfs_broadcast(edges, seeds: np.ndarray, max_hops: int):
+    """Zero-exchange path: per hop one map over the stationary edge
+    blocks (sorted frontier broadcast), per-block unique expansion,
+    driver set-union. Per-hop driver transfer is <= the new layer's
+    size per block (unique'd in the task, not on the driver)."""
+    import ray
+
+    visited = seeds.copy()          # sorted unique
+    hops = np.zeros(len(seeds), dtype=np.int64)
+    frontier = seeds
+    for h in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        fref = ray.put(frontier)    # sorted by construction
+
+        def expand(t: pa.Table, fref=fref) -> pa.Table:
+            f = ray.get(fref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(f, src)
+            idx[idx == len(f)] = 0
+            m = f[idx] == src
+            ud = np.unique(t["dst"].to_numpy(zero_copy_only=False)[m])
+            return pa.table({"dst": pa.array(ud, pa.int64())})
+
+        parts = [b_["dst"].to_numpy(zero_copy_only=False)
+                 for b_ in edges.map_batches(expand,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+                 .iter_batches(batch_format="pyarrow")]
+        cand = (np.unique(np.concatenate(parts)) if parts
+                else np.array([], dtype=np.int64))
+        # both sides unique -> exact set difference
+        frontier = np.setdiff1d(cand, visited, assume_unique=True)
+        order = np.argsort(np.concatenate([visited, frontier]),
+                           kind="stable")
+        hops = np.concatenate([hops,
+                               np.full(len(frontier), h, np.int64)])[order]
+        visited = np.concatenate([visited, frontier])[order]
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(visited, pa.int64()),
+        "hops": pa.array(hops, pa.int64())}))
+
+
+def _bfs_distributed(edges, seeds: np.ndarray, max_hops: int,
+                     n_buckets: int):
+    """No-driver-state dual: visited/frontier stay Datasets; each hop
+    is one left_semi hash_join (edges x frontier) + distinct dsts +
+    one left_anti against visited. 3 narrow exchanges per hop (only
+    node ids ever cross), unbounded graph size."""
+    import ray
+    from .joins import distinct_rows
+
+    def layer(ids: np.ndarray, h: int):
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(ids, pa.int64()),
+            "hops": pa.array(np.full(len(ids), h, np.int64))}))
+
+    visited = layer(seeds, 0).materialize()
+    frontier = visited
+    out = [visited]
+    for h in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        nbrs = hash_join(
+            edges.map_batches(lambda t: t.rename_columns(["node", "dst"]),
+                              batch_format="pyarrow"),
+            frontier.map_batches(lambda t: t.select(["node"]),
+                                 batch_format="pyarrow"),
+            on="node", how="left_semi", n_buckets=n_buckets)
+        cand = distinct_rows(
+            nbrs.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                             batch_format="pyarrow"), n_buckets=n_buckets)
+        fresh = hash_join(
+            cand, visited.map_batches(lambda t: t.select(["node"]),
+                                      batch_format="pyarrow"),
+            on="node", how="left_anti", n_buckets=n_buckets)
+        frontier = fresh.map_batches(
+            lambda t, h=h: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, h, np.int64))),
+            batch_format="pyarrow").materialize()
+        out.append(frontier)
+        visited = visited.union(frontier).materialize()
+
+    res = out[0]
+    for d in out[1:]:
+        res = res.union(d)
+    return res

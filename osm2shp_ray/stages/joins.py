@@ -277,6 +277,122 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
                                               batch_format="pyarrow")
 
 
+# --------------------------------------------- broadcast (dimension) join
+
+def collect_table(ds, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small) Dataset into ONE driver-side Arrow table
+    without re-executing lineage: block refs are fetched zero-copy
+    from the object store and concatenated. Caller is responsible for
+    the side being bounded (broadcast_join enforces its cap BEFORE
+    calling this). ``schema`` covers the zero-row case (Ray keeps no
+    empty block to infer from)."""
+    import ray
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        if schema is None:
+            raise ValueError(
+                "collect_table: side executed to zero rows and no "
+                "schema hint was given")
+        return schema.empty_table()
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def broadcast_join(left_ds, right_ds, on, how: str = "inner",
+                   broadcast_cap: int = 2_000_000,
+                   right_schema: pa.Schema | None = None):
+    """Zero-exchange equi-join for DIMENSION-sized right sides: the
+    right side is counted on its materialized blocks, required to be
+    <= ``broadcast_cap`` rows (fail fast — at 10^12-row scale a grown
+    side must take the shuffle path, see ``dim_join``), collected to
+    one Arrow table, ``ray.put`` ONCE, and every left batch probes it
+    with a single C-level Acero ``Table.join``. The left side streams;
+    no all-to-all exchange happens at all.
+
+    Semantics and output layout match ``hash_join`` for
+    how in ("inner", "left", "left_semi", "left_anti"): key columns
+    first, then left non-key columns, then (inner/left) right non-key
+    columns; how="left" unmatched rows carry typed Arrow nulls.
+    Join keys must be non-null on both sides (SQL null-key rows never
+    match here; keep parity with hash_join by filtering nulls first).
+
+    This is the TileAssigner broadcast pattern generalized to
+    relational joins — the explicit Spark-AQE-style broadcast-hash
+    join. Replaces 1 wide exchange (and the build side's shuffle
+    write) per dimension join; measured on the TPC-H q08/q09 chains
+    in BASELINE.md."""
+    import ray
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"broadcast_join: unsupported how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    right_ds = right_ds.map_batches(lambda t: t,
+                                    batch_format="pyarrow").materialize()
+    n = right_ds.count()
+    if n > broadcast_cap:
+        raise ValueError(
+            f"broadcast_join: right side has {n} rows > broadcast_cap "
+            f"{broadcast_cap}; use hash_join (or dim_join, which picks "
+            "automatically)")
+    r_tbl = collect_table(right_ds, right_schema).combine_chunks()
+
+    left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    lsch = _fetched_schema(left_ds, "left")
+    rsch = r_tbl.schema
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    for k in keys:
+        if k not in l_types or k not in r_types:
+            raise ValueError(f"join key {k!r} missing from a side")
+    l_vals = [c for c in lsch.names if c not in keys]
+    r_vals = [c for c in rsch.names if c not in keys]
+    overlap = set(l_vals) & set(r_vals)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+    semi = how in ("left_semi", "left_anti")
+    out_cols = keys + l_vals + ([] if semi else r_vals)
+    types = {**l_types, **r_types}
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+    join_type = {"inner": "inner", "left": "left outer",
+                 "left_semi": "left semi",
+                 "left_anti": "left anti"}[how]
+
+    tref = ray.put(r_tbl)
+
+    def probe(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        r = _ray.get(tref)  # zero-copy object-store read per worker
+        out = t.join(r, keys=keys, join_type=join_type)
+        return out.select(out_cols).cast(out_schema)
+
+    return left_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dim_join(left_ds, right_ds, on, how: str = "inner",
+             broadcast_cap: int = 2_000_000,
+             n_buckets: int | None = None,
+             right_schema: pa.Schema | None = None,
+             **hash_kwargs):
+    """Size-ADAPTIVE equi-join: materialize the right side once, count
+    it, and broadcast when it is dimension-small (<= broadcast_cap
+    rows), else run the shuffle ``hash_join`` — the Spark-AQE
+    broadcast decision made explicit and testable. At test scale the
+    TPC-H dimension sides broadcast (zero exchanges); on a 100 TB run
+    a side that grew past the cap falls back to the one-exchange
+    bucketed join automatically, so the plan never silently collects
+    an unbounded table to the driver."""
+    right_ds = right_ds.map_batches(lambda t: t,
+                                    batch_format="pyarrow").materialize()
+    if (how in ("inner", "left", "left_semi", "left_anti")
+            and right_ds.count() <= broadcast_cap):
+        return broadcast_join(left_ds, right_ds, on, how,
+                              broadcast_cap, right_schema)
+    # shuffle fallback; bloom_prefilter etc. pass through untouched
+    return hash_join(left_ds, right_ds, on, how, n_buckets=n_buckets,
+                     right_schema=right_schema, **hash_kwargs)
+
+
 # ------------------------------------------------------------- set ops
 
 def distinct_rows(ds, cols: list[str] | None = None,

@@ -86,7 +86,7 @@ SQL_CHECKED = [
     # round 3 (5th session): full-outer reconciliation join + the
     # distributed prefix scan
     "q_orders_events_daily", "q_running_total", "q_rollup_docs",
-    "q_ntile_events", "q_pagerank", "q_exact_median",
+    "q_ntile_events", "q_pagerank", "q_bfs_hops", "q_exact_median",
     "q_interval_overlap", "q_skyline", "q_corr_events", "q_pps_sample",
     "q_set_intersect", "q_set_except", "q_keyed_window_join",
     "q_cube_docs", "q_entropy_by_user", "q_funnel",

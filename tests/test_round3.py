@@ -2262,3 +2262,40 @@ def test_thumbnail_png_roundtrip(ray_session):
         back = codec.decode_image(out["thumb"][i].as_py(), "png")
         assert np.array_equal(back, exp)
     assert checked == n // 2
+
+
+def test_bfs_paths_equivalent(ray_session):
+    """Broadcast (edge_cap) and distributed BFS compute identical
+    (node, min-hop) sets, including unreachable nodes being absent
+    and seeds at hop 0."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from osm2shp_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 200, 3000)
+    dst = rng.integers(0, 200, 3000)
+    # isolated island: nodes 900/901 unreachable from seeds
+    edges = pd.DataFrame({
+        "src": np.concatenate([src, [900]]),
+        "dst": np.concatenate([dst, [901]])}).astype("int64")
+    seeds = [0, 7]
+    a = (bfs_hops(ray.data.from_pandas(edges), seeds, max_hops=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (bfs_hops(ray.data.from_pandas(edges), seeds, max_hops=3,
+                  edge_cap=0)  # force the distributed dual
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+    assert set(a.loc[a.hops == 0, "node"]) == set(seeds)
+    assert 900 not in set(a.node) and 901 not in set(a.node)
+    # brute-force reference on the driver
+    adj = {}
+    for s, d in zip(edges.src, edges.dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    ref, frontier = {s: 0 for s in seeds}, set(seeds)
+    for h in range(1, 4):
+        frontier = {d for s in frontier for d in adj.get(s, ())} - set(ref)
+        ref.update({d: h for d in frontier})
+    got = dict(zip(a.node.astype(int), a.hops.astype(int)))
+    assert got == ref
