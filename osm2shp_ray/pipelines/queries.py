@@ -109,11 +109,12 @@ def q01_pricing_summary(sf_dir: str):
 
 
 def q03_top_orders(sf_dir: str):
-    """3-table join, fully distributed: customer (filtered) semi-joins
-    orders, the filtered orders inner-join lineitem — both via the
-    reusable bucketed hash_join (stages/joins.py); nothing is
-    materialized on the driver until the 10-row result."""
-    from ..stages.joins import hash_join
+    """3-table join: customer (filtered) semi-joins orders, the
+    filtered orders inner-join lineitem — both via the size-adaptive
+    dim_join (broadcast under the cap, bucketed hash_join past it);
+    nothing unbounded is materialized on the driver before the
+    10-row result."""
+    from ..stages.joins import dim_join
     cutoff = datetime.datetime(1998, 6, 1)
     cut = pa.scalar(cutoff, type=pa.timestamp("us"))
 
@@ -125,8 +126,8 @@ def q03_top_orders(sf_dir: str):
     orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
                            batch_format="pyarrow"))
-    orders_b = hash_join(orders, cust, on="o_custkey", how="left_semi",
-                         n_buckets=32).select_columns(["o_orderkey", "o_orderdate"])
+    orders_b = dim_join(orders, cust, on="o_custkey", how="left_semi",
+                        n_buckets=32).select_columns(["o_orderkey", "o_orderdate"])
 
     def li(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cut))
@@ -135,8 +136,8 @@ def q03_top_orders(sf_dir: str):
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    joined = hash_join(lineitem.map_batches(li, batch_format="pyarrow"),
-                       orders_b, on="o_orderkey", n_buckets=32)
+    joined = dim_join(lineitem.map_batches(li, batch_format="pyarrow"),
+                      orders_b, on="o_orderkey", n_buckets=32)
 
     def to_us(t: pa.Table) -> pa.Table:
         od = t["o_orderdate"].cast(pa.int64())
@@ -363,9 +364,10 @@ def q_quantiles_by_user(sf_dir: str):
 def q_customers_without_orders(sf_dir: str):
     """Anti-join under the hash gate: customers with no order since
     1998-09-01, via the generic hash_join(how="left_anti") — the
-    semi/anti family's oracle-checked face (q03 exercises left_semi).
+    semi/anti family's oracle-checked face (q03 exercises left_semi);
+    size-adaptive dim_join (broadcast anti under the cap).
     Schema pinned for the empty-result case."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join
     cut = pa.scalar(datetime.datetime(1998, 9, 1), type=pa.timestamp("us"))
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
@@ -373,8 +375,8 @@ def q_customers_without_orders(sf_dir: str):
                   "c_custkey": t.filter(pc.greater_equal(
                       t["o_orderdate"], cut))["o_custkey"]}),
                   batch_format="pyarrow"))
-    df = hash_join(cust, orders, on="c_custkey", how="left_anti",
-                   n_buckets=32).to_pandas()
+    df = dim_join(cust, orders, on="c_custkey", how="left_anti",
+                  n_buckets=32).to_pandas()
     if df.empty:
         df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
     return df
@@ -2196,12 +2198,13 @@ def q05_local_supplier(sf_dir: str):
     """TPC-H Q5 analog (local supplier volume): revenue by nation where
     customer and supplier share the nation, region-filtered, one order
     year. 6-table plan — region/nation are driver-resolved broadcasts
-    (5/25 fixed rows), the three big-big joins (orders |x| customer,
-    lineitem |x| supplier, then on orderkey) run through the bucketed
-    hash_join; revenue is integer-quantized so per-nation sums are
-    exact. A per-batch Arrow combiner pre-aggregates to <=25 rows per
-    block before the final groupby."""
-    from ..stages.joins import hash_join
+    (5/25 fixed rows), orders |x| customer and lineitem |x| supplier
+    are size-adaptive dim_joins (broadcast under the cap, bucketed
+    hash_join past it), the orderkey join stays a bucketed hash_join
+    (both sides fact-scaled); revenue is integer-quantized so
+    per-nation sums are exact. A per-batch Arrow combiner
+    pre-aggregates to <=25 rows per block before the final groupby."""
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     nations = _read(sf_dir, "nation").take_all()
@@ -2224,7 +2227,7 @@ def q05_local_supplier(sf_dir: str):
                              pc.less(t["o_orderdate"], hi)))
         return t.select(["o_orderkey", "o_custkey"])
 
-    oc = hash_join(
+    oc = dim_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(ord_map, batch_format="pyarrow"),
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -2242,7 +2245,7 @@ def q05_local_supplier(sf_dir: str):
                          "l_suppkey": t["l_suppkey"],
                          "rev_q": _rev_q(t)})
 
-    ls = hash_join(
+    ls = dim_join(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -2275,11 +2278,13 @@ def q05_local_supplier(sf_dir: str):
 def q10_returned_items(sf_dir: str):
     """TPC-H Q10 analog (returned-item reporting): top 20 customers by
     quantized revenue from flag-'R' lineitems in one quarter.
-    lineitem |x| orders through the bucketed hash_join, per-customer
-    Arrow combiner + groupby-sum BEFORE the customer join (the join's
-    left side is one row per buying customer, not per lineitem), then
-    sort/limit and a 20-row nation-name tag."""
-    from ..stages.joins import hash_join
+    lineitem |x| quarter-filtered orders and the customer attach are
+    size-adaptive dim_joins (broadcast under the cap, bucketed
+    hash_join past it); per-customer Arrow combiner + groupby-sum
+    BEFORE the customer join (the join's left side is one row per
+    buying customer, not per lineitem), then sort/limit and a 20-row
+    nation-name tag."""
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     lo = pa.scalar(datetime.datetime(1996, 7, 1), type=pa.timestamp("us"))
@@ -2294,7 +2299,7 @@ def q10_returned_items(sf_dir: str):
                              pc.less(t["o_orderdate"], hi)))
         return t.select(["o_orderkey", "o_custkey"])
 
-    jo = hash_join(
+    jo = dim_join(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -2312,11 +2317,11 @@ def q10_returned_items(sf_dir: str):
                 .groupby("c_custkey")
                 .aggregate(Sum("rev_q", alias_name="revenue_q")))
 
-    top = (hash_join(per_cust,
-                     _read(sf_dir, "customer",
-                           ["c_custkey", "c_name", "c_acctbal",
-                            "c_nationkey"]),
-                     on="c_custkey", n_buckets=32)
+    top = (dim_join(per_cust,
+                    _read(sf_dir, "customer",
+                          ["c_custkey", "c_name", "c_acctbal",
+                           "c_nationkey"]),
+                    on="c_custkey", n_buckets=32)
            .sort(["revenue_q", "c_custkey"], descending=[True, False])
            .limit(20).to_pandas())
 
@@ -2366,7 +2371,7 @@ def q18_large_volume(sf_dir: str):
     lineitem quantity exceeds Q18_QTY — a HAVING gate on a distributed
     aggregate — joined back to orders and customer. The gate keeps the
     join-back left side tiny (only qualifying orders shuffle)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -2382,7 +2387,7 @@ def q18_large_volume(sf_dir: str):
            .aggregate(Sum("qty_q", alias_name="total_qty_q"))
            .filter(expr=f"total_qty_q > {int(Q18_QTY * 100)}"))
 
-    withord = hash_join(
+    withord = dim_join(
         big,
         _read(sf_dir, "orders",
               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
@@ -2392,7 +2397,7 @@ def q18_large_volume(sf_dir: str):
         return t.rename_columns(
             [{"o_custkey": "c_custkey"}.get(c, c) for c in t.column_names])
 
-    out = (hash_join(
+    out = (dim_join(
                withord.map_batches(rn, batch_format="pyarrow"),
                _read(sf_dir, "customer", ["c_custkey", "c_name"]),
                on="c_custkey", n_buckets=32)
@@ -2413,7 +2418,7 @@ def q13_cust_distribution(sf_dir: str):
     distinct custkey per batch); the left join is the generic bucketed
     hash_join; the final histogram groups the |customers|-row result
     by its count value, so the second exchange is tiny."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     def o_partial(t: pa.Table) -> pa.Table:
@@ -2428,8 +2433,8 @@ def q13_cust_distribution(sf_dir: str):
                     .map_batches(o_partial, batch_format="pyarrow"))
                 .groupby("c_custkey")
                 .aggregate(Sum("n_part", alias_name="n_orders")))
-    joined = hash_join(_read(sf_dir, "customer", ["c_custkey"]),
-                       per_cust, on="c_custkey", how="left", n_buckets=32)
+    joined = dim_join(_read(sf_dir, "customer", ["c_custkey"]),
+                      per_cust, on="c_custkey", how="left", n_buckets=32)
 
     def zero_fill(t: pa.Table) -> pa.Table:
         n = pc.fill_null(t["n_orders"].cast(pa.int64()),
@@ -2449,13 +2454,15 @@ def q17_small_qty_revenue(sf_dir: str):
     """TPC-H Q17 analog (small-quantity-order revenue): average yearly
     revenue lost if orders below 20% of a part's average quantity were
     not taken — the decorrelated per-key-scalar join-back shape. The
-    brand/size part filter semijoins lineitem (bucketed hash_join, no
-    broadcast of the fact side); per-part (count, sum_qty) aggregates
+    brand/size part filter semijoins lineitem and the per-part
+    threshold joins back via size-adaptive dim_joins (broadcast under
+    the cap, bucketed hash_join past it — the fact side is never
+    broadcast); per-part (count, sum_qty) aggregates
     on the small survivor set; the threshold compare is integer-exact:
     qty < sum/(5*cnt)  <=>  5*cnt*qty_q < sum_q under the x100
     quantization. Prices sum as floor(x*100) int64 so the global sum
     is combine-order-independent; one output row."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join
     from ..stages.util import coalesced
 
     pk = (_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
@@ -2472,7 +2479,7 @@ def q17_small_qty_revenue(sf_dir: str):
         return pa.table({"l_partkey": t["l_partkey"], "qq": qq,
                          "price_q": pq_})
 
-    li = hash_join(
+    li = dim_join(
         coalesced(_read(sf_dir, "lineitem",
                         ["l_partkey", "l_quantity", "l_extendedprice"])
                   .map_batches(li_prep, batch_format="pyarrow")),
@@ -2484,7 +2491,7 @@ def q17_small_qty_revenue(sf_dir: str):
                                       pa.scalar(5, pa.int64())), t["qq"])
         return t.filter(pc.less(lhs, t["sq"]))
 
-    small = (hash_join(li, th, on="l_partkey", n_buckets=16)
+    small = (dim_join(li, th, on="l_partkey", n_buckets=16)
              .map_batches(below_threshold, batch_format="pyarrow"))
     tot = small.sum("price_q") or 0
     return pd.DataFrame(
@@ -2507,7 +2514,7 @@ def q22_idle_rich_customers(sf_dir: str):
     bal_q * n > sum_q); the no-recent-orders gate is the bucketed
     left_anti hash_join; the final per-nation rollup exchanges
     O(nations) rows."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     in_list = ", ".join(str(n) for n in Q22_NATIONS)
@@ -2538,8 +2545,8 @@ def q22_idle_rich_customers(sf_dir: str):
                   "c_custkey": t.filter(pc.greater_equal(
                       t["o_orderdate"], cut))["o_custkey"]}),
                   batch_format="pyarrow"))
-    idle = hash_join(rich, o_keys, on="c_custkey", how="left_anti",
-                     n_buckets=32)
+    idle = dim_join(rich, o_keys, on="c_custkey", how="left_anti",
+                    n_buckets=32)
     out = (idle.groupby("nationkey")
            .aggregate(Count(alias_name="numcust"),
                       Sum("bal_q", alias_name="bal_q_sum"))
@@ -2611,7 +2618,7 @@ def q04_order_priority(sf_dir: str):
     bucketed left_semi hash_join against per-batch-distinct
     qualifying orderkeys; the final rollup exchanges O(priorities)
     rows."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     lo = pa.scalar(Q04_LO, type=pa.timestamp("us"))
@@ -2633,8 +2640,8 @@ def q04_order_priority(sf_dir: str):
     big = coalesced(_read(sf_dir, "lineitem",
                           ["l_orderkey", "l_quantity"])
                     .map_batches(big_keys, batch_format="pyarrow"))
-    qualifying = hash_join(ords, big, on="o_orderkey",
-                           how="left_semi", n_buckets=32)
+    qualifying = dim_join(ords, big, on="o_orderkey",
+                          how="left_semi", n_buckets=32)
     return (qualifying.groupby("o_orderpriority")
             .aggregate(Count(alias_name="order_count"))
             .to_pandas())
@@ -2683,7 +2690,7 @@ def q_impute_values(sf_dir: str):
     (sum, count) exchange with a per-batch combiner, one bucketed
     join-back, vectorized coalesce; users with only missing values
     drop on both engines (inner join)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     def prep(t: pa.Table) -> pa.Table:
@@ -2715,7 +2722,7 @@ def q_impute_values(sf_dir: str):
                  "mean_q": pc.divide(t["sq"].cast(pa.int64()),
                                      t["cnt"].cast(pa.int64()))}),
                  batch_format="pyarrow"))
-    joined = hash_join(rows, means, on="user_id", n_buckets=16)
+    joined = dim_join(rows, means, on="user_id", n_buckets=16)
 
     def finish(t: pa.Table) -> pa.Table:
         value_q = pc.if_else(t["miss"], t["mean_q"], t["vq"])
@@ -2738,7 +2745,7 @@ def q_focal_density(sf_dir: str):
     one groupby sums arrivals, and a bucketed join attaches each real
     cell's own count. Pure integer grid math mirrors the SQL
     (self-join on BETWEEN +-1) exactly."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     side = 1 << FOCAL_RES_BITS
@@ -2776,7 +2783,7 @@ def q_focal_density(sf_dir: str):
 
     focal = (cells.map_batches(replicate, batch_format="pyarrow")
              .groupby("cell").aggregate(Sum("nb", alias_name="focal_n")))
-    out = hash_join(cells, focal, on="cell", n_buckets=16).to_pandas()
+    out = dim_join(cells, focal, on="cell", n_buckets=16).to_pandas()
     out["x"] = (out["cell"] // side).astype("int64")
     out["y"] = (out["cell"] % side).astype("int64")
     return out[["x", "y", "n", "focal_n"]]
@@ -2839,7 +2846,7 @@ def q12_priority_lines(sf_dir: str):
     into high/low counts per returnflag. The join ships only
     (orderkey, returnflag) fact rows; the CASE pivot pre-aggregates
     per batch so the final exchange is O(flags)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     lo = pa.scalar(Q12_LO, type=pa.timestamp("us"))
@@ -2854,7 +2861,7 @@ def q12_priority_lines(sf_dir: str):
     li = (_read(sf_dir, "lineitem",
                 ["l_orderkey", "l_returnflag", "l_shipdate"])
           .map_batches(li_prep, batch_format="pyarrow"))
-    joined = hash_join(
+    joined = dim_join(
         li, _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
         on="o_orderkey", n_buckets=32)
 
@@ -3027,7 +3034,7 @@ def q16_part_supplier_counts(sf_dir: str):
     on an avalanched int bucket of the 4-tuple (identical tuples
     share a bucket, so in-bucket vectorized drop_duplicates is a
     global dedup) before a tiny count."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     def pair_rows(t: pa.Table) -> pa.Table:
@@ -3050,12 +3057,12 @@ def q16_part_supplier_counts(sf_dir: str):
 
     bad_supp = (_read(sf_dir, "supplier", ["s_suppkey"])
                 .map_batches(bad_rows, batch_format="pyarrow"))
-    ok_pairs = hash_join(pairs, bad_supp, on="s_suppkey",
-                         how="left_anti", n_buckets=32).materialize()
+    ok_pairs = dim_join(pairs, bad_supp, on="s_suppkey",
+                        how="left_anti", n_buckets=32).materialize()
     parts = (_read(sf_dir, "part",
                    ["p_partkey", "p_brand", "p_type", "p_size"])
              .filter(expr=f"p_brand != '{Q16_EXCLUDE_BRAND}'"))
-    joined = hash_join(ok_pairs, parts, on="p_partkey", n_buckets=32)
+    joined = dim_join(ok_pairs, parts, on="p_partkey", n_buckets=32)
 
     # exact count(DISTINCT suppkey): dedup (group, suppkey) first —
     # a supplier offering two parts of one group must count once.
@@ -3647,7 +3654,7 @@ def q14_promo_revenue(sf_dir: str):
     PROMO-type revenue. Both sums are exact int64; the single ratio is
     computed driver-side from the two global scalars (no float enters
     a shuffle)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
 
     lo = pa.scalar(Q14_LO, type=pa.timestamp("us"))
     hi = pa.scalar(Q14_HI, type=pa.timestamp("us"))
@@ -3657,7 +3664,7 @@ def q14_promo_revenue(sf_dir: str):
                              pc.less(t["l_shipdate"], hi)))
         return pa.table({"p_partkey": t["l_partkey"], "rq": _rev_q(t)})
 
-    j = hash_join(
+    j = dim_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -3696,7 +3703,7 @@ def q19_discounted_revenue(sf_dir: str):
     lineitem side to the union quantity envelope (predicate pushdown
     through a disjunction), so the join moves only plausible rows;
     the exact 3-way disjunction is applied post-join vectorized."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
 
     qty_lo = min(g[3] for g in Q19_GROUPS)
     qty_hi = max(g[4] for g in Q19_GROUPS)
@@ -3717,7 +3724,7 @@ def q19_discounted_revenue(sf_dir: str):
         return pa.table({"p_partkey": t["l_partkey"],
                          "l_quantity": t["l_quantity"], "rq": _rev_q(t)})
 
-    j = hash_join(
+    j = dim_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -4093,7 +4100,7 @@ def q11_important_stock(sf_dir: str):
     is the INTEGER comparison v_q > total_q // 2000 (exactly
     equivalent to v_q * 2000 > total_q without overflow risk), so
     threshold membership is deterministic."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import dim_join, hash_join
     from ..stages.util import coalesced
 
     def supp_map(t: pa.Table) -> pa.Table:
@@ -4105,7 +4112,7 @@ def q11_important_stock(sf_dir: str):
         return pa.table({"l_suppkey": t["l_suppkey"],
                          "p_partkey": t["l_partkey"], "rq": _rev_q(t)})
 
-    j = hash_join(
+    j = dim_join(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
@@ -4211,7 +4218,7 @@ def q21_sole_blocking_supplier(sf_dir: str):
     one bucketed exchange (a polars kernel per bucket, never per
     order); qualifying orders are |orders|-bounded and the final
     per-supplier count is a tiny groupby."""
-    from ..stages.joins import _key_bucket, hash_join
+    from ..stages.joins import dim_join, _key_bucket, hash_join
     from ..stages.util import coalesced
 
     n_buckets = 32
@@ -4248,9 +4255,9 @@ def q21_sole_blocking_supplier(sf_dir: str):
 
     counts = (blocked.groupby("s_suppkey")
               .aggregate(Count(alias_name="numwait")))
-    return (hash_join(counts,
-                      _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-                      on="s_suppkey", n_buckets=32)
+    return (dim_join(counts,
+                     _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                     on="s_suppkey", n_buckets=32)
             .sort(["numwait", "s_suppkey"], descending=[True, False])
             .limit(10).to_pandas()[["s_name", "numwait", "s_suppkey"]])
 
