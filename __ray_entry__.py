@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": q.q22_idle_rich_customers,
         "q_pivot_events": q.q_pivot_events,
         "q_session_ids": q.q_session_ids,
+        "q_activity_islands": q.q_activity_islands,
         "q_transition_counts": q.q_transition_counts,
         "q_word_count": q.q_word_count,
         "q_profile_docs": q.q_profile_docs,
@@ -2297,6 +2298,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id""",
         # row-level sessionization: strict > on integer-microsecond
         # gaps, same break rule as q_session_windows
+        "q_activity_islands": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            r AS (
+              SELECT user_id, day,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS rn
+              FROM d)
+            SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+                   CAST(max(day) AS BIGINT) AS end_day,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM r GROUP BY user_id, day - rn""",
         "q_session_ids": """
             WITH o AS (
               SELECT event_id, user_id, ts,

@@ -246,6 +246,7 @@ def run_bench() -> dict:
         ("q18_large_volume", q.q18_large_volume),
         ("q_pivot_events", q.q_pivot_events),
         ("q_session_ids", q.q_session_ids),
+        ("q_activity_islands", q.q_activity_islands),
         ("q_transition_counts", q.q_transition_counts),
         ("q_word_count", q.q_word_count),
         ("q_profile_docs", q.q_profile_docs),

@@ -2151,6 +2151,25 @@ def q_session_ids(sf_dir: str):
             .to_pandas())
 
 
+def q_activity_islands(sf_dir: str):
+    """Gaps-and-islands (stages/temporal.py::activity_islands): each
+    user's distinct active days grouped into maximal consecutive-day
+    runs — (user, start_day, end_day, n_days) per streak. The SQL
+    mirror is the classic GROUP BY day - row_number(); all values are
+    int64 epoch days, so agreement is exact."""
+    from ..stages import temporal
+
+    def to_days(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))})
+
+    days = (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(to_days, batch_format="pyarrow"))
+    return temporal.activity_islands(days, "user_id", "day").to_pandas()
+
+
 def q_transition_counts(sf_dir: str):
     """First-order event-type transition matrix
     (stages/temporal.py::transition_counts): consecutive per-user

@@ -1239,3 +1239,46 @@ def locf_fill(sparse_ds, key_col: str, bucket_col: str, value_col: str,
             value_col: filled})
 
     return joined.groupby(key_col).map_groups(fill, batch_format="pyarrow")
+
+
+def activity_islands(ds, key_col: str, day_col: str,
+                     n_buckets: int | None = None):
+    """Per-key gaps-and-islands: group each key's DISTINCT day values
+    into maximal runs of consecutive integers and report one row per
+    run — (key, start_day, end_day, n_days). The classic streak /
+    retention-run primitive (SQL: GROUP BY day - row_number()).
+
+    One bucketed exchange on the key hash; the in-bucket kernel is a
+    C-level pandas pipeline (sort -> drop_duplicates -> the day - rank
+    island id -> groupby min/max/count), never a per-key Python loop.
+    Input rows may carry duplicate (key, day) pairs — the kernel
+    dedups them inside the bucket, so no separate DISTINCT exchange is
+    needed (a key's rows always co-locate).
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # per-batch combiner dedup: only unique (key, day) pairs cross
+        g = (t.select([key_col, day_col])
+             .group_by([key_col, day_col]).aggregate([]))
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        return g.append_column("__b", pa.array(bucket_of(keys, b),
+                                               pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = (df[[key_col, day_col]]
+              .drop_duplicates()
+              .sort_values([key_col, day_col], kind="mergesort")
+              .reset_index(drop=True))
+        rn = df.groupby(key_col, sort=False).cumcount()
+        island = df[day_col].to_numpy() - rn.to_numpy()
+        g = df.groupby([df[key_col], island], sort=False)[day_col]
+        out = pd.DataFrame({
+            key_col: g.min().index.get_level_values(0),
+            "start_day": g.min().to_numpy(),
+            "end_day": g.max().to_numpy(),
+            "n_days": g.size().to_numpy().astype(np.int64)})
+        return arrow_table(out)
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -93,7 +93,8 @@ SQL_CHECKED = [
     "q_retention", "q_time_weighted", "q_rolling_sum", "q_props_stats",
     # round 3 (6th session): pivot + row-level sessionization +
     # transition matrix
-    "q_pivot_events", "q_session_ids", "q_transition_counts",
+    "q_pivot_events", "q_session_ids", "q_activity_islands",
+    "q_transition_counts",
     "q05_local_supplier", "q10_returned_items",
     "q15_top_supplier", "q18_large_volume",
     # round 3 (7th session): classic word count, ingestion column
