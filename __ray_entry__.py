@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": q.q_triangle_count,
         "q_rolling_anomaly": q.q_rolling_anomaly,
         "q_kl_drift": q.q_kl_drift,
+        "q_tfidf_terms": q.q_tfidf_terms,
         "q_melt_lineitem": q.q_melt_lineitem,
         "q_event_sequences": q.q_event_sequences,
         "q_interval_coverage": q.q_interval_coverage,
@@ -2494,6 +2495,24 @@ def oracle_sql() -> dict[str, str]:
         # per-source KL vs the pooled corpus in quantized micro-nats;
         # identical float expression shape on both sides (lm_score
         # contract), int64 term sums are order-independent
+        "q_tfidf_terms": """
+            WITH pairs AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9_]+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df
+                      FROM pairs GROUP BY tok),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+            SELECT doc_id, tok,
+                   CAST(floor((1000000.0 * CAST(c AS DOUBLE))
+                              * ln((SELECT n FROM nn) / df))
+                        AS BIGINT) AS score_q
+            FROM pairs JOIN dfreq USING (tok)
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_q DESC, tok) <= 3""",
         "q_kl_drift": """
             WITH st AS (
               SELECT source, tok, CAST(count(*) AS BIGINT) AS c

@@ -255,6 +255,7 @@ def run_bench() -> dict:
         ("q_triangle_count", q.q_triangle_count),
         ("q_rolling_anomaly", q.q_rolling_anomaly),
         ("q_kl_drift", q.q_kl_drift),
+        ("q_tfidf_terms", q.q_tfidf_terms),
         ("q_melt_lineitem", q.q_melt_lineitem),
         ("q_event_sequences", q.q_event_sequences),
         ("q_interval_coverage", q.q_interval_coverage),

@@ -3334,6 +3334,20 @@ def q_kl_drift(sf_dir: str):
                          "source")
 
 
+TFIDF_K = 3
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc TF-IDF keyword extraction (stages/text.py::
+    tfidf_top_terms): each document's top-3 tokens by quantized
+    c * ln(N/df), ties broken (score desc, token asc). The SQL mirror
+    repeats the identical double expression and a QUALIFY
+    row_number() head — bit-exact both sides."""
+    return text.tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id", "text", k=TFIDF_K)
+
+
 MELT_COLS = ["l_quantity", "l_discount", "l_tax"]
 
 

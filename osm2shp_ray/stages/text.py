@@ -1147,3 +1147,83 @@ def chunk_passages(ds, width: int, stride: int,
                                   pa.int64())}).cast(out_schema)
 
     return ds.map_batches(passages, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, scale: int = 1_000_000,
+                    n_buckets: int | None = None):
+    """Per-document TF-IDF keyword extraction: the top-``k`` tokens of
+    each document by ``floor(scale * c * ln(N / df))`` — c = the
+    (doc, token) count, N = the corpus document count, df = the
+    token's document frequency. The keyword/tagging dual of bm25_topk
+    (which ranks DOCS for a query; this ranks TERMS for a doc).
+
+    Quantization contract (the kl_drift pattern): the score is one
+    int64 per (doc, token), computed as ``(scale * c) * ln(N / df)``
+    in IEEE doubles with exactly that association, so the SQL mirror
+    reproduces it bit-for-bit. Ties break (score desc, token asc).
+
+    Exchanges: one (tok, df) reduce over per-batch (doc, tok) pairs
+    (docs never split across batches — one text per row — so
+    per-batch doc counts sum exactly), a size-adaptive dim_join to
+    attach df (vocab is dictionary-scale: broadcast under the cap),
+    and one doc-bucketed top-k groupby. Payload text never crosses an
+    exchange; only (doc, tok, c) triples do.
+
+    Output: (id_col, tok: string, score_q: int64), <= k rows per doc.
+    """
+    from ray.data.aggregate import Sum
+
+    from .. import config
+    from ..functions.hashing import bucket_of
+    from .joins import dim_join
+    from .util import arrow_table, coalesced
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    n_docs = float(ds.count())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks() \
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        long = _token_rows(t[text_col])
+        frame = pl.DataFrame({
+            "id": pl.from_arrow(ids.take(pa.array(long["i"].to_numpy()))),
+            "tok": long["tok"]})
+        cnt = frame.group_by(["id", "tok"]).len()
+        return pa.table({
+            id_col: cnt["id"].to_arrow(),
+            "tok": cnt["tok"].to_arrow().cast(pa.string()),
+            "c": pa.array(cnt["len"].to_numpy().astype(np.int64),
+                          pa.int64())})
+
+    pair_ds = coalesced(ds.map_batches(pairs,
+                                       batch_format="pyarrow")).materialize()
+    # one (doc, tok) row per doc per token -> per-tok row count IS df
+    df_ds = (pair_ds.map_batches(lambda t: pa.table({
+                 "tok": t["tok"],
+                 "df": pa.array(np.ones(t.num_rows, np.int64))}),
+                 batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("df", alias_name="df")))
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = np.floor((scale * c) * np.log(n_docs / dfv)).astype(np.int64)
+        out = pa.table({id_col: t[id_col], "tok": t["tok"],
+                        "score_q": pa.array(sq, pa.int64())})
+        keys = t[id_col].to_numpy(zero_copy_only=False)
+        return out.append_column("__b", pa.array(bucket_of(keys, b),
+                                                 pa.int64()))
+
+    scored = dim_join(pair_ds, df_ds, on="tok").map_batches(
+        score, batch_format="pyarrow")
+
+    def head_k(df: pd.DataFrame) -> pa.Table:
+        out = (df.sort_values([id_col, "score_q", "tok"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+               .groupby(id_col, sort=False).head(k))
+        return arrow_table(out[[id_col, "tok", "score_q"]])
+
+    return (scored.groupby("__b").map_groups(head_k,
+                                             batch_format="pandas"))

@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "q_fuzzy_names", "q_triangle_count",
     "q_rolling_anomaly", "q_kl_drift",
     "q_melt_lineitem", "q_event_sequences", "q_interval_coverage",
+    "q_tfidf_terms",
     "q_tile_extent", "q_haversine_knn",
     "q_share_of_value", "q_chi_square",
     "q_minmax_scale", "q_grouped_mad",
