@@ -60,8 +60,24 @@ PIP_RECTS = [
 ]
 
 
+_SCHEMA_CACHE: dict = {}
+
+
 def _read(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    # read under a metadata-FREE schema override: the driver's
+    # testdata parquet carries pandas metadata, and ANY schema
+    # metadata makes pa.Schema unhashable — which tripped Ray's
+    # in-read-task schema unify into a 'Failed to hash the schemas'
+    # warning on every block split. One cached footer read per path.
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        import pyarrow.parquet as pq
+        sch = pq.read_schema(path).remove_metadata()
+        _SCHEMA_CACHE[path] = sch
+    if columns is not None:  # the override must match the pruned read
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _round_cols(df: pd.DataFrame, cols, nd: int = 4) -> pd.DataFrame:
