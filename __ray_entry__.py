@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ewma": q.q_ewma,
         "q_ohlc": q.q_ohlc,
         "q_union_by_name": q.q_union_by_name,
+        "q_bpe_pairs": q.q_bpe_pairs,
+        "q_vocab_coverage": q.q_vocab_coverage,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
     # msb, lat odd) over the same float->int grid math as
     # functions/cells.py::geohash_encode, then 8 base32 substr picks
     from osm2shp_ray.pipelines.queries import GEOHASH_P
+    from osm2shp_ray.pipelines import queries as q
     _GH_NBITS = 5 * GEOHASH_P
     _GH_NLON = (_GH_NBITS + 1) // 2
     _GH_NLAT = _GH_NBITS // 2
@@ -2421,6 +2424,41 @@ def oracle_sql() -> dict[str, str]:
                                                    '[a-z0-9_]+')) AS tok
                   FROM documents)
             GROUP BY tok ORDER BY c DESC, tok LIMIT 20""",
+        # BPE merge statistics: adjacent char pairs WITHIN tokens,
+        # mirrored by a lateral unnest of substr(w, i, 2); all pairs
+        # returned (alphabet-bounded), so no top-k tie boundary
+        "q_bpe_pairs": """
+            WITH words AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                            '[a-z0-9_]+')) AS w
+                           FROM documents),
+                 pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+                           FROM words,
+                                LATERAL (SELECT unnest(range(1, length(w)))
+                                         AS i) t)
+            SELECT pair, CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY pair""",
+        # OOV coverage vs the top-V vocab (V=16 < the 31 distinct
+        # corpus tokens); tie at the V-th rank broken (c desc, tok)
+        # in both engines; oov_ppm uses integer division in both
+        "q_vocab_coverage": f"""
+            WITH toks AS (SELECT source,
+                                 unnest(regexp_extract_all(lower(text),
+                                                           '[a-z0-9_]+')) AS tok
+                          FROM documents),
+                 vocab AS (SELECT tok FROM (
+                     SELECT tok, count(*) AS c FROM toks
+                     GROUP BY tok ORDER BY c DESC, tok
+                     LIMIT {q.VOCAB_V})),
+                 per AS (SELECT source,
+                                CAST(count(*) AS BIGINT) AS n_tok,
+                                CAST(sum(CASE WHEN tok IN (SELECT tok
+                                                           FROM vocab)
+                                              THEN 0 ELSE 1 END)
+                                     AS BIGINT) AS n_oov
+                         FROM toks GROUP BY source)
+            SELECT source, n_tok, n_oov,
+                   CAST((1000000 * n_oov) // n_tok AS BIGINT) AS oov_ppm
+            FROM per""",
         # per-column profile; engine counts distinct over the string
         # rendering (injective for these int64/string columns)
         "q_profile_docs": " UNION ALL ".join(

@@ -4569,3 +4569,26 @@ def q_clip_ways(sf_dir: str):
             .aggregate(Sum("clip_len_q", alias_name="clip_len_q"),
                        Sum("n_clipped", alias_name="n_clipped"))
             .to_pandas())
+
+
+VOCAB_V = 16  # < the corpus' 31 distinct tokens, so OOV is non-zero
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Corpus BPE-merge statistics (stages/text.py::bpe_pair_counts):
+    adjacent-character-pair frequencies within tokens, one numpy
+    bincount per batch, alphabet-bounded (pair, c) exchange. Returns
+    EVERY observed pair (<= 37² rows) so no top-k tie boundary
+    exists; the SQL mirror unnests substr(w, i, 2) laterally."""
+    return text.bpe_pair_counts(_read(sf_dir, "documents", ["text"]))
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-coverage curation metric (stages/text.py::
+    vocab_coverage): per-source OOV token-occurrence rate against the
+    corpus top-16 vocabulary. Two streaming passes over the text
+    column; the vocab (16 rows) is the only driver materialization."""
+    return text.vocab_coverage(
+        _read(sf_dir, "documents", ["text"]),
+        _read(sf_dir, "documents", ["text", "source"]),
+        vocab_size=VOCAB_V)

@@ -1227,3 +1227,104 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return (scored.groupby("__b").map_groups(head_k,
                                              batch_format="pandas"))
+
+
+def bpe_pair_counts(ds, text_col: str = "text"):
+    """Corpus-wide adjacent-character-pair frequencies within
+    [a-z0-9_]+ tokens — the statistic the first BPE tokenizer merge
+    maximizes (Sennrich et al. 2016's public algorithm, step 1).
+
+    Per-batch combiner: every token in the batch is joined into ONE
+    separator-delimited buffer, viewed as uint8, and the pair codes
+    ``a[:-1]*256 + a[1:]`` are bincounted in a single numpy pass —
+    no per-token or per-doc Python loop. The exchange then carries one
+    (pair, c) row per DISTINCT pair per batch, which is
+    alphabet-bounded (<= 37*37 rows for [a-z0-9_]) regardless of
+    corpus size, so the global groupby sum is O(alphabet²) — the same
+    bounded-partial shape as unigram_counts but with a hard cap.
+
+    Output: (pair: string(2), c: int64), one row per observed pair.
+    """
+    from ray.data.aggregate import Sum
+
+    SEP = 0x0A  # '\n' — never inside a [a-z0-9_]+ token
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t[text_col])
+        joined = "\n".join(toks.list.join("\n").fill_null("").to_list())
+        buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        if buf.size < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        lo, hi = buf[1:], buf[:-1]
+        valid = (lo != SEP) & (hi != SEP)
+        codes = hi[valid].astype(np.int32) * 256 + lo[valid]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        pairs = np.stack([(nz // 256).astype(np.uint8),
+                          (nz % 256).astype(np.uint8)], axis=1)
+        return pa.table({
+            "pair": pa.array([bytes(p).decode("ascii") for p in pairs],
+                             pa.string()),
+            "c": pa.array(counts[nz].astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pair").aggregate(Sum("c", alias_name="c")))
+
+
+def vocab_coverage(ds_vocab, ds_stats, vocab_size: int = 50,
+                   text_col: str = "text", group_col: str = "source"):
+    """Out-of-vocabulary rate per group against the corpus top-V
+    vocabulary — the tokenizer-coverage curation metric (what fraction
+    of token occurrences a V-entry vocab would leave unmerged).
+
+    Pass 1 (``ds_vocab``): unigram_counts -> top-V by the
+    deterministic (c desc, tok asc) order — V rows by construction,
+    the only driver materialization, broadcast once via ray.put.
+    Pass 2 (``ds_stats``): per-batch polars explode + is_in(vocab) ->
+    per-group integer partials (n_tok, n_oov) -> one narrow groupby
+    sum over |groups| rows. ``oov_ppm = (1_000_000 * n_oov) // n_tok``
+    uses integer division so the SQL mirror is bit-exact.
+
+    Two dataset handles because the corpus is scanned twice (vocab
+    build, then coverage) — pass the same _read() twice; each pass
+    streams independently. Output: (group_col, n_tok: int64,
+    n_oov: int64, oov_ppm: int64).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    top = (unigram_counts(ds_vocab, text_col)
+           .sort(["c", "tok"], descending=[True, False])
+           .limit(vocab_size).take_all())          # V rows, bounded
+    vocab_ref = ray.put(pl.Series("v", [r["tok"] for r in top]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        groups = t[group_col].combine_chunks() \
+            if isinstance(t[group_col], pa.ChunkedArray) else t[group_col]
+        long = _token_rows(t[text_col])
+        frame = pl.DataFrame({
+            "g": pl.from_arrow(groups.take(pa.array(long["i"].to_numpy()))),
+            "oov": (~long["tok"].is_in(vocab)).cast(pl.Int64)})
+        agg = frame.group_by("g").agg(
+            n_tok=pl.len().cast(pl.Int64), n_oov=pl.col("oov").sum())
+        return pa.table({group_col: agg["g"].to_arrow().cast(pa.string()),
+                         "n_tok": agg["n_tok"].to_arrow(),
+                         "n_oov": agg["n_oov"].to_arrow()})
+
+    stats = (ds_stats.map_batches(partial, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("n_tok", alias_name="n_tok"),
+                        Sum("n_oov", alias_name="n_oov")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_tok = t["n_tok"].to_numpy(zero_copy_only=False)
+        n_oov = t["n_oov"].to_numpy(zero_copy_only=False)
+        ppm = np.where(n_tok > 0, (1_000_000 * n_oov) // np.maximum(n_tok, 1),
+                       np.int64(0))
+        return pa.table({group_col: t[group_col], "n_tok": t["n_tok"],
+                         "n_oov": t["n_oov"],
+                         "oov_ppm": pa.array(ppm.astype(np.int64), pa.int64())})
+
+    return stats.map_batches(finish, batch_format="pyarrow")

@@ -129,6 +129,9 @@ SQL_CHECKED = [
     "q_clip_tiles", "q_chunk_passages", "q_geohash_encode",
     "q_geojson_roundtrip", "q_resample_segments", "q_thumbnails",
     "q_knn_join", "q_clip_ways",
+    # round 3 (11th session): BPE pair statistics + tokenizer OOV
+    # coverage
+    "q_bpe_pairs", "q_vocab_coverage",
 ]
 
 
