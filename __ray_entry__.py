@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_by_name": q.q_union_by_name,
         "q_bpe_pairs": q.q_bpe_pairs,
         "q_vocab_coverage": q.q_vocab_coverage,
+        "q_pruned_scan": q.q_pruned_scan,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -858,6 +859,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
+        # partition-pruned bbox scan: the engine opens only the hive
+        # partitions whose res-3 cell can intersect the rect; the SQL
+        # scans ALL rows with the same integer predicate — equality
+        # proves the pruning lost nothing. Bounds = queries.py's
+        # PRUNE_LON_S/PRUNE_LAT_S
+        "q_pruned_scan": f"""
+            WITH pts AS (SELECT c_custkey,
+                                (c_custkey * {q.LON_MULT}) % 360000000 AS lon_s,
+                                (c_custkey * {q.LAT_MULT}) % 180000000 AS lat_s
+                         FROM customer),
+                 cl AS (SELECT c_custkey, lon_s, lat_s,
+                               lon_s * 8192 // 360000000 AS x13,
+                               LEAST((180000000 - lat_s) * 8192 // 180000000,
+                                     8191) AS y13
+                        FROM pts)
+            SELECT 3 * 288230376151711744
+                     + (y13 // 1024) * 536870912 + (x13 // 1024) AS cell3,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(c_custkey) AS BIGINT) AS min_key,
+                   CAST(sum(lon_s) AS BIGINT) AS lon_s_sum
+            FROM cl
+            WHERE lon_s BETWEEN {q.PRUNE_LON_S[0]} AND {q.PRUNE_LON_S[1]}
+              AND lat_s BETWEEN {q.PRUNE_LAT_S[0]} AND {q.PRUNE_LAT_S[1]}
+            GROUP BY 1""",
         "q_pip_rect": f"""
             SELECT {pip_case} AS tile_id, CAST(count(*) AS BIGINT) AS n
             FROM ({pts}) GROUP BY 1""",

@@ -4592,3 +4592,106 @@ def q_vocab_coverage(sf_dir: str):
         _read(sf_dir, "documents", ["text"]),
         _read(sf_dir, "documents", ["text", "source"]),
         vocab_size=VOCAB_V)
+
+
+PRUNE_RES = 3                              # 8x8 coarse grid -> <=64 dirs
+PRUNE_LON_S = (60_000_000, 159_999_999)    # query rect, 1e-6-deg ints
+PRUNE_LAT_S = (0, 89_999_999)              # southern hemisphere: small
+                                           # custkeys map near the pole,
+                                           # so this stays non-empty at
+                                           # every sf (SQL mirrors the
+                                           # same integer bounds)
+
+
+def q_pruned_scan(sf_dir: str):
+    """Spatially clustered sink + partition-PRUNED scan — the storage
+    layout that makes bbox queries sub-linear at 100 TB: points are
+    hive-partitioned by their res-PRUNE_RES quadcell at write time,
+    and a bbox query then opens ONLY the partitions whose cell can
+    intersect the rect (candidate cover enumerated from the rect's
+    corner cells — the grid is monotone in lon/lat — intersected with
+    the dirs present; non-candidate files are never listed into the
+    read). An exact integer refine inside the pruned read removes
+    corner-cell overshoot. The SQL mirror scans ALL customers with
+    the same integer predicate, proving pruning lost nothing.
+
+    Coordinates cross the write as exact 1e-6-degree int64 scalars
+    (lon_s/lat_s), so the round trip and the refine are bit-exact.
+    Output: per surviving cell, count + min key + exact lon_s sum.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.cells import cell_xy
+
+    out_dir = tempfile.mkdtemp(prefix="q_prune_", dir="/tmp")
+    try:
+        def prep(t: pa.Table) -> pa.Table:
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            lon_s = (ck * LON_MULT) % 360000000
+            lat_s = (ck * LAT_MULT) % 180000000
+            x, y = lon_s / 1e6 - 180.0, lat_s / 1e6 - 90.0
+            c3 = cell_to_parent(latlng_to_cell(y, x, CELL_RES),
+                                PRUNE_RES).astype(np.int64)
+            # cell3 becomes the hive dir (and leaves the file);
+            # cell3_c stays a data column for the post-read groupby
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "cell3": pa.array(c3, pa.int64()),
+                             "cell3_c": pa.array(c3, pa.int64()),
+                             "lon_s": pa.array(lon_s.astype(np.int64)),
+                             "lat_s": pa.array(lat_s.astype(np.int64))})
+
+        (_read(sf_dir, "customer", ["c_custkey"])
+         .map_batches(prep, batch_format="pyarrow")
+         .write_parquet(out_dir, partition_cols=["cell3"]))
+
+        # candidate cover of the rect from its corner cells
+        cx = np.array([PRUNE_LON_S[0], PRUNE_LON_S[1]]) / 1e6 - 180.0
+        cy = np.array([PRUNE_LAT_S[0], PRUNE_LAT_S[1]]) / 1e6 - 90.0
+        cc = cell_to_parent(latlng_to_cell(np.repeat(cy, 2),
+                                           np.tile(cx, 2), CELL_RES),
+                            PRUNE_RES)
+        xs, ys = cell_xy(np.asarray(cc, dtype=np.uint64))
+        gx = np.arange(xs.min(), xs.max() + 1, dtype=np.uint64)
+        gy = np.arange(ys.min(), ys.max() + 1, dtype=np.uint64)
+        mx, my = np.meshgrid(gx, gy)
+        cand = ((np.uint64(PRUNE_RES) << np.uint64(58))
+                | (my.ravel() << np.uint64(29))
+                | mx.ravel()).astype(np.int64)
+        cand_set = {int(v) for v in cand}
+        keep = [os.path.join(out_dir, d, f) for d in os.listdir(out_dir)
+                if d.startswith("cell3=")
+                and int(d.split("=", 1)[1]) in cand_set
+                for f in os.listdir(os.path.join(out_dir, d))
+                if f.endswith(".parquet")]
+        if not keep:   # rect covers no written partition: empty result
+            return pd.DataFrame({"cell3": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "min_key": pd.Series(dtype="int64"),
+                                 "lon_s_sum": pd.Series(dtype="int64")})
+
+        back = rd.read_parquet(keep, columns=["cell3_c", "c_custkey",
+                                              "lon_s", "lat_s"])
+
+        def refine(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(pc.greater_equal(t["lon_s"],
+                                         pa.scalar(PRUNE_LON_S[0])),
+                        pc.less_equal(t["lon_s"],
+                                      pa.scalar(PRUNE_LON_S[1]))),
+                pc.and_(pc.greater_equal(t["lat_s"],
+                                         pa.scalar(PRUNE_LAT_S[0])),
+                        pc.less_equal(t["lat_s"],
+                                      pa.scalar(PRUNE_LAT_S[1]))))
+            return t.filter(m)
+
+        out = (back.map_batches(refine, batch_format="pyarrow")
+               .groupby("cell3_c")
+               .aggregate(Count(alias_name="n"),
+                          Min("c_custkey", alias_name="min_key"),
+                          Sum("lon_s", alias_name="lon_s_sum"))
+               .to_pandas())
+        return out.rename(columns={"cell3_c": "cell3"})
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -131,7 +131,7 @@ SQL_CHECKED = [
     "q_knn_join", "q_clip_ways",
     # round 3 (11th session): BPE pair statistics + tokenizer OOV
     # coverage
-    "q_bpe_pairs", "q_vocab_coverage",
+    "q_bpe_pairs", "q_vocab_coverage", "q_pruned_scan",
 ]
 
 
