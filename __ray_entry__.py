@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_pairs": q.q_bpe_pairs,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
+        "q_pii_redact": q.q_pii_redact,
+        "q_global_rank": q.q_global_rank,
+        "q_jsonl_roundtrip": q.q_jsonl_roundtrip,
         "q_audio_features": q.q_audio_features,
         "q_video_frames": q.q_video_frames,
         # rows-only: P3-P6 over the image fixture (Douglas-Peucker on
@@ -2484,6 +2487,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_tok, n_oov,
                    CAST((1000000 * n_oov) // n_tok AS BIGINT) AS oov_ppm
             FROM per""",
+        # PII redaction: identical synthetic contact string, then the
+        # same ordered pattern list (count, then replace; pattern 2
+        # runs on pattern 1's output). red_sum proves the redacted
+        # BYTES match, order-independently, via summed h60 % 1e9
+        "q_pii_redact": f"""
+            WITH t0 AS (SELECT source,
+                               text || ' contact ' || source || '_'
+                                    || CAST(doc_id AS VARCHAR)
+                                    || '@mail.example phone '
+                                    || CAST((doc_id * 7919) % {q.PII_PHONE_MOD}
+                                            AS VARCHAR) AS tx
+                        FROM documents),
+                 t1 AS (SELECT source,
+                               len(regexp_extract_all(tx,
+                                   '{q.PII_EMAIL_RE}')) AS e,
+                               regexp_replace(tx, '{q.PII_EMAIL_RE}',
+                                              '<EMAIL>', 'g') AS tx1
+                        FROM t0),
+                 t2 AS (SELECT source, e,
+                               len(regexp_extract_all(tx1,
+                                   '{q.PII_PHONE_RE}')) AS p,
+                               regexp_replace(tx1, '{q.PII_PHONE_RE}',
+                                              '<PHONE>', 'g') AS tx2
+                        FROM t1)
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS email_hits,
+                   CAST(sum(p) AS BIGINT) AS phone_hits,
+                   CAST(sum({h60('tx2')} % 1000000000) AS BIGINT) AS red_sum
+            FROM t2 GROUP BY source""",
+        # global RANK() with ties over the quantized value — the
+        # engine never sorts globally (histogram prefix + per-bin
+        # searchsorted), the SQL uses the full window
+        "q_global_rank": f"""
+            SELECT event_id,
+                   CAST(floor(value * {q.RANK_QUANT}) AS BIGINT) AS vq,
+                   CAST(rank() OVER (ORDER BY
+                        CAST(floor(value * {q.RANK_QUANT}) AS BIGINT))
+                        AS BIGINT) AS rnk
+            FROM events""",
+        # JSONL round trip: the engine aggregates what it READ BACK
+        # from the .json shards; SQL aggregates the parquet view —
+        # equality proves the interchange hop lost nothing
+        "q_jsonl_roundtrip": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc
+            FROM documents GROUP BY source""",
         # per-column profile; engine counts distinct over the string
         # rendering (injective for these int64/string columns)
         "q_profile_docs": " UNION ALL ".join(

@@ -4695,3 +4695,89 @@ def q_pruned_scan(sf_dir: str):
         return out.rename(columns={"cell3_c": "cell3"})
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# PII redaction: ordered (name, regex, replacement); the regex subset
+# used (character classes + bounded repetition) has identical
+# semantics in polars' rust-regex and DuckDB's RE2
+PII_EMAIL_RE = r"[A-Za-z0-9_]+@[A-Za-z0-9.]+"
+PII_PHONE_RE = r"[0-9]{7,}"
+PII_PATTERNS = [("email", PII_EMAIL_RE, "<EMAIL>"),
+                ("phone", PII_PHONE_RE, "<PHONE>")]
+PII_PHONE_MOD = 100_000_000
+
+
+def q_pii_redact(sf_dir: str):
+    """Multi-pattern PII redaction (stages/text.py::redact_batch) —
+    the curation scrub stage: per-doc synthetic contact strings
+    (derived deterministically from doc_id/source, same expression in
+    the SQL mirror) are counted and replaced pattern-by-pattern, and
+    per-source totals of the hit counts plus an order-independent sum
+    of the redacted-text h60 prove the redacted BYTES match DuckDB's
+    nested regexp_replace exactly. Stateless elastic map_batches; the
+    only exchange is the tiny per-source aggregate."""
+    import polars as pl
+
+    from ..stages.text import redact_batch
+
+    def mk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        tx = (df["text"] + " contact " + df["source"] + "_"
+              + df["doc_id"].cast(pl.Utf8) + "@mail.example phone "
+              + ((df["doc_id"] * 7919) % PII_PHONE_MOD).cast(pl.Utf8))
+        return pa.table({"source": t["source"],
+                         "text": pa.array(tx.to_numpy().astype(object),
+                                          pa.string())})
+
+    red = (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+           .map_batches(mk, batch_format="pyarrow")
+           .map_batches(lambda t: redact_batch(t, PII_PATTERNS),
+                        batch_format="pyarrow"))
+    return (red.groupby("source")
+            .aggregate(Count(alias_name="n"),
+                       Sum("n_email", alias_name="email_hits"),
+                       Sum("n_phone", alias_name="phone_hits"),
+                       Sum("red_h", alias_name="red_sum"))
+            .to_pandas())
+
+
+RANK_QUANT = 10_000
+RANK_BIN_W = 65_536
+
+
+def q_global_rank(sf_dir: str):
+    """Whole-dataset RANK() OVER (ORDER BY value) (stages/sketch.py::
+    global_rank): two-phase histogram prefix — one (bin, count)
+    exchange bounded by the VALUE RANGE, a few-hundred-row driver
+    prefix, then per-bin searchsorted refinement. The full-window SQL
+    rank is reproduced without ever sorting the dataset globally."""
+    from ..stages import sketch
+    return (sketch.global_rank(
+                _read(sf_dir, "events", ["event_id", "value"]),
+                "value", "event_id",
+                quant=RANK_QUANT, bin_width=RANK_BIN_W)
+            .to_pandas())
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink/source round trip: documents metadata -> sharded
+    .json lines (ray.data write_json) -> parallel read_json -> the
+    per-source aggregate of what was READ BACK equals the direct SQL
+    aggregate over the parquet view, proving the interchange hop is
+    lossless (integer/string columns only — floats would need the
+    shortest-repr contract the GeoJSONL sink implements)."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="q_jsonl_", dir="/tmp")
+    try:
+        (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+         .write_json(out_dir))
+        back = rd.read_json(out_dir)
+        return (back.groupby("source")
+                .aggregate(Count(alias_name="n"),
+                           Sum("n_chars", alias_name="chars_sum"),
+                           Min("doc_id", alias_name="min_doc"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

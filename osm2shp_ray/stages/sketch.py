@@ -1326,3 +1326,76 @@ def percent_rank(ds, key_col: str, val_col: str, id_col: str,
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def global_rank(ds, val_col: str, id_col: str,
+                quant: int = 10_000, bin_width: int = 65_536):
+    """GLOBAL ``RANK() OVER (ORDER BY value)`` — the whole-dataset
+    order statistic, by the same two-phase histogram-prefix shape as
+    ``running_total``/``exact_kth``:
+
+    1. values are quantized to integer units (``floor(value *
+       quant)``, associative across engines) and counted per coarse
+       value bin with a per-batch combiner — ONE narrow (bin, count)
+       exchange whose size is bounded by the value RANGE / bin_width,
+       never by row count;
+    2. the driver takes the exclusive prefix over the bin counts (a
+       few hundred rows at any scale) and broadcasts the offsets;
+    3. one groupby(bin) ranks each bin locally (``searchsorted`` of
+       each value among the bin's sorted values counts the strictly
+       smaller ones) and adds its offset — rank = offset + smaller +
+       1, which is exactly SQL RANK() tie semantics.
+
+    The partitioning contract (documented, same as running_total):
+    one value-bin's rows fit one worker; a pathological single-value
+    distribution lands in one bin and surfaces in the skew histogram.
+
+    Output: (id_col, vq: int64, rnk: int64).
+    """
+    import pandas as pd
+
+    import ray
+
+    from .util import arrow_table
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vq = np.floor(v * quant).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "vq": pa.array(vq, pa.int64()),
+            "__bin": pa.array(vq // bin_width, pa.int64()),
+        })
+
+    prepped = coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+    prepped = prepped.materialize()  # consumed by both phases
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("__bin").aggregate([("vq", "count")])
+        return g.rename_columns(["__bin", "part"])
+
+    from ray.data.aggregate import Sum
+    bin_rows = (prepped.map_batches(partial, batch_format="pyarrow")
+                .groupby("__bin").aggregate(Sum("part", alias_name="n"))
+                .take_all())
+    bins = sorted(r["__bin"] for r in bin_rows)
+    counts = {r["__bin"]: r["n"] for r in bin_rows}
+    offsets, acc = {}, 0
+    for b_ in bins:
+        offsets[b_] = acc
+        acc += int(counts[b_])
+    off_ref = ray.put(offsets)
+
+    def rank_bin(df: pd.DataFrame) -> pa.Table:
+        off = ray.get(off_ref)
+        vq = df["vq"].to_numpy()
+        base = int(off[int(df["__bin"].iloc[0])]) if len(df) else 0
+        order = np.sort(vq)
+        smaller = np.searchsorted(order, vq, side="left")
+        return arrow_table(pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "vq": vq,
+            "rnk": base + smaller + 1}))
+
+    return prepped.groupby("__bin").map_groups(rank_bin,
+                                               batch_format="pandas")

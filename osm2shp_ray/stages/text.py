@@ -1328,3 +1328,34 @@ def vocab_coverage(ds_vocab, ds_stats, vocab_size: int = 50,
                          "oov_ppm": pa.array(ppm.astype(np.int64), pa.int64())})
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def redact_batch(batch: pa.Table, patterns, text_col: str = "text",
+                 hash_mod: int = 1_000_000_000) -> pa.Table:
+    """Vectorized multi-pattern PII-style redaction — the scrub stage
+    every curation pipeline runs before training (emails, phone
+    numbers, ids). ``patterns`` is an ordered list of ``(name, regex,
+    replacement)``; each pattern is counted (non-overlapping matches)
+    and replaced IN ORDER, so later patterns see earlier redactions —
+    the SQL mirror nests ``regexp_replace`` in the same order.
+
+    Stateless per-batch kernel (polars' compiled-regex engine;
+    compilation is cached per process by polars itself), so the stage
+    is an elastic map_batches — no shuffle, no state, safe at any
+    scale. Output: the input minus ``text_col`` plus one
+    ``n_<name>: int64`` hit count per pattern and ``red_h: int64`` =
+    h60(redacted_text) % hash_mod (mod keeps downstream SUMs inside
+    int64 for order-independent whole-text equality checks).
+    """
+    from ..functions.hashing import md5_hash60
+
+    s = _series(batch[text_col])
+    cols = {c: batch[c] for c in batch.column_names if c != text_col}
+    for name, rx, repl in patterns:
+        cols[f"n_{name}"] = pa.array(
+            s.str.count_matches(rx).cast(pl.Int64).to_numpy(),
+            pa.int64())
+        s = s.str.replace_all(rx, repl)
+    red = md5_hash60(s.to_numpy().astype(object)) % hash_mod
+    cols["red_h"] = pa.array(red, pa.int64())
+    return pa.table(cols)

@@ -132,6 +132,8 @@ SQL_CHECKED = [
     # round 3 (11th session): BPE pair statistics + tokenizer OOV
     # coverage
     "q_bpe_pairs", "q_vocab_coverage", "q_pruned_scan",
+    # round 3 (12th session): PII redaction, global rank, JSONL hop
+    "q_pii_redact", "q_global_rank", "q_jsonl_roundtrip",
 ]
 
 
