@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ohlc": q.q_ohlc,
         "q_union_by_name": q.q_union_by_name,
         "q_bpe_pairs": q.q_bpe_pairs,
+        "q_bpe_train": q.q_bpe_train,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -778,6 +779,35 @@ def oracle_sql() -> dict[str, str]:
              f"((c_custkey * {LON_MULT}) % 360000000) * 8192 // 360000000 AS x13, "
              f"LEAST((180000000 - ((c_custkey * {LAT_MULT}) % 180000000)) * 8192 "
              f"// 180000000, 8191) AS y13 FROM customer")
+
+    # iterative BPE training: unrolled argmax -> boundary-regex
+    # rewrite chain over the distinct-word table ('\b l r \b' leftmost
+    # non-overlapping replacement = BPE's left-to-right merge scan;
+    # RE2 and rust-regex agree). Tie break (c DESC, pair) both sides.
+    bpe_ctes = ["""w0 AS (
+        SELECT array_to_string(regexp_extract_all(tok, '.'), ' ') AS w,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS tok
+              FROM documents)
+        GROUP BY 1)"""]
+    for k in range(1, q.BPE_MERGES + 1):
+        bpe_ctes.append(f"""p{k} AS (
+            SELECT a[i] || ' ' || a[i+1] AS pair, sum(c) AS c
+            FROM (SELECT string_split(w, ' ') AS a, c FROM w{k-1}) t,
+                 LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+            GROUP BY 1),
+        m{k} AS (SELECT pair, replace(pair, ' ', '') AS merged, c
+                 FROM p{k} ORDER BY c DESC, pair LIMIT 1),
+        w{k} AS (SELECT regexp_replace(w,
+                     '\\b' || (SELECT pair FROM m{k}) || '\\b',
+                     (SELECT merged FROM m{k}), 'g') AS w, c
+                 FROM w{k-1})""")
+    bpe_train_sql = ("WITH " + ",\n".join(bpe_ctes) + "\n"
+                     + " UNION ALL ".join(
+                         f"SELECT CAST({k} AS BIGINT) AS step, pair, "
+                         f"merged, CAST(c AS BIGINT) AS c FROM m{k}"
+                         for k in range(1, q.BPE_MERGES + 1)))
 
     return {
         "q01_pricing_summary": """
@@ -2487,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_tok, n_oov,
                    CAST((1000000 * n_oov) // n_tok AS BIGINT) AS oov_ppm
             FROM per""",
+        "q_bpe_train": bpe_train_sql,
         # PII redaction: identical synthetic contact string, then the
         # same ordered pattern list (count, then replace; pattern 2
         # runs on pattern 1's output). red_sum proves the redacted

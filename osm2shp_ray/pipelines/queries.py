@@ -4781,3 +4781,16 @@ def q_jsonl_roundtrip(sf_dir: str):
                 .to_pandas())
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+BPE_MERGES = 6
+
+
+def q_bpe_train(sf_dir: str):
+    """Iterative BPE tokenizer training (stages/text.py::bpe_train):
+    learn BPE_MERGES merges — one corpus pass for the word-count
+    table, then vocabulary-sized iterations only. The SQL mirror
+    unrolls the same argmax-merge-rewrite chain as recursive CTEs
+    over the distinct-word table."""
+    return text.bpe_train(_read(sf_dir, "documents", ["text"]),
+                          n_merges=BPE_MERGES)

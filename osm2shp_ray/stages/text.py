@@ -1359,3 +1359,89 @@ def redact_batch(batch: pa.Table, patterns, text_col: str = "text",
     red = md5_hash60(s.to_numpy().astype(object)) % hash_mod
     cols["red_h"] = pa.array(red, pa.int64())
     return pa.table(cols)
+
+
+def bpe_train(ds, n_merges: int, text_col: str = "text"):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, the public
+    algorithm): learn ``n_merges`` merges over the corpus, returning
+    the merge table — the artifact a tokenizer ships.
+
+    Scale shape: ONE corpus pass builds the distinct-word count table
+    (``unigram_counts`` — the exchange is vocabulary-sized, never
+    corpus-sized); every merge iteration then runs on that word table
+    only, exactly like the reference algorithm's word-frequency dict.
+    Per iteration: (a) adjacent-symbol-pair counts weighted by word
+    count — a polars slice/explode kernel per batch, then a narrow
+    (pair, c) groupby whose size is bounded by the total symbol count
+    of the DISTINCT-word table; (b) the argmax pair (c desc, pair asc
+    — deterministic tie break) is taken on that bounded table; (c) the
+    merge is broadcast and applied vectorized with a word-boundary
+    regex (``\\b<l> <r>\\b`` — leftmost non-overlapping replacement is
+    exactly BPE's left-to-right scan; rust-regex and RE2 agree). The
+    word table is re-materialized each iteration (vocab-sized, cheap);
+    the corpus is never touched again.
+
+    Output: (step: int64, pair: string "l r", merged: string, c:
+    int64) — one row per learned merge, in order.
+    """
+    import re
+
+    from ray.data.aggregate import Sum
+
+    def space_out(t: pa.Table) -> pa.Table:
+        s = _series(t["tok"]).str.extract_all(".").list.join(" ")
+        return pa.table({"w": pa.array(s.to_numpy().astype(object),
+                                       pa.string()),
+                         "c": t["c"]})
+
+    wc = (unigram_counts(ds, text_col)
+          .map_batches(space_out, batch_format="pyarrow")
+          .materialize())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame({"s": _series(t["w"]).str.split(" "),
+                           "c": _series(t["c"])})
+        df = df.with_columns(n=pl.col("s").list.len()).filter(
+            pl.col("n") >= 2)
+        if not len(df):
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ex = (df.select(
+                  l=pl.col("s").list.slice(0, pl.col("n") - 1),
+                  r=pl.col("s").list.slice(1), c=pl.col("c"))
+              .explode(["l", "r"]))
+        g = (ex.with_columns(
+                 pair=pl.concat_str([pl.col("l"), pl.col("r")],
+                                    separator=" "))
+             .group_by("pair").agg(pl.col("c").sum()))
+        return pa.table({"pair": g["pair"].to_arrow().cast(pa.string()),
+                         "c": pa.array(g["c"].to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = (wc.map_batches(pair_partial, batch_format="pyarrow")
+                  .groupby("pair").aggregate(Sum("c", alias_name="c"))
+                  .take_all())  # bounded: pairs over DISTINCT words
+        if not counts:
+            break
+        best = min(counts, key=lambda r: (-r["c"], r["pair"]))
+        pair, cnt = best["pair"], int(best["c"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, cnt))
+        pat = rf"\b{re.escape(pair)}\b"
+
+        def apply_merge(t: pa.Table, pat=pat, merged=merged) -> pa.Table:
+            s = _series(t["w"]).str.replace_all(pat, merged)
+            return pa.table({"w": pa.array(s.to_numpy().astype(object),
+                                           pa.string()),
+                             "c": t["c"]})
+
+        wc = wc.map_batches(apply_merge,
+                            batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int64()),
+        "pair": pa.array([m[1] for m in merges], pa.string()),
+        "merged": pa.array([m[2] for m in merges], pa.string()),
+        "c": pa.array([m[3] for m in merges], pa.int64())})

@@ -134,6 +134,8 @@ SQL_CHECKED = [
     "q_bpe_pairs", "q_vocab_coverage", "q_pruned_scan",
     # round 3 (12th session): PII redaction, global rank, JSONL hop
     "q_pii_redact", "q_global_rank", "q_jsonl_roundtrip",
+    # round 3 (13th session): iterative BPE tokenizer training
+    "q_bpe_train",
 ]
 
 
