@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
         "q_distance_join": q.q_distance_join,
+        "q_dbscan": q.q_dbscan,
         "q_snap_dedup": q.q_snap_dedup,
         # text / dedup / similarity pack
         "q_dedup_exact": q.q_dedup_exact,
@@ -247,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import (AUDIO_CLIPS_N,
                                                CLASSIFY_RULES_SQL,
                                                CONVERT_IMAGES_N, KNN_Q,
+                                               DB_EPS, DB_MIN_PTS,
+                                               DB_N_CLUSTERS,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
                                                QSKETCH_QS, QSKETCH_W, STRAT_K,
@@ -937,6 +940,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) l CROSS JOIN ({sup_pts}) r
             WHERE (l.x - r.x) * (l.x - r.x)
                 + (l.y - r.y) * (l.y - r.y) <= {DIST_RADIUS * DIST_RADIUS}""",
+        # DBSCAN mirror: exact int64 distances, min-label clusters via
+        # a transitive-closure CTE over core-core edges (affordable at
+        # oracle scale: closure rows = sum of squared component sizes,
+        # ~90k at sf0.01); border = min over core-neighbor labels —
+        # identical deterministic contract as stages/cluster.py
+        "q_dbscan": f"""
+            WITH RECURSIVE p AS (
+              SELECT c_custkey AS id,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN (c_custkey * {LON_MULT}) % 360000000
+                     ELSE 10000000 + (c_custkey % {DB_N_CLUSTERS}) * 21000000
+                          + (c_custkey * 48271) % 4000001 - 2000000 END AS x,
+                CASE WHEN c_custkey % 5 = 0
+                     THEN (c_custkey * {LAT_MULT} + 77000000) % 180000000
+                     ELSE 12000000 + ((c_custkey % {DB_N_CLUSTERS}) * 7919) % 150 * 1000000
+                          + (c_custkey * 69621) % 4000001 - 2000000 END AS y
+              FROM customer),
+            e AS (
+              SELECT a.id AS src, b.id AS dst FROM p a JOIN p b
+              ON a.id <> b.id
+             AND abs(a.x - b.x) <= {DB_EPS} AND abs(a.y - b.y) <= {DB_EPS}
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= {DB_EPS * DB_EPS}),
+            core AS (
+              SELECT src AS id FROM e GROUP BY src
+              HAVING count(*) + 1 >= {DB_MIN_PTS}),
+            ce AS (
+              SELECT src, dst FROM e
+              WHERE src IN (SELECT id FROM core)
+                AND dst IN (SELECT id FROM core)),
+            reach(node, lbl) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT ce.dst, reach.lbl FROM reach
+              JOIN ce ON ce.src = reach.node),
+            lab AS (
+              SELECT node AS id, min(lbl) AS label FROM reach
+              GROUP BY node),
+            cand AS (
+              SELECT e.src AS id, lab.label FROM e
+              JOIN lab ON e.dst = lab.id
+              UNION ALL SELECT id, label FROM lab),
+            pl AS (SELECT id, min(label) AS label FROM cand GROUP BY id)
+            SELECT p.id AS c_custkey,
+                   CAST(COALESCE(pl.label, -1) AS BIGINT) AS label,
+                   CASE WHEN p.id IN (SELECT id FROM core) THEN 'core'
+                        WHEN pl.label IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role
+            FROM p LEFT JOIN pl ON p.id = pl.id""",
         "q_snap_dedup": f"""
             SELECT CAST(floor(x / 0.002) AS BIGINT) AS qx,
                    CAST(floor(y / 0.002) AS BIGINT) AS qy,

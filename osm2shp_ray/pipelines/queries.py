@@ -42,6 +42,11 @@ KNN_Q = (12.3456785, 34.5678905)
 SUP_LON_MULT = 1013904223
 SUP_LAT_MULT = 69069
 DIST_RADIUS = 8.0
+# DBSCAN planted-cluster derivation (16 centers, 1-in-5 wide-scatter
+# noise) — every constant is mirrored literally in the SQL oracle
+DB_EPS = 1_500_000  # micro-degrees
+DB_MIN_PTS = 4
+DB_N_CLUSTERS = 16
 
 CLASSIFY_RULES_SQL = """CASE
   WHEN p_size = 1 THEN 'layer_size1'
@@ -476,6 +481,37 @@ def q_distance_join(sf_dir: str):
         _customer_points(sf_dir), _supplier_points(sf_dir), DIST_RADIUS,
         left_id="c_custkey", right_id="s_suppkey")
     return out
+
+
+def _dbscan_points(sf_dir: str):
+    """Planted-cluster integer points: 16 deterministic centers with a
+    +-2-degree scatter, every 5th key a wide-scatter noise point. Pure
+    int64 arithmetic, mirrored literally by the SQL oracle."""
+    def pts(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ck % DB_N_CLUSTERS
+        cx = 10_000_000 + cid * 21_000_000
+        cy = 12_000_000 + ((cid * 7919) % 150) * 1_000_000
+        wide = (ck % 5) == 0
+        xi = np.where(wide, (ck * LON_MULT) % 360_000_000,
+                      cx + (ck * 48271) % 4_000_001 - 2_000_000)
+        yi = np.where(wide, (ck * LAT_MULT + 77_000_000) % 180_000_000,
+                      cy + (ck * 69621) % 4_000_001 - 2_000_000)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "xi": pa.array(xi, pa.int64()),
+                         "yi": pa.array(yi, pa.int64())})
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(pts, batch_format="pyarrow"))
+
+
+def q_dbscan(sf_dir: str):
+    """Distributed grid-based DBSCAN (stages/cluster.py): eps-grid
+    co-group pair list -> core set -> min-label components -> border
+    attach; exact int64 distances so the SQL mirror (transitive-
+    closure CTE) is hash-identical."""
+    from ..stages import cluster
+    return cluster.dbscan(_dbscan_points(sf_dir), eps=DB_EPS,
+                          min_pts=DB_MIN_PTS, id_col="c_custkey")
 
 
 def q_snap_dedup(sf_dir: str):

@@ -1,0 +1,214 @@
+"""Distributed grid-based DBSCAN over integer-coordinate points.
+
+Density clustering for the geospatial tier: cluster ids for every
+point, with the classic core / border / noise roles. The reference
+has no clustering at all — its only spatial structure is the node-ref
+lookup (/root/reference/osm/point_database.cc:63-71); this operator
+is a north_rule-§2.8-style addition designed Ray-Data-first.
+
+Determinism contract (so a SQL oracle can mirror it exactly):
+  * coordinates are non-negative int64 (e.g. micro-degrees); all
+    distances are exact int64 squared distances, no floats anywhere;
+  * a point is CORE iff |{q : d2(p,q) <= eps^2}| >= min_pts (the
+    count includes p itself, the standard DBSCAN convention);
+  * cluster label = min core-point id of the core connected
+    component (min-label components are order-free, unlike the
+    textbook's scan-order flood fill);
+  * a BORDER point takes the MIN label over its core neighbors
+    (textbook DBSCAN assigns the first visitor — order-dependent;
+    min is the deterministic refinement);
+  * NOISE points get label -1.
+
+Scale shape (the only one that works at 10^12 rows):
+  1. one grid co-group builds the eps-neighbor pair list: anchor each
+     point in its own (xi//eps, yi//eps) cell, replicate each point
+     to the 3x3 cell neighborhood (bounded 9x on one side), so every
+     qualifying pair meets in exactly one group — the anchor's cell;
+     in-group distances are a blocked int64 matrix (<= ``pair_block``
+     resident), so a hot cell degrades to bounded-memory brute force;
+  2. neighbor counts / core set: one groupby over the pair list;
+  3. core-core edges -> components.connected_components (min-label
+     propagation, O(diameter) bucketed rounds);
+  4. border assignment: one join + groupby-min over the pair list.
+No step materializes on the driver; everything is bucketed
+hash_join / groupby exchanges over the PAIR graph, which the eps
+grid keeps proportional to true neighbor density, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from .components import connected_components
+from .joins import hash_join
+from .util import coalesced
+
+_PACK = np.int64(1) << np.int64(32)  # cell key = (cx+1)*2^32 + (cy+1)
+
+
+def _ids(t: pa.Table, col: str) -> np.ndarray:
+    return t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
+                pair_block: int):
+    """Directed eps-neighbor pairs (a, b), a != b, d2 <= eps^2 — both
+    directions present (each unordered pair meets once in a's anchor
+    cell and once in b's)."""
+    eps2 = np.int64(eps) * np.int64(eps)
+
+    def prep_anchor(t: pa.Table) -> pa.Table:
+        xi, yi = _ids(t, x_col), _ids(t, y_col)
+        if len(xi) and (xi.min() < 0 or yi.min() < 0):
+            raise ValueError("dbscan: coordinates must be non-negative")
+        cell = (xi // eps + 1) * _PACK + (yi // eps + 1)
+        return pa.table({"__cell": pa.array(cell, pa.int64()),
+                         "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "__id": t[id_col].cast(pa.int64()),
+                         "__x": pa.array(xi, pa.int64()),
+                         "__y": pa.array(yi, pa.int64())})
+
+    def prep_replicated(t: pa.Table) -> pa.Table:
+        xi, yi = _ids(t, x_col), _ids(t, y_col)
+        n = t.num_rows
+        cx, cy = xi // eps + 1, yi // eps + 1
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), n)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), n)
+        nx, ny = np.tile(cx, 9) + dx, np.tile(cy, 9) + dy
+        ok = (nx >= 1) & (ny >= 1)  # grid is non-negative; no wrap
+        src = np.tile(np.arange(n, dtype=np.int64), 9)[ok]
+        take = pa.array(src, pa.int64())
+        return pa.table({"__cell": pa.array(nx[ok] * _PACK + ny[ok], pa.int64()),
+                         "__side": pa.array(np.ones(len(src), np.int8)),
+                         "__id": t[id_col].take(take).cast(pa.int64()),
+                         "__x": pa.array(xi[src], pa.int64()),
+                         "__y": pa.array(yi[src], pa.int64())})
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        at = t.filter(pa.array(side == 0))
+        bt = t.filter(pa.array(side == 1))
+        if at.num_rows == 0 or bt.num_rows == 0:
+            return empty
+        ax, ay, aid = _ids(at, "__x"), _ids(at, "__y"), _ids(at, "__id")
+        bx, by, bid = _ids(bt, "__x"), _ids(bt, "__y"), _ids(bt, "__id")
+        step = max(1, pair_block // max(1, len(bx)))
+        out = []
+        for s in range(0, len(ax), step):
+            e = min(len(ax), s + step)
+            ddx = ax[s:e, None] - bx[None, :]
+            ddy = ay[s:e, None] - by[None, :]
+            d2 = ddx * ddx + ddy * ddy
+            ai, bi = np.nonzero((d2 <= eps2)
+                                & (aid[s:e, None] != bid[None, :]))
+            if len(ai):
+                out.append(pa.table({"a": pa.array(aid[s + ai], pa.int64()),
+                                     "b": pa.array(bid[bi], pa.int64())}))
+        return pa.concat_tables(out) if out else empty
+
+    unioned = (points_ds.map_batches(prep_anchor, batch_format="pyarrow")
+               .union(points_ds.map_batches(prep_replicated,
+                                            batch_format="pyarrow")))
+    return (coalesced(unioned).groupby("__cell")
+            .map_groups(join_group, batch_format="pyarrow"))
+
+
+def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
+           x_col: str = "xi", y_col: str = "yi",
+           n_buckets: int = 32, pair_block: int = 1 << 22):
+    """DBSCAN(eps, min_pts) -> Dataset (id_col, label, role).
+
+    ``label`` is the min core id of the cluster (int64), -1 for noise;
+    ``role`` in {'core', 'border', 'noise'}. Coordinates must be
+    non-negative int64; ``eps`` is in the same integer units.
+    """
+    if eps <= 0 or min_pts < 2:
+        raise ValueError(f"dbscan: need eps > 0 and min_pts >= 2, "
+                         f"got {eps}, {min_pts}")
+    points = points_ds.map_batches(
+        lambda t: pa.table({"pid": t[id_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+    pairs = _grid_pairs(points_ds, eps, id_col, x_col, y_col,
+                        pair_block).materialize()
+
+    # core set: 1 + directed-neighbor count >= min_pts
+    cores = (pairs.groupby("a").aggregate(Count(alias_name="n"))
+             .map_batches(lambda t: t.filter(
+                 pa.compute.greater_equal(t["n"],
+                                          pa.scalar(min_pts - 1)))
+                 .select(["a"]), batch_format="pyarrow")
+             .materialize())
+
+    # components over core-core edges; isolated cores self-label
+    core_edges = hash_join(
+        hash_join(pairs, cores, on="a", how="left_semi",
+                  n_buckets=n_buckets),
+        cores.map_batches(lambda t: t.rename_columns(["b"]),
+                          batch_format="pyarrow"),
+        on="b", how="left_semi", n_buckets=n_buckets)
+    comp = connected_components(core_edges, id_a="a", id_b="b",
+                                n_buckets=n_buckets)
+    comp_l = comp.map_batches(
+        lambda t: pa.table({"cid": t["id"].cast(pa.int64()),
+                            "label": t["root"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    lonely = hash_join(
+        cores.map_batches(lambda t: t.rename_columns(["cid"]),
+                          batch_format="pyarrow"),
+        comp_l.select_columns(["cid"]), on="cid", how="left_anti",
+        n_buckets=n_buckets).map_batches(
+        lambda t: pa.table({"cid": t["cid"], "label": t["cid"]}),
+        batch_format="pyarrow")
+    core_labels = comp_l.union(lonely).materialize()
+
+    # point labels: min over core-neighbor labels, union cores' own
+    cand = hash_join(
+        pairs.map_batches(lambda t: pa.table({"p": t["a"],
+                                              "cid": t["b"]}),
+                          batch_format="pyarrow"),
+        core_labels, on="cid", n_buckets=n_buckets).map_batches(
+        lambda t: pa.table({"p": t["p"], "label": t["label"]}),
+        batch_format="pyarrow")
+    self_cand = core_labels.map_batches(
+        lambda t: pa.table({"p": t["cid"], "label": t["label"]}),
+        batch_format="pyarrow")
+    point_labels = (cand.union(self_cand).groupby("p")
+                    .aggregate(Min("label", alias_name="label")))
+
+    # assemble roles over ALL points
+    lab = hash_join(
+        points, point_labels.map_batches(
+            lambda t: pa.table({"pid": t["p"], "label": t["label"]}),
+            batch_format="pyarrow"),
+        on="pid", how="left", n_buckets=n_buckets)
+    full = hash_join(
+        lab, cores.map_batches(
+            lambda t: pa.table({"pid": t["a"],
+                                "corem": pa.array(
+                                    np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow"),
+        on="pid", how="left", n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        is_core = pa.compute.fill_null(t["corem"], 0).to_numpy(
+            zero_copy_only=False).astype(bool)
+        has_label = pa.compute.is_valid(t["label"]).to_numpy(
+            zero_copy_only=False)
+        role = np.where(is_core, "core",
+                        np.where(has_label, "border", "noise"))
+        out_label = pa.compute.fill_null(
+            t["label"].combine_chunks() if isinstance(
+                t["label"], pa.ChunkedArray) else t["label"],
+            pa.scalar(-1, pa.int64()))
+        return pa.table({id_col: t["pid"],
+                         "label": out_label,
+                         "role": pa.array(role.astype(str),
+                                          pa.string())})
+
+    return full.map_batches(finish, batch_format="pyarrow")
