@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdc_merge": q.q_cdc_merge,
         "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
+        "q_bigram_lm": q.q_bigram_lm,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_coverage": q.q_interval_coverage,
         "q_tile_extent": q.q_tile_extent,
         "q_haversine_knn": q.q_haversine_knn,
+        "q_trajectory_length": q.q_trajectory_length,
         "q_share_of_value": q.q_share_of_value,
         "q_chi_square": q.q_chi_square,
         "q_minmax_scale": q.q_minmax_scale,
@@ -250,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
                                                CONVERT_IMAGES_N, KNN_Q,
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
+                                               EV_LAT_MULT, EV_LON_MULT,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
                                                QSKETCH_QS, QSKETCH_W, STRAT_K,
@@ -1487,6 +1490,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS wmedian_q
             FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
+        # conditional bigram LM: adjacent-pair self-join (zipped
+        # unnest indexes), c1 = w1's left-element total, identical
+        # micro-nat quantization expression as the engine
+        "q_bigram_lm": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS i
+              FROM documents),
+            big AS (
+              SELECT a.doc_id, a.t AS w1, b.t AS w2
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cnt AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS s
+                   FROM cnt GROUP BY w1),
+            q AS (SELECT cnt.w1, cnt.w2,
+                         CAST(floor({LM_SCALE}
+                              * ln(CAST(cnt.c AS DOUBLE) / c1.s))
+                              AS BIGINT) AS lp
+                  FROM cnt JOIN c1 USING (w1))
+            SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+                   CAST(sum(q.lp) AS BIGINT) AS lp_sum
+            FROM big JOIN q ON big.w1 = q.w1 AND big.w2 = q.w2
+            GROUP BY big.doc_id""",
         "q_dsir_weights": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
@@ -2786,6 +2814,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(2.0 * asin(sqrt(least(1.0, sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) * sin((y * 0.017453292519943295 - 34.5678905 * 0.017453292519943295) / 2.0) + cos(34.5678905 * 0.017453292519943295) * cos(y * 0.017453292519943295) * (sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0) * sin((x * 0.017453292519943295 - 12.3456785 * 0.017453292519943295) / 2.0))))) * 6371000.0) AS BIGINT) AS dist_q
             FROM ({pts})
             ORDER BY dist_q, c_custkey LIMIT 20""",
+        # trajectory length: window lag + the q_haversine_knn operand
+        # shapes (x * RAD literals, s*s), floor(meters) per segment
+        # BEFORE the per-user sum so both engines add identical int64s
+        "q_trajectory_length": f"""
+            WITH p AS (
+              SELECT event_id, user_id, ts,
+                     ((event_id * {EV_LON_MULT}) % 360000000) / 1000000.0 - 180.0 AS x,
+                     ((event_id * {EV_LAT_MULT}) % 180000000) / 1000000.0 - 90.0 AS y
+              FROM events),
+            o AS (
+              SELECT user_id, x, y,
+                     lag(x) OVER w AS px, lag(y) OVER w AS py
+              FROM p WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(CASE WHEN px IS NULL THEN 0 ELSE
+                     CAST(floor(2.0 * asin(sqrt(least(1.0,
+                       sin((y * 0.017453292519943295 - py * 0.017453292519943295) / 2.0)
+                       * sin((y * 0.017453292519943295 - py * 0.017453292519943295) / 2.0)
+                       + cos(py * 0.017453292519943295) * cos(y * 0.017453292519943295)
+                       * (sin((x * 0.017453292519943295 - px * 0.017453292519943295) / 2.0)
+                          * sin((x * 0.017453292519943295 - px * 0.017453292519943295) / 2.0)))))
+                       * 6371000.0) AS BIGINT) END) AS BIGINT) AS path_m
+            FROM o GROUP BY user_id""",
         # ratio-to-report: integer ppm share, floor division on
         # non-negative operands both sides
         "q_share_of_value": """

@@ -47,6 +47,9 @@ DIST_RADIUS = 8.0
 DB_EPS = 1_500_000  # micro-degrees
 DB_MIN_PTS = 4
 DB_N_CLUSTERS = 16
+# event -> point multipliers for the trajectory-length query
+EV_LON_MULT = 22695477
+EV_LAT_MULT = 134775813
 
 CLASSIFY_RULES_SQL = """CASE
   WHEN p_size = 1 THEN 'layer_size1'
@@ -1603,6 +1606,16 @@ def q_lm_score(sf_dir: str):
     One narrow (tok, c) count shuffle + one broadcast; the corpus
     streams through a single scoring map."""
     return (text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+            .to_pandas())
+
+
+def q_bigram_lm(sf_dir: str):
+    """Conditional bigram LM scoring (stages/text.py::bigram_lm_score):
+    corpus-trained bigram model, per-doc integer micro-nat sums of
+    floor(scale*ln(c(w1,w2)/c1(w1))) over adjacent-pair instances —
+    one bigram count reduce + vocab-sized c1 join + broadcast probe."""
+    return (text.bigram_lm_score(_read(sf_dir, "documents",
+                                       ["doc_id", "text"]))
             .to_pandas())
 
 
@@ -3522,6 +3535,27 @@ def q_haversine_knn(sf_dir: str):
     return (_customer_points(sf_dir)
             .map_batches(dist_q, batch_format="pyarrow")
             .sort(["dist_q", "c_custkey"]).limit(HAV_K).to_pandas())
+
+
+def q_trajectory_length(sf_dir: str):
+    """Per-user trajectory path length (temporal.path_length): events
+    become deterministic points via integer micro-degree arithmetic;
+    one bucketed exchange, per-segment floor(meters) quantization so
+    the SQL window-lag mirror sums identical int64s."""
+    from ..stages import temporal
+
+    def pts(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((eid * EV_LON_MULT) % 360_000_000) / 1e6 - 180.0
+        y = ((eid * EV_LAT_MULT) % 180_000_000) / 1e6 - 90.0
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "x": pa.array(x, pa.float64()),
+                         "y": pa.array(y, pa.float64())})
+
+    return temporal.path_length(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .map_batches(pts, batch_format="pyarrow"))
 
 
 def q_share_of_value(sf_dir: str):

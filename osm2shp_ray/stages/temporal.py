@@ -267,6 +267,60 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
     return unioned.groupby("__bin").map_groups(match, batch_format="pyarrow")
 
 
+def path_length(ds, key_col: str = "user_id", ts_col: str = "ts",
+                tiebreak_col: str = "event_id",
+                x_col: str = "x", y_col: str = "y",
+                rad: float = 0.017453292519943295,
+                earth_r: float = 6371000.0,
+                n_buckets: int | None = None):
+    """Per-key trajectory path length: order each key's points by
+    (ts, tiebreak), sum the haversine distance between consecutive
+    points. The GPS/telemetry staple (ST_Length over ST_MakeLine)
+    the reference's GRASS post-chain has no analog for.
+
+    Each segment is quantized to floor(meters) BEFORE the sum, so the
+    per-key total is an order-independent int64 a SQL mirror can
+    reproduce exactly (same libm-drift-vs-quantum argument as
+    q_haversine_knn: literal ``x * rad``, ``s*s`` operand shapes on
+    both sides; 1 m quantum dwarfs the ulp drift).
+
+    Scale shape: ONE bucketed exchange on hash(key) + a per-bucket
+    sorted numpy kernel (shift + boundary mask; never a per-key
+    loop). Same partitioning contract as lag_rank / session_windows:
+    one key's rows fit one group.
+
+    Output: (key_col, n_points: int64, path_m: int64).
+    """
+    from ..functions.hashing import bucket_any
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_any(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        latr = df[y_col].to_numpy() * rad
+        lonr = df[x_col].to_numpy() * rad
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        s1 = np.sin((latr - np.roll(latr, 1)) / 2.0)
+        s2 = np.sin((lonr - np.roll(lonr, 1)) / 2.0)
+        a = s1 * s1 + np.cos(np.roll(latr, 1)) * np.cos(latr) * (s2 * s2)
+        d = 2.0 * np.arcsin(np.sqrt(np.minimum(1.0, a))) * earth_r
+        seg = np.floor(d).astype(np.int64)
+        seg[new_key] = 0  # first point of a key contributes no segment
+        starts = np.flatnonzero(new_key)
+        return arrow_table(pd.DataFrame({
+            key_col: keys[starts],
+            "n_points": np.diff(np.append(starts, len(keys))).astype(np.int64),
+            "path_m": np.add.reduceat(seg, starts).astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
 def lag_rank(ds, key_col: str = "user_id", ts_col: str = "ts",
              tiebreak_col: str = "event_id",
              n_buckets: int | None = None):

@@ -656,6 +656,165 @@ def _token_value_scan(ds, text_col: str, id_col: str,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _bigram_rows(col):
+    """(row_index, 'w1 w2') exploded frame of adjacent-token pairs —
+    the order-preserving explode of ``_token_rows`` shifted against
+    itself inside each row (vectorized; never a per-doc loop)."""
+    long = _token_rows(col)
+    if long.height == 0:
+        return pl.DataFrame({"i": pl.Series([], dtype=pl.Int64),
+                             "big": pl.Series([], dtype=pl.String)})
+    return (long.with_columns(w2=pl.col("tok").shift(-1),
+                              i2=pl.col("i").shift(-1))
+            .filter(pl.col("i") == pl.col("i2"))
+            .select("i", big=pl.col("tok") + " " + pl.col("w2")))
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """Distributed corpus bigram counts, packed as one 'w1 w2' string
+    key (single-key groupby — a two-string-key Ray groupby measured
+    >4x slower at identical row counts). Per-batch partials keep the
+    exchange at one row per DISTINCT bigram per batch.
+    Output: (big: string, c: int64)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = _bigram_rows(t[text_col]).group_by("big").len()
+        return pa.table({"big": cnt["big"].to_arrow().cast(pa.string()),
+                         "c": pa.array(cnt["len"].to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("big").aggregate(Sum("c", alias_name="c")))
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                    scale: int = LM_SCALE, distributed: bool = False):
+    """Conditional bigram language-model scoring — the second-order
+    refinement of ``lm_score``: train bigram counts on the corpus
+    itself, quantize each bigram's CONDITIONAL log-probability
+    ``floor(scale * ln(c(w1,w2) / c1(w1)))`` (``c1`` = w1's total as a
+    bigram left element, so the model is properly normalized per
+    context), then score every document by the integer sum over its
+    adjacent-pair instances. Fluency-per-context beats raw unigram
+    rarity for boilerplate/gibberish detection.
+
+    Same exactness contract as ``lm_score``: integer micro-nats make
+    per-doc sums order-independent and SQL-bit-exact (shared libm
+    ``ln`` on identical doubles; floor boundaries measure-zero).
+
+    Scale shape: one bigram count reduce + one vocab-sized groupby
+    (c1) + one vocab-sized join, then EITHER a broadcast probe
+    (default — bigram vocab is reduced-vocab-sized by contract; prune
+    upstream if a web-scale vocab outgrows worker heap) or, with
+    ``distributed=True``, a no-broadcast dual: doc bigrams explode to
+    (id, big) rows and inner-join the model via ``hash_join`` —
+    byte-identical output (equivalence test).
+
+    Output: ``(id_col, n_big: int64, lp_sum: int64)`` for docs with
+    >= 1 bigram (single-token and empty docs carry no evidence,
+    matching the SQL join semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    cnt = bigram_counts(ds, text_col)
+
+    def add_w1(t: pa.Table) -> pa.Table:
+        w1 = pl.from_arrow(t["big"].combine_chunks()
+                           if isinstance(t["big"], pa.ChunkedArray)
+                           else t["big"]).str.split(" ").list.first()
+        return t.append_column("w1", w1.to_arrow().cast(pa.string()))
+
+    with_w1 = cnt.map_batches(add_w1, batch_format="pyarrow")
+    c1 = (with_w1.map_batches(
+        lambda t: t.select(["w1", "c"]).rename_columns(["w1", "c1"]),
+        batch_format="pyarrow")
+        .groupby("w1").aggregate(Sum("c1", alias_name="c1")))
+
+    def add_lp(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.floor(scale * np.log(c / s)).astype(np.int64)
+        return pa.table({"big": t["big"], "lp": pa.array(lp, pa.int64())})
+
+    model = hash_join(with_w1, c1, on="w1").map_batches(
+        add_lp, batch_format="pyarrow")
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        long = _bigram_rows(t[text_col])
+        return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
+                         "big": long["big"].to_arrow().cast(pa.string())})
+
+    if distributed:
+        from ray.data.aggregate import Count
+
+        joined = hash_join(ds.map_batches(doc_bigrams,
+                                          batch_format="pyarrow"),
+                           model, on="big")
+        out = (joined.groupby(id_col)
+               .aggregate(Count(alias_name="n_big"),
+                          Sum("lp", alias_name="lp_sum")))
+        return out
+
+    rows = model.take_all()  # bigram vocab only — bounded by contract
+    bigs = np.array([r["big"] for r in rows], dtype=object)
+    lps = np.array([r["lp"] for r in rows], dtype=np.int64)
+    order = np.argsort(bigs)
+    scored = _bigram_value_scan(ds, text_col, id_col, bigs[order],
+                                lps[order])
+    return scored
+
+
+def _bigram_value_scan(ds, text_col: str, id_col: str,
+                       keys_sorted: np.ndarray, vals: np.ndarray):
+    """Bigram analog of ``_token_value_scan``: broadcast the sorted
+    (bigram key, int64 lp) model once via ray.put, stream docs through
+    one stateless probe-and-sum map."""
+    import ray
+
+    ref = ray.put((keys_sorted, vals))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        idc = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+        empty = pa.table({id_col: idc.slice(0, 0),
+                          "n_big": pa.array([], pa.int64()),
+                          "lp_sum": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        long = _bigram_rows(t[text_col])
+        if long.height == 0:
+            return empty
+        keys_, vals_ = _ray.get(ref)
+        if len(keys_) == 0:
+            return empty
+        arr = long["big"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys_, arr), len(keys_) - 1)
+        valid = keys_[pos] == arr
+        if not valid.any():
+            return empty
+        agg = (pl.DataFrame({"i": long["i"].to_numpy()[valid],
+                             "v": vals_[pos[valid]]})
+               .group_by("i").agg(pl.len().alias("n_big"),
+                                  pl.col("v").sum().alias("lp_sum")))
+        return pa.table({
+            id_col: idc.take(pa.array(agg["i"].to_numpy())),
+            "n_big": pa.array(agg["n_big"].to_numpy().astype(np.int64),
+                              pa.int64()),
+            "lp_sum": pa.array(agg["lp_sum"].to_numpy().astype(np.int64),
+                               pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dsir_weights(ds, target_ds, text_col: str = "text",
                  id_col: str = "doc_id", scale: int = LM_SCALE,
                  distributed: bool = False):

@@ -136,8 +136,9 @@ SQL_CHECKED = [
     "q_pii_redact", "q_global_rank", "q_jsonl_roundtrip",
     # round 3 (13th session): iterative BPE tokenizer training
     "q_bpe_train",
-    # round 3 (14th session): distributed grid DBSCAN
-    "q_dbscan",
+    # round 3 (14th session): distributed grid DBSCAN, per-user
+    # trajectory path length, conditional bigram LM scoring
+    "q_dbscan", "q_trajectory_length", "q_bigram_lm",
 ]
 
 

@@ -2299,3 +2299,66 @@ def test_bfs_paths_equivalent(ray_session):
         ref.update({d: h for d in frontier})
     got = dict(zip(a.node.astype(int), a.hops.astype(int)))
     assert got == ref
+
+
+def test_bigram_lm_duals_equivalent(ray_session):
+    """Broadcast and distributed bigram LM paths are byte-identical;
+    single-token and empty docs carry no evidence."""
+    import pandas as pd
+    import ray
+    from osm2shp_ray.stages.text import bigram_lm_score
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the cat sat on the mat",
+                 "the cat sat",
+                 "cat",          # single token: no bigram evidence
+                 "",             # empty: dropped
+                 "on the mat the cat"]})
+    ds = ray.data.from_pandas(docs)
+    a = (bigram_lm_score(ds).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (bigram_lm_score(ds, distributed=True).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)],
+        check_dtype=False, check_exact=True)
+    assert set(a.doc_id) == {1, 2, 5}
+    assert a.loc[a.doc_id == 1, "n_big"].item() == 5
+    # deterministic spot value against hand-counted corpus bigrams
+    import numpy as np
+    one = a.loc[a.doc_id == 2].iloc[0]
+    # doc 2 bigrams: 'the cat' (3 of c1('the')=5), 'cat sat' (2 of 2)
+    exp = (np.floor(1e6 * np.log(3 / 5)) + np.floor(1e6 * np.log(2 / 2)))
+    assert one.lp_sum == int(exp) and one.n_big == 2
+
+
+def test_path_length_singletons_and_order(ray_session):
+    """path_length: one-point keys yield 0; result is insertion-order
+    independent (same ints whatever the block layout)."""
+    import pandas as pd
+    import numpy as np
+    import ray
+    from osm2shp_ray.stages.temporal import path_length
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": ["a", "a", "a", "b", "c"],
+        "ts": pd.to_datetime([3, 1, 2, 9, 9], unit="s"),
+        "x": [0.0, 0.0, 1.0, 5.0, 6.0],
+        "y": [0.0, 0.0, 0.0, 5.0, 6.0]})
+    out = (path_length(ray.data.from_pandas(df), n_buckets=2)
+           .to_pandas().sort_values("user_id", ignore_index=True))
+    assert list(out.user_id) == ["a", "b", "c"]
+    assert list(out.n_points) == [3, 1, 1]
+    assert out.loc[1, "path_m"] == 0 and out.loc[2, "path_m"] == 0
+    # a: (0,0)@1s -> (1,0)@2s -> (0,0)@3s — two ~111 km legs
+    rad, R = 0.017453292519943295, 6371000.0
+    leg = np.floor(2.0 * np.arcsin(np.sqrt(min(1.0,
+          np.cos(0.0) * np.cos(0.0) * np.sin(0.5 * rad) ** 2))) * R)
+    assert out.loc[0, "path_m"] == 2 * int(leg)
+    # shuffled input -> identical totals
+    out2 = (path_length(ray.data.from_pandas(df.iloc[::-1].reset_index(drop=True)),
+                        n_buckets=2)
+            .to_pandas().sort_values("user_id", ignore_index=True))
+    assert out.equals(out2)
