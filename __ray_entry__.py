@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bbox_join": q.q_bbox_join,
         "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
+        "q_image_sharpness": q.q_image_sharpness,
         "q_thumbnails": q.q_thumbnails,
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
@@ -309,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
     image_stats_pq = cached_image_stats_parquet(POSTPROCESS_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_thumb_stats_parquet
     thumb_stats_pq = cached_thumb_stats_parquet(POSTPROCESS_IMAGES_N)
+    from osm2shp_ray.sources.fixtures import cached_image_sharpness_parquet
+    image_sharp_pq = cached_image_sharpness_parquet(POSTPROCESS_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_video_scene_parquet
     video_scene_pq = cached_video_scene_parquet(VIDEO_CLIPS_N)
 
@@ -1704,6 +1707,12 @@ def oracle_sql() -> dict[str, str]:
         "q_image_stats": f"""
             SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
             FROM read_parquet('{image_stats_pq}')
+            WHERE fmt = 'png'""",
+        # sharpness: decode -> integer Laplacian stencil must
+        # reproduce the generator-side focus-measure ground truth
+        "q_image_sharpness": f"""
+            SELECT image_id, n_interior, lap_sq_sum
+            FROM read_parquet('{image_sharp_pq}')
             WHERE fmt = 'png'""",
         # thumbnails: decode -> integer 4x box downsample must
         # reproduce the generator-side thumbnail ground truth

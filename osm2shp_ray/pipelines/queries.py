@@ -3232,6 +3232,23 @@ def q_image_stats(sf_dir: str):
     return out.drop_columns(["fmt"]).to_pandas()
 
 
+def q_image_sharpness(sf_dir: str):
+    """Integer Laplacian sharpness over the image table
+    (stages/images.py::sharpness): real PNG decode, 4-neighbor
+    stencil sum-of-squares on the channel-sum luma — bit-equal to the
+    generator-side ground truth on lossless rows (same gate shape as
+    q_image_stats)."""
+    from ..sources.fixtures import (cached_image_sharpness_parquet,
+                                    cached_images_parquet)
+    from ..stages.images import sharpness
+    cached_image_sharpness_parquet(POSTPROCESS_IMAGES_N)  # oracle side
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes", "fmt"])
+    out = sharpness(images.filter(expr="fmt == 'png'"), batch_size=512)
+    return out.drop_columns(["fmt"]).to_pandas()
+
+
 WORD_TOPK = 20
 
 

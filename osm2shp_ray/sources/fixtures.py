@@ -454,6 +454,35 @@ def cached_image_stats_parquet(n: int) -> str:
     }), path)
 
 
+def cached_image_sharpness_parquet(n: int) -> str:
+    """Per-image sharpness ground truth: integer 4-neighbor Laplacian
+    sum-of-squares over the channel-sum luma of ground_truth_pixels
+    (the variance-of-Laplacian blur signal, kept as exact int64 so the
+    engine's decode + Laplacian stage must reproduce it bit-exactly on
+    fmt='png' rows)."""
+    path = os.path.join(FIXTURE_ROOT, f"image_sharp_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    idx = np.arange(n, dtype=np.int64)
+    ws = _SIZES[idx % 3]
+    hs = _SIZES[(idx // 3) % 3]
+    fmt = np.where(idx % 2 == 0, "png", "jpeg")
+    nints, sums = [], []
+    for i in idx:
+        g = ground_truth_pixels(int(i), int(ws[i]), int(hs[i])
+                                ).astype(np.int64).sum(axis=2)
+        lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+               - g[1:-1, :-2] - g[1:-1, 2:])
+        nints.append(int(lap.size))
+        sums.append(int((lap * lap).sum()))
+    return _atomic_parquet(pa.table({
+        "image_id": pa.array([f"img-{i:09d}" for i in idx], pa.string()),
+        "fmt": pa.array(fmt.tolist(), pa.string()),
+        "n_interior": pa.array(nints, pa.int64()),
+        "lap_sq_sum": pa.array(sums, pa.int64()),
+    }), path)
+
+
 SCENE_THRESH_Q = 85_000  # milli-units of mean |diff|; the fixture's
 # frames are independent noise, so per-pair mad_q clusters tightly
 # (80.6k-90.8k measured) and the median threshold exercises both

@@ -275,6 +275,50 @@ def channel_stats(ds, concurrency=None, batch_size: int = 1024,
     return ds.map_batches(ChannelStats(), **kwargs)
 
 
+class Sharpness:
+    """bytes -> integer blur/sharpness signal: the 4-neighbor
+    Laplacian sum-of-squares over the channel-sum luma (the classic
+    variance-of-Laplacian focus measure, kept in exact int64 — luma
+    <= 765, |lap| <= 3060, so a 64x64 interior sums far below 2^63).
+    One vectorized stencil per image, no Python pixel loops; decode
+    failures surface as n_interior = 0 rows. On lossless rows the
+    value equals the generator-side ground truth of the source
+    pixels (the same decode-correctness gate as ChannelStats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = _binary_views(batch["bytes"])
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        nints = np.zeros(n, np.int64)
+        sums = np.zeros(n, np.int64)
+        for i in range(n):
+            try:
+                img = codec.decode_image(blobs[i], fmts[i])
+            except Exception:
+                continue
+            g = img.astype(np.int64).sum(axis=2)
+            lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                   - g[1:-1, :-2] - g[1:-1, 2:])
+            nints[i] = lap.size
+            sums[i] = int((lap * lap).sum())
+        out = batch.drop_columns(["bytes"])
+        return (out
+                .append_column("n_interior", pa.array(nints, pa.int64()))
+                .append_column("lap_sq_sum", pa.array(sums, pa.int64())))
+
+
+def sharpness(ds, concurrency=None, batch_size: int = 1024,
+              num_cpus: float = 1.0):
+    """Distributed sharpness scoring over an image table — stateless
+    per-batch decode+stencil; payload bytes drop before any
+    downstream exchange."""
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  num_cpus=num_cpus)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(Sharpness(), **kwargs)
+
+
 class Thumbnail:
     """bytes -> thumbnail: exact integer box-downsample by ``factor``
     (non-overlapping factor x factor block means, sums // factor^2 —
