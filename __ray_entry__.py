@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
         "q_bigram_lm": q.q_bigram_lm,
+        "q_rrf_fusion": q.q_rrf_fusion,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
                                                EV_LAT_MULT, EV_LON_MULT,
+                                               RRF_DEPTH, RRF_K, RRF_TOPK,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
                                                QSKETCH_QS, QSKETCH_W, STRAT_K,
@@ -1493,6 +1495,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS wmedian_q
             FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
+        # reciprocal-rank fusion: row_number windows with the same
+        # unique tiebreaks + identical integer floor-div points
+        "q_rrf_fusion": f"""
+            WITH lm AS ({lm_sql}),
+            r1 AS (
+              SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC,
+                                                doc_id) AS rn
+              FROM documents QUALIFY rn <= {RRF_DEPTH}),
+            r2 AS (
+              SELECT doc_id, row_number() OVER (ORDER BY lp_sum DESC,
+                                                doc_id) AS rn
+              FROM lm QUALIFY rn <= {RRF_DEPTH}),
+            u AS (
+              SELECT doc_id, 1000000000 // ({RRF_K} + rn) AS p FROM r1
+              UNION ALL
+              SELECT doc_id, 1000000000 // ({RRF_K} + rn) FROM r2)
+            SELECT doc_id, CAST(sum(p) AS BIGINT) AS rrf_q
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_q DESC, doc_id LIMIT {RRF_TOPK}""",
         # conditional bigram LM: adjacent-pair self-join (zipped
         # unnest indexes), c1 = w1's left-element total, identical
         # micro-nat quantization expression as the engine

@@ -311,6 +311,11 @@ def run_bench() -> dict:
         ("q_thumbnails", q.q_thumbnails),
         ("q_knn_join", q.q_knn_join),
         ("q_clip_ways", q.q_clip_ways),
+        ("q_dbscan", q.q_dbscan),
+        ("q_trajectory_length", q.q_trajectory_length),
+        ("q_bigram_lm", q.q_bigram_lm),
+        ("q_image_sharpness", q.q_image_sharpness),
+        ("q_rrf_fusion", q.q_rrf_fusion),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -1619,6 +1619,28 @@ def q_bigram_lm(sf_dir: str):
             .to_pandas())
 
 
+RRF_DEPTH = 100
+RRF_TOPK = 20
+RRF_K = 60
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (stages/sketch.py::rrf_fuse) of two
+    document rankings — length (n_chars desc) and corpus-LM
+    log-likelihood (lm_score lp_sum desc) — each produced distributed
+    and truncated to RRF_DEPTH; integer floor-div points make the
+    fused scores SQL-exact."""
+    from ..stages import sketch
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    r1 = sketch.ranked_prefix(docs, ["n_chars", "doc_id"],
+                              [True, False], "doc_id", RRF_DEPTH)
+    lm = text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+    r2 = sketch.ranked_prefix(lm, ["lp_sum", "doc_id"],
+                              [True, False], "doc_id", RRF_DEPTH)
+    out = sketch.rrf_fuse([r1, r2], k_const=RRF_K, topk=RRF_TOPK)
+    return out.rename(columns={"id": "doc_id"})
+
+
 def q_event_deltas(sf_dir: str):
     """Per-user analytic window pass (stages/temporal.py::lag_rank):
     row_number + inter-arrival delta per event — one bucketed

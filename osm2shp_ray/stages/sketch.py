@@ -1399,3 +1399,43 @@ def global_rank(ds, val_col: str, id_col: str,
 
     return prepped.groupby("__bin").map_groups(rank_bin,
                                                batch_format="pandas")
+
+
+def ranked_prefix(ds, sort_keys: list[str], descending: list[bool],
+                  id_col: str, depth: int):
+    """Top-``depth`` id list of a ranking: distributed sort + limit,
+    then a BOUNDED driver enumerate (``depth`` rows by contract — the
+    per-system candidate list of a fusion, never the corpus). Returns
+    [(id, 1-based rank), ...]. Callers must include a deterministic
+    unique tiebreak (normally ``id_col`` itself) in ``sort_keys``."""
+    rows = ds.sort(sort_keys, descending=descending).limit(depth).take_all()
+    return [(r[id_col], i + 1) for i, r in enumerate(rows)]
+
+
+def rrf_fuse(prefix_lists, k_const: int = 60,
+             quant: int = 1_000_000_000, topk: int = 20):
+    """Reciprocal-rank fusion of per-system top-depth lists — the
+    standard zero-tuning way to combine heterogeneous rankings
+    (lexical + model score, Cormack et al., SIGIR'09):
+    ``score(d) = Σ_systems quant // (k_const + rank_s(d))``.
+
+    Points are integer floor divisions on positive ints, so the fused
+    scores are exact int64 and a SQL mirror (``row_number`` windows +
+    the same ``//``) reproduces them bit-for-bit. The fold itself runs
+    on the driver over the already-bounded prefix lists (each system
+    contributed <= depth rows via ``ranked_prefix``); the heavy part
+    of a fusion — producing each system's ranking — stays distributed.
+
+    Returns a pandas DataFrame (id, rrf_q) sorted by (rrf_q desc, id),
+    truncated to ``topk``.
+    """
+    import pandas as pd
+
+    pts: dict = {}
+    for lst in prefix_lists:
+        for i, rank in lst:
+            pts[i] = pts.get(i, 0) + quant // (k_const + rank)
+    fused = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pd.DataFrame({"id": [i for i, _ in fused],
+                         "rrf_q": np.array([p for _, p in fused],
+                                           dtype=np.int64)})
