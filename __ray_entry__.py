@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_score": q.q_lm_score,
         "q_bigram_lm": q.q_bigram_lm,
         "q_rrf_fusion": q.q_rrf_fusion,
+        "q_value_trend": q.q_value_trend,
+        "q_scd2": q.q_scd2,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -255,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
                                                EV_LAT_MULT, EV_LON_MULT,
+                                               OLS_SCALE, OLS_X0_HOURS,
                                                RRF_DEPTH, RRF_K, RRF_TOPK,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
@@ -1495,6 +1498,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS wmedian_q
             FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
+        # per-key OLS slope from the same five int64 moment sums;
+        # DuckDB // truncates toward zero, which the engine mirrors
+        "q_value_trend": f"""
+            WITH b AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 - {OLS_X0_HOURS} AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events),
+            m AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM b GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE ({OLS_SCALE} * (n * sxy - sx * sy))
+                             // (n * sxx - sx * sx) END AS BIGINT)
+                     AS slope_q
+            FROM m""",
+        # SCD2 intervals: lag collapses same-value runs, lead closes
+        # each version; open versions carry the -1 integer sentinel
+        "q_scd2": """
+            WITH o AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                     lag(event_type) OVER w AS pv
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (
+              SELECT user_id, event_type AS state, ts_us, event_id
+              FROM o WHERE pv IS NULL OR pv <> event_type)
+            SELECT user_id, state, ts_us AS valid_from_us,
+                   COALESCE(lead(ts_us) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us, event_id),
+                            -1) AS valid_to_us
+            FROM c""",
         # reciprocal-rank fusion: row_number windows with the same
         # unique tiebreaks + identical integer floor-div points
         "q_rrf_fusion": f"""

@@ -1622,6 +1622,41 @@ def q_bigram_lm(sf_dir: str):
 RRF_DEPTH = 100
 RRF_TOPK = 20
 RRF_K = 60
+# OLS trend: hour index rebased near the fixture's epoch so integer
+# moment sums stay far below 2^63 (bound documented in grouped_ols)
+OLS_X0_HOURS = 473_000
+OLS_SCALE = 10_000
+
+
+def q_value_trend(sf_dir: str):
+    """Per-user OLS value trend (stages/sketch.py::grouped_ols): exact
+    int64 moment sums over (hour index, value cents), one narrow
+    5-sum exchange, trunc-division quantized slope mirrored by SQL."""
+    from ..stages import sketch
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        x = pc.subtract(pc.divide(ts, 3_600_000_000),
+                        pa.scalar(OLS_X0_HOURS, pa.int64()))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        y = np.floor(v * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "x": x,
+                         "y": pa.array(y, pa.int64())})
+
+    return sketch.grouped_ols(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", "x", "y", scale=OLS_SCALE)
+
+
+def q_scd2(sf_dir: str):
+    """SCD2 validity intervals of each user's event_type changelog
+    (stages/temporal.py::scd2): run collapse + next-transition close,
+    open versions carry the -1 sentinel; one bucketed exchange."""
+    from ..stages import temporal
+    return temporal.scd2(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                 "event_type"]))
 
 
 def q_rrf_fusion(sf_dir: str):

@@ -1439,3 +1439,70 @@ def rrf_fuse(prefix_lists, k_const: int = 60,
     return pd.DataFrame({"id": [i for i, _ in fused],
                          "rrf_q": np.array([p for _, p in fused],
                                            dtype=np.int64)})
+
+
+def grouped_ols(ds, key_col: str, x_col: str, y_col: str,
+                scale: int = 10_000):
+    """Per-key ordinary-least-squares trend slope from EXACT integer
+    moment sums — the distributed analog of ``regr_slope(y, x) OVER
+    key``: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as the
+    integer ``scale``-quantized quotient so the SQL mirror sums the
+    same five int64 moments and divides identically (truncating
+    division toward zero — DuckDB ``//`` semantics; numpy floor-div
+    differs on negative numerators, so the engine truncates
+    explicitly).
+
+    Inputs must be pre-quantized int64 columns; callers own the
+    overflow budget (|n·Σxy| · scale must stay < 2^63 — rebase x to a
+    small epoch and keep y in coarse units). Degenerate keys (single
+    point / constant x) emit slope_q = 0.
+
+    Scale shape: per-batch polars moment partials (5 int64 sums per
+    DISTINCT key per batch) -> one narrow groupby-sum exchange ->
+    stateless quotient map. Nothing row-sized crosses the shuffle.
+
+    Output: (key_col, n: int64, slope_q: int64).
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key_col, x_col, y_col]))
+        g = (df.with_columns(
+                xy=pl.col(x_col) * pl.col(y_col),
+                xx=pl.col(x_col) * pl.col(x_col))
+             .group_by(key_col)
+             .agg(pl.len().alias("n"), pl.col(x_col).sum().alias("sx"),
+                  pl.col(y_col).sum().alias("sy"),
+                  pl.col("xy").sum().alias("sxy"),
+                  pl.col("xx").sum().alias("sxx")))
+        out = g.to_arrow()
+        return out.cast(pa.schema([(key_col, out.schema.field(key_col).type)]
+                                  + [(c, pa.int64()) for c in
+                                     ("n", "sx", "sy", "sxy", "sxx")]))
+
+    moments = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(key_col)
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sx", alias_name="sx"),
+                          Sum("sy", alias_name="sy"),
+                          Sum("sxy", alias_name="sxy"),
+                          Sum("sxx", alias_name="sxx")))
+
+    def slope(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        num = scale * (n * sxy - sx * sy)
+        den = n * sxx - sx * sx
+        safe = np.where(den == 0, 1, den)
+        q = np.sign(num) * (np.abs(num) // safe)  # trunc toward zero
+        q = np.where(den == 0, 0, q).astype(np.int64)
+        return pa.table({key_col: t[key_col],
+                         "n": pa.array(n.astype(np.int64), pa.int64()),
+                         "slope_q": pa.array(q, pa.int64())})
+
+    return moments.map_batches(slope, batch_format="pyarrow")

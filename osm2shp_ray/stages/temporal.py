@@ -267,6 +267,53 @@ def range_join(points_ds, intervals_ds, point_val: str, lo_col: str,
     return unioned.groupby("__bin").map_groups(match, batch_format="pyarrow")
 
 
+def scd2(ds, key_col: str = "user_id", ts_col: str = "ts",
+         val_col: str = "event_type", tiebreak_col: str = "event_id",
+         n_buckets: int | None = None):
+    """Slowly-changing-dimension type-2 interval builder: order each
+    key's changelog rows by (ts, tiebreak), collapse consecutive runs
+    of the SAME value (only transitions open a new version), and emit
+    one validity interval per version — ``valid_to_us`` is the next
+    transition's timestamp, or the -1 open-interval sentinel for the
+    current version (an integer, not NULL, so both engines hash
+    identically). The warehouse dual of ``cdc_merge`` (which keeps
+    only the final state).
+
+    Scale shape: ONE bucketed exchange on hash(key) + a per-bucket
+    sorted numpy kernel (boundary/transition masks + shifted arrays;
+    never a per-key loop). Same partitioning contract as lag_rank:
+    one key's rows fit one group.
+
+    Output: (key_col, state, valid_from_us: int64, valid_to_us: int64).
+    """
+    from ..functions.hashing import bucket_any
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(bucket_any(keys, b), pa.int64()))
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        vals = df[val_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        change = new_key | np.concatenate(([True], vals[1:] != vals[:-1]))
+        k, v, f = keys[change], vals[change], ts[change]
+        nk = new_key[change]
+        # valid_to = next version's start within the same key, else -1
+        to = np.concatenate((f[1:], [-1]))
+        to[np.concatenate((nk[1:], [True]))] = -1
+        return arrow_table(pd.DataFrame({
+            key_col: k, "state": v,
+            "valid_from_us": f, "valid_to_us": to}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
 def path_length(ds, key_col: str = "user_id", ts_col: str = "ts",
                 tiebreak_col: str = "event_id",
                 x_col: str = "x", y_col: str = "y",

@@ -139,7 +139,7 @@ SQL_CHECKED = [
     # round 3 (14th session): distributed grid DBSCAN, per-user
     # trajectory path length, conditional bigram LM scoring
     "q_dbscan", "q_trajectory_length", "q_bigram_lm",
-    "q_image_sharpness", "q_rrf_fusion",
+    "q_image_sharpness", "q_rrf_fusion", "q_value_trend", "q_scd2",
 ]
 
 
