@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rrf_fusion": q.q_rrf_fusion,
         "q_value_trend": q.q_value_trend,
         "q_scd2": q.q_scd2,
+        "q_mmr_select": q.q_mmr_select,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -257,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
                                                EV_LAT_MULT, EV_LON_MULT,
+                                               MMR_K, MMR_LAM_D, MMR_LAM_N,
+                                               MMR_POOL, MMR_QUANT, MMR_QVEC,
                                                OLS_SCALE, OLS_X0_HOURS,
                                                RRF_DEPTH, RRF_K, RRF_TOPK,
                                                DIST_RADIUS, LAT_MULT,
@@ -415,6 +418,47 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(
                     CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
                     e.vec_id) <= 10"""
+
+    # MMR: the greedy diversity chain unrolled to MMR_K CTE steps
+    # (the bpe_train merge-chain pattern); every quantity is an int64
+    # dot of quant-quantized vectors, so each step's argmax (ties by
+    # smallest id) is exactly the engine's
+    mmr_ctes = [
+        f"""e AS MATERIALIZED (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> CAST(floor(x * {MMR_QUANT}) AS BIGINT)) AS v
+            FROM embeddings)""",
+        f"""qv AS MATERIALIZED (SELECT v FROM e WHERE vec_id = {MMR_QVEC})""",
+        """rel AS MATERIALIZED (SELECT vec_id, CAST(sum(ex * qx) AS BIGINT) AS rel
+            FROM (SELECT e.vec_id, unnest(e.v) AS ex, unnest(qv.v) AS qx
+                  FROM e, qv) GROUP BY vec_id)""",
+        f"""pool AS MATERIALIZED (SELECT vec_id, rel FROM rel
+            ORDER BY rel DESC, vec_id LIMIT {MMR_POOL})""",
+        """pv AS MATERIALIZED (SELECT p.vec_id, p.rel, e.v
+            FROM pool p JOIN e USING (vec_id))""",
+        """sims AS MATERIALIZED (SELECT ia, ib, CAST(sum(xa * xb) AS BIGINT) AS s
+            FROM (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         unnest(a.v) AS xa, unnest(b.v) AS xb
+                  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)
+            GROUP BY ia, ib)""",
+        "s1 AS MATERIALIZED (SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1)",
+    ]
+    for kk in range(2, MMR_K + 1):
+        mmr_ctes.append(f"""s{kk} AS MATERIALIZED (
+            SELECT p.vec_id FROM pool p
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{kk - 1})
+            ORDER BY {MMR_LAM_N} * p.rel - {MMR_LAM_D} *
+                (SELECT max(s.s) FROM sims s
+                 JOIN sel{kk - 1} t ON s.ib = t.vec_id
+                 WHERE s.ia = p.vec_id) DESC, p.vec_id
+            LIMIT 1)""")
+        mmr_ctes.append(f"""sel{kk} AS MATERIALIZED (SELECT vec_id FROM sel{kk - 1}
+            UNION ALL SELECT vec_id FROM s{kk})""")
+    mmr_sql = ("WITH " + ",\n".join(mmr_ctes) + "\nSELECT * FROM ("
+               + " UNION ALL ".join(
+                   f"SELECT CAST({kk} AS BIGINT) AS step, vec_id FROM s{kk}"
+                   for kk in range(1, MMR_K + 1)) + ")")
 
     # BM25: per-term tf/df/idf expressions generated from the SAME
     # term tuple the engine scores with; arithmetic written in the
@@ -1049,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
                          AND c.ts <= a.lo + INTERVAL 10 MINUTE
             GROUP BY c.event_id""",
         "q_ann_topk": ann_sql(3, 17),
+        "q_mmr_select": mmr_sql,
         "q_ivf_topk": ann_sql(5, 42),
         "q_ivf_partitioned_topk": ann_sql(5, 42),
         "q_minhash_pairs": jaccard_pairs_sql(char5_sh, 0.8),

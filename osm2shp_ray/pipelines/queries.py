@@ -1622,6 +1622,28 @@ def q_bigram_lm(sf_dir: str):
 RRF_DEPTH = 100
 RRF_TOPK = 20
 RRF_K = 60
+# MMR diversity reranking: integer lambda split 7/3 (= 0.7), int64
+# dots of quant-quantized embeddings so the greedy chain is SQL-exact
+MMR_POOL = 50
+MMR_K = 10
+MMR_QVEC = 3
+MMR_LAM_N = 7
+MMR_LAM_D = 3
+MMR_QUANT = 1000
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance diversified top-MMR_K
+    (stages/ann.py::mmr_select): one distributed integer-relevance
+    pass builds the bounded pool; the greedy diversity chain runs on
+    the pool and is mirrored step for step by an unrolled SQL CTE."""
+    emb = _read(sf_dir, "embeddings")
+    qv = _fetch_vecs(emb, [MMR_QVEC])[0]
+    return ann.mmr_select(emb, qv, pool_n=MMR_POOL, k=MMR_K,
+                          lam_n=MMR_LAM_N, lam_d=MMR_LAM_D,
+                          quant=MMR_QUANT)
+
+
 # OLS trend: hour index rebased near the fixture's epoch so integer
 # moment sums stay far below 2^63 (bound documented in grouped_ols)
 OLS_X0_HOURS = 473_000

@@ -601,3 +601,82 @@ def label_centroids(ds, vec_col: str = "embedding",
             .groupby([label_col, "dim"])
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_q", alias_name="sum_q")))
+
+
+def mmr_select(emb_ds, query_vec: np.ndarray, pool_n: int = 50,
+               k: int = 10, lam_n: int = 7, lam_d: int = 3,
+               quant: int = 1000, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Maximal-marginal-relevance diversified selection (Carbonell &
+    Goldstein, SIGIR'98): greedily pick ``k`` items maximizing
+    ``lam_n * rel(d) - lam_d * max_{s in selected} sim(d, s)`` — the
+    standard diversity reranker for retrieval-augmented pipelines.
+
+    Exactness contract: embeddings are quantized to int64
+    (``floor(v * quant)``) BEFORE any arithmetic, so relevance and
+    pairwise similarity are exact integer dot products and the greedy
+    argmax chain (ties broken by smallest id) is reproducible by an
+    unrolled SQL mirror step for step. lam_n/lam_d are the integer
+    lambda split (7/3 == lambda 0.7 after common scaling).
+
+    Scale shape: relevance is ONE distributed pass (int64 matmul per
+    batch against the broadcast query, per-batch partial top-pool_n,
+    tiny global reduce); the greedy loop runs on the driver over the
+    BOUNDED pool (pool_n rows, pool_n^2 int sims) — MMR is by
+    construction a reranker over a candidate pool, never the corpus.
+
+    Returns a pandas DataFrame (step: 1-based int64, id_col).
+    """
+    import ray
+
+    qi = np.floor(np.asarray(query_vec, dtype=np.float64) * quant
+                  ).astype(np.int64)
+    qref = ray.put(qi)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        x = np.floor(_as_matrix(t[emb_col]) * quant).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.int64())})
+        rel = x @ _ray.get(qref)
+        if len(rel) > pool_n:
+            sel = np.lexsort((ids, -rel))[:pool_n]
+            ids, rel = ids[sel], rel[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "rel": pa.array(rel, pa.int64())})
+
+    pool = (emb_ds.map_batches(partial, batch_format="pyarrow")
+            .sort([ "rel", id_col], descending=[True, False])
+            .limit(pool_n).take_all())
+    pids = np.array([r[id_col] for r in pool], dtype=np.int64)
+    rels = np.array([r["rel"] for r in pool], dtype=np.int64)
+
+    # fetch the pool's vectors (bounded) via a streamed filter
+    import pyarrow.compute as pc
+    wanted = pa.array(pids.tolist(), pa.int64())
+    rows = (emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=wanted)),
+        batch_format="pyarrow").take_all())
+    vec_by_id = {int(r[id_col]):
+                 np.floor(np.asarray(r[emb_col], np.float64) * quant
+                          ).astype(np.int64) for r in rows}
+    V = np.stack([vec_by_id[int(i)] for i in pids])
+    sims = V @ V.T  # exact int64 pool_n x pool_n
+
+    selected: list[int] = []
+    remaining = list(range(len(pids)))
+    for _ in range(min(k, len(pids))):
+        best = None
+        for j in remaining:
+            pen = max(int(sims[j, s]) for s in selected) if selected else 0
+            score = lam_n * int(rels[j]) - lam_d * pen
+            key = (-score, int(pids[j]))
+            if best is None or key < best[0]:
+                best = (key, j)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    return pd.DataFrame({"step": np.arange(1, len(selected) + 1,
+                                           dtype=np.int64),
+                         id_col: pids[np.array(selected, dtype=np.int64)]})
