@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_trend": q.q_value_trend,
         "q_scd2": q.q_scd2,
         "q_mmr_select": q.q_mmr_select,
+        "q_gram_matrix": q.q_gram_matrix,
+        "q_winsorized": q.q_winsorized,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -258,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
                                                EV_LAT_MULT, EV_LON_MULT,
+                                               GRAM_QUANT,
                                                MMR_K, MMR_LAM_D, MMR_LAM_N,
                                                MMR_POOL, MMR_QUANT, MMR_QVEC,
                                                OLS_SCALE, OLS_X0_HOURS,
@@ -1094,6 +1097,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.event_id""",
         "q_ann_topk": ann_sql(3, 17),
         "q_mmr_select": mmr_sql,
+        # Gram matrix: zipped-unnest self-join on the row id, exact
+        # integer products of the same quantized coordinates
+        "q_gram_matrix": f"""
+            WITH u AS (
+              SELECT vec_id, CAST(floor(x * {GRAM_QUANT}) AS BIGINT) AS xq, i
+              FROM (SELECT vec_id,
+                           unnest(CAST(embedding AS DOUBLE[])) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings))
+            SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.xq * b.xq) AS BIGINT) AS g
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2""",
+        # winsorized aggregate: nearest-rank percentile picks are
+        # pure value selections, clip + sum in exact int64 cents
+        "q_winsorized": """
+            WITH b AS (SELECT user_id, event_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            r AS (SELECT user_id, vq,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY vq, event_id) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM b),
+            pct AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                           max(CASE WHEN rn = (n * 5 + 99) // 100
+                               THEN vq END) AS lo_q,
+                           max(CASE WHEN rn = (n * 95 + 99) // 100
+                               THEN vq END) AS hi_q
+                    FROM r GROUP BY user_id)
+            SELECT r.user_id, pct.n, pct.lo_q, pct.hi_q,
+                   CAST(sum(least(greatest(r.vq, pct.lo_q), pct.hi_q))
+                        AS BIGINT) AS wsum_q
+            FROM r JOIN pct USING (user_id)
+            GROUP BY r.user_id, pct.n, pct.lo_q, pct.hi_q""",
         "q_ivf_topk": ann_sql(5, 42),
         "q_ivf_partitioned_topk": ann_sql(5, 42),
         "q_minhash_pairs": jaccard_pairs_sql(char5_sh, 0.8),

@@ -1644,6 +1644,30 @@ def q_mmr_select(sf_dir: str):
                           quant=MMR_QUANT)
 
 
+GRAM_QUANT = 1000
+
+
+def q_gram_matrix(sf_dir: str):
+    """Exact integer Gram matrix over the embedding table
+    (stages/ann.py::gram_matrix): one d x d int64 matmul combiner per
+    batch, one narrow packed-key exchange — the PCA/whitening
+    second-moment precompute, SQL-mirrored by a zipped-unnest
+    self-join."""
+    return ann.gram_matrix(_read(sf_dir, "embeddings",
+                                 ["vec_id", "embedding"]),
+                           quant=GRAM_QUANT)
+
+
+def q_winsorized(sf_dir: str):
+    """Per-user winsorized value aggregate
+    (stages/sketch.py::winsorized_mean): nearest-rank p5/p95 clip in
+    exact int64 cents, one bucketed exchange."""
+    from ..stages import sketch
+    return sketch.winsorized_mean(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        "user_id", "value")
+
+
 # OLS trend: hour index rebased near the fixture's epoch so integer
 # moment sums stay far below 2^63 (bound documented in grouped_ols)
 OLS_X0_HOURS = 473_000

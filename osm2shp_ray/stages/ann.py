@@ -680,3 +680,45 @@ def mmr_select(emb_ds, query_vec: np.ndarray, pool_n: int = 50,
     return pd.DataFrame({"step": np.arange(1, len(selected) + 1,
                                            dtype=np.int64),
                          id_col: pids[np.array(selected, dtype=np.int64)]})
+
+
+def gram_matrix(emb_ds, quant: int = 1000, emb_col: str = "embedding"):
+    """Exact integer Gram-matrix aggregate over an embedding column —
+    the second-moment precompute of PCA / whitening / covariance:
+    ``G[i, j] = Σ_rows xq_i · xq_j`` on ``floor(v * quant)``-quantized
+    vectors, upper triangle only.
+
+    Scale shape: ONE d x d int64 matmul per batch (``Xq.T @ Xq`` —
+    the per-batch combiner that makes the exchange O(d^2) per block
+    regardless of row count), emitted as d(d+1)/2 packed-key rows,
+    then one narrow groupby-sum. At d = 64 each block contributes
+    2,080 rows; nothing row-sized crosses the shuffle.
+
+    Output: (i: int64, j: int64, g: int64) with i <= j, 1-based to
+    match SQL generate_subscripts.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.floor(_as_matrix(t[emb_col]) * quant).astype(np.int64)
+        if X.size == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        G = X.T @ X
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"k": pa.array(iu * d + ju, pa.int64()),
+                         "g": pa.array(G[iu, ju], pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        d = int(np.sqrt(k.max())) + 1 if len(k) else 0
+        return pa.table({"i": pa.array(k // d + 1, pa.int64()),
+                         "j": pa.array(k % d + 1, pa.int64()),
+                         "g": t["g"]})
+
+    # d is recovered inside each output batch from the key range; the
+    # final table is tiny (d(d+1)/2 rows), so one-block unpack is safe
+    agg = (emb_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("g", alias_name="g")))
+    return agg.repartition(1).map_batches(unpack, batch_format="pyarrow")

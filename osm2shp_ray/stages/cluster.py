@@ -43,7 +43,6 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
 from .components import connected_components
-from .joins import hash_join
 from .util import coalesced
 
 _PACK = np.int64(1) << np.int64(32)  # cell key = (cx+1)*2^32 + (cy+1)
@@ -119,14 +118,46 @@ def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
             .map_groups(join_group, batch_format="pyarrow"))
 
 
+def _driver_min_label(a: np.ndarray, b: np.ndarray):
+    """Vectorized min-label propagation with pointer jumping over a
+    BOUNDED edge list (ids only, <= uf_cap rows by the caller's
+    check): labels are indexes into the sorted node array, so the
+    fixpoint is the min node id per component; each round is two
+    ``np.minimum.at`` scatters + one jump, converging in
+    O(log diameter) rounds. Returns (nodes, root_ids)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    s, d = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, s, lab[d])
+        np.minimum.at(new, d, lab[s])
+        new = new[new]  # pointer jump — labels only ever decrease
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes, nodes[lab]
+
+
 def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
            x_col: str = "xi", y_col: str = "yi",
-           n_buckets: int = 32, pair_block: int = 1 << 22):
+           n_buckets: int = 32, pair_block: int = 1 << 22,
+           uf_cap: int = 5_000_000):
     """DBSCAN(eps, min_pts) -> Dataset (id_col, label, role).
 
     ``label`` is the min core id of the cluster (int64), -1 for noise;
     ``role`` in {'core', 'border', 'noise'}. Coordinates must be
     non-negative int64; ``eps`` is in the same integer units.
+
+    Core-component labeling is a capped dual (the dedup_minhash /
+    pagerank pattern): at or below ``uf_cap`` core-core edge rows the
+    ids-only edge list folds on the driver via vectorized min-label
+    propagation (equivalence-tested against the distributed path);
+    above it, ``components.connected_components`` runs its bucketed
+    O(diameter)-round propagation. Every join around it is a
+    size-adaptive ``dim_join`` — core/label sides broadcast while
+    dimension-sized and automatically fall back to the bucketed
+    ``hash_join`` past the cap.
     """
     if eps <= 0 or min_pts < 2:
         raise ValueError(f"dbscan: need eps > 0 and min_pts >= 2, "
@@ -146,19 +177,37 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
              .materialize())
 
     # components over core-core edges; isolated cores self-label
-    core_edges = hash_join(
-        hash_join(pairs, cores, on="a", how="left_semi",
-                  n_buckets=n_buckets),
+    from .joins import dim_join
+
+    core_edges = dim_join(
+        dim_join(pairs, cores, on="a", how="left_semi",
+                 n_buckets=n_buckets),
         cores.map_batches(lambda t: t.rename_columns(["b"]),
                           batch_format="pyarrow"),
-        on="b", how="left_semi", n_buckets=n_buckets)
-    comp = connected_components(core_edges, id_a="a", id_b="b",
-                                n_buckets=n_buckets)
-    comp_l = comp.map_batches(
-        lambda t: pa.table({"cid": t["id"].cast(pa.int64()),
-                            "label": t["root"].cast(pa.int64())}),
-        batch_format="pyarrow")
-    lonely = hash_join(
+        on="b", how="left_semi", n_buckets=n_buckets).materialize()
+    if core_edges.count() <= uf_cap:
+        cols = {"a": [], "b": []}
+        for batch in core_edges.iter_batches(batch_format="pyarrow"):
+            cols["a"].append(batch["a"].to_numpy(zero_copy_only=False))
+            cols["b"].append(batch["b"].to_numpy(zero_copy_only=False))
+        if cols["a"]:
+            nodes, roots = _driver_min_label(
+                np.concatenate(cols["a"]).astype(np.int64),
+                np.concatenate(cols["b"]).astype(np.int64))
+        else:
+            nodes = roots = np.empty(0, np.int64)
+        import ray.data as rd
+        comp_l = rd.from_arrow(pa.table({
+            "cid": pa.array(nodes, pa.int64()),
+            "label": pa.array(roots, pa.int64())}))
+    else:
+        comp = connected_components(core_edges, id_a="a", id_b="b",
+                                    n_buckets=n_buckets)
+        comp_l = comp.map_batches(
+            lambda t: pa.table({"cid": t["id"].cast(pa.int64()),
+                                "label": t["root"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    lonely = dim_join(
         cores.map_batches(lambda t: t.rename_columns(["cid"]),
                           batch_format="pyarrow"),
         comp_l.select_columns(["cid"]), on="cid", how="left_anti",
@@ -168,7 +217,7 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
     core_labels = comp_l.union(lonely).materialize()
 
     # point labels: min over core-neighbor labels, union cores' own
-    cand = hash_join(
+    cand = dim_join(
         pairs.map_batches(lambda t: pa.table({"p": t["a"],
                                               "cid": t["b"]}),
                           batch_format="pyarrow"),
@@ -182,12 +231,12 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
                     .aggregate(Min("label", alias_name="label")))
 
     # assemble roles over ALL points
-    lab = hash_join(
+    lab = dim_join(
         points, point_labels.map_batches(
             lambda t: pa.table({"pid": t["p"], "label": t["label"]}),
             batch_format="pyarrow"),
         on="pid", how="left", n_buckets=n_buckets)
-    full = hash_join(
+    full = dim_join(
         lab, cores.map_batches(
             lambda t: pa.table({"pid": t["a"],
                                 "corem": pa.array(

@@ -1506,3 +1506,62 @@ def grouped_ols(ds, key_col: str, x_col: str, y_col: str,
                          "slope_q": pa.array(q, pa.int64())})
 
     return moments.map_batches(slope, batch_format="pyarrow")
+
+
+def winsorized_mean(ds, key_col: str, val_col: str,
+                    lo_pct: int = 5, hi_pct: int = 95,
+                    quant: int = 100, n_buckets: int | None = None):
+    """Per-key winsorized aggregate — the robust-mean staple: clip each
+    key's quantized values at its own nearest-rank lo/hi percentiles,
+    then sum. Rank definition (1-based, identical in the SQL mirror):
+    ``lo = value at rank (n*lo_pct + 99) // 100``, ``hi = value at
+    rank (n*hi_pct + 99) // 100`` of the ascending value order. All
+    arithmetic is int64 (values pre-quantized with ``floor(v *
+    quant)``), so sums are order-independent and hash-exact.
+
+    Scale shape: ONE bucketed exchange on hash(key) + a per-bucket
+    sorted numpy kernel (per-key offsets + fancy-indexed percentile
+    picks; never a per-key loop). One key's rows fit one group — the
+    lag_rank partitioning contract.
+
+    Output: (key_col, n: int64, lo_q: int64, hi_q: int64,
+    wsum_q: int64).
+    """
+    import pandas as pd
+
+    from .. import config
+    from ..functions.hashing import bucket_any
+    from .util import arrow_table, coalesced
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key_col: t[key_col],
+            "vq": pa.array(np.floor(v * quant).astype(np.int64), pa.int64()),
+            "__b": pa.array(bucket_any(keys, b), pa.int64())})
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, "vq"], kind="mergesort")
+        keys = df[key_col].to_numpy()
+        vq = df["vq"].to_numpy()
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(new_key)
+        n = np.diff(np.append(starts, len(keys))).astype(np.int64)
+        lo_r = (n * lo_pct + 99) // 100  # 1-based nearest rank
+        hi_r = (n * hi_pct + 99) // 100
+        lo = vq[starts + lo_r - 1]
+        hi = vq[starts + hi_r - 1]
+        # clip per row against its key's bounds, sum per key
+        lo_row = np.repeat(lo, n)
+        hi_row = np.repeat(hi, n)
+        clipped = np.minimum(np.maximum(vq, lo_row), hi_row)
+        wsum = np.add.reduceat(clipped, starts).astype(np.int64)
+        return arrow_table(pd.DataFrame({
+            key_col: keys[starts], "n": n, "lo_q": lo, "hi_q": hi,
+            "wsum_q": wsum}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))

@@ -48,7 +48,7 @@ def _brute_dbscan(ids, x, y, eps, min_pts):
     return {int(i): (int(l), r) for i, l, r in zip(ids, lab, role)}
 
 
-def _run(ids, x, y, eps, min_pts):
+def _run(ids, x, y, eps, min_pts, **kw):
     import ray
     from osm2shp_ray.stages.cluster import dbscan
     ds = ray.data.from_arrow(pa.table({
@@ -56,7 +56,7 @@ def _run(ids, x, y, eps, min_pts):
         "xi": pa.array(x, pa.int64()),
         "yi": pa.array(y, pa.int64())}))
     out = dbscan(ds, eps=eps, min_pts=min_pts, id_col="id",
-                 n_buckets=4).to_pandas()
+                 n_buckets=4, **kw).to_pandas()
     return {int(r.id): (int(r.label), r.role) for r in out.itertuples()}
 
 
@@ -73,7 +73,12 @@ def test_dbscan_matches_brute_force_fuzzed(ray_session, seed):
     y = np.where(which < 3, centers[which % 3, 1] + rng.integers(-15_000, 15_001, n),
                  rng.integers(0, 300_000, n)).astype(np.int64)
     eps, mp = 12_000, 4
-    assert _run(ids, x, y, eps, mp) == _brute_dbscan(ids, x, y, eps, mp)
+    ref = _brute_dbscan(ids, x, y, eps, mp)
+    assert _run(ids, x, y, eps, mp) == ref
+    # the capped driver min-label and the distributed component path
+    # must be byte-identical duals (uf_cap=0 forces the latter)
+    if seed == 0:
+        assert _run(ids, x, y, eps, mp, uf_cap=0) == ref
 
 
 def test_dbscan_edge_cases(ray_session):
