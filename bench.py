@@ -319,6 +319,8 @@ def run_bench() -> dict:
         ("q_value_trend", q.q_value_trend),
         ("q_scd2", q.q_scd2),
         ("q_mmr_select", q.q_mmr_select),
+        ("q_gram_matrix", q.q_gram_matrix),
+        ("q_winsorized", q.q_winsorized),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
