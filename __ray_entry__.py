@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mmr_select": q.q_mmr_select,
         "q_gram_matrix": q.q_gram_matrix,
         "q_winsorized": q.q_winsorized,
+        "q_snap_to_roads": q.q_snap_to_roads,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -1112,6 +1113,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2""",
         # winsorized aggregate: nearest-rank percentile picks are
         # pure value selections, clip + sum in exact int64 cents
+        # nearest-segment snap: clamped projection with the engine's
+        # operand shapes; (dq, seg_id) row_number picks the same argmin
+        "q_snap_to_roads": f"""
+            WITH sp AS ({sup_pts}),
+            seg AS (
+              SELECT s_suppkey AS seg_id, x AS ax, y AS ay,
+                     lead(x) OVER (ORDER BY s_suppkey) AS bx,
+                     lead(y) OVER (ORDER BY s_suppkey) AS byy
+              FROM sp QUALIFY bx IS NOT NULL),
+            c AS ({pts}),
+            d0 AS (
+              SELECT c.c_custkey, s.seg_id, c.x AS px, c.y AS py,
+                     s.ax, s.ay, s.bx - s.ax AS vx, s.byy - s.ay AS vy
+              FROM c CROSS JOIN seg s),
+            d1 AS (
+              SELECT *, (CASE WHEN vx * vx + vy * vy = 0.0 THEN 1.0
+                         ELSE vx * vx + vy * vy END) AS vv,
+                     (px - ax) * vx + (py - ay) * vy AS dt
+              FROM d0),
+            d2 AS (SELECT *, least(1.0, greatest(0.0, dt / vv)) AS tc
+                   FROM d1),
+            d3 AS (
+              SELECT c_custkey, seg_id,
+                     CAST(floor(((px - (ax + tc * vx)) * (px - (ax + tc * vx))
+                               + (py - (ay + tc * vy)) * (py - (ay + tc * vy)))
+                               * 1000000.0) AS BIGINT) AS dq
+              FROM d2)
+            SELECT c_custkey, seg_id, dq FROM d3
+            QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY dq, seg_id) = 1""",
         "q_winsorized": """
             WITH b AS (SELECT user_id, event_id,
                               CAST(floor(value * 100) AS BIGINT) AS vq

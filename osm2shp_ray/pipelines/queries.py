@@ -1644,6 +1644,22 @@ def q_mmr_select(sf_dir: str):
                           quant=MMR_QUANT)
 
 
+def q_snap_to_roads(sf_dir: str):
+    """Nearest-segment snap (stages/spatial.py::snap_to_segments):
+    customers snap to the closest segment of the supplier polyline
+    network (consecutive supplier points by key order, broadcast
+    once); quantized clamped-projection distances make the per-point
+    argmin SQL-exact."""
+    srows = (_supplier_points(sf_dir)
+             .sort("s_suppkey").take_all())  # dimension-sized network
+    sk = np.array([r["s_suppkey"] for r in srows], dtype=np.int64)
+    sx = np.array([r["x"] for r in srows], dtype=np.float64)
+    sy = np.array([r["y"] for r in srows], dtype=np.float64)
+    return spatial.snap_to_segments(
+        _customer_points(sf_dir), sk[:-1], sx[:-1], sy[:-1],
+        sx[1:], sy[1:], id_col="c_custkey")
+
+
 GRAM_QUANT = 1000
 
 

@@ -1156,3 +1156,58 @@ def knn_join(left_ds, right_ds, k: int,
                                     ("dist2", pa.float64())])),
         batch_format="pyarrow")
     return resolved.union(fb)
+
+
+def snap_to_segments(points_ds, seg_ids: np.ndarray,
+                     ax: np.ndarray, ay: np.ndarray,
+                     bx: np.ndarray, by: np.ndarray,
+                     id_col: str = "id", x_col: str = "x",
+                     y_col: str = "y", quant: float = 1_000_000.0):
+    """Nearest-SEGMENT snap (the map-matching primitive — ST_Distance
+    point-to-linestring + argmin): for every point, the closest of a
+    broadcast segment set by clamped-projection distance, quantized to
+    ``floor(d2 * quant)`` int64 so the SQL mirror (identical operand
+    shapes) picks the same argmin with the same (dq, seg_id) tie
+    order. Degenerate zero-length segments divide by a guarded 1.0 on
+    BOTH sides (dot is 0 there, so t = 0 — distance to the endpoint).
+
+    Scale shape: the segment network is ray.put ONCE (road networks
+    are dimension-sized against 10^12 points); each point batch does
+    one vectorized (n x m) distance block, argmin per row, zero
+    exchanges. For networks past broadcast size, pre-bucket with
+    ``bbox_join``/``knn_join`` and run this per bucket.
+
+    Output: (id_col, seg_id: int64, dq: int64).
+    """
+    import ray
+
+    segs = np.argsort(seg_ids, kind="stable")  # argmin tie = min seg_id
+    ref = ray.put((seg_ids[segs].astype(np.int64),
+                   ax[segs].astype(np.float64), ay[segs].astype(np.float64),
+                   bx[segs].astype(np.float64), by[segs].astype(np.float64)))
+
+    def snap(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        sid, sax, say, sbx, sby = _ray.get(ref)
+        px = t[x_col].to_numpy(zero_copy_only=False)[:, None]
+        py = t[y_col].to_numpy(zero_copy_only=False)[:, None]
+        if t.num_rows == 0 or len(sid) == 0:
+            return pa.table({id_col: t[id_col],
+                             "seg_id": pa.array([], pa.int64()),
+                             "dq": pa.array([], pa.int64())})
+        vx = (sbx - sax)[None, :]
+        vy = (sby - say)[None, :]
+        vv_raw = vx * vx + vy * vy
+        vv = np.where(vv_raw == 0.0, 1.0, vv_raw)
+        dot = (px - sax[None, :]) * vx + (py - say[None, :]) * vy
+        tc = np.minimum(1.0, np.maximum(0.0, dot / vv))
+        dx = px - (sax[None, :] + tc * vx)
+        dy = py - (say[None, :] + tc * vy)
+        dq = np.floor((dx * dx + dy * dy) * quant).astype(np.int64)
+        best = np.argmin(dq, axis=1)  # first minimum = smallest seg_id
+        rows = np.arange(len(best))
+        return pa.table({id_col: t[id_col],
+                         "seg_id": pa.array(sid[best], pa.int64()),
+                         "dq": pa.array(dq[rows, best], pa.int64())})
+
+    return points_ds.map_batches(snap, batch_format="pyarrow")

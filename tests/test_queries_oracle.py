@@ -140,7 +140,7 @@ SQL_CHECKED = [
     # trajectory path length, conditional bigram LM scoring
     "q_dbscan", "q_trajectory_length", "q_bigram_lm",
     "q_image_sharpness", "q_rrf_fusion", "q_value_trend", "q_scd2",
-    "q_mmr_select", "q_gram_matrix", "q_winsorized",
+    "q_mmr_select", "q_gram_matrix", "q_winsorized", "q_snap_to_roads",
 ]
 
 
