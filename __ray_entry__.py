@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gram_matrix": q.q_gram_matrix,
         "q_winsorized": q.q_winsorized,
         "q_snap_to_roads": q.q_snap_to_roads,
+        "q_hard_negatives": q.q_hard_negatives,
         "q_event_deltas": q.q_event_deltas,
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
@@ -261,7 +262,7 @@ def oracle_sql() -> dict[str, str]:
                                                DB_EPS, DB_MIN_PTS,
                                                DB_N_CLUSTERS,
                                                EV_LAT_MULT, EV_LON_MULT,
-                                               GRAM_QUANT,
+                                               GRAM_QUANT, HN_K, HN_QUERIES,
                                                MMR_K, MMR_LAM_D, MMR_LAM_N,
                                                MMR_POOL, MMR_QUANT, MMR_QVEC,
                                                OLS_SCALE, OLS_X0_HOURS,
@@ -1098,6 +1099,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.event_id""",
         "q_ann_topk": ann_sql(3, 17),
         "q_mmr_select": mmr_sql,
+        # hard negatives: same quantized-dot contract as q_mmr_select,
+        # label-mismatch filter before the zipped unnest
+        "q_hard_negatives": f"""
+            WITH e AS MATERIALIZED (
+              SELECT vec_id, label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(floor(x * {GRAM_QUANT})
+                                              AS BIGINT)) AS v
+              FROM embeddings),
+            q AS MATERIALIZED (
+              SELECT CAST(0 AS BIGINT) AS query_id, v, label
+              FROM e WHERE vec_id = {HN_QUERIES[0]}
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), v, label
+              FROM e WHERE vec_id = {HN_QUERIES[1]}),
+            d AS (
+              SELECT query_id, vec_id,
+                     CAST(sum(ex * qx) AS BIGINT) AS dot_q
+              FROM (SELECT q.query_id, e.vec_id,
+                           unnest(e.v) AS ex, unnest(q.v) AS qx
+                    FROM e, q WHERE e.label <> q.label)
+              GROUP BY query_id, vec_id)
+            SELECT query_id, vec_id, dot_q FROM d
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dot_q DESC, vec_id)
+                    <= {HN_K}""",
         # Gram matrix: zipped-unnest self-join on the row id, exact
         # integer products of the same quantized coordinates
         "q_gram_matrix": f"""

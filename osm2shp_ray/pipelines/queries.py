@@ -1660,6 +1660,19 @@ def q_snap_to_roads(sf_dir: str):
         sx[1:], sy[1:], id_col="c_custkey")
 
 
+HN_QUERIES = [3, 17]
+HN_K = 10
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages/ann.py::hard_negatives): per fixed
+    query vector, the HN_K highest-dot rows of a DIFFERENT label —
+    exact quantized int64 dots, broadcast queries, tie-aware partial
+    top-k per block, bounded driver cut."""
+    return ann.hard_negatives(_read(sf_dir, "embeddings"),
+                              HN_QUERIES, k=HN_K, quant=GRAM_QUANT)
+
+
 GRAM_QUANT = 1000
 
 

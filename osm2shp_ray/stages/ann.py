@@ -722,3 +722,68 @@ def gram_matrix(emb_ds, quant: int = 1000, emb_col: str = "embedding"):
     agg = (emb_ds.map_batches(partial, batch_format="pyarrow")
            .groupby("k").aggregate(Sum("g", alias_name="g")))
     return agg.repartition(1).map_batches(unpack, batch_format="pyarrow")
+
+
+def hard_negatives(emb_ds, query_ids: list[int], k: int = 10,
+                   quant: int = 1000, id_col: str = "vec_id",
+                   emb_col: str = "embedding", label_col: str = "label"):
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the ``k`` HIGHEST-similarity rows whose label
+    DIFFERS from the query's — the negatives most likely to teach the
+    model something. Similarity is the exact int64 dot of
+    ``floor(v * quant)``-quantized vectors (the mmr_select contract),
+    so ranking and ties (by smallest id) are SQL-bit-exact.
+
+    Scale shape: query vectors+labels are fetched via a streamed
+    filter and ray.put once; each batch computes one int64 matmul,
+    masks same-label rows, and emits a tie-aware partial top-k per
+    query (<= ~k rows per block per query — the ids-only reduce set);
+    the final per-query cut folds the bounded partials on the driver.
+
+    Output: pandas (query_id: int64 0-based over query_ids, id_col,
+    dot_q: int64).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    wanted = pa.array([int(i) for i in query_ids], pa.int64())
+    rows = (emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=wanted)),
+        batch_format="pyarrow").take_all())
+    by_id = {int(r[id_col]): r for r in rows}
+    Q = np.stack([np.floor(np.asarray(by_id[int(i)][emb_col], np.float64)
+                           * quant).astype(np.int64) for i in query_ids])
+    qlab = np.array([by_id[int(i)][label_col] for i in query_ids])
+    ref = ray.put((Q, qlab))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        Q_, qlab_ = _ray.get(ref)
+        X = np.floor(_as_matrix(t[emb_col]) * quant).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_d = [], [], []
+        if len(ids):
+            D = X @ Q_.T  # (n, n_queries) exact int64
+            for qi in range(Q_.shape[0]):
+                m = labs != qlab_[qi]
+                cid, cd = ids[m], D[m, qi]
+                if len(cid) > k:
+                    sel = np.lexsort((cid, -cd))[:k]
+                    cid, cd = cid[sel], cd[sel]
+                out_q.append(np.full(len(cid), qi, np.int64))
+                out_i.append(cid)
+                out_d.append(cd)
+        cat = (lambda xs: np.concatenate(xs) if xs else
+               np.empty(0, np.int64))
+        return pa.table({"query_id": pa.array(cat(out_q), pa.int64()),
+                         id_col: pa.array(cat(out_i), pa.int64()),
+                         "dot_q": pa.array(cat(out_d), pa.int64())})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    out = (df.sort_values(["query_id", "dot_q", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+           .groupby("query_id", sort=True).head(k)
+           .reset_index(drop=True))
+    return out
