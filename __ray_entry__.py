@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_by_name": q.q_union_by_name,
         "q_bpe_pairs": q.q_bpe_pairs,
         "q_bpe_train": q.q_bpe_train,
+        "q_bpe_encode": q.q_bpe_encode,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -871,6 +872,21 @@ def oracle_sql() -> dict[str, str]:
                          f"SELECT CAST({k} AS BIGINT) AS step, pair, "
                          f"merged, CAST(c AS BIGINT) AS c FROM m{k}"
                          for k in range(1, q.BPE_MERGES + 1)))
+    # encode = the same merge chain's FINAL word table: symbolized w
+    # concatenates back to the original word, so replace(w,' ','') is
+    # the join key and len(split) the per-word BPE token count
+    bpe_encode_sql = (
+        "WITH " + ",\n".join(bpe_ctes) + f""",
+        wt AS (SELECT replace(w, ' ', '') AS word,
+                      CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+               FROM w{q.BPE_MERGES}),
+        tok AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS word
+                FROM documents)
+        SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(wt.n_sym) AS BIGINT) AS bpe_tokens
+        FROM tok JOIN wt USING (word) GROUP BY tok.doc_id""")
 
     return {
         "q01_pricing_summary": """
@@ -2807,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * n_oov) // n_tok AS BIGINT) AS oov_ppm
             FROM per""",
         "q_bpe_train": bpe_train_sql,
+        "q_bpe_encode": bpe_encode_sql,
         # PII redaction: identical synthetic contact string, then the
         # same ordered pattern list (count, then replace; pattern 2
         # runs on pattern 1's output). red_sum proves the redacted

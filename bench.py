@@ -323,6 +323,7 @@ def run_bench() -> dict:
         ("q_winsorized", q.q_winsorized),
         ("q_snap_to_roads", q.q_snap_to_roads),
         ("q_hard_negatives", q.q_hard_negatives),
+        ("q_bpe_encode", q.q_bpe_encode),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -5005,6 +5005,17 @@ def q_jsonl_roundtrip(sf_dir: str):
 BPE_MERGES = 6
 
 
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer application (stages/text.py::bpe_encode_counts):
+    train BPE_MERGES merges, encode the corpus, per-doc BPE token
+    counts — the vocab carries the whole merge chain, the corpus
+    streams once through a broadcast probe."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = text.bpe_train(_read(sf_dir, "documents", ["text"]),
+                            n_merges=BPE_MERGES)
+    return text.bpe_encode_counts(docs, merges).to_pandas()
+
+
 def q_bpe_train(sf_dir: str):
     """Iterative BPE tokenizer training (stages/text.py::bpe_train):
     learn BPE_MERGES merges — one corpus pass for the word-count

@@ -1604,3 +1604,40 @@ def bpe_train(ds, n_merges: int, text_col: str = "text"):
         "pair": pa.array([m[1] for m in merges], pa.string()),
         "merged": pa.array([m[2] for m in merges], pa.string()),
         "c": pa.array([m[3] for m in merges], pa.int64())})
+
+
+def bpe_encode_counts(ds, merges: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """BPE tokenizer APPLICATION — the serving half of ``bpe_train``:
+    encode every document with a trained merge table and return its
+    BPE token count (the sequence-length signal packing and budget
+    planning need).
+
+    The merge chain applies to the DISTINCT-word vocabulary only
+    (bounded by contract, the ``lm_score`` collect precedent): each
+    ordered merge is the same word-boundary leftmost regex rewrite as
+    training, run locally over the collected vocab; per-word symbol
+    counts then broadcast once and the corpus streams through the
+    ``_token_value_scan`` probe — ONE corpus pass total, no
+    per-document merge work anywhere.
+
+    Output: (id_col, n_tok: int64, bpe_tokens: int64) for docs with
+    >= 1 token.
+    """
+    import re
+
+    vocab = unigram_counts(ds, text_col).take_all()  # bounded vocab
+    toks = np.array([r["tok"] for r in vocab], dtype=object)
+    if len(toks):
+        w = (pl.Series(toks.astype(str)).str.extract_all(".")
+             .list.join(" "))
+        for i in range(merges.num_rows):
+            pair = merges["pair"][i].as_py()
+            merged = merges["merged"][i].as_py()
+            w = w.str.replace_all(rf"\b{re.escape(pair)}\b", merged)
+        n_sym = w.str.split(" ").list.len().to_numpy().astype(np.int64)
+    else:
+        n_sym = np.empty(0, np.int64)
+    order = np.argsort(toks)
+    return _token_value_scan(ds, text_col, id_col, toks[order],
+                             n_sym[order], "bpe_tokens")
