@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_pairs": q.q_bpe_pairs,
         "q_bpe_train": q.q_bpe_train,
         "q_bpe_encode": q.q_bpe_encode,
+        "q_csv_roundtrip": q.q_csv_roundtrip,
+        "q_orc_roundtrip": q.q_orc_roundtrip,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -2824,6 +2826,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per""",
         "q_bpe_train": bpe_train_sql,
         "q_bpe_encode": bpe_encode_sql,
+        # interchange round trips: the aggregate of what was READ
+        # BACK from the sink must equal the direct parquet aggregate
+        "q_csv_roundtrip": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(user_id) AS BIGINT) AS user_sum,
+                   CAST(max(event_id) AS BIGINT) AS max_event
+            FROM events GROUP BY event_type""",
+        "q_orc_roundtrip": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_order
+            FROM orders GROUP BY o_orderstatus""",
         # PII redaction: identical synthetic contact string, then the
         # same ordered pattern list (count, then replace; pattern 2
         # runs on pattern 1's output). red_sum proves the redacted

@@ -324,6 +324,8 @@ def run_bench() -> dict:
         ("q_snap_to_roads", q.q_snap_to_roads),
         ("q_hard_negatives", q.q_hard_negatives),
         ("q_bpe_encode", q.q_bpe_encode),
+        ("q_csv_roundtrip", q.q_csv_roundtrip),
+        ("q_orc_roundtrip", q.q_orc_roundtrip),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -5002,6 +5002,68 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink/source round trip (same lossless-hop gate as
+    q_jsonl_roundtrip): events keys/types -> sharded CSV
+    (ray.data write_csv) -> parallel read_csv -> the per-type
+    aggregate of what was read back equals the direct SQL aggregate
+    over the parquet view (integer/string columns only)."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="q_csv_", dir="/tmp")
+    try:
+        (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+         .write_csv(out_dir))
+        back = rd.read_csv(out_dir)
+        return (back.groupby("event_type")
+                .aggregate(Count(alias_name="n"),
+                           Sum("user_id", alias_name="user_sum"),
+                           Max("event_id", alias_name="max_event"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC sink/source round trip: orders columns -> one ORC file per
+    block (pyarrow.orc writer inside map_batches — content-addressed
+    shards, the GeoJSONL sink pattern) -> parallel read back through
+    a pyarrow.orc scan -> per-status aggregate equals the direct SQL
+    aggregate (warehouse interchange format proven lossless)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.orc as porc
+
+    out_dir = tempfile.mkdtemp(prefix="q_orc_", dir="/tmp")
+    try:
+        def write_shard(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                import hashlib
+                h = hashlib.md5(str(t["o_orderkey"][0].as_py()
+                                    ).encode()).hexdigest()[:12]
+                porc.write_table(t, f"{out_dir}/part-{h}.orc")
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                  "o_custkey"])
+         .map_batches(write_shard, batch_format="pyarrow")
+         .sum("n"))  # consume to force the writes
+        files = sorted(glob.glob(f"{out_dir}/*.orc"))
+        back = rd.from_items(files).map_batches(
+            lambda t: porc.read_table(t["item"][0].as_py()),
+            batch_format="pyarrow")
+        return (back.groupby("o_orderstatus")
+                .aggregate(Count(alias_name="n"),
+                           Sum("o_custkey", alias_name="cust_sum"),
+                           Max("o_orderkey", alias_name="max_order"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 BPE_MERGES = 6
 
 
