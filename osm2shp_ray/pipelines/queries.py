@@ -5053,8 +5053,9 @@ def q_orc_roundtrip(sf_dir: str):
          .sum("n"))  # consume to force the writes
         files = sorted(glob.glob(f"{out_dir}/*.orc"))
         back = rd.from_items(files).map_batches(
-            lambda t: porc.read_table(t["item"][0].as_py()),
-            batch_format="pyarrow")
+            lambda t: pa.concat_tables(
+                [porc.read_table(f) for f in t["item"].to_pylist()]),
+            batch_format="pyarrow", batch_size=1)
         return (back.groupby("o_orderstatus")
                 .aggregate(Count(alias_name="n"),
                            Sum("o_custkey", alias_name="cust_sum"),
