@@ -1192,7 +1192,9 @@ def snap_to_segments(points_ds, seg_ids: np.ndarray,
         px = t[x_col].to_numpy(zero_copy_only=False)[:, None]
         py = t[y_col].to_numpy(zero_copy_only=False)[:, None]
         if t.num_rows == 0 or len(sid) == 0:
-            return pa.table({id_col: t[id_col],
+            idc = (t[id_col].combine_chunks()
+                   if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+            return pa.table({id_col: idc.slice(0, 0),
                              "seg_id": pa.array([], pa.int64()),
                              "dq": pa.array([], pa.int64())})
         vx = (sbx - sax)[None, :]
