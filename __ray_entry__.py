@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_encode": q.q_bpe_encode,
         "q_csv_roundtrip": q.q_csv_roundtrip,
         "q_orc_roundtrip": q.q_orc_roundtrip,
+        "q_radius_gyration": q.q_radius_gyration,
+        "q_benford": q.q_benford,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -260,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import (AUDIO_CLIPS_N,
+                                               BENFORD_PPM,
                                                CLASSIFY_RULES_SQL,
                                                CONVERT_IMAGES_N, KNN_Q,
                                                DB_EPS, DB_MIN_PTS,
@@ -2826,6 +2829,40 @@ def oracle_sql() -> dict[str, str]:
             FROM per""",
         "q_bpe_train": bpe_train_sql,
         "q_bpe_encode": bpe_encode_sql,
+        # radius of gyration: same five moment sums as q_value_trend,
+        # non-negative numerator so floor == trunc division
+        "q_radius_gyration": """
+            WITH p AS (
+              SELECT user_id, (event_id * 48271) % 1000000 AS x,
+                     (event_id * 69621) % 1000000 AS y
+              FROM events),
+            m AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM p GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST((n * sxx - sx * sx + n * syy - sy * sy)
+                        // (n * n) AS BIGINT) AS rg2_q
+            FROM m""",
+        # Benford audit: first digit via the string head of the exact
+        # integer cents; expected ppm interpolated as shared constants
+        "q_benford": f"""
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit
+              FROM lineitem),
+            h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY digit),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+            SELECT digit, n,
+                   CAST((1000000 * n) // (SELECT total FROM t)
+                        AS BIGINT) AS observed_ppm,
+                   CAST(CASE digit
+                        {' '.join(f'WHEN {d} THEN {p}' for d, p in BENFORD_PPM.items())}
+                        ELSE 0 END AS BIGINT) AS benford_ppm
+            FROM h""",
         # interchange round trips: the aggregate of what was READ
         # BACK from the sink must equal the direct parquet aggregate
         "q_csv_roundtrip": """

@@ -5002,6 +5002,81 @@ def q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_radius_gyration(sf_dir: str):
+    """Per-user radius of gyration (the mobility-analytics staple):
+    mean squared distance to the user's own centroid, from the same
+    five exact int64 moment sums as grouped_ols —
+    rg2_q = (n*sxx - sx^2 + n*syy - sy^2) // (n*n), non-negative so
+    floor and trunc division agree. Points live on a bounded integer
+    grid (1e6 units) to keep n*sxx far below 2^63 at every test sf."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 48271) % 1_000_000
+        y = (eid * 69621) % 1_000_000
+        return pa.table({"user_id": t["user_id"],
+                         "n": pa.array(np.ones(len(eid), np.int64)),
+                         "sx": pa.array(x, pa.int64()),
+                         "sy": pa.array(y, pa.int64()),
+                         "sxx": pa.array(x * x, pa.int64()),
+                         "syy": pa.array(y * y, pa.int64())})
+
+    m = (_read(sf_dir, "events", ["event_id", "user_id"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy")))
+
+    def rg(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        rg2 = (n * sxx - sx * sx + n * syy - sy * sy) // (n * n)
+        return pa.table({"user_id": t["user_id"],
+                         "n": pa.array(n.astype(np.int64), pa.int64()),
+                         "rg2_q": pa.array(rg2.astype(np.int64),
+                                           pa.int64())})
+
+    return m.map_batches(rg, batch_format="pyarrow")
+
+
+BENFORD_PPM = {d: int(np.floor(1e6 * np.log10(1 + 1 / d)))
+               for d in range(1, 10)}
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of l_extendedprice (data-quality
+    family): first digit extracted from the integer cents value (no
+    float logs — string head of the int64, exact on both engines),
+    histogram + observed ppm vs the Benford expectation (a Python
+    constant interpolated into the SQL, so both sides carry the same
+    integers)."""
+    from ray.data.aggregate import Count
+
+    def digit(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        vq = np.floor(v * 100).astype(np.int64)
+        d = vq.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        return pa.table({"digit": pa.array(d, pa.int64())})
+
+    h = (_read(sf_dir, "lineitem", ["l_extendedprice"])
+         .map_batches(digit, batch_format="pyarrow")
+         .groupby("digit").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    total = int(h["n"].sum())
+    h = h.sort_values("digit", ignore_index=True)
+    h["observed_ppm"] = (1_000_000 * h["n"].astype(np.int64)) // total
+    h["benford_ppm"] = [BENFORD_PPM.get(int(d), 0) for d in h["digit"]]
+    return h
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink/source round trip (same lossless-hop gate as
     q_jsonl_roundtrip): events keys/types -> sharded CSV
