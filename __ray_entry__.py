@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orc_roundtrip": q.q_orc_roundtrip,
         "q_radius_gyration": q.q_radius_gyration,
         "q_benford": q.q_benford,
+        "q_gini": q.q_gini,
+        "q_cusum": q.q_cusum,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -2829,6 +2831,48 @@ def oracle_sql() -> dict[str, str]:
             FROM per""",
         "q_bpe_train": bpe_train_sql,
         "q_bpe_encode": bpe_encode_sql,
+        # Gini: ascending-rank value sums; numerator non-negative so
+        # floor and trunc division agree
+        "q_gini": """
+            WITH b AS (SELECT user_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            r AS (SELECT user_id, vq,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY vq) AS i
+                  FROM b),
+            m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(vq) AS BIGINT) AS sv,
+                         CAST(sum(i * vq) AS BIGINT) AS siv
+                  FROM r GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST(CASE WHEN n * sv = 0 THEN 0
+                        ELSE (1000000 * (2 * siv - (n + 1) * sv))
+                             // (n * sv) END AS BIGINT) AS gini_ppm
+            FROM m""",
+        # CUSUM: running deviation sum over the same (ts, event_id)
+        # order with the same trunc integer target
+        "q_cusum": """
+            WITH b AS (SELECT user_id, ts, event_id,
+                              CAST(floor(value * 100) AS BIGINT) AS vq
+                       FROM events),
+            k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(vq) AS BIGINT) AS sv
+                  FROM b GROUP BY user_id),
+            t AS (SELECT user_id, n,
+                         CASE WHEN sv >= 0 THEN sv // n
+                              ELSE -((-sv) // n) END AS target
+                  FROM k),
+            s AS (SELECT b.user_id, t.n,
+                         sum(b.vq - t.target)
+                           OVER (PARTITION BY b.user_id
+                                 ORDER BY b.ts, b.event_id
+                                 ROWS UNBOUNDED PRECEDING) AS cs
+                  FROM b JOIN t USING (user_id))
+            SELECT user_id, n,
+                   CAST(greatest(max(cs), 0) - least(min(cs), 0)
+                        AS BIGINT) AS cusum_range_q
+            FROM s GROUP BY user_id, n""",
         # radius of gyration: same five moment sums as q_value_trend,
         # non-negative numerator so floor == trunc division
         "q_radius_gyration": """

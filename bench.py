@@ -328,6 +328,8 @@ def run_bench() -> dict:
         ("q_orc_roundtrip", q.q_orc_roundtrip),
         ("q_radius_gyration", q.q_radius_gyration),
         ("q_benford", q.q_benford),
+        ("q_gini", q.q_gini),
+        ("q_cusum", q.q_cusum),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -5077,6 +5077,25 @@ def q_benford(sf_dir: str):
     return h
 
 
+def q_gini(sf_dir: str):
+    """Per-user Gini concentration of event value
+    (stages/sketch.py::grouped_gini): exact ppm from int64 rank-value
+    sums, one bucketed exchange."""
+    from ..stages import sketch
+    return sketch.grouped_gini(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        "user_id", "value")
+
+
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM change-point range
+    (stages/temporal.py::cusum_range): running deviation sum from the
+    key's integer mean target over event-time order; int64-exact."""
+    from ..stages import temporal
+    return temporal.cusum_range(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]))
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink/source round trip (same lossless-hop gate as
     q_jsonl_roundtrip): events keys/types -> sharded CSV

@@ -1383,3 +1383,58 @@ def activity_islands(ds, key_col: str, day_col: str,
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def cusum_range(ds, key_col: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value", tiebreak_col: str = "event_id",
+                quant: int = 100, n_buckets: int | None = None):
+    """Per-key CUSUM change-point statistic: the range (max - min) of
+    the running sum of deviations from the key's own integer mean
+    target (``target = Σv // n``, trunc) over (ts, tiebreak) order —
+    large ranges flag level shifts in the series. All arithmetic is
+    int64 on quantized values, so the statistic is order-exact and a
+    SQL window mirror (running sum over the same order, same trunc
+    target) reproduces it bit-for-bit.
+
+    ONE bucketed exchange + a per-bucket sorted numpy kernel (cumsum
+    with per-key offsets subtracted; never a per-key loop).
+    Output: (key_col, n: int64, cusum_range_q: int64).
+    """
+    from ..functions.hashing import bucket_any
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key_col: t[key_col], ts_col: t[ts_col],
+            tiebreak_col: t[tiebreak_col],
+            "vq": pa.array(np.floor(v * quant).astype(np.int64), pa.int64()),
+            "__b": pa.array(bucket_any(keys, b), pa.int64())})
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, tiebreak_col],
+                            kind="mergesort")
+        keys = df[key_col].to_numpy()
+        vq = df["vq"].to_numpy()
+        new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(new_key)
+        n = np.diff(np.append(starts, len(keys))).astype(np.int64)
+        sv = np.add.reduceat(vq, starts).astype(np.int64)
+        # integer target per key; deviations sum to a small remainder,
+        # not exactly zero — both engines carry the same remainder
+        target = np.sign(sv) * (np.abs(sv) // n)
+        dev = vq - np.repeat(target, n)
+        cs = np.cumsum(dev)
+        # subtract the running total accumulated BEFORE each key
+        prev = np.concatenate(([0], cs))[starts]
+        cs = cs - np.repeat(prev, n)
+        hi = np.maximum.reduceat(np.maximum(cs, 0), starts)
+        lo = np.minimum.reduceat(np.minimum(cs, 0), starts)
+        return arrow_table(pd.DataFrame({
+            key_col: keys[starts], "n": n,
+            "cusum_range_q": (hi - lo).astype(np.int64)}))
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
