@@ -1686,12 +1686,17 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2": """
             WITH o AS (
               SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
-                     lag(event_type) OVER w AS pv
+                     lag(event_type) OVER w AS pv,
+                     row_number() OVER w AS rn
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             c AS (
+              -- rn = 1 forces the first version even when its value
+              -- is NULL; IS DISTINCT FROM matches the engine's numpy
+              -- != (None vs None is NOT a transition)
               SELECT user_id, event_type AS state, ts_us, event_id
-              FROM o WHERE pv IS NULL OR pv <> event_type)
+              FROM o WHERE rn = 1
+                 OR pv IS DISTINCT FROM event_type)
             SELECT user_id, state, ts_us AS valid_from_us,
                    COALESCE(lead(ts_us) OVER (PARTITION BY user_id
                                               ORDER BY ts_us, event_id),

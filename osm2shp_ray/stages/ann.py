@@ -652,6 +652,9 @@ def mmr_select(emb_ds, query_vec: np.ndarray, pool_n: int = 50,
             .limit(pool_n).take_all())
     pids = np.array([r[id_col] for r in pool], dtype=np.int64)
     rels = np.array([r["rel"] for r in pool], dtype=np.int64)
+    if len(pids) == 0:  # empty corpus: empty selection, not a crash
+        return pd.DataFrame({"step": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64")})
 
     # fetch the pool's vectors (bounded) via a streamed filter
     import pyarrow.compute as pc
@@ -751,6 +754,10 @@ def hard_negatives(emb_ds, query_ids: list[int], k: int = 10,
         lambda t: t.filter(pc.is_in(t[id_col], value_set=wanted)),
         batch_format="pyarrow").take_all())
     by_id = {int(r[id_col]): r for r in rows}
+    missing = [int(i) for i in query_ids if int(i) not in by_id]
+    if missing:
+        raise ValueError(f"hard_negatives: query ids {missing} not "
+                         "found in the dataset")
     Q = np.stack([np.floor(np.asarray(by_id[int(i)][emb_col], np.float64)
                            * quant).astype(np.int64) for i in query_ids])
     qlab = np.array([by_id[int(i)][label_col] for i in query_ids])
@@ -781,6 +788,10 @@ def hard_negatives(emb_ds, query_ids: list[int], k: int = 10,
                          "dot_q": pa.array(cat(out_d), pa.int64())})
 
     parts = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:  # no candidate anywhere (all rows share every label)
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "dot_q": pd.Series([], dtype="int64")})
     df = pd.DataFrame(parts)
     out = (df.sort_values(["query_id", "dot_q", id_col],
                           ascending=[True, False, True], kind="mergesort")

@@ -179,12 +179,17 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
     # components over core-core edges; isolated cores self-label
     from .joins import dim_join
 
+    sch_a = pa.schema([("a", pa.int64())])
+    sch_b = pa.schema([("b", pa.int64())])
+    sch_cid = pa.schema([("cid", pa.int64())])
+    sch_lab = pa.schema([("cid", pa.int64()), ("label", pa.int64())])
     core_edges = dim_join(
         dim_join(pairs, cores, on="a", how="left_semi",
-                 n_buckets=n_buckets),
+                 n_buckets=n_buckets, right_schema=sch_a),
         cores.map_batches(lambda t: t.rename_columns(["b"]),
                           batch_format="pyarrow"),
-        on="b", how="left_semi", n_buckets=n_buckets).materialize()
+        on="b", how="left_semi", n_buckets=n_buckets,
+        right_schema=sch_b).materialize()
     if core_edges.count() <= uf_cap:
         cols = {"a": [], "b": []}
         for batch in core_edges.iter_batches(batch_format="pyarrow"):
@@ -211,7 +216,7 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
         cores.map_batches(lambda t: t.rename_columns(["cid"]),
                           batch_format="pyarrow"),
         comp_l.select_columns(["cid"]), on="cid", how="left_anti",
-        n_buckets=n_buckets).map_batches(
+        n_buckets=n_buckets, right_schema=sch_cid).map_batches(
         lambda t: pa.table({"cid": t["cid"], "label": t["cid"]}),
         batch_format="pyarrow")
     core_labels = comp_l.union(lonely).materialize()
@@ -221,7 +226,8 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
         pairs.map_batches(lambda t: pa.table({"p": t["a"],
                                               "cid": t["b"]}),
                           batch_format="pyarrow"),
-        core_labels, on="cid", n_buckets=n_buckets).map_batches(
+        core_labels, on="cid", n_buckets=n_buckets,
+        right_schema=sch_lab).map_batches(
         lambda t: pa.table({"p": t["p"], "label": t["label"]}),
         batch_format="pyarrow")
     self_cand = core_labels.map_batches(
@@ -235,14 +241,18 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
         points, point_labels.map_batches(
             lambda t: pa.table({"pid": t["p"], "label": t["label"]}),
             batch_format="pyarrow"),
-        on="pid", how="left", n_buckets=n_buckets)
+        on="pid", how="left", n_buckets=n_buckets,
+        right_schema=pa.schema([("pid", pa.int64()),
+                                ("label", pa.int64())]))
     full = dim_join(
         lab, cores.map_batches(
             lambda t: pa.table({"pid": t["a"],
                                 "corem": pa.array(
                                     np.ones(t.num_rows, np.int8))}),
             batch_format="pyarrow"),
-        on="pid", how="left", n_buckets=n_buckets)
+        on="pid", how="left", n_buckets=n_buckets,
+        right_schema=pa.schema([("pid", pa.int64()),
+                                ("corem", pa.int8())]))
 
     def finish(t: pa.Table) -> pa.Table:
         is_core = pa.compute.fill_null(t["corem"], 0).to_numpy(

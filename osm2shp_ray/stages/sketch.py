@@ -1533,6 +1533,10 @@ def winsorized_mean(ds, key_col: str, val_col: str,
     from ..functions.hashing import bucket_any
     from .util import arrow_table, coalesced
 
+    if not (1 <= lo_pct <= hi_pct <= 100):
+        raise ValueError(f"winsorized_mean: need 1 <= lo_pct <= hi_pct "
+                         f"<= 100, got {lo_pct}, {hi_pct} (lo_pct 0 "
+                         "would index before the key's first rank)")
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -1550,8 +1554,10 @@ def winsorized_mean(ds, key_col: str, val_col: str,
         new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
         starts = np.flatnonzero(new_key)
         n = np.diff(np.append(starts, len(keys))).astype(np.int64)
-        lo_r = (n * lo_pct + 99) // 100  # 1-based nearest rank
-        hi_r = (n * hi_pct + 99) // 100
+        # 1-based nearest ranks; clip is belt-and-braces (the param
+        # check above already guarantees 1 <= rank <= n)
+        lo_r = np.clip((n * lo_pct + 99) // 100, 1, n)
+        hi_r = np.clip((n * hi_pct + 99) // 100, 1, n)
         lo = vq[starts + lo_r - 1]
         hi = vq[starts + hi_r - 1]
         # clip per row against its key's bounds, sum per key
@@ -1609,8 +1615,12 @@ def grouped_gini(ds, key_col: str, val_col: str, quant: int = 100,
         siv = np.add.reduceat(rank * vq, starts).astype(np.int64)
         den = n * sv
         num = 1_000_000 * (2 * siv - (n + 1) * sv)
-        safe = np.where(den == 0, 1, den)
-        g = np.sign(num) * (np.abs(num) // safe)  # trunc toward zero
+        # full trunc toward zero: both operand signs matter (den < 0
+        # happens when a key's value sum is negative; sign(num) alone
+        # would be off by one vs DuckDB's // there)
+        safe = np.where(den == 0, 1, np.abs(den))
+        mag = np.abs(num) // safe
+        g = np.where((num < 0) != (den < 0), -mag, mag)
         g = np.where(den == 0, 0, g).astype(np.int64)
         return arrow_table(pd.DataFrame({
             key_col: keys[starts], "n": n, "gini_ppm": g}))

@@ -612,13 +612,19 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def _token_value_scan(ds, text_col: str, id_col: str,
                       toks_sorted: np.ndarray, vals: np.ndarray,
-                      out_col: str):
-    """Broadcast a (sorted token array, int64 value array) lookup once
+                      out_col: str, rows_fn=None, key_field: str = "tok",
+                      n_col: str = "n_tok"):
+    """Broadcast a (sorted key array, int64 value array) lookup once
     via ray.put; stream docs through ONE stateless map that sums the
-    values of each document's in-vocab tokens (searchsorted probe +
-    polars group_by). OOV tokens carry no evidence and are dropped —
-    inner-join semantics, matching the SQL mirrors."""
+    values of each document's in-vocab keys (searchsorted probe +
+    polars group_by). OOV keys carry no evidence and are dropped —
+    inner-join semantics, matching the SQL mirrors. ``rows_fn``
+    generalizes the key frame (unigram ``_token_rows`` by default,
+    ``_bigram_rows`` for adjacent-pair models) so every scorer shares
+    this one probe."""
     import ray
+
+    rows_fn = rows_fn or _token_rows
 
     ref = ray.put((toks_sorted, vals))
 
@@ -627,15 +633,15 @@ def _token_value_scan(ds, text_col: str, id_col: str,
         idc = (t[id_col].combine_chunks()
                if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
         empty = pa.table({id_col: idc.slice(0, 0),
-                          "n_tok": pa.array([], pa.int64()),
+                          n_col: pa.array([], pa.int64()),
                           out_col: pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        long = _token_rows(t[text_col])
+        long = rows_fn(t[text_col])
         if long.height == 0:
             return empty
         toks_, vals_ = _ray.get(ref)
-        arr = long["tok"].to_numpy()
+        arr = long[key_field].to_numpy()
         if len(toks_) == 0:
             return empty
         pos = np.minimum(np.searchsorted(toks_, arr), len(toks_) - 1)
@@ -644,12 +650,12 @@ def _token_value_scan(ds, text_col: str, id_col: str,
             return empty
         agg = (pl.DataFrame({"i": long["i"].to_numpy()[valid],
                              "v": vals_[pos[valid]]})
-               .group_by("i").agg(pl.len().alias("n_tok"),
+               .group_by("i").agg(pl.len().alias(n_col),
                                   pl.col("v").sum().alias(out_col)))
         return pa.table({
             id_col: idc.take(pa.array(agg["i"].to_numpy())),
-            "n_tok": pa.array(agg["n_tok"].to_numpy().astype(np.int64),
-                              pa.int64()),
+            n_col: pa.array(agg[n_col].to_numpy().astype(np.int64),
+                            pa.int64()),
             out_col: pa.array(agg[out_col].to_numpy().astype(np.int64),
                               pa.int64())})
 
@@ -774,45 +780,11 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def _bigram_value_scan(ds, text_col: str, id_col: str,
                        keys_sorted: np.ndarray, vals: np.ndarray):
-    """Bigram analog of ``_token_value_scan``: broadcast the sorted
-    (bigram key, int64 lp) model once via ray.put, stream docs through
-    one stateless probe-and-sum map."""
-    import ray
-
-    ref = ray.put((keys_sorted, vals))
-
-    def score(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        idc = (t[id_col].combine_chunks()
-               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
-        empty = pa.table({id_col: idc.slice(0, 0),
-                          "n_big": pa.array([], pa.int64()),
-                          "lp_sum": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        long = _bigram_rows(t[text_col])
-        if long.height == 0:
-            return empty
-        keys_, vals_ = _ray.get(ref)
-        if len(keys_) == 0:
-            return empty
-        arr = long["big"].to_numpy()
-        pos = np.minimum(np.searchsorted(keys_, arr), len(keys_) - 1)
-        valid = keys_[pos] == arr
-        if not valid.any():
-            return empty
-        agg = (pl.DataFrame({"i": long["i"].to_numpy()[valid],
-                             "v": vals_[pos[valid]]})
-               .group_by("i").agg(pl.len().alias("n_big"),
-                                  pl.col("v").sum().alias("lp_sum")))
-        return pa.table({
-            id_col: idc.take(pa.array(agg["i"].to_numpy())),
-            "n_big": pa.array(agg["n_big"].to_numpy().astype(np.int64),
-                              pa.int64()),
-            "lp_sum": pa.array(agg["lp_sum"].to_numpy().astype(np.int64),
-                               pa.int64())})
-
-    return ds.map_batches(score, batch_format="pyarrow")
+    """Bigram instantiation of the shared ``_token_value_scan``
+    probe (adjacent-pair keys, n_big count column)."""
+    return _token_value_scan(ds, text_col, id_col, keys_sorted, vals,
+                             "lp_sum", rows_fn=_bigram_rows,
+                             key_field="big", n_col="n_big")
 
 
 def dsir_weights(ds, target_ds, text_col: str = "text",

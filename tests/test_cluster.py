@@ -105,3 +105,14 @@ def test_dbscan_rejects_bad_params(ray_session):
         dbscan(ds, eps=0, min_pts=3)
     with pytest.raises(ValueError):
         dbscan(ds, eps=5, min_pts=1)
+
+
+def test_dbscan_all_noise(ray_session):
+    """No core points anywhere: every point comes back as noise
+    instead of crashing on the empty broadcast sides (regression for
+    the zero-row dim_join schema hint)."""
+    ids = np.array([1, 2, 3], np.int64)
+    x = np.array([0, 100_000, 200_000], np.int64)
+    y = np.zeros(3, np.int64)
+    got = _run(ids, x, y, eps=10, min_pts=2)
+    assert got == {1: (-1, "noise"), 2: (-1, "noise"), 3: (-1, "noise")}

@@ -76,3 +76,36 @@ def test_grouped_hll_estimates_per_group(ray_session):
         part = regs[regs["g"] == g]
         est = sketch.hll_estimate(part["bucket"].values, part["rho"].values)
         assert abs(est - n) / n < 0.15, (g, n, est)
+
+
+def test_grouped_gini_negative_sum_trunc(ray_session):
+    """A key whose value sum is negative divides by a negative
+    denominator; the engine must trunc toward zero exactly like
+    DuckDB's // (regression: sign(num) alone was off by one)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from osm2shp_ray.stages.sketch import grouped_gini
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                       "v": [-3.01, 1.00, 1.0, 2.0]})
+    out = (grouped_gini(ray.data.from_pandas(df), "k", "v", quant=100,
+                        n_buckets=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    # key a: vq sorted [-301, 100]; n=2 sv=-201 siv=-301*1+100*2=-101
+    # num = 1e6*(2*(-101) - 3*(-201)) = 401_000_000; den = -402
+    # trunc(401000000 / -402) = -997512 (floor would give -997513)
+    assert out.loc[0, "gini_ppm"] == -997512
+    import duckdb
+    assert duckdb.sql("SELECT 401000000 // -402").fetchone()[0] == -997512
+
+
+def test_winsorized_rejects_pct_zero(ray_session):
+    import pandas as pd
+    import pytest
+    import ray
+    from osm2shp_ray.stages.sketch import winsorized_mean
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError):
+        winsorized_mean(ds, "k", "v", lo_pct=0)
