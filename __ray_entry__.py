@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford": q.q_benford,
         "q_gini": q.q_gini,
         "q_cusum": q.q_cusum,
+        "q_link_prediction": q.q_link_prediction,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
                                                MMR_K, MMR_LAM_D, MMR_LAM_N,
                                                MMR_POOL, MMR_QUANT, MMR_QVEC,
                                                OLS_SCALE, OLS_X0_HOURS,
+                                               RA_TOPK,
                                                RRF_DEPTH, RRF_K, RRF_TOPK,
                                                DIST_RADIUS, LAT_MULT,
                                                LON_MULT, PIP_RECTS,
@@ -2836,6 +2838,22 @@ def oracle_sql() -> dict[str, str]:
             FROM per""",
         "q_bpe_train": bpe_train_sql,
         "q_bpe_encode": bpe_encode_sql,
+        # RA link prediction: integer quant//deg wedge weights over
+        # the distinct bipartite edge set, same tie order
+        "q_link_prediction": f"""
+            WITH e AS (SELECT DISTINCT l_orderkey AS o,
+                              l_partkey AS p FROM lineitem),
+            d AS (SELECT o, CAST(count(*) AS BIGINT) AS deg
+                  FROM e GROUP BY o),
+            w AS (SELECT a.p AS p1, b.p AS p2,
+                         1000000000 // d.deg AS wt
+                  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+                  JOIN d ON d.o = a.o),
+            s AS (SELECT p1, p2, CAST(sum(wt) AS BIGINT) AS ra_q,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM w GROUP BY p1, p2)
+            SELECT p1, p2, ra_q, n_common FROM s
+            ORDER BY ra_q DESC, p1, p2 LIMIT {RA_TOPK}""",
         # Gini: ascending-rank value sums; numerator non-negative so
         # floor and trunc division agree
         "q_gini": """

@@ -5077,6 +5077,20 @@ def q_benford(sf_dir: str):
     return h
 
 
+RA_TOPK = 50
+
+
+def q_link_prediction(sf_dir: str):
+    """Resource-allocation link prediction
+    (stages/graph.py::ra_link_scores): part-part scores over the
+    order-part bipartite graph — integer RA weights (quant // deg)
+    summed per pair, top-RA_TOPK by (score desc, pair)."""
+    from ..stages import graph
+    return graph.ra_link_scores(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        hub_col="l_orderkey", item_col="l_partkey", topk=RA_TOPK)
+
+
 def q_gini(sf_dir: str):
     """Per-user Gini concentration of event value
     (stages/sketch.py::grouped_gini): exact ppm from int64 rank-value
