@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini": q.q_gini,
         "q_cusum": q.q_cusum,
         "q_link_prediction": q.q_link_prediction,
+        "q_morans_i": q.q_morans_i,
         "q_vocab_coverage": q.q_vocab_coverage,
         "q_pruned_scan": q.q_pruned_scan,
         "q_pii_redact": q.q_pii_redact,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
                                                EV_LAT_MULT, EV_LON_MULT,
                                                GRAM_QUANT, HN_K, HN_QUERIES,
                                                MMR_K, MMR_LAM_D, MMR_LAM_N,
+                                               MORAN_CELL,
                                                MMR_POOL, MMR_QUANT, MMR_QVEC,
                                                OLS_SCALE, OLS_X0_HOURS,
                                                RA_TOPK,
@@ -2838,6 +2840,36 @@ def oracle_sql() -> dict[str, str]:
             FROM per""",
         "q_bpe_train": bpe_train_sql,
         "q_bpe_encode": bpe_encode_sql,
+        # Moran's I: raw integer (num, den) over non-empty 10-degree
+        # cells with rook adjacency — no float division anywhere
+        "q_morans_i": f"""
+            WITH p AS (
+              SELECT ((c_custkey * {LON_MULT}) % 360000000)
+                       // {MORAN_CELL} AS cx,
+                     ((c_custkey * {LAT_MULT}) % 180000000)
+                       // {MORAN_CELL} AS cy
+              FROM customer),
+            c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS c
+                  FROM p GROUP BY cx, cy),
+            k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s FROM c),
+            d AS (SELECT cx, cy,
+                         (SELECT n FROM k) * c - (SELECT s FROM k) AS d
+                  FROM c),
+            adj AS (SELECT a.d AS da, b.d AS db
+                    FROM d a JOIN d b
+                    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS w,
+                           CAST(COALESCE(sum(da * db), 0) AS BIGINT)
+                             AS cross_sum
+                    FROM adj),
+            ss AS (SELECT CAST(sum(d * d) AS BIGINT) AS d2 FROM d)
+            SELECT (SELECT n FROM k) AS n_cells,
+                   (SELECT w FROM agg) AS w_pairs,
+                   CAST((SELECT n FROM k) * (SELECT cross_sum FROM agg)
+                        AS BIGINT) AS num,
+                   CAST((SELECT w FROM agg) * (SELECT d2 FROM ss)
+                        AS BIGINT) AS den""",
         # RA link prediction: integer quant//deg wedge weights over
         # the distinct bipartite edge set, same tie order
         "q_link_prediction": f"""

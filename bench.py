@@ -331,6 +331,7 @@ def run_bench() -> dict:
         ("q_gini", q.q_gini),
         ("q_cusum", q.q_cusum),
         ("q_link_prediction", q.q_link_prediction),
+        ("q_morans_i", q.q_morans_i),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

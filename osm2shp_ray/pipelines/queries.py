@@ -5077,6 +5077,27 @@ def q_benford(sf_dir: str):
     return h
 
 
+MORAN_CELL = 10_000_000  # 10-degree grid in micro-degrees
+
+
+def q_morans_i(sf_dir: str):
+    """Global Moran's I over customer-count cells
+    (stages/spatial.py::morans_i): rook adjacency on the 10-degree
+    grid, exact integer deviations — output is the raw (num, den)
+    integer pair so the gate needs no float division."""
+    def cells(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xi = (ck * LON_MULT) % 360_000_000
+        yi = (ck * LAT_MULT) % 180_000_000
+        return pa.table({"cx": pa.array(xi // MORAN_CELL, pa.int64()),
+                         "cy": pa.array(yi // MORAN_CELL, pa.int64()),
+                         "c": pa.array(np.ones(len(ck), np.int64))})
+
+    return spatial.morans_i(
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(cells, batch_format="pyarrow"))
+
+
 RA_TOPK = 50
 
 

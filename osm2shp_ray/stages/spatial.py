@@ -1213,3 +1213,97 @@ def snap_to_segments(points_ds, seg_ids: np.ndarray,
                          "dq": pa.array(dq[rows, best], pa.int64())})
 
     return points_ds.map_batches(snap, batch_format="pyarrow")
+
+
+def morans_i(cells_ds, cx_col: str = "cx", cy_col: str = "cy",
+             val_col: str = "c", n_buckets: int | None = None):
+    """Global Moran's I spatial autocorrelation over a cell grid with
+    rook (4-neighbor) adjacency — the hotspot/clustering statistic of
+    spatial analysis. To keep the gate exact the statistic is emitted
+    as its RAW integer parts rather than a float ratio:
+
+      d_i   = n * c_i - S           (integer deviations, Σ d_i = 0)
+      num   = n * Σ_{ij adjacent} d_i d_j     (directed pairs)
+      den   = W * Σ d_i^2                     (W = directed pair count)
+      I     = num / den  (left to the reader — division would need
+                          HUGEINT on one side and bignum on the other)
+
+    computed over the NON-EMPTY cells only (documented convention;
+    the SQL mirror adopts it verbatim). Caller owns the int64 budget:
+    |n * Σ d_i d_j| must stay < 2^63 — for count-valued cells on a
+    bounded grid this holds with orders of magnitude to spare.
+
+    Scale shape: one groupby builds the cell counts; each cell
+    explodes to its 4 neighbor keys carrying d_i and meets the
+    d-table in a size-adaptive dim_join (broadcast while the
+    non-empty-cell table is dimension-sized, bucketed past the cap);
+    two scalar aggregates finish.
+
+    Output: pandas single row (n_cells, w_pairs, num, den).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .. import config
+    from .joins import dim_join
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    PACK = np.int64(1) << np.int64(32)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        cx = t[cx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t[cy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cx) and (cx.min() < 0 or cy.min() < 0):
+            raise ValueError("morans_i: cell coords must be non-negative")
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(cx * PACK + cy, pa.int64()),
+                         "c": pa.array(v, pa.int64())})
+
+    counts = (cells_ds.map_batches(keyed, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    n = counts.count()
+    if n == 0:
+        return pd.DataFrame({"n_cells": [0], "w_pairs": [0],
+                             "num": [0], "den": [0]})
+    s = int(counts.sum("c"))
+
+    def dev(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": t["k"],
+                         "d": pa.array(n * c - s, pa.int64())})
+
+    dtab = counts.map_batches(dev, batch_format="pyarrow").materialize()
+
+    def neighbors(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        cx, cy = k // PACK, k % PACK
+        offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+        ks, ds = [], []
+        for ox, oy in offs:
+            nx, ny = cx + ox, cy + oy
+            ok = (nx >= 0) & (ny >= 0)
+            ks.append(nx[ok] * PACK + ny[ok])
+            ds.append(d[ok])
+        return pa.table({"k": pa.array(np.concatenate(ks), pa.int64()),
+                         "da": pa.array(np.concatenate(ds), pa.int64())})
+
+    adj = dim_join(dtab.map_batches(neighbors, batch_format="pyarrow"),
+                   dtab.map_batches(lambda t: pa.table(
+                       {"k": t["k"], "db": t["d"]}),
+                       batch_format="pyarrow"),
+                   on="k", n_buckets=b)
+    prods = adj.map_batches(
+        lambda t: pa.table({"dd": pa.compute.multiply(t["da"], t["db"]),
+                            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    agg = prods.aggregate(Sum("dd", alias_name="cross"),
+                          Sum("one", alias_name="w"))
+    cross = int(agg["cross"] or 0)
+    w = int(agg["w"] or 0)
+    d2 = int(dtab.map_batches(
+        lambda t: pa.table({"d2": pa.compute.multiply(t["d"], t["d"])}),
+        batch_format="pyarrow").sum("d2"))
+    return pd.DataFrame({"n_cells": [n], "w_pairs": [w],
+                         "num": [n * cross], "den": [w * d2]})

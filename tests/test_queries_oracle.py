@@ -143,7 +143,7 @@ SQL_CHECKED = [
     "q_mmr_select", "q_gram_matrix", "q_winsorized", "q_snap_to_roads",
     "q_hard_negatives", "q_bpe_encode", "q_csv_roundtrip",
     "q_orc_roundtrip", "q_radius_gyration", "q_benford",
-    "q_gini", "q_cusum", "q_link_prediction",
+    "q_gini", "q_cusum", "q_link_prediction", "q_morans_i",
 ]
 
 
