@@ -27,12 +27,18 @@ Scale shape (the only one that works at 10^12 rows):
      in-group distances are a blocked int64 matrix (<= ``pair_block``
      resident), so a hot cell degrades to bounded-memory brute force;
   2. neighbor counts / core set: one groupby over the pair list;
-  3. core-core edges -> components.connected_components (min-label
-     propagation, O(diameter) bucketed rounds);
-  4. border assignment: one join + groupby-min over the pair list.
-No step materializes on the driver; everything is bucketed
-hash_join / groupby exchanges over the PAIR graph, which the eps
-grid keeps proportional to true neighbor density, never all-pairs.
+  3. core-core edges -> cluster labels via a CAPPED DUAL: at or below
+     ``uf_cap`` edge rows the ids-only edge list folds on the driver
+     (vectorized min-label propagation with pointer jumping); above
+     it, components.connected_components runs its bucketed
+     O(diameter)-round propagation — byte-identical outputs
+     (equivalence test);
+  4. border assignment: one adaptive join + groupby-min over the
+     pair list.
+Everything else is bucketed/broadcast exchanges over the PAIR graph,
+which the eps grid keeps proportional to true neighbor density,
+never all-pairs; the only driver-side work is the ids-only fold
+under its documented cap.
 """
 
 from __future__ import annotations
