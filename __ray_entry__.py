@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "q_fingerprints": q.q_fingerprints,
         "q_embed_near_dup": q.q_embed_near_dup,
+        # round 4: the subquadratic hyperplane-LSH near-dup path,
+        # hash-gated on a planted recall-1.0 corpus
+        "q_embed_near_dup_lsh": q.q_embed_near_dup_lsh,
         "q_ivf_topk": q.q_ivf_topk,
         "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
         # deterministic hash split + HLL distinct sketch (register
@@ -1226,6 +1229,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.90""",
+        # the planted recall-1.0 corpus: embeddings UNION a x2-scaled
+        # copy (cosine-invariant, identical LSH signatures); at 0.999
+        # exactly the planted pairs qualify (pipelines/queries.py::
+        # q_embed_near_dup_lsh docstring carries the proof)
+        "q_embed_near_dup_lsh": """
+            WITH e2 AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x * 2.0)
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.999""",
         "q_langid_counts": f"""
             WITH f AS (SELECT doc_id, {hit_cols} FROM documents)
             SELECT {argmax} AS lang_pred, CAST(count(*) AS BIGINT) AS n

@@ -853,6 +853,57 @@ def q_embed_near_dup(sf_dir: str):
     return df[["id_a", "id_b"]]
 
 
+EMBED_LSH_OFFSET = 1_000_000
+EMBED_LSH_THRESHOLD = 0.999
+
+
+def q_embed_near_dup_lsh(sf_dir: str):
+    """Embedding near-dup pairs through the SUBQUADRATIC hyperplane-
+    LSH path (dedup.embedding_near_dup_pairs) — the operator that
+    runs at 100 TB, where the exact broadcast path behind
+    q_embed_near_dup stops being broadcastable — oracle-gated on a
+    planted corpus whose LSH recall is provably 1.0: the embeddings
+    table unioned with a x2-scaled copy (vec_id + EMBED_LSH_OFFSET).
+    Scaling by 2 is exact in IEEE floats, so 2v/||2v|| == v/||v||
+    bit-for-bit and sign(2v . p) == sign(v . p) for every hyperplane:
+    each planted pair shares IDENTICAL LSH signatures in every band
+    table and always collides, and the in-bucket verify is exact. At
+    threshold 0.999 the qualifying pairs are exactly the planted
+    ones — the fixture's max non-planted cosine is ~0.51, and
+    copy-vs-copy / copy-vs-other cosines equal their originals' — so
+    the LSH result provably equals the all-pairs SQL oracle, end to
+    end through the banded-exchange scale path."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ann._as_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float64()))})
+        d = m.shape[1]
+
+        def lists(mat: np.ndarray) -> pa.Array:
+            return pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), d)
+
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(
+                [ids, ids + EMBED_LSH_OFFSET]), pa.int64()),
+            "embedding": pa.concat_arrays([lists(m), lists(m * 2.0)]),
+        })
+
+    pairs = dedup.embedding_near_dup_pairs(
+        emb.map_batches(plant, batch_format="pyarrow"),
+        threshold=EMBED_LSH_THRESHOLD)
+    df = pairs.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64")})
+    return df[["id_a", "id_b"]]
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF top-k with nprobe = n_centroids (exhaustive probing): the
     full IVF machinery (centroid training, inverted-list assignment,
@@ -5136,7 +5187,8 @@ def q_csv_roundtrip(sf_dir: str):
     q_jsonl_roundtrip): events keys/types -> sharded CSV
     (ray.data write_csv) -> parallel read_csv -> the per-type
     aggregate of what was read back equals the direct SQL aggregate
-    over the parquet view (integer/string columns only)."""
+    over the parquet view (integer/string columns only). Shard dir is
+    driver-local /tmp — single-node assumption, see q_orc_roundtrip."""
     import shutil
     import tempfile
 
@@ -5159,7 +5211,14 @@ def q_orc_roundtrip(sf_dir: str):
     block (pyarrow.orc writer inside map_batches — content-addressed
     shards, the GeoJSONL sink pattern) -> parallel read back through
     a pyarrow.orc scan -> per-status aggregate equals the direct SQL
-    aggregate (warehouse interchange format proven lossless)."""
+    aggregate (warehouse interchange format proven lossless).
+
+    SINGLE-NODE PATH ASSUMPTION (this query and the CSV twin): the
+    shard dir is driver-local /tmp, written by map_batches workers and
+    globbed on the driver — valid here because the sandbox is one
+    node. On a multi-node cluster pass a shared-filesystem / object-
+    store URI instead (as the parquet sinks do), or worker-local
+    shards would be silently missed by the driver's glob."""
     import glob
     import shutil
     import tempfile

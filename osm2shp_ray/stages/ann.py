@@ -714,8 +714,13 @@ def gram_matrix(emb_ds, quant: int = 1000, emb_col: str = "embedding"):
                          "g": pa.array(G[iu, ju], pa.int64())})
 
     def unpack(t: pa.Table) -> pa.Table:
+        import math
         k = t["k"].to_numpy(zero_copy_only=False)
-        d = int(np.sqrt(k.max())) + 1 if len(k) else 0
+        # every nonempty partial emits the FULL triangle (triu_indices
+        # of the whole d x d Gram), so max key == d^2 - 1 exactly and
+        # integer isqrt recovers d losslessly at any dimension (no
+        # float rounding, unlike np.sqrt at d >= 2^26)
+        d = math.isqrt(int(k.max())) + 1 if len(k) else 0
         return pa.table({"i": pa.array(k // d + 1, pa.int64()),
                          "j": pa.array(k % d + 1, pa.int64()),
                          "g": t["g"]})

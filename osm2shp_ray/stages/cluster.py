@@ -20,11 +20,12 @@ Determinism contract (so a SQL oracle can mirror it exactly):
   * NOISE points get label -1.
 
 Scale shape (the only one that works at 10^12 rows):
-  1. one grid co-group builds the eps-neighbor pair list: anchor each
-     point in its own (xi//eps, yi//eps) cell, replicate each point
-     to the 3x3 cell neighborhood (bounded 9x on one side), so every
-     qualifying pair meets in exactly one group — the anchor's cell;
-     in-group distances are a blocked int64 matrix (<= ``pair_block``
+  1. one grid co-group builds the eps-neighbor pair list: each point
+     is OWNED by its (xi//eps, yi//eps) cell and VISITS the 4
+     half-neighborhood cells (bounded 5x on one side), so every
+     unordered pair meets — and its distance is evaluated — in
+     exactly one group, then is mirrored in-kernel; in-group
+     distances are a blocked int64 matrix (<= ``pair_block``
      resident), so a hot cell degrades to bounded-memory brute force;
   2. neighbor counts / core set: one groupby over the pair list;
   3. core-core edges -> cluster labels via a CAPPED DUAL: at or below
@@ -61,11 +62,20 @@ def _ids(t: pa.Table, col: str) -> np.ndarray:
 def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
                 pair_block: int):
     """Directed eps-neighbor pairs (a, b), a != b, d2 <= eps^2 — both
-    directions present (each unordered pair meets once in a's anchor
-    cell and once in b's)."""
+    directions present in the OUTPUT, but each unordered pair is
+    COMPUTED exactly once (round-4 owner-pair halving): a point is
+    OWNED by its (x//eps, y//eps) cell and VISITS only the 4
+    half-neighborhood cells {E, NE, N, NW}, so each adjacent cell pair
+    exchanges visitors in exactly one direction and each qualifying
+    pair meets in exactly one group — within-cell pairs via a strict
+    upper triangle over the owners, cross-cell pairs via owner x
+    visitor. The kernel mirrors every hit, so downstream consumers
+    see the same directed multiset as the old 3x3 both-directions
+    replication at 5/9 the shuffle rows and half the distance
+    evaluations (measured: q_dbscan 15.2 s -> ~9 s warm at sf0.1)."""
     eps2 = np.int64(eps) * np.int64(eps)
 
-    def prep_anchor(t: pa.Table) -> pa.Table:
+    def prep_owner(t: pa.Table) -> pa.Table:
         xi, yi = _ids(t, x_col), _ids(t, y_col)
         if len(xi) and (xi.min() < 0 or yi.min() < 0):
             raise ValueError("dbscan: coordinates must be non-negative")
@@ -76,15 +86,17 @@ def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
                          "__x": pa.array(xi, pa.int64()),
                          "__y": pa.array(yi, pa.int64())})
 
-    def prep_replicated(t: pa.Table) -> pa.Table:
+    def prep_visitor(t: pa.Table) -> pa.Table:
         xi, yi = _ids(t, x_col), _ids(t, y_col)
         n = t.num_rows
         cx, cy = xi // eps + 1, yi // eps + 1
-        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), n)
-        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), n)
-        nx, ny = np.tile(cx, 9) + dx, np.tile(cy, 9) + dy
-        ok = (nx >= 1) & (ny >= 1)  # grid is non-negative; no wrap
-        src = np.tile(np.arange(n, dtype=np.int64), 9)[ok]
+        # half-neighborhood: one of each opposite-offset pair, so an
+        # adjacent (C1, C2) meets in exactly one of the two cells
+        dx = np.repeat(np.array([1, 1, 0, -1]), n)
+        dy = np.repeat(np.array([0, 1, 1, 1]), n)
+        nx, ny = np.tile(cx, 4) + dx, np.tile(cy, 4) + dy
+        ok = nx >= 1  # grid is non-negative (cx, cy >= 1); no wrap
+        src = np.tile(np.arange(n, dtype=np.int64), 4)[ok]
         take = pa.array(src, pa.int64())
         return pa.table({"__cell": pa.array(nx[ok] * _PACK + ny[ok], pa.int64()),
                          "__side": pa.array(np.ones(len(src), np.int8)),
@@ -97,28 +109,49 @@ def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
 
     def join_group(t: pa.Table) -> pa.Table:
         side = t["__side"].to_numpy(zero_copy_only=False)
-        at = t.filter(pa.array(side == 0))
-        bt = t.filter(pa.array(side == 1))
-        if at.num_rows == 0 or bt.num_rows == 0:
-            return empty
-        ax, ay, aid = _ids(at, "__x"), _ids(at, "__y"), _ids(at, "__id")
-        bx, by, bid = _ids(bt, "__x"), _ids(bt, "__y"), _ids(bt, "__id")
-        step = max(1, pair_block // max(1, len(bx)))
+        ot = t.filter(pa.array(side == 0))
+        vt = t.filter(pa.array(side == 1))
+        n0 = ot.num_rows
+        if n0 == 0:
+            return empty  # visitors alone can't pair (owners own pairs)
+        ox, oy, oid = _ids(ot, "__x"), _ids(ot, "__y"), _ids(ot, "__id")
         out = []
-        for s in range(0, len(ax), step):
-            e = min(len(ax), s + step)
-            ddx = ax[s:e, None] - bx[None, :]
-            ddy = ay[s:e, None] - by[None, :]
-            d2 = ddx * ddx + ddy * ddy
-            ai, bi = np.nonzero((d2 <= eps2)
-                                & (aid[s:e, None] != bid[None, :]))
-            if len(ai):
-                out.append(pa.table({"a": pa.array(aid[s + ai], pa.int64()),
-                                     "b": pa.array(bid[bi], pa.int64())}))
+
+        def emit(a_ids: np.ndarray, b_ids: np.ndarray) -> None:
+            # mirror: both directions from the single evaluation
+            out.append(pa.table({
+                "a": pa.array(np.concatenate([a_ids, b_ids]), pa.int64()),
+                "b": pa.array(np.concatenate([b_ids, a_ids]), pa.int64())}))
+
+        # within-cell: strict upper triangle over the owners
+        if n0 >= 2:
+            step = max(1, pair_block // n0)
+            col = np.arange(n0, dtype=np.int64)
+            for s in range(0, n0, step):
+                e = min(n0, s + step)
+                ddx = ox[s:e, None] - ox[None, :]
+                ddy = oy[s:e, None] - oy[None, :]
+                d2 = ddx * ddx + ddy * ddy
+                ii, jj = np.nonzero((d2 <= eps2)
+                                    & (col[s:e, None] < col[None, :]))
+                if len(ii):
+                    emit(oid[s + ii], oid[jj])
+        # cross-cell: owners x visitors (each pair meets exactly here)
+        if vt.num_rows:
+            vx, vy, vid = _ids(vt, "__x"), _ids(vt, "__y"), _ids(vt, "__id")
+            step = max(1, pair_block // max(1, len(vx)))
+            for s in range(0, n0, step):
+                e = min(n0, s + step)
+                ddx = ox[s:e, None] - vx[None, :]
+                ddy = oy[s:e, None] - vy[None, :]
+                d2 = ddx * ddx + ddy * ddy
+                ai, bi = np.nonzero(d2 <= eps2)
+                if len(ai):
+                    emit(oid[s + ai], vid[bi])
         return pa.concat_tables(out) if out else empty
 
-    unioned = (points_ds.map_batches(prep_anchor, batch_format="pyarrow")
-               .union(points_ds.map_batches(prep_replicated,
+    unioned = (points_ds.map_batches(prep_owner, batch_format="pyarrow")
+               .union(points_ds.map_batches(prep_visitor,
                                             batch_format="pyarrow")))
     return (coalesced(unioned).groupby("__cell")
             .map_groups(join_group, batch_format="pyarrow"))

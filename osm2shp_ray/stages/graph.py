@@ -436,9 +436,60 @@ def _bfs_distributed(edges, seeds: np.ndarray, max_hops: int,
     return res
 
 
+def _ra_wedges(o: np.ndarray, p: np.ndarray, quant: int,
+               max_hub_degree: int) -> tuple[pa.Table, int]:
+    """Wedge generation for one hash(hub) bucket: dedup (hub, item)
+    edges, compute hub degrees, emit one combined (pair-key, Σweight,
+    count) row per distinct item pair. Hubs whose (post-dedup) degree
+    exceeds ``max_hub_degree`` are DROPPED — returns the dropped-hub
+    count so callers can log it (never a silent cap). Module-level so
+    the planted power-law-hub test can assert the bound directly.
+
+    Id-width contract (validated by the caller): hub ids and item ids
+    must be in [0, 2^32) and item ids in [0, 2^31) — hubs pack with
+    items into a uint64 dedup key, and the item pair packs as
+    ``p1 * 2^32 + p2`` into a SIGNED int64 groupby key."""
+    key = (o.astype(np.uint64) << np.uint64(32)) | p.astype(np.uint64)
+    uniq = np.unique(key)
+    o = (uniq >> np.uint64(32)).astype(np.int64)
+    p = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    new_o = np.concatenate(([True], o[1:] != o[:-1]))
+    starts = np.flatnonzero(new_o)
+    sizes = np.diff(np.append(starts, len(o))).astype(np.int64)
+    n_dropped = int((sizes > max_hub_degree).sum())
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "wt": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    ks, ws = [], []
+    for g in np.unique(sizes):
+        if g < 2 or g > max_hub_degree:
+            continue
+        base = starts[sizes == g]
+        iu, ju = np.triu_indices(int(g), 1)
+        p1 = p[(base[:, None] + iu[None, :]).ravel()]
+        p2 = p[(base[:, None] + ju[None, :]).ravel()]
+        ks.append(p1 * (np.int64(1) << np.int64(32)) + p2)
+        ws.append(np.full(len(p1), quant // int(g), np.int64))
+    if not ks:
+        return empty, n_dropped
+    # in-kernel combiner: same-pair wedges from this bucket's
+    # hubs collapse before the exchange
+    k = np.concatenate(ks)
+    w = np.concatenate(ws)
+    uk, inv = np.unique(k, return_inverse=True)
+    sw = np.zeros(len(uk), np.int64)
+    cn = np.zeros(len(uk), np.int64)
+    np.add.at(sw, inv, w)
+    np.add.at(cn, inv, 1)
+    return pa.table({"k": pa.array(uk, pa.int64()),
+                     "wt": pa.array(sw, pa.int64()),
+                     "cnt": pa.array(cn, pa.int64())}), n_dropped
+
+
 def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
                    topk: int = 50, quant: int = 1_000_000_000,
-                   n_buckets: int | None = None):
+                   n_buckets: int | None = None,
+                   max_hub_degree: int = 4096):
     """Resource-allocation link-prediction scores over a bipartite
     (hub, item) edge set — the fifth graph family: for every item
     pair sharing >= 1 hub, ``ra_q = Σ_hubs quant // deg(hub)`` (Zhou
@@ -450,12 +501,22 @@ def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
     Scale shape: ONE bucketed exchange on hash(hub) co-locates each
     hub's items, and a single per-bucket kernel does edge dedup,
     degree computation AND wedge generation (grouped by run length,
-    vectorized per group-size class — hubs are small by contract;
-    cap power-law hubs upstream exactly like the triangle counter
-    orients degrees, or Σ deg^2 explodes). Then one packed-key
-    groupby-sum and the bounded top-k sort. Three exchanges total
-    (measured 16.5 s -> single-digit at sf0.1 vs the naive
-    distinct -> degree-join -> wedge-join chain of six).
+    vectorized per group-size class). Then one packed-key groupby-sum
+    and a per-block tie-free partial top-k with one bounded driver
+    merge (pair keys are unique after the groupby, so top-``topk`` by
+    the total order (ra_q desc, p1, p2) per block then globally is
+    exact — no full-table sort). Three exchanges total.
+
+    Skew contract, ENFORCED: wedge volume per hub is deg*(deg-1)/2,
+    so one power-law hub (a mega-order, a viral item) would emit
+    deg^2/2 rows inside a single bucket kernel. Hubs whose deduped
+    degree exceeds ``max_hub_degree`` are dropped with a logged count
+    (the no-silent-caps rule) — an RA weight of quant // deg is < 1
+    ulp of signal for huge hubs anyway (quant//10^6 = 1000 of 10^9).
+    Default 4096 bounds any one hub to ~8.4M wedge rows.
+
+    Id-width contract, validated: hub/item ids in [0, 2^32), item ids
+    in [0, 2^31) — see _ra_wedges. Raises ValueError otherwise.
 
     Output: pandas (p1, p2, ra_q, n_common), p1 < p2, ordered by
     (ra_q desc, p1, p2), top ``topk``.
@@ -470,47 +531,21 @@ def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
     def add_bucket(t: pa.Table) -> pa.Table:
         o = t[hub_col].to_numpy(zero_copy_only=False).astype(np.int64)
         p = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(o) and (int(o.min()) < 0 or int(o.max()) >= 1 << 32):
+            raise ValueError("ra_link_scores: hub ids must be in [0, 2^32)")
+        if len(p) and (int(p.min()) < 0 or int(p.max()) >= 1 << 31):
+            raise ValueError("ra_link_scores: item ids must be in [0, 2^31)")
         return pa.table({"o": pa.array(o, pa.int64()),
                          "p": pa.array(p, pa.int64()),
                          "__b": pa.array(bucket_of(o, b), pa.int64())})
 
     def wedge_kernel(df: pd.DataFrame) -> pa.Table:
-        o = df["o"].to_numpy()
-        p = df["p"].to_numpy()
-        # in-kernel distinct: every row of a hub is in this bucket
-        key = (o.astype(np.uint64) << np.uint64(32)) | p.astype(np.uint64)
-        uniq = np.unique(key)
-        o = (uniq >> np.uint64(32)).astype(np.int64)
-        p = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        new_o = np.concatenate(([True], o[1:] != o[:-1]))
-        starts = np.flatnonzero(new_o)
-        sizes = np.diff(np.append(starts, len(o))).astype(np.int64)
-        ks, ws = [], []
-        for g in np.unique(sizes):
-            if g < 2:
-                continue
-            base = starts[sizes == g]
-            iu, ju = np.triu_indices(int(g), 1)
-            p1 = p[(base[:, None] + iu[None, :]).ravel()]
-            p2 = p[(base[:, None] + ju[None, :]).ravel()]
-            ks.append(p1 * (np.int64(1) << np.int64(32)) + p2)
-            ws.append(np.full(len(p1), quant // int(g), np.int64))
-        if not ks:
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "wt": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        # in-kernel combiner: same-pair wedges from this bucket's
-        # hubs collapse before the exchange
-        k = np.concatenate(ks)
-        w = np.concatenate(ws)
-        uk, inv = np.unique(k, return_inverse=True)
-        sw = np.zeros(len(uk), np.int64)
-        cn = np.zeros(len(uk), np.int64)
-        np.add.at(sw, inv, w)
-        np.add.at(cn, inv, 1)
-        return pa.table({"k": pa.array(uk, pa.int64()),
-                         "wt": pa.array(sw, pa.int64()),
-                         "cnt": pa.array(cn, pa.int64())})
+        out, n_dropped = _ra_wedges(df["o"].to_numpy(), df["p"].to_numpy(),
+                                    quant, max_hub_degree)
+        if n_dropped:
+            print(f"ra_link_scores: dropped {n_dropped} hubs with degree "
+                  f"> {max_hub_degree} (bucket {int(df['__b'].iloc[0])})")
+        return out
 
     wedges = (coalesced(edges_ds.map_batches(add_bucket,
                                              batch_format="pyarrow"))
@@ -520,14 +555,25 @@ def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
               .aggregate(Sum("wt", alias_name="ra_q"),
                          Sum("cnt", alias_name="n_common")))
 
-    def unpack(t: pa.Table) -> pa.Table:
+    def block_topk(t: pa.Table) -> pa.Table:
+        # pair keys are unique after the groupby, so (ra_q desc, k asc)
+        # is a total order: keeping topk per block then merging is
+        # exact (the ann.brute_force_topk partial-top-k pattern) —
+        # no global sort over the full pair-score table
         k = t["k"].to_numpy(zero_copy_only=False)
-        return pa.table({"p1": pa.array(k >> 32, pa.int64()),
-                         "p2": pa.array(k & 0xFFFFFFFF, pa.int64()),
-                         "ra_q": t["ra_q"].cast(pa.int64()),
-                         "n_common": t["n_common"].cast(pa.int64())})
+        ra = t["ra_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.lexsort((k, -ra))[:topk]
+        return pa.table({"p1": pa.array(k[keep] >> 32, pa.int64()),
+                         "p2": pa.array(k[keep] & 0xFFFFFFFF, pa.int64()),
+                         "ra_q": pa.array(ra[keep], pa.int64()),
+                         "n_common": pa.array(
+                             t["n_common"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)[keep], pa.int64())})
 
-    out = (scores.map_batches(unpack, batch_format="pyarrow")
-           .sort(["ra_q", "p1", "p2"], descending=[True, False, False])
-           .limit(topk).to_pandas())
+    # bounded driver merge: <= topk rows per block reach the driver
+    out = (scores.map_batches(block_topk, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["ra_q", "p1", "p2"],
+                        ascending=[False, True, True])
+           .head(topk).reset_index(drop=True))
     return out

@@ -144,6 +144,9 @@ SQL_CHECKED = [
     "q_hard_negatives", "q_bpe_encode", "q_csv_roundtrip",
     "q_orc_roundtrip", "q_radius_gyration", "q_benford",
     "q_gini", "q_cusum", "q_link_prediction", "q_morans_i",
+    # round 4: the subquadratic LSH embedding near-dup path under the
+    # SQL oracle (planted recall-1.0 corpus)
+    "q_embed_near_dup_lsh",
 ]
 
 
