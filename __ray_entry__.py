@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
         "q_bigram_lm": q.q_bigram_lm,
+        # round 4: the no-broadcast scale dual under its own hash gate
+        "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
         "q_rrf_fusion": q.q_rrf_fusion,
         "q_value_trend": q.q_value_trend,
         "q_scd2": q.q_scd2,
@@ -267,7 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     from osm2shp_ray.pipelines.queries import (AUDIO_CLIPS_N,
                                                BENFORD_PPM,
                                                CLASSIFY_RULES_SQL,
@@ -3366,3 +3368,11 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS seg_nulls
             FROM u GROUP BY origin""",
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the distributed (no-broadcast) bigram-LM dual computes the same
+    # model by contract — same oracle, scale path exercised end-to-end
+    sql["q_bigram_lm_distributed"] = sql["q_bigram_lm"]
+    return sql

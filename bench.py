@@ -349,6 +349,7 @@ def run_bench() -> dict:
         ("q_link_prediction", q.q_link_prediction),
         ("q_morans_i", q.q_morans_i),
         ("q_embed_near_dup_lsh", q.q_embed_near_dup_lsh),
+        ("q_bigram_lm_distributed", q.q_bigram_lm_distributed),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
@@ -482,8 +483,98 @@ def run_scaling() -> dict:
     }
 
 
+def run_resume() -> dict:
+    """Kill/resume evidence at BENCH scale (north-rule checkpoint
+    pillar): run the convert pipeline with per-partition manifest
+    checkpointing over the sf-sized image fixture, SIGKILL it
+    mid-write, rerun to completion, and prove (a) zero duplicate
+    partitions, (b) output identical to an uninterrupted run, while
+    reporting the resume overhead. Each run is a fresh process with
+    its own Ray session (the `ray job submit`-killed-driver shape)."""
+    import shutil
+    import signal
+
+    n = fixture_rows(SF_DIR)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # generate/locate the fixture (Ray-parallel, cached, untimed)
+    fixture = subprocess.run(
+        [sys.executable, "-c",
+         "import ray\n"
+         f"ray.init(address='local', num_cpus={NUM_CPUS},\n"
+         "         include_dashboard=False, logging_level='ERROR')\n"
+         "from osm2shp_ray.sources.fixtures import cached_images_parquet\n"
+         f"print(cached_images_parquet({n}))\n"
+         "ray.shutdown()"],
+        capture_output=True, text=True, cwd=here,
+        check=True).stdout.strip().splitlines()[-1]
+
+    out_clean = "/tmp/bench_resume_clean"
+    out_kill = "/tmp/bench_resume_kill"
+    for d in (out_clean, out_kill):
+        shutil.rmtree(d, ignore_errors=True)
+    cmd = [sys.executable, "-m", "osm2shp_ray", "convert", fixture]
+
+    t0 = time.time()
+    subprocess.run(cmd + [out_clean, "--resume"], cwd=here, check=True,
+                   capture_output=True)
+    sec_clean = time.time() - t0
+
+    # kill mid-run (late enough that some partition manifests exist)
+    proc = subprocess.Popen(cmd + [out_kill, "--resume"], cwd=here,
+                            start_new_session=True,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    time.sleep(max(2.0, sec_clean * 0.7))
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait()
+    from osm2shp_ray.state.checkpoint import completed_keys
+    preserved = {s: len(completed_keys(os.path.join(out_kill, s)))
+                 for s in ("points", "ways")}
+
+    t1 = time.time()
+    subprocess.run(cmd + [out_kill, "--resume"], cwd=here, check=True,
+                   capture_output=True)
+    sec_resume = time.time() - t1
+
+    # validation: identical manifested output, zero duplicate partitions
+    import pyarrow.compute as pc
+    from osm2shp_ray.state.checkpoint import read_output
+    rows_match = True
+    for stage in ("points", "ways"):
+        a = read_output(os.path.join(out_clean, stage), "layer")
+        b = read_output(os.path.join(out_kill, stage), "layer")
+        ka = sorted(completed_keys(os.path.join(out_clean, stage)))
+        kb = sorted(completed_keys(os.path.join(out_kill, stage)))
+        rows_match &= (ka == kb and a.num_rows == b.num_rows)
+        # duplicate-partition guard: one manifested dir per key
+        pdir = os.path.join(out_kill, stage)
+        disk = sorted(d.split("=", 1)[1] for d in os.listdir(pdir)
+                      if d.startswith("layer="))
+        rows_match &= disk == kb
+        # identical per-layer row counts
+        ca = pc.value_counts(a["layer"]).to_pylist()
+        cb = pc.value_counts(b["layer"]).to_pylist()
+        rows_match &= (sorted((d["values"], d["counts"]) for d in ca)
+                       == sorted((d["values"], d["counts"]) for d in cb))
+    return {
+        "metric": "kill/resume convert at bench scale",
+        "value": round(sec_resume, 3),
+        "unit": "sec",
+        "sec_clean": round(sec_clean, 3),
+        "sec_resume_after_kill": round(sec_resume, 3),
+        "resume_overhead_pct": round(100 * (sec_resume / sec_clean - 1), 1),
+        "partitions_preserved_at_kill": preserved,
+        "output_identical": bool(rows_match),
+        "rows": n,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--resume" in sys.argv:
+        print(json.dumps(run_resume()))
     else:
         print(json.dumps(run_bench()))

@@ -9,12 +9,13 @@ environment, the engine ships:
 - a REAL minimal PNG codec (RGB8, all five scanline filters on decode,
   filter-0 on encode, zlib + CRC chunks) — lossless, spec-conformant
   for the subset it emits (readable by any PNG reader);
-- "jpeg" rows use a clearly-marked deterministic lossy stand-in
-  (uniform quantization, step 6 -> PSNR ~= 43 dB > 40 dB, zlib
-  entropy-coded). It is NOT a real JPEG; it stands in for the lossy
-  decode path so the Ray-side plumbing (actor-pool decode, PSNR
-  invariant checks, schema) is real and tested. Swap `encode_lossy` /
-  `decode_lossy` for a real JPEG codec in production.
+- a REAL baseline JPEG codec for "jpeg" rows (vendored ITU-T T.81
+  implementation in functions/jpeg.py: 8x8 DCT, quality-scaled
+  Annex K quantization, Annex K Huffman tables, JFIF markers,
+  restart intervals; decode is a batch-lockstep vectorized Huffman
+  decoder — see that module's doc). Round 4 replaced the earlier
+  QJPG quantize+zlib stand-in, which survives as encode_qjpg /
+  decode_qjpg for old blobs.
 
 All codecs are deterministic and pure numpy/zlib.
 """
@@ -152,17 +153,40 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+JPEG_QUALITY = 97  # PSNR >= 44.0 dB measured over 2000 fixture-shaped
+# images (min/p1/median 44.0/44.2/44.6) — the >= 40 dB gate passes
+# with 4 dB of margin at half the entropy-decode cost of q99
+
+
 def encode_lossy(img: np.ndarray) -> bytes:
-    """Deterministic lossy stand-in ("jpeg" rows): quantize to step
-    _QSTEP then zlib. NOT a real JPEG — see module docstring."""
+    """"jpeg" rows: REAL baseline JPEG (the vendored ITU-T T.81 codec,
+    functions/jpeg.py — round 4 replaced the QJPG quantize+zlib
+    stand-in). JFIF bytes readable by any standard decoder."""
+    from . import jpeg as _jpeg
+    return _jpeg.encode_jpeg(img, quality=JPEG_QUALITY)
+
+
+def decode_lossy(data) -> np.ndarray:
+    """Lossy decode, dispatched on magic: real JPEG (SOI) or the
+    legacy QJPG container (kept so pre-round-4 fixture blobs and the
+    qjpg fmt tag keep decoding)."""
+    if bytes(data[:2]) == b"\xff\xd8":
+        from . import jpeg as _jpeg
+        return _jpeg.decode_jpeg(data)
+    return decode_qjpg(data)
+
+
+def encode_qjpg(img: np.ndarray) -> bytes:
+    """Legacy deterministic lossy stand-in: quantize to step _QSTEP
+    then zlib. NOT a real JPEG (pre-round-4 'jpeg' rows used this)."""
     h, w, c = img.shape
     q = np.clip(np.rint(img.astype(np.float64) / _QSTEP), 0, 255 // _QSTEP).astype(np.uint8)
     payload = zlib.compress(q.tobytes(), 6)
     return _QJPG_MAGIC + struct.pack(">IIB", w, h, _QSTEP) + payload
 
 
-def decode_lossy(data: bytes) -> np.ndarray:
-    if data[:4] != _QJPG_MAGIC:
+def decode_qjpg(data) -> np.ndarray:
+    if bytes(data[:4]) != _QJPG_MAGIC:
         raise ValueError("not a QJPG payload")
     w, h, step = struct.unpack(">IIB", data[4:13])
     q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
@@ -170,7 +194,7 @@ def decode_lossy(data: bytes) -> np.ndarray:
     return img.reshape(h, w, 3)
 
 
-def decode_image(data: bytes, fmt: str) -> np.ndarray:
+def decode_image(data, fmt: str) -> np.ndarray:
     """Format-dispatched decode (sources S1/S2 analog: one reader API,
     format plurality behind it — SURVEY.md §2.1)."""
     if fmt == "png":
@@ -180,6 +204,30 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(
         f"format {fmt!r}: real decoders for this format are not available "
         "in this container; plug one in here")
+
+
+def decode_images_batch(blobs: list, fmts: list) -> list:
+    """Batch decode: JPEG rows run through the lockstep vectorized
+    T.81 decoder in ONE call (functions/jpeg.py module doc — batching
+    is where its throughput comes from); PNG/QJPG rows decode per row.
+    Returns one (h, w, 3) uint8 array per input, None on failure."""
+    n = len(blobs)
+    out: list = [None] * n
+    jpeg_ix = [i for i in range(n)
+               if fmts[i] in ("jpeg", "jpg", "qjpg")
+               and bytes(blobs[i][:2]) == b"\xff\xd8"]
+    if jpeg_ix:
+        from . import jpeg as _jpeg
+        dec = _jpeg.decode_jpeg_batch([blobs[i] for i in jpeg_ix])
+        for j, i in enumerate(jpeg_ix):
+            out[i] = dec[j]
+    rest = set(range(n)) - set(jpeg_ix)
+    for i in rest:
+        try:
+            out[i] = decode_image(blobs[i], fmts[i])
+        except Exception:
+            pass
+    return out
 
 
 # ------------------------------------------------------------- audio

@@ -1,0 +1,704 @@
+"""Vendored baseline JPEG codec (ITU-T Recommendation T.81, 1992).
+
+Written from the public spec, the same pattern as the repo's vendored
+PNG / PBF / Lance / shapefile codecs (no image libraries exist in the
+container). Subset, documented like the PNG codec's:
+
+- ENCODE: baseline sequential DCT (SOF0), 8-bit, YCbCr 4:4:4 (1x1
+  sampling), JFIF APP0, quality-scaled Annex K quantization tables,
+  Annex K Huffman tables carried in DHT, and a restart interval
+  (DRI, default 1 MCU) so every restart segment is byte-aligned and
+  independently decodable — the property the vectorized decoder
+  exploits. Fully standard baseline JPEG: any T.81 decoder reads it.
+- DECODE: baseline sequential (SOF0), 8-bit, 3 components at 1x1
+  sampling (4:4:4), arbitrary DHT/DQT tables read from the stream,
+  with or without restart markers. Progressive (SOF2) and subsampled
+  streams raise ValueError (extend here for foreign corpora).
+
+Decode THROUGHPUT is the design driver (stages/images.py decodes the
+mandated table's payload column at bench scale): Huffman decoding is
+sequential per entropy segment, so the decoder runs ALL segments of a
+whole BATCH of images in lockstep — one numpy-vectorized step decodes
+the next symbol of every still-active segment simultaneously (state:
+bit cursor, block row, zigzag index, DC predictors per segment). With
+the encoder's 1-MCU restart intervals a segment holds ~200 symbols,
+so a batch decode costs ~200 vectorized steps regardless of image
+count — the SIMD-over-restart-segments idea, in numpy.
+
+Self-contained correctness: the Huffman/quant tables travel in the
+file (DHT/DQT), so encode->decode round-trips are exact regardless of
+table choice; tests assert the Annex K table shapes and the
+PSNR >= 40 dB invariant on the noise fixture (the hardest content for
+a DCT codec).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zigzag scan: ZIGZAG[k] = raster index (row*8+col) of zigzag position k
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 / K.2 base quantization tables (raster order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS[16], HUFFVAL). The decoder
+# reads whatever tables the stream carries; these are what we WRITE.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# 8x8 DCT-II basis: forward F = A f A^T, inverse f = A^T F A
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.5) if _u == 0 else 1.0
+    _A[_u] = 0.5 * _c * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16.0)
+del _u, _c
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2."""
+    out = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            assert code < (1 << length), "invalid Huffman spec"
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _enc_luts(bits, vals):
+    """Encoder lookup: symbol -> (code, len) as two 256-wide arrays."""
+    codes = _canonical_codes(bits, vals)
+    c = np.zeros(256, np.int64)
+    ln = np.zeros(256, np.int64)
+    for sym, (code, length) in codes.items():
+        c[sym], ln[sym] = code, length
+    return c, ln
+
+
+_ENC = {  # table-select: 0 DC-luma, 1 DC-chroma, 2 AC-luma, 3 AC-chroma
+    0: _enc_luts(DC_LUMA_BITS, DC_LUMA_VALS),
+    1: _enc_luts(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    2: _enc_luts(AC_LUMA_BITS, AC_LUMA_VALS),
+    3: _enc_luts(AC_CHROMA_BITS, AC_CHROMA_VALS),
+}
+ENC_CODE = np.stack([_ENC[i][0] for i in range(4)])
+ENC_LEN = np.stack([_ENC[i][1] for i in range(4)])
+
+
+# ------------------------------------------------------------ colorspace
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> float64 YCbCr, JFIF full-range."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+def scaled_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-convention quality scaling of the Annex K tables (raster)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    chr_ = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+# --------------------------------------------------------------- encoder
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float -> (nb, 8, 8) blocks in raster order."""
+    H, W = plane.shape
+    return (plane.reshape(H // 8, 8, W // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of |v| (0 -> 0); frexp is exact for
+    integers below 2^53."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
+    """Interleaved (mcu, comp)-ordered zigzag blocks (B=3*n_mcus, 64)
+    -> entropy-coded bytes with RST markers between restart intervals.
+    Fully vectorized: symbol arrays -> per-segment byte-aligned bit
+    scatter -> packbits -> stuffing -> marker join."""
+    B = coefs.shape[0]
+    bi_all = np.arange(B, dtype=np.int64)
+    comp_all = bi_all % 3
+    mcu_all = bi_all // 3
+    seg_all = mcu_all // restart
+    n_segs = int(seg_all[-1]) + 1 if B else 0
+
+    # ---- DC: differential within a restart interval, per component
+    dc = coefs[:, 0].reshape(n_mcus, 3).astype(np.int64)
+    diff = dc.copy()
+    diff[1:] -= dc[:-1]
+    first_in_seg = (np.arange(n_mcus) % restart) == 0
+    diff[first_in_seg] = dc[first_in_seg]
+    diff = diff.reshape(-1)
+    s_dc = _bit_length(diff)
+    mag_dc = np.where(diff >= 0, diff, diff + (1 << np.maximum(s_dc, 1)) - 1)
+    # symbol records: (block, seq, tsel, sym, s, mag)
+    recs = [(bi_all, np.zeros(B, np.int64),
+             (comp_all > 0).astype(np.int64),          # DC tables 0/1
+             s_dc, s_dc, mag_dc)]
+
+    # ---- AC: run-length over zigzag positions 1..63
+    A = coefs[:, 1:]
+    nz_b, nz_c = np.nonzero(A)                          # sorted by (b, c)
+    v = A[nz_b, nz_c].astype(np.int64)
+    prev_c = np.concatenate(([-1], nz_c[:-1]))
+    prev_b = np.concatenate(([-1], nz_b[:-1]))
+    gap = nz_c - np.where(prev_b == nz_b, prev_c, -1) - 1
+    z = gap // 16                                       # ZRL count
+    r = gap % 16
+    s_ac = _bit_length(v)
+    mag_ac = np.where(v >= 0, v, v + (1 << s_ac) - 1)
+    seq_val = (nz_c + 1) * 8 + 7
+    recs.append((nz_b, seq_val,
+                 2 + (nz_b % 3 > 0).astype(np.int64),   # AC tables 2/3
+                 (r << 4) | s_ac, s_ac, mag_ac))
+    # ZRL fill symbols before their nonzero (z <= 3 for 63 coefs)
+    has_z = np.flatnonzero(z > 0)
+    if len(has_z):
+        zz = z[has_z]
+        src = np.repeat(has_z, zz)
+        starts = np.concatenate(([0], np.cumsum(zz)[:-1]))
+        local = np.arange(int(zz.sum()), dtype=np.int64) - np.repeat(starts, zz)
+        recs.append((nz_b[src], (nz_c[src] + 1) * 8 + local,
+                     2 + (nz_b[src] % 3 > 0).astype(np.int64),
+                     np.full(len(src), 0xF0, np.int64),
+                     np.zeros(len(src), np.int64),
+                     np.zeros(len(src), np.int64)))
+    # EOB where the last nonzero is before position 63 (or no nonzero)
+    last_c = np.full(B, -1, np.int64)
+    last_c[nz_b] = nz_c                                  # last write wins
+    need_eob = np.flatnonzero(last_c < 62)
+    if len(need_eob):
+        recs.append((need_eob, np.full(len(need_eob), 64 * 8, np.int64),
+                     2 + (need_eob % 3 > 0).astype(np.int64),
+                     np.zeros(len(need_eob), np.int64),
+                     np.zeros(len(need_eob), np.int64),
+                     np.zeros(len(need_eob), np.int64)))
+
+    bi = np.concatenate([x[0] for x in recs])
+    seq = np.concatenate([x[1] for x in recs])
+    tsel = np.concatenate([x[2] for x in recs])
+    sym = np.concatenate([x[3] for x in recs])
+    s = np.concatenate([x[4] for x in recs])
+    mag = np.concatenate([x[5] for x in recs])
+    order = np.argsort(bi * 600 + seq, kind="stable")
+    bi, tsel, sym, s, mag = (bi[order], tsel[order], sym[order],
+                             s[order], mag[order])
+
+    hcode = ENC_CODE[tsel, sym]
+    hlen = ENC_LEN[tsel, sym]
+    total_len = hlen + s
+    combined = (hcode << s) | mag                        # <= 27 bits
+
+    # ---- per-SEGMENT byte-aligned bit assembly
+    seg = seg_all[bi]                                    # sorted ascending
+    csum = np.concatenate(([0], np.cumsum(total_len)))
+    starts_idx = np.searchsorted(seg, np.arange(n_segs))
+    seg_start_bit = csum[starts_idx]
+    seg_bits = np.diff(np.append(seg_start_bit, csum[-1]))
+    seg_bytes = (seg_bits + 7) // 8
+    seg_byte_off = np.concatenate(([0], np.cumsum(seg_bytes)[:-1]))
+    within = csum[:-1] - seg_start_bit[seg]
+    bitpos = seg_byte_off[seg] * 8 + within
+
+    total_bits = int(seg_bytes.sum()) * 8
+    bitarr = np.ones(total_bits, np.uint8)               # 1-pad per F.1.2.3
+    reps = total_len
+    idx = np.repeat(bitpos, reps)
+    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    local = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+    comb_rep = np.repeat(combined, reps)
+    len_rep = np.repeat(reps, reps)
+    bitarr[idx + local] = (comb_rep >> (len_rep - 1 - local)) & 1
+    packed = np.packbits(bitarr)
+
+    # ---- byte stuffing (FF -> FF 00), tracking segment offsets
+    is_ff = packed == 0xFF
+    ffcum = np.concatenate(([0], np.cumsum(is_ff)))
+    stuffed = np.insert(packed, np.flatnonzero(is_ff) + 1, 0)
+    off = seg_byte_off + ffcum[seg_byte_off]
+    end = seg_byte_off + seg_bytes
+    end = end + ffcum[end]
+    raw = stuffed.tobytes()
+    parts = []
+    for i in range(n_segs):
+        parts.append(raw[int(off[i]):int(end[i])])
+        if i != n_segs - 1:
+            parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
+    return b"".join(parts)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 97, restart: int = 1) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (see module doc)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    ql, qc = scaled_quant_tables(quality)
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    padded = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - 128.0
+    n_mcus = (H // 8) * (W // 8)
+    zz = []
+    for ci in range(3):
+        blocks = _blocks(ycc[..., ci])
+        F = (_A @ blocks) @ _A.T          # two batched 8x8 matmuls
+        q = (ql if ci == 0 else qc).reshape(8, 8).astype(np.float64)
+        Fq = np.rint(F / q).astype(np.int64)
+        zz.append(Fq.reshape(-1, 64)[:, ZIGZAG])
+    coefs = np.stack(zz, axis=1).reshape(3 * n_mcus, 64)
+    entropy = _entropy_encode(coefs, n_mcus, restart)
+
+    def marker(tag: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    head = [b"\xff\xd8",                                  # SOI
+            marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            marker(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8))),
+            marker(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8))),
+            marker(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+                   + bytes([3, 0x11, 1])),
+            marker(0xC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)),
+            marker(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)),
+            marker(0xC4, dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)),
+            marker(0xC4, dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)),
+            marker(0xDD, struct.pack(">H", restart)),
+            marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))]
+    return b"".join(head) + entropy + b"\xff\xd9"         # EOI
+
+
+# --------------------------------------------------------------- decoder
+
+def _dec_lut(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-window Huffman LUT: value v -> (code length, symbol);
+    length 0 marks an invalid window (corrupt stream)."""
+    l_len = np.zeros(65536, np.uint8)
+    l_sym = np.zeros(65536, np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            l_len[lo:lo + (1 << (16 - length))] = length
+            l_sym[lo:lo + (1 << (16 - length))] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return l_len, l_sym
+
+
+class _Header:
+    __slots__ = ("h", "w", "qsel", "dcsel", "acsel", "dri",
+                 "qtabs", "htabs", "segments")
+
+
+def _parse_jpeg(data) -> _Header:
+    """Marker scan -> header + raw (still-stuffed) entropy segments."""
+    buf = bytes(data)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    hd = _Header()
+    hd.qtabs = {}
+    hd.htabs = {}
+    hd.dri = 0
+    pos = 2
+    scan_start = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        tag = buf[pos + 1]
+        (ln,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        payload = buf[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if tag == 0xDB:                                   # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                hd.qtabs[tq] = np.frombuffer(
+                    payload[p + 1:p + 65], np.uint8).astype(np.int64)
+                p += 65
+        elif tag == 0xC4:                                 # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                hd.htabs[(tc, th)] = (tuple(bits), tuple(vals))
+                p += 17 + nv
+        elif tag == 0xC0:                                 # SOF0 baseline
+            prec, hh, ww, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline")
+            hd.h, hd.w = hh, ww
+            hd.qsel = []
+            for ci in range(3):
+                cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                hd.qsel.append(tq)
+        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0x{tag:02x} unsupported")
+        elif tag == 0xDD:                                 # DRI
+            (hd.dri,) = struct.unpack(">H", payload[:2])
+        elif tag == 0xDA:                                 # SOS
+            ns = payload[0]
+            hd.dcsel, hd.acsel = [0] * 3, [0] * 3
+            for ci in range(ns):
+                cid = payload[1 + 2 * ci]
+                tt = payload[2 + 2 * ci]
+                hd.dcsel[cid - 1] = tt >> 4
+                hd.acsel[cid - 1] = tt & 0xF
+            scan_start = pos
+            break
+        # other markers (APPn, COM): skipped
+    if scan_start is None:
+        raise ValueError("no SOS")
+    eoi = buf.rfind(b"\xff\xd9")
+    if eoi < scan_start:
+        raise ValueError("no EOI")
+    scan = np.frombuffer(buf, np.uint8, count=eoi - scan_start,
+                         offset=scan_start)
+    # one vectorized pass: drop stuffed 0x00s and the 2-byte RST
+    # markers (FF D0-D7), assigning each surviving byte its segment id
+    ff = np.flatnonzero(scan[:-1] == 0xFF)
+    nxt = scan[ff + 1]
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    stuffed = ff[nxt == 0x00] + 1
+    keep = np.ones(len(scan), bool)
+    keep[stuffed] = False
+    keep[rst] = False
+    keep[rst + 1] = False
+    segid = np.zeros(len(scan), np.int64)
+    segid[rst] = 1
+    segid = np.cumsum(segid)
+    kept = scan[keep]
+    counts = np.bincount(segid[keep], minlength=len(rst) + 1)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    hd.segments = [kept[offs[i]:offs[i + 1]] for i in range(len(counts))]
+    return hd
+
+
+def decode_jpeg_batch(blobs: list) -> list:
+    """Decode a BATCH of baseline JPEGs via the lockstep vectorized
+    Huffman decoder (module doc). Returns one (h, w, 3) uint8 array
+    per input, or None where that input failed to decode (failures
+    never abort the batch — stages/images.py turns them into
+    ok=false rows)."""
+    n = len(blobs)
+    heads: list = [None] * n
+    for i in range(n):
+        try:
+            heads[i] = _parse_jpeg(blobs[i])
+        except Exception:
+            pass
+
+    # LUT / quant stacks shared across the batch (cache by table spec:
+    # every blob from our encoder carries identical tables). One
+    # combined int32 LUT (sym << 8 | len) -> one gather per symbol.
+    lut_ix: dict = {}
+    lut_combined = []
+
+    def lut_of(spec):
+        if spec not in lut_ix:
+            ll, ls = _dec_lut(list(spec[0]), list(spec[1]))
+            lut_ix[spec] = len(lut_combined)
+            lut_combined.append((ls.astype(np.int32) << 8)
+                                | ll.astype(np.int32))
+        return lut_ix[spec]
+
+    # per-segment state construction
+    seg_img, seg_nblocks, seg_bytes_list = [], [], []
+    seg_dc_lut = []   # (seg, 3) table stack index per component
+    seg_ac_lut = []
+    img_block_base: list = [None] * n
+    img_nmcus: list = [0] * n
+    total_blocks = 0
+    failed = [h is None for h in heads]
+    for i, hd in enumerate(heads):
+        if hd is None:
+            continue
+        try:
+            nmx = (hd.w + 7) // 8
+            nmy = (hd.h + 7) // 8
+            nm = nmx * nmy
+            R = hd.dri if hd.dri else nm
+            need = -(-nm // R)
+            if len(hd.segments) != need:
+                raise ValueError("segment count mismatch")
+            dc = [lut_of(hd.htabs[(0, hd.dcsel[c])]) for c in range(3)]
+            ac = [lut_of(hd.htabs[(1, hd.acsel[c])]) for c in range(3)]
+            img_block_base[i] = total_blocks
+            img_nmcus[i] = nm
+            for si in range(need):
+                mcus = min(R, nm - si * R)
+                seg_img.append(i)
+                seg_nblocks.append(mcus * 3)
+                seg_bytes_list.append(hd.segments[si])
+                seg_dc_lut.append(dc)
+                seg_ac_lut.append(ac)
+                total_blocks += mcus * 3
+        except Exception:
+            failed[i] = True
+            img_block_base[i] = None
+
+    out: list = [None] * n
+    S = len(seg_img)
+    if S:
+        L_COMB = np.stack(lut_combined)
+        lens = np.array([len(b) for b in seg_bytes_list], np.int64)
+        off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        G = np.zeros(int(lens.sum()) + 8, np.uint8)
+        for j, b in enumerate(seg_bytes_list):
+            G[off[j]:off[j] + lens[j]] = b
+        Gi = G.astype(np.int64)
+        # 48-bit big-endian window starting at every byte: ONE gather
+        # per symbol yields both the 16-bit Huffman window and the
+        # magnitude bits (r + hlen + s <= 7 + 16 + 11 = 34 <= 48)
+        W48 = ((Gi[:-5] << 40) | (Gi[1:-4] << 32) | (Gi[2:-3] << 24)
+               | (Gi[3:-2] << 16) | (Gi[4:-1] << 8) | Gi[5:])
+
+        coefs = np.zeros((total_blocks, 64), np.int32)
+        nblocks = np.array(seg_nblocks, np.int64)
+        block_base = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+        # (S, 6) table-select: cols 0-2 DC per comp, 3-5 AC per comp
+        seltab = np.concatenate([np.array(seg_dc_lut, np.int64),
+                                 np.array(seg_ac_lut, np.int64)], axis=1)
+        bitpos = off * 8
+        limit = (off + lens) * 8
+        blocks_done = np.zeros(S, np.int64)
+        k = np.zeros(S, np.int64)
+        pred = np.zeros((S, 3), np.int64)
+        active = nblocks > 0
+        seg_failed = np.zeros(S, bool)
+        seg_ids = np.arange(S)
+        ar = np.arange(S)
+
+        # full-width lockstep: every iteration runs vectorized over ALL
+        # segments with masked writes — no per-iteration fancy-index
+        # extraction (measured ~5x faster than an active-subset gather
+        # loop at 8k+ segments; finished segments park at a frozen,
+        # always-valid bit cursor)
+        while True:
+            n_active = int(np.count_nonzero(active))
+            if n_active == 0:
+                break
+            if n_active * 4 < S:
+                # tail compaction: once most segments finished, fall
+                # back to subset processing to stop paying full width
+                sub = np.flatnonzero(active)
+                (bitpos, limit, blocks_done, k, nblocks, block_base,
+                 seltab, seg_ids) = (
+                    bitpos[sub], limit[sub], blocks_done[sub], k[sub],
+                    nblocks[sub], block_base[sub], seltab[sub],
+                    seg_ids[sub])
+                pred = pred[sub]
+                active = active[sub]
+                S = len(sub)
+                ar = np.arange(S)
+                continue
+            r = bitpos & 7
+            w48 = W48[bitpos >> 3]
+            comp = blocks_done % 3
+            is_dc = k == 0
+            ls = L_COMB[seltab[ar, comp + np.where(is_dc, 0, 3)],
+                        (w48 >> (32 - r)) & 0xFFFF].astype(np.int64)
+            hl = ls & 0xFF
+            sym = ls >> 8
+            s = np.where(is_dc, sym, sym & 0xF)
+            # magnitude bits from the SAME 48-bit window
+            raw = (w48 >> (48 - r - hl - s)) & ((1 << s) - 1)
+            # T.81 extend: top magnitude bit set -> positive; for s=0
+            # both branches yield 0, so no special case is needed
+            val = np.where(raw >> np.maximum(s - 1, 0) == 1,
+                           raw, raw - (1 << s) + 1)
+            bp3 = bitpos + hl + s
+            bad = active & ((hl == 0) | (bp3 > limit))
+            ok = active & ~bad
+            row = block_base + blocks_done
+
+            # DC (masked scatter)
+            di = np.flatnonzero(ok & is_dc)
+            if len(di):
+                newdc = pred[di, comp[di]] + val[di]
+                coefs[row[di], 0] = newdc
+                pred[di, comp[di]] = newdc
+            # AC
+            eob = ~is_dc & (sym == 0x00)
+            zrl = ~is_dc & (sym == 0xF0)
+            reg = ~is_dc & ~eob & ~zrl
+            knew = (np.where(is_dc, 1, k) + np.where(zrl, 16, 0)
+                    + np.where(reg, sym >> 4, 0))
+            bad |= ok & reg & (knew > 63)
+            ok = active & ~bad
+            ri = np.flatnonzero(ok & reg)
+            if len(ri):
+                coefs[row[ri], knew[ri]] = val[ri]
+            knew = knew + reg
+
+            done_block = ok & (eob | (knew > 63))
+            blocks_done = blocks_done + done_block
+            k = np.where(active, np.where(done_block, 0, knew), k)
+            bitpos = np.where(ok, bp3, bitpos)
+            if bad.any():
+                seg_failed[seg_ids[bad]] = True
+            active = ok & (blocks_done < nblocks)
+
+        # segment failure -> whole image fails
+        for j in np.flatnonzero(seg_failed):
+            failed[seg_img[j]] = True
+
+        # dequantize + de-zigzag + IDCT for every block at once
+        qstack, qix = [], {}
+        qsel_rows = np.zeros((total_blocks,), np.int64)
+        for i, hd in enumerate(heads):
+            if hd is None or failed[i] or img_block_base[i] is None:
+                continue
+            for c in range(3):
+                key = hd.qtabs[hd.qsel[c]].tobytes()
+                if key not in qix:
+                    qix[key] = len(qstack)
+                    qstack.append(hd.qtabs[hd.qsel[c]])
+            base, nm = img_block_base[i], img_nmcus[i]
+            rows = base + np.arange(nm * 3)
+            for c in range(3):
+                qsel_rows[rows[c::3]] = qix[hd.qtabs[hd.qsel[c]].tobytes()]
+        Q = np.stack(qstack) if qstack else np.ones((1, 64), np.int64)
+        deq_zz = coefs.astype(np.float64) * Q[qsel_rows]
+        raster = np.zeros_like(deq_zz)
+        raster[:, ZIGZAG] = deq_zz
+        F = raster.reshape(-1, 8, 8)
+        pix = (_A.T @ F) @ _A + 128.0     # two batched 8x8 matmuls
+
+        for i, hd in enumerate(heads):
+            if hd is None or failed[i] or img_block_base[i] is None:
+                continue
+            base, nm = img_block_base[i], img_nmcus[i]
+            nmx = (hd.w + 7) // 8
+            nmy = (hd.h + 7) // 8
+            arr = pix[base:base + nm * 3].reshape(nm, 3, 8, 8)
+            planes = (arr.transpose(1, 0, 2, 3)
+                      .reshape(3, nmy, nmx, 8, 8)
+                      .transpose(0, 1, 3, 2, 4)
+                      .reshape(3, nmy * 8, nmx * 8))
+            ycc = planes.transpose(1, 2, 0)
+            out[i] = _ycbcr_to_rgb(ycc)[:hd.h, :hd.w]
+    return out
+
+
+def decode_jpeg(data) -> np.ndarray:
+    """Single-blob convenience wrapper; raises on failure."""
+    res = decode_jpeg_batch([data])[0]
+    if res is None:
+        raise ValueError("JPEG decode failed")
+    return res

@@ -1670,6 +1670,20 @@ def q_bigram_lm(sf_dir: str):
             .to_pandas())
 
 
+def q_bigram_lm_distributed(sf_dir: str):
+    """The SCALE dual of q_bigram_lm under its own hash gate: the
+    no-broadcast path (distributed=True — doc bigrams explode to
+    (id, bigram) rows and inner-join the model via hash_join), which
+    is what runs when a web-scale bigram vocab outgrows worker heaps.
+    Byte-identical contract to the broadcast default, now proven
+    against the SQL oracle end-to-end rather than only against the
+    sibling path (round-4 brief: oracle-gate the scale duals)."""
+    return (text.bigram_lm_score(_read(sf_dir, "documents",
+                                       ["doc_id", "text"]),
+                                 distributed=True)
+            .to_pandas())
+
+
 RRF_DEPTH = 100
 RRF_TOPK = 20
 RRF_K = 60

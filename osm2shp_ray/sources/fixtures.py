@@ -26,6 +26,7 @@ invariant checkable without storing ground-truth pixels.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -69,9 +70,36 @@ _CLUSTER_RUN = 50  # consecutive rows share a spatial cluster -> hot cells
 def ground_truth_pixels(row_idx: int, w: int, h: int) -> np.ndarray:
     """The original pixel array for fixture row ``row_idx`` — re-derivable
     anywhere, which is how DecodeValidate checks PSNR without shipping
-    ground truth through the pipeline."""
+    ground truth through the pipeline.
+
+    Content is NATURAL-SPECTRUM (round 4): a bilinear-upsampled
+    low-resolution noise base (the energy-concentrated-in-low-
+    frequencies profile of photographs) plus small high-frequency
+    texture. Pre-round-4 fixtures used uniform white noise — the
+    single most JPEG-hostile content there is (every DCT coefficient
+    nonzero), which made the lossy half of the corpus unrepresentative
+    of any real image table once "jpeg" rows became real baseline
+    JPEG. Still a pure deterministic function of the row index."""
     rng = np.random.default_rng(SEED * 1_000_003 + row_idx)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    gh, gw = max(2, h // 8 + 1), max(2, w // 8 + 1)
+    coarse = rng.integers(8, 248, size=(gh, gw, 3)).astype(np.float64)
+    tex = rng.integers(-2, 3, size=(h, w, 3))
+    iy, fy, ix, fx = _bilinear_grid(h, w, gh, gw)
+    rows = coarse[iy] * (1.0 - fy) + coarse[iy + 1] * fy      # (h, gw, 3)
+    base = rows[:, ix] * (1.0 - fx) + rows[:, ix + 1] * fx    # (h, w, 3)
+    return np.clip(np.rint(base) + tex, 0, 255).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_grid(h: int, w: int, gh: int, gw: int):
+    """Size-keyed interpolation grids (the fixture has 9 size classes;
+    regenerating linspace per row was ~15% of DecodeValidate's
+    ground-truth check)."""
+    ys = np.linspace(0.0, gh - 1.0, h)
+    xs = np.linspace(0.0, gw - 1.0, w)
+    iy = np.minimum(ys.astype(np.int64), gh - 2)
+    ix = np.minimum(xs.astype(np.int64), gw - 2)
+    return iy, (ys - iy)[:, None, None], ix, (xs - ix)[None, :, None]
 
 
 def _cluster_lonlat(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -272,7 +300,10 @@ def tiles_table(n_tiles: int = 32, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------- caching
 
-FIXTURE_ROOT = "/tmp/osm2shp_ray_fixtures"
+# _r4 suffix: round 4 switched "jpeg" rows from the QJPG stand-in to
+# real baseline JPEG (functions/jpeg.py), changing every lossy blob —
+# a new cache root regenerates all fixtures and side tables together
+FIXTURE_ROOT = "/tmp/osm2shp_ray_fixtures_r4"
 
 
 def cached_images_parquet(n: int, use_ray: bool = True) -> str:
@@ -483,10 +514,11 @@ def cached_image_sharpness_parquet(n: int) -> str:
     }), path)
 
 
-SCENE_THRESH_Q = 85_000  # milli-units of mean |diff|; the fixture's
-# frames are independent noise, so per-pair mad_q clusters tightly
-# (80.6k-90.8k measured) and the median threshold exercises both
-# classes while staying sensitive to exact integer reproduction
+SCENE_THRESH_Q = 54_000  # milli-units of mean |diff|; the fixture's
+# frames are independent natural-spectrum images (round 4), so
+# per-pair mad_q spreads 26.7k-94.4k with median ~53.9k; the
+# near-median threshold exercises both classes while staying
+# sensitive to exact integer reproduction
 
 
 def cached_video_scene_parquet(n: int, n_frames: int = 12,

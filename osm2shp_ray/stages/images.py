@@ -67,10 +67,10 @@ class DecodeValidate:
         ok = np.zeros(n, dtype=bool)
         psnr = np.full(n, np.nan)
         mean_lum = np.full(n, np.nan)
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             ok[i] = img.shape == (hs[i], ws[i], 3)
             mean_lum[i] = float(img.mean())
@@ -100,10 +100,10 @@ class ImageFeatures:
         n = len(blobs)
         dim = self.thumb * self.thumb * 3
         feats = np.zeros((n, dim), dtype=np.float32)
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             feats[i] = (codec.resize_box(img, self.thumb, self.thumb)
                         .astype(np.float32).reshape(-1) / 255.0)
@@ -176,10 +176,10 @@ class CaptionImageScore:
         blobs = _binary_views(batch["bytes"])
         fmts = batch["fmt"].to_pylist()
         m = np.full((n, 12), np.nan)
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             m[i] = (codec.resize_box(img, 2, 2).astype(np.float64)
                     .reshape(-1) / 255.0)
@@ -244,10 +244,10 @@ class ChannelStats:
         sums = np.zeros((n, 3), np.int64)
         mins = np.zeros(n, np.int64)
         maxs = np.zeros(n, np.int64)
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             npx[i] = img.shape[0] * img.shape[1]
             sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -291,10 +291,10 @@ class Sharpness:
         n = len(blobs)
         nints = np.zeros(n, np.int64)
         sums = np.zeros(n, np.int64)
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             g = img.astype(np.int64).sum(axis=2)
             lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
@@ -350,10 +350,10 @@ class Thumbnail:
         th = np.zeros(n, np.int64)
         sums = np.zeros((n, 3), np.int64)
         thumbs: list[bytes | None] = [None] * n
+        imgs = codec.decode_images_batch(blobs, fmts)
         for i in range(n):
-            try:
-                img = codec.decode_image(blobs[i], fmts[i])
-            except Exception:
+            img = imgs[i]
+            if img is None:
                 continue
             h0 = (img.shape[0] // f) * f
             w0 = (img.shape[1] // f) * f

@@ -145,8 +145,9 @@ SQL_CHECKED = [
     "q_orc_roundtrip", "q_radius_gyration", "q_benford",
     "q_gini", "q_cusum", "q_link_prediction", "q_morans_i",
     # round 4: the subquadratic LSH embedding near-dup path under the
-    # SQL oracle (planted recall-1.0 corpus)
-    "q_embed_near_dup_lsh",
+    # SQL oracle (planted recall-1.0 corpus), and the no-broadcast
+    # bigram-LM dual under its own gate
+    "q_embed_near_dup_lsh", "q_bigram_lm_distributed",
 ]
 
 

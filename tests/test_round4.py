@@ -55,6 +55,99 @@ def test_ra_link_scores_cap_end_to_end(ray_session):
     assert len(uncapped) == 2 + 20 * 19 // 2
 
 
+# ------------------------------------------------ baseline JPEG codec
+
+def test_jpeg_annex_k_tables_consistent():
+    """The Annex K Huffman specs are internally consistent: BITS sums
+    match value counts, every (run, size) AC symbol is present exactly
+    once, and the canonical construction yields prefix-free codes."""
+    from osm2shp_ray.functions import jpeg
+
+    for bits, vals in [(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS),
+                       (jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS),
+                       (jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS),
+                       (jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS)]:
+        assert sum(bits) == len(vals) == len(set(vals))
+        jpeg._canonical_codes(bits, vals)   # asserts code < 2^len
+    need = {0x00, 0xF0} | {(r << 4) | s for r in range(16)
+                           for s in range(1, 11)}
+    assert set(jpeg.AC_LUMA_VALS) == need
+    assert set(jpeg.AC_CHROMA_VALS) == need
+
+
+def test_jpeg_roundtrip_psnr_and_markers():
+    from osm2shp_ray.functions import codec, jpeg
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (16, 16), (64, 64), (17, 23), (40, 24)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = jpeg.encode_jpeg(img, quality=99)
+        # JFIF structure: SOI, APP0-JFIF, EOI, restart markers present
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert blob[2:4] == b"\xff\xe0" and blob[6:11] == b"JFIF\x00"
+        if (h + 7) // 8 * ((w + 7) // 8) > 1:
+            assert b"\xff\xd0" in blob       # DRI=1 restart markers
+        dec = jpeg.decode_jpeg(blob)
+        assert dec.shape == img.shape
+        assert codec.psnr(img, dec) >= 40.0
+
+
+def test_jpeg_batch_decode_isolates_failures():
+    from osm2shp_ray.functions import jpeg
+
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(4)]
+    blobs = [jpeg.encode_jpeg(i, 99) for i in imgs]
+    corrupt = bytearray(blobs[2])
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    res = jpeg.decode_jpeg_batch(
+        [blobs[0], b"not a jpeg", bytes(corrupt), blobs[3]])
+    assert res[0] is not None and res[3] is not None
+    assert res[1] is None
+    # a mid-stream bitflip either fails or decodes to wrong pixels —
+    # it must NOT corrupt neighbors
+    assert np.array_equal(res[0], jpeg.decode_jpeg(blobs[0]))
+    assert np.array_equal(res[3], jpeg.decode_jpeg(blobs[3]))
+
+
+def test_jpeg_batch_equals_single_decode():
+    """Lockstep batch decode is bit-identical to one-at-a-time decode
+    across mixed sizes (the fixture's size classes)."""
+    from osm2shp_ray.functions import jpeg
+    from osm2shp_ray.sources.fixtures import ground_truth_pixels
+
+    sizes = [(16, 16), (32, 16), (64, 64), (16, 64), (32, 32)]
+    imgs = [ground_truth_pixels(i, w, h) for i, (w, h) in enumerate(sizes)]
+    blobs = [jpeg.encode_jpeg(im) for im in imgs]
+    batch = jpeg.decode_jpeg_batch(blobs)
+    for im, blob, got in zip(imgs, blobs, batch):
+        assert np.array_equal(got, jpeg.decode_jpeg(blob))
+        assert got.shape == im.shape
+
+
+def test_fixture_jpeg_rows_are_real_jfif(ray_session):
+    """The mandated table's fmt='jpeg' rows carry real JFIF bytes and
+    pass the PSNR >= 40 dB invariant through the engine's own decode
+    stage (BASELINE.json input_hint gate)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm2shp_ray.sources.fixtures import cached_images_parquet
+    from osm2shp_ray.stages.images import decode_validate
+
+    path = cached_images_parquet(300, use_ray=False)
+    tbl = pq.read_table(path)
+    fmts = tbl["fmt"].to_pylist()
+    blobs = tbl["bytes"].to_pylist()
+    jpg = [b for b, f in zip(blobs, fmts) if f == "jpeg"]
+    assert jpg and all(b[:2] == b"\xff\xd8" and b"JFIF" in b[:16]
+                       for b in jpg)
+    res = decode_validate(rd.read_parquet(path)).to_pandas()
+    assert bool(res["decode_ok"].all())
+    assert float(res["psnr_db"].min()) >= 40.0
+
+
 def test_ra_link_scores_id_width_validation(ray_session):
     import ray.data as rd
 
