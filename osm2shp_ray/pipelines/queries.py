@@ -30,6 +30,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..functions.cells import latlng_to_cell, cell_to_parent
 from ..functions.pip import PreparedPolygons
 from ..stages import ann, dedup, spatial, text
+from ..stages.util import topk as ds_topk
 
 # integer-exact point derivation shared by the spatial queries
 LON_MULT = 2654435761
@@ -168,11 +169,11 @@ def q03_top_orders(sf_dir: str):
         return pa.table({"o_orderkey": t["o_orderkey"], "revenue": t["revenue"],
                          "__od_us": od})
 
-    agg = (joined.map_batches(to_us, batch_format="pyarrow")
-           .groupby(["o_orderkey", "__od_us"])
-           .aggregate(Sum("revenue", alias_name="revenue"))
-           .sort(["revenue", "o_orderkey"], descending=[True, False])
-           .limit(10).to_pandas())
+    agg = ds_topk(joined.map_batches(to_us, batch_format="pyarrow")
+                  .groupby(["o_orderkey", "__od_us"])
+                  .aggregate(Sum("revenue", alias_name="revenue")),
+                  ["revenue", "o_orderkey"], [True, False],
+                  10).to_pandas()
     agg["o_orderdate"] = agg.pop("__od_us").astype("datetime64[us]")
     return _round_cols(agg[["o_orderkey", "revenue", "o_orderdate"]], ["revenue"])
 
@@ -319,11 +320,12 @@ def q_window_sliding(sf_dir: str):
 
 
 def q_topk_users(sf_dir: str):
-    out = (_read(sf_dir, "events", ["user_id", "value"])
-           .groupby("user_id")
-           .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n"))
-           .sort(["total_value", "user_id"], descending=[True, False])
-           .limit(10).to_pandas())
+    out = ds_topk(_read(sf_dir, "events", ["user_id", "value"])
+                  .groupby("user_id")
+                  .aggregate(Sum("value", alias_name="total_value"),
+                             Count(alias_name="n")),
+                  ["total_value", "user_id"], [True, False],
+                  10).to_pandas()
     return _round_cols(out, ["total_value"])
 
 
@@ -2598,13 +2600,13 @@ def q10_returned_items(sf_dir: str):
                 .groupby("c_custkey")
                 .aggregate(Sum("rev_q", alias_name="revenue_q")))
 
-    top = (dim_join(per_cust,
-                    _read(sf_dir, "customer",
-                          ["c_custkey", "c_name", "c_acctbal",
-                           "c_nationkey"]),
-                    on="c_custkey", n_buckets=32)
-           .sort(["revenue_q", "c_custkey"], descending=[True, False])
-           .limit(20).to_pandas())
+    top = ds_topk(dim_join(per_cust,
+                           _read(sf_dir, "customer",
+                                 ["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"]),
+                           on="c_custkey", n_buckets=32),
+                  ["revenue_q", "c_custkey"], [True, False],
+                  20).to_pandas()
 
     nk_name = {n["n_nationkey"]: n["n_name"]
                for n in _read(sf_dir, "nation").take_all()}
@@ -2678,12 +2680,12 @@ def q18_large_volume(sf_dir: str):
         return t.rename_columns(
             [{"o_custkey": "c_custkey"}.get(c, c) for c in t.column_names])
 
-    out = (dim_join(
-               withord.map_batches(rn, batch_format="pyarrow"),
-               _read(sf_dir, "customer", ["c_custkey", "c_name"]),
-               on="c_custkey", n_buckets=32)
-           .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-           .limit(100).to_pandas())
+    out = ds_topk(dim_join(
+                      withord.map_batches(rn, batch_format="pyarrow"),
+                      _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+                      on="c_custkey", n_buckets=32),
+                  ["o_totalprice", "o_orderkey"], [True, False],
+                  100).to_pandas()
     return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty_q"]]
 
@@ -3456,8 +3458,7 @@ def q_word_count(sf_dir: str):
     groupby sum, then sort/limit with a deterministic (c desc, tok)
     tie order mirrored by the SQL."""
     wc = text.unigram_counts(_read(sf_dir, "documents", ["text"]))
-    return (wc.sort(["c", "tok"], descending=[True, False])
-            .limit(WORD_TOPK).to_pandas())
+    return ds_topk(wc, ["c", "tok"], [True, False], WORD_TOPK).to_pandas()
 
 
 PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
@@ -3746,9 +3747,10 @@ def q_haversine_knn(sf_dir: str):
         return pa.table({"c_custkey": pa.array(k, pa.int64()),
                          "dist_q": pa.array(dq, pa.int64())})
 
-    return (_customer_points(sf_dir)
-            .map_batches(dist_q, batch_format="pyarrow")
-            .sort(["dist_q", "c_custkey"]).limit(HAV_K).to_pandas())
+    return ds_topk(_customer_points(sf_dir)
+                   .map_batches(dist_q, batch_format="pyarrow"),
+                   ["dist_q", "c_custkey"], [False, False],
+                   HAV_K).to_pandas()
 
 
 def q_trajectory_length(sf_dir: str):
@@ -4588,11 +4590,12 @@ def q21_sole_blocking_supplier(sf_dir: str):
 
     counts = (blocked.groupby("s_suppkey")
               .aggregate(Count(alias_name="numwait")))
-    return (dim_join(counts,
-                     _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-                     on="s_suppkey", n_buckets=32)
-            .sort(["numwait", "s_suppkey"], descending=[True, False])
-            .limit(10).to_pandas()[["s_name", "numwait", "s_suppkey"]])
+    return ds_topk(dim_join(counts,
+                            _read(sf_dir, "supplier",
+                                  ["s_suppkey", "s_name"]),
+                            on="s_suppkey", n_buckets=32),
+                   ["numwait", "s_suppkey"], [True, False],
+                   10).to_pandas()[["s_name", "numwait", "s_suppkey"]]
 
 
 def q_clip_tiles(sf_dir: str):

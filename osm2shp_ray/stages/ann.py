@@ -647,9 +647,9 @@ def mmr_select(emb_ds, query_vec: np.ndarray, pool_n: int = 50,
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "rel": pa.array(rel, pa.int64())})
 
-    pool = (emb_ds.map_batches(partial, batch_format="pyarrow")
-            .sort([ "rel", id_col], descending=[True, False])
-            .limit(pool_n).take_all())
+    from .util import topk as ds_topk
+    pool = ds_topk(emb_ds.map_batches(partial, batch_format="pyarrow"),
+                   ["rel", id_col], [True, False], pool_n).take_all()
     pids = np.array([r[id_col] for r in pool], dtype=np.int64)
     rels = np.array([r["rel"] for r in pool], dtype=np.int64)
     if len(pids) == 0:  # empty corpus: empty selection, not a crash

@@ -1408,7 +1408,8 @@ def ranked_prefix(ds, sort_keys: list[str], descending: list[bool],
     per-system candidate list of a fusion, never the corpus). Returns
     [(id, 1-based rank), ...]. Callers must include a deterministic
     unique tiebreak (normally ``id_col`` itself) in ``sort_keys``."""
-    rows = ds.sort(sort_keys, descending=descending).limit(depth).take_all()
+    from .util import topk as ds_topk
+    rows = ds_topk(ds, sort_keys, descending, depth).take_all()
     return [(r[id_col], i + 1) for i, r in enumerate(rows)]
 
 

@@ -174,9 +174,10 @@ def knn(ds, query_lon: float, query_lat: float, k: int,
             batch = batch.take(pa.array(np.sort(keep)))
         return batch
 
+    from .util import topk as ds_topk
     out = ds.map_batches(local_topk, batch_format="pyarrow")
     sort_keys = ["dist"] + ([id_col] if id_col else [])
-    return out.sort(sort_keys).limit(k)
+    return ds_topk(out, sort_keys, [False] * len(sort_keys), k)
 
 
 # ------------------------------------- raster<->vector + salted reduce

@@ -1425,9 +1425,10 @@ def vocab_coverage(ds_vocab, ds_stats, vocab_size: int = 50,
     import ray
     from ray.data.aggregate import Sum
 
-    top = (unigram_counts(ds_vocab, text_col)
-           .sort(["c", "tok"], descending=[True, False])
-           .limit(vocab_size).take_all())          # V rows, bounded
+    from .util import topk as ds_topk
+    top = ds_topk(unigram_counts(ds_vocab, text_col),
+                  ["c", "tok"], [True, False],
+                  vocab_size).take_all()           # V rows, bounded
     vocab_ref = ray.put(pl.Series("v", [r["tok"] for r in top]))
 
     def partial(t: pa.Table) -> pa.Table:

@@ -50,3 +50,38 @@ def coalesced(ds, factor: int = 1):
     hashable."""
     return (ds.map_batches(_strip_meta, batch_format="pyarrow")
             .repartition(shuffle_blocks(factor)))
+
+
+def topk(ds, keys, descending, k: int):
+    """Distributed top-k WITHOUT a global sort: per-block top-k, then
+    one single-block merge of the <= k-per-block survivors — the
+    ann.brute_force_topk reduce shape, generalized. Replaces
+    ``ds.sort(keys, descending=...).limit(k)`` tails, whose sort is a
+    full all-to-all range exchange of EVERY row just to keep k.
+
+    CORRECTNESS CONTRACT: ``keys`` must be a total order over rows
+    (include a unique tiebreak column, as every caller's SQL oracle
+    already does with its ORDER BY) — with ties at the global kth row
+    under a non-total key, per-block truncation could drop a tied
+    row the global sort would keep. Returns a single sorted block.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    pairs = [(c, "descending" if d else "ascending")
+             for c, d in zip(keys, descending)]
+
+    def block_topk(t):
+        t = _strip_meta(t)
+        if t.num_rows <= k:
+            return t          # partial pass-through; final pass sorts
+        return t.take(pc.sort_indices(t, sort_keys=pairs)[:k])
+
+    def final_topk(t):
+        t = _strip_meta(t)
+        return t.take(pc.sort_indices(t, sort_keys=pairs)[:k])
+
+    return (ds.map_batches(block_topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pyarrow"))
