@@ -583,6 +583,14 @@ def decode_jpeg_batch(blobs: list) -> list:
         seg_failed = np.zeros(S, bool)
         seg_ids = np.arange(S)
         ar = np.arange(S)
+        # uniform-table fast path: blobs written by ONE encoder (the
+        # overwhelmingly common batch) all carry the same DHT
+        # selections, so the (S, 6) select collapses to a 6-vector and
+        # the per-iteration 2D gather seltab[ar, tsel] becomes a
+        # 6-element lookup (tiny, cache-resident source)
+        uniform = bool((seltab == seltab[0]).all())
+        selrow = seltab[0]
+        Lflat = L_COMB.reshape(-1).copy()
 
         # full-width lockstep: every iteration runs vectorized over ALL
         # segments with masked writes — no per-iteration fancy-index
@@ -611,11 +619,14 @@ def decode_jpeg_batch(blobs: list) -> list:
             w48 = W48[bitpos >> 3]
             comp = blocks_done % 3
             is_dc = k == 0
-            ls = L_COMB[seltab[ar, comp + np.where(is_dc, 0, 3)],
-                        (w48 >> (32 - r)) & 0xFFFF].astype(np.int64)
+            tsel = comp + (k != 0) * 3
+            tab = selrow[tsel] if uniform else seltab[ar, tsel]
+            ls = Lflat[(tab << 16) | ((w48 >> (32 - r)) & 0xFFFF)]
             hl = ls & 0xFF
             sym = ls >> 8
-            s = np.where(is_dc, sym, sym & 0xF)
+            # DC categories are <= 11, so the low nibble IS the size
+            # for both symbol classes — no DC/AC branch needed
+            s = sym & 0xF
             # magnitude bits from the SAME 48-bit window
             raw = (w48 >> (48 - r - hl - s)) & ((1 << s) - 1)
             # T.81 extend: top magnitude bit set -> positive; for s=0
@@ -624,7 +635,7 @@ def decode_jpeg_batch(blobs: list) -> list:
                            raw, raw - (1 << s) + 1)
             bp3 = bitpos + hl + s
             bad = active & ((hl == 0) | (bp3 > limit))
-            ok = active & ~bad
+            ok = active ^ bad          # bad is a subset of active
             row = block_base + blocks_done
 
             # DC (masked scatter)
@@ -633,14 +644,15 @@ def decode_jpeg_batch(blobs: list) -> list:
                 newdc = pred[di, comp[di]] + val[di]
                 coefs[row[di], 0] = newdc
                 pred[di, comp[di]] = newdc
-            # AC
+            # AC: one fused index update — ZRL (0xF0) has run 15 and
+            # contributes the extra +1, regular symbols add their run,
+            # EOB's value is irrelevant (the block closes below)
             eob = ~is_dc & (sym == 0x00)
-            zrl = ~is_dc & (sym == 0xF0)
+            zrl = sym == 0xF0
             reg = ~is_dc & ~eob & ~zrl
-            knew = (np.where(is_dc, 1, k) + np.where(zrl, 16, 0)
-                    + np.where(reg, sym >> 4, 0))
+            knew = np.where(is_dc, 1, k + (sym >> 4) + zrl)
             bad |= ok & reg & (knew > 63)
-            ok = active & ~bad
+            ok = active ^ bad
             ri = np.flatnonzero(ok & reg)
             if len(ri):
                 coefs[row[ri], knew[ri]] = val[ri]
@@ -648,7 +660,7 @@ def decode_jpeg_batch(blobs: list) -> list:
 
             done_block = ok & (eob | (knew > 63))
             blocks_done = blocks_done + done_block
-            k = np.where(active, np.where(done_block, 0, knew), k)
+            k = np.where(ok, np.where(done_block, 0, knew), k)
             bitpos = np.where(ok, bp3, bitpos)
             if bad.any():
                 seg_failed[seg_ids[bad]] = True
