@@ -5,15 +5,19 @@ PNG / PBF / Lance / shapefile codecs (no image libraries exist in the
 container). Subset, documented like the PNG codec's:
 
 - ENCODE: baseline sequential DCT (SOF0), 8-bit, YCbCr 4:4:4 (1x1
-  sampling), JFIF APP0, quality-scaled Annex K quantization tables,
-  Annex K Huffman tables carried in DHT, and a restart interval
-  (DRI, default 1 MCU) so every restart segment is byte-aligned and
+  sampling, the default) or 4:2:0 (2x2 luma, box-averaged chroma),
+  JFIF APP0, quality-scaled Annex K quantization tables, Annex K
+  Huffman tables carried in DHT, and a restart interval (DRI,
+  default 1 MCU) so every restart segment is byte-aligned and
   independently decodable — the property the vectorized decoder
   exploits. Fully standard baseline JPEG: any T.81 decoder reads it.
-- DECODE: baseline sequential (SOF0), 8-bit, 3 components at 1x1
-  sampling (4:4:4), arbitrary DHT/DQT tables read from the stream,
-  with or without restart markers. Progressive (SOF2) and subsampled
-  streams raise ValueError (extend here for foreign corpora).
+- DECODE: baseline sequential (SOF0), 8-bit, 3 components at 4:4:4
+  (1x1x3) or 4:2:0 (2x2 luma / 1x1 chroma — the layout of virtually
+  every camera/web JPEG; chroma upsampled by replication), arbitrary
+  DHT/DQT tables read from the stream, with or without restart
+  markers, mixed layouts within one batch. Progressive (SOF2) and
+  other sampling patterns raise ValueError (extend here for exotic
+  corpora).
 
 Decode THROUGHPUT is the design driver (stages/images.py decodes the
 mandated table's payload column at bench scale): Huffman decoding is
@@ -214,25 +218,37 @@ def _bit_length(v: np.ndarray) -> np.ndarray:
     return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
 
 
-def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
-    """Interleaved (mcu, comp)-ordered zigzag blocks (B=3*n_mcus, 64)
+def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int,
+                    cmap=(0, 1, 2)) -> bytes:
+    """Interleaved MCU-ordered zigzag blocks (B=len(cmap)*n_mcus, 64)
     -> entropy-coded bytes with RST markers between restart intervals.
+    ``cmap`` maps position-within-MCU -> component id: (0, 1, 2) for
+    4:4:4, (0, 0, 0, 0, 1, 2) for 4:2:0 (four Y blocks then Cb, Cr).
     Fully vectorized: symbol arrays -> per-segment byte-aligned bit
     scatter -> packbits -> stuffing -> marker join."""
     B = coefs.shape[0]
+    mcu_len = len(cmap)
+    cmap_arr = np.asarray(cmap, np.int64)
     bi_all = np.arange(B, dtype=np.int64)
-    comp_all = bi_all % 3
-    mcu_all = bi_all // 3
+    comp_all = cmap_arr[bi_all % mcu_len]
+    mcu_all = bi_all // mcu_len
     seg_all = mcu_all // restart
     n_segs = int(seg_all[-1]) + 1 if B else 0
 
-    # ---- DC: differential within a restart interval, per component
-    dc = coefs[:, 0].reshape(n_mcus, 3).astype(np.int64)
-    diff = dc.copy()
-    diff[1:] -= dc[:-1]
-    first_in_seg = (np.arange(n_mcus) % restart) == 0
-    diff[first_in_seg] = dc[first_in_seg]
-    diff = diff.reshape(-1)
+    # ---- DC: differential per component in scan order, reset at each
+    # restart segment (T.81 F.1.1.5.1: ALL blocks of a component share
+    # one predictor chain — for 4:2:0 that chain runs through all four
+    # Y blocks of each MCU)
+    dc_all = coefs[:, 0].astype(np.int64)
+    diff = dc_all.copy()
+    for c in range(3):
+        ii = np.flatnonzero(comp_all == c)
+        d = dc_all[ii].copy()
+        d[1:] -= dc_all[ii[:-1]]
+        first = np.ones(len(ii), bool)
+        first[1:] = seg_all[ii[1:]] != seg_all[ii[:-1]]
+        d[first] = dc_all[ii[first]]
+        diff[ii] = d
     s_dc = _bit_length(diff)
     mag_dc = np.where(diff >= 0, diff, diff + (1 << np.maximum(s_dc, 1)) - 1)
     # symbol records: (block, seq, tsel, sym, s, mag)
@@ -253,7 +269,7 @@ def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
     mag_ac = np.where(v >= 0, v, v + (1 << s_ac) - 1)
     seq_val = (nz_c + 1) * 8 + 7
     recs.append((nz_b, seq_val,
-                 2 + (nz_b % 3 > 0).astype(np.int64),   # AC tables 2/3
+                 2 + (comp_all[nz_b] > 0).astype(np.int64),  # AC tables 2/3
                  (r << 4) | s_ac, s_ac, mag_ac))
     # ZRL fill symbols before their nonzero (z <= 3 for 63 coefs)
     has_z = np.flatnonzero(z > 0)
@@ -263,7 +279,7 @@ def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
         starts = np.concatenate(([0], np.cumsum(zz)[:-1]))
         local = np.arange(int(zz.sum()), dtype=np.int64) - np.repeat(starts, zz)
         recs.append((nz_b[src], (nz_c[src] + 1) * 8 + local,
-                     2 + (nz_b[src] % 3 > 0).astype(np.int64),
+                     2 + (comp_all[nz_b[src]] > 0).astype(np.int64),
                      np.full(len(src), 0xF0, np.int64),
                      np.zeros(len(src), np.int64),
                      np.zeros(len(src), np.int64)))
@@ -273,7 +289,7 @@ def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
     need_eob = np.flatnonzero(last_c < 62)
     if len(need_eob):
         recs.append((need_eob, np.full(len(need_eob), 64 * 8, np.int64),
-                     2 + (need_eob % 3 > 0).astype(np.int64),
+                     2 + (comp_all[need_eob] > 0).astype(np.int64),
                      np.zeros(len(need_eob), np.int64),
                      np.zeros(len(need_eob), np.int64),
                      np.zeros(len(need_eob), np.int64)))
@@ -331,27 +347,70 @@ def _entropy_encode(coefs: np.ndarray, n_mcus: int, restart: int) -> bytes:
     return b"".join(parts)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 97, restart: int = 1) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (see module doc)."""
+CMAP_444 = (0, 1, 2)
+CMAP_420 = (0, 0, 0, 0, 1, 2)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 97, restart: int = 1,
+                subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (see module doc).
+
+    ``subsampling``: "444" (1x1, the fixture default — bit-stable
+    output) or "420" (2x2 luma / 1x1 chroma, the layout of virtually
+    every camera/web JPEG: Cb/Cr are 2x2 box-averaged, the MCU is
+    16x16 px = 4 Y blocks + Cb + Cr)."""
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad dimensions {w}x{h}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got {subsampling}")
     ql, qc = scaled_quant_tables(quality)
-    H = (h + 7) // 8 * 8
-    W = (w + 7) // 8 * 8
-    padded = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded) - 128.0
-    n_mcus = (H // 8) * (W // 8)
-    zz = []
-    for ci in range(3):
-        blocks = _blocks(ycc[..., ci])
-        F = (_A @ blocks) @ _A.T          # two batched 8x8 matmuls
-        q = (ql if ci == 0 else qc).reshape(8, 8).astype(np.float64)
-        Fq = np.rint(F / q).astype(np.int64)
-        zz.append(Fq.reshape(-1, 64)[:, ZIGZAG])
-    coefs = np.stack(zz, axis=1).reshape(3 * n_mcus, 64)
-    entropy = _entropy_encode(coefs, n_mcus, restart)
+    if subsampling == "444":
+        H = (h + 7) // 8 * 8
+        W = (w + 7) // 8 * 8
+        padded = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+        ycc = _rgb_to_ycbcr(padded) - 128.0
+        n_mcus = (H // 8) * (W // 8)
+        zz = []
+        for ci in range(3):
+            blocks = _blocks(ycc[..., ci])
+            F = (_A @ blocks) @ _A.T      # two batched 8x8 matmuls
+            q = (ql if ci == 0 else qc).reshape(8, 8).astype(np.float64)
+            Fq = np.rint(F / q).astype(np.int64)
+            zz.append(Fq.reshape(-1, 64)[:, ZIGZAG])
+        coefs = np.stack(zz, axis=1).reshape(3 * n_mcus, 64)
+        cmap = CMAP_444
+        samp = (0x11, 0x11, 0x11)
+    else:
+        H = (h + 15) // 16 * 16
+        W = (w + 15) // 16 * 16
+        padded = np.pad(img, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+        ycc = _rgb_to_ycbcr(padded) - 128.0
+        nmy, nmx = H // 16, W // 16
+        n_mcus = nmy * nmx
+        Y = ycc[..., 0]
+        # 2x2 box-averaged chroma at half resolution
+        cbcr = [ycc[..., ci].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+                for ci in (1, 2)]
+        # MCU block order: Y(0,0) Y(0,1) Y(1,0) Y(1,1) Cb Cr —
+        # (my, mx, by, bx, py, px) from the (my, by, py, mx, bx, px)
+        # layout of the padded plane
+        Yb = (Y.reshape(nmy, 2, 8, nmx, 2, 8)
+              .transpose(0, 3, 1, 4, 2, 5).reshape(n_mcus, 4, 8, 8))
+        Cb = (cbcr[0].reshape(nmy, 8, nmx, 8)
+              .transpose(0, 2, 1, 3).reshape(n_mcus, 1, 8, 8))
+        Cr = (cbcr[1].reshape(nmy, 8, nmx, 8)
+              .transpose(0, 2, 1, 3).reshape(n_mcus, 1, 8, 8))
+        blocks = np.concatenate([Yb, Cb, Cr], axis=1).reshape(-1, 8, 8)
+        F = (_A @ blocks) @ _A.T
+        qsel = np.stack([ql, ql, ql, ql, qc, qc]).reshape(6, 8, 8)
+        Fq = np.rint(F.reshape(n_mcus, 6, 8, 8)
+                     / qsel.astype(np.float64)).astype(np.int64)
+        coefs = Fq.reshape(-1, 64)[:, ZIGZAG]
+        cmap = CMAP_420
+        samp = (0x22, 0x11, 0x11)
+    entropy = _entropy_encode(coefs, n_mcus, restart, cmap=cmap)
 
     def marker(tag: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
@@ -364,8 +423,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 97, restart: int = 1) -> bytes:
             marker(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8))),
             marker(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8))),
             marker(0xC0, struct.pack(">BHHB", 8, h, w, 3)
-                   + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
-                   + bytes([3, 0x11, 1])),
+                   + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
+                   + bytes([3, samp[2], 1])),
             marker(0xC4, dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)),
             marker(0xC4, dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)),
             marker(0xC4, dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)),
@@ -396,7 +455,7 @@ def _dec_lut(bits, vals) -> tuple[np.ndarray, np.ndarray]:
 
 class _Header:
     __slots__ = ("h", "w", "qsel", "dcsel", "acsel", "dri",
-                 "qtabs", "htabs", "segments")
+                 "qtabs", "htabs", "segments", "samp")
 
 
 def _parse_jpeg(data) -> _Header:
@@ -441,11 +500,14 @@ def _parse_jpeg(data) -> _Header:
                 raise ValueError("only 8-bit 3-component baseline")
             hd.h, hd.w = hh, ww
             hd.qsel = []
+            hd.samp = []
             for ci in range(3):
                 cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                hd.samp.append(samp)
                 hd.qsel.append(tq)
+            if hd.samp not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+                raise ValueError(
+                    "only 4:4:4 (1x1x3) and 4:2:0 (2x2 luma) sampling")
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{tag:02x} unsupported")
@@ -517,20 +579,27 @@ def decode_jpeg_batch(blobs: list) -> list:
                                 | ll.astype(np.int32))
         return lut_ix[spec]
 
-    # per-segment state construction
+    # per-segment state construction. Layouts: 0 = 4:4:4 (3 blocks per
+    # MCU, comp map [0,1,2]), 1 = 4:2:0 (6 blocks, [0,0,0,0,1,2])
+    CMAPF = np.array([0, 1, 2, 0, 0, 0, 0, 1, 2], np.int64)
+    LAYOUT = {(0x11, 0x11, 0x11): (3, 0), (0x22, 0x11, 0x11): (6, 3)}
     seg_img, seg_nblocks, seg_bytes_list = [], [], []
     seg_dc_lut = []   # (seg, 3) table stack index per component
     seg_ac_lut = []
+    seg_mculen, seg_cmapoff = [], []
     img_block_base: list = [None] * n
     img_nmcus: list = [0] * n
+    img_mculen: list = [3] * n
     total_blocks = 0
     failed = [h is None for h in heads]
     for i, hd in enumerate(heads):
         if hd is None:
             continue
         try:
-            nmx = (hd.w + 7) // 8
-            nmy = (hd.h + 7) // 8
+            ml, coff0 = LAYOUT[tuple(hd.samp)]
+            mcu_px = 8 if ml == 3 else 16
+            nmx = (hd.w + mcu_px - 1) // mcu_px
+            nmy = (hd.h + mcu_px - 1) // mcu_px
             nm = nmx * nmy
             R = hd.dri if hd.dri else nm
             need = -(-nm // R)
@@ -540,14 +609,17 @@ def decode_jpeg_batch(blobs: list) -> list:
             ac = [lut_of(hd.htabs[(1, hd.acsel[c])]) for c in range(3)]
             img_block_base[i] = total_blocks
             img_nmcus[i] = nm
+            img_mculen[i] = ml
             for si in range(need):
                 mcus = min(R, nm - si * R)
                 seg_img.append(i)
-                seg_nblocks.append(mcus * 3)
+                seg_nblocks.append(mcus * ml)
                 seg_bytes_list.append(hd.segments[si])
                 seg_dc_lut.append(dc)
                 seg_ac_lut.append(ac)
-                total_blocks += mcus * 3
+                seg_mculen.append(ml)
+                seg_cmapoff.append(coff0)
+                total_blocks += mcus * ml
         except Exception:
             failed[i] = True
             img_block_base[i] = None
@@ -591,6 +663,10 @@ def decode_jpeg_batch(blobs: list) -> list:
         uniform = bool((seltab == seltab[0]).all())
         selrow = seltab[0]
         Lflat = L_COMB.reshape(-1).copy()
+        mculen = np.array(seg_mculen, np.int64)
+        cmapoff = np.array(seg_cmapoff, np.int64)
+        all444 = bool((mculen == 3).all())
+        all420 = bool((mculen == 6).all())
 
         # full-width lockstep: every iteration runs vectorized over ALL
         # segments with masked writes — no per-iteration fancy-index
@@ -610,6 +686,7 @@ def decode_jpeg_batch(blobs: list) -> list:
                     bitpos[sub], limit[sub], blocks_done[sub], k[sub],
                     nblocks[sub], block_base[sub], seltab[sub],
                     seg_ids[sub])
+                mculen, cmapoff = mculen[sub], cmapoff[sub]
                 pred = pred[sub]
                 active = active[sub]
                 S = len(sub)
@@ -617,7 +694,12 @@ def decode_jpeg_batch(blobs: list) -> list:
                 continue
             r = bitpos & 7
             w48 = W48[bitpos >> 3]
-            comp = blocks_done % 3
+            if all444:
+                comp = blocks_done % 3
+            elif all420:
+                comp = CMAPF[3 + blocks_done % 6]
+            else:
+                comp = CMAPF[cmapoff + blocks_done % mculen]
             is_dc = k == 0
             tsel = comp + (k != 0) * 3
             tab = selrow[tsel] if uniform else seltab[ar, tsel]
@@ -682,9 +764,11 @@ def decode_jpeg_batch(blobs: list) -> list:
                     qix[key] = len(qstack)
                     qstack.append(hd.qtabs[hd.qsel[c]])
             base, nm = img_block_base[i], img_nmcus[i]
-            rows = base + np.arange(nm * 3)
-            for c in range(3):
-                qsel_rows[rows[c::3]] = qix[hd.qtabs[hd.qsel[c]].tobytes()]
+            ml = img_mculen[i]
+            cm = CMAPF[0:3] if ml == 3 else CMAPF[3:9]
+            pat = np.array([qix[hd.qtabs[hd.qsel[c]].tobytes()]
+                            for c in range(3)], np.int64)[cm]
+            qsel_rows[base:base + nm * ml] = np.tile(pat, nm)
         Q = np.stack(qstack) if qstack else np.ones((1, 64), np.int64)
         deq_zz = coefs.astype(np.float64) * Q[qsel_rows]
         raster = np.zeros_like(deq_zz)
@@ -696,14 +780,31 @@ def decode_jpeg_batch(blobs: list) -> list:
             if hd is None or failed[i] or img_block_base[i] is None:
                 continue
             base, nm = img_block_base[i], img_nmcus[i]
-            nmx = (hd.w + 7) // 8
-            nmy = (hd.h + 7) // 8
-            arr = pix[base:base + nm * 3].reshape(nm, 3, 8, 8)
-            planes = (arr.transpose(1, 0, 2, 3)
-                      .reshape(3, nmy, nmx, 8, 8)
-                      .transpose(0, 1, 3, 2, 4)
-                      .reshape(3, nmy * 8, nmx * 8))
-            ycc = planes.transpose(1, 2, 0)
+            if img_mculen[i] == 3:
+                nmx = (hd.w + 7) // 8
+                nmy = (hd.h + 7) // 8
+                arr = pix[base:base + nm * 3].reshape(nm, 3, 8, 8)
+                planes = (arr.transpose(1, 0, 2, 3)
+                          .reshape(3, nmy, nmx, 8, 8)
+                          .transpose(0, 1, 3, 2, 4)
+                          .reshape(3, nmy * 8, nmx * 8))
+                ycc = planes.transpose(1, 2, 0)
+            else:
+                # 4:2:0: per MCU [Y(0,0) Y(0,1) Y(1,0) Y(1,1) Cb Cr];
+                # chroma upsampled by pixel replication
+                nmx = (hd.w + 15) // 16
+                nmy = (hd.h + 15) // 16
+                arr = pix[base:base + nm * 6].reshape(nmy, nmx, 6, 8, 8)
+                Y = (arr[:, :, :4].reshape(nmy, nmx, 2, 2, 8, 8)
+                     .transpose(0, 2, 4, 1, 3, 5)
+                     .reshape(nmy * 16, nmx * 16))
+                cb = (arr[:, :, 4].transpose(0, 2, 1, 3)
+                      .reshape(nmy * 8, nmx * 8))
+                cr = (arr[:, :, 5].transpose(0, 2, 1, 3)
+                      .reshape(nmy * 8, nmx * 8))
+                cb2 = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+                cr2 = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+                ycc = np.stack([Y, cb2, cr2], axis=-1)
             out[i] = _ycbcr_to_rgb(ycc)[:hd.h, :hd.w]
     return out
 

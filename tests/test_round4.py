@@ -159,3 +159,74 @@ def test_ra_link_scores_id_width_validation(ray_session):
     bad_item = rd.from_items([{"o": 1, "p": 1 << 31}])
     with pytest.raises(Exception, match="item ids"):
         ra_link_scores(bad_item)
+
+
+def _smooth_image(h, w, seed):
+    """Natural-spectrum content: blockwise base + low noise (the kind
+    of signal chroma subsampling is designed for)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h // 8 + 2, w // 8 + 2, 3)).astype(np.float64)
+    big = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+    return np.clip(big + rng.normal(0, 3, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_420_roundtrip_and_markers():
+    """4:2:0 encode -> decode: correct shape, SOF sampling bytes
+    0x22/0x11, luma PSNR >= 44 dB (luma is untouched by chroma
+    subsampling), full-RGB PSNR >= 35 dB on natural-spectrum content,
+    across odd sizes and restart intervals (cross-MCU DC prediction
+    through all four Y blocks)."""
+    from osm2shp_ray.functions import jpeg
+
+    for (h, w) in [(16, 16), (32, 32), (17, 23), (48, 64), (100, 36)]:
+        img = _smooth_image(h, w, h * 100 + w)
+        for restart in (1, 3):
+            blob = jpeg.encode_jpeg(img, quality=97, restart=restart,
+                                    subsampling="420")
+            sof = blob.find(b"\xff\xc0")
+            assert sof > 0
+            comp = blob[sof + 4 + 6:sof + 4 + 15]
+            assert comp[1] == 0x22 and comp[4] == 0x11 and comp[7] == 0x11
+            dec = jpeg.decode_jpeg(blob)
+            assert dec.shape == img.shape
+            yi = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                  + 0.114 * img[..., 2]).astype(np.float64)
+            yd = (0.299 * dec[..., 0] + 0.587 * dec[..., 1]
+                  + 0.114 * dec[..., 2]).astype(np.float64)
+            luma_psnr = 10 * np.log10(255.0 ** 2 / np.mean((yi - yd) ** 2))
+            rgb_mse = np.mean((img.astype(np.float64)
+                               - dec.astype(np.float64)) ** 2)
+            assert luma_psnr >= 44.0
+            assert 10 * np.log10(255.0 ** 2 / rgb_mse) >= 35.0
+
+
+def test_jpeg_mixed_layout_batch():
+    """One decode_jpeg_batch call over interleaved 4:4:4 / 4:2:0 /
+    corrupt blobs: each image decodes exactly as its single-blob
+    decode; corrupt blobs fail in isolation."""
+    from osm2shp_ray.functions import jpeg
+
+    imgs = [_smooth_image(32, 32, i) for i in range(5)]
+    blobs = [jpeg.encode_jpeg(imgs[0]),
+             jpeg.encode_jpeg(imgs[1], subsampling="420"),
+             jpeg.encode_jpeg(imgs[2], restart=5, subsampling="420"),
+             jpeg.encode_jpeg(imgs[3])[:30],          # truncated
+             jpeg.encode_jpeg(imgs[4], subsampling="420", quality=60)]
+    res = jpeg.decode_jpeg_batch(blobs)
+    assert res[3] is None
+    for i in (0, 1, 2, 4):
+        assert np.array_equal(res[i], jpeg.decode_jpeg(blobs[i]))
+
+
+def test_jpeg_444_output_bit_stable_under_cmap_generalization():
+    """The 4:2:0 generalization must not move a single bit of 4:4:4
+    output: fixture blobs are content-hashed by the oracle gates. The
+    committed reference bytes pin the encoder."""
+    from osm2shp_ray.functions import jpeg
+    from osm2shp_ray.sources.fixtures import ground_truth_pixels
+
+    import hashlib
+    img = ground_truth_pixels(7, 32, 16)
+    blob = jpeg.encode_jpeg(img, quality=97)
+    assert hashlib.md5(blob).hexdigest() == \
+        "fef468fc88e8fd3b66cc8acd58ce2b6d"
