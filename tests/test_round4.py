@@ -230,3 +230,34 @@ def test_jpeg_444_output_bit_stable_under_cmap_generalization():
     blob = jpeg.encode_jpeg(img, quality=97)
     assert hashlib.md5(blob).hexdigest() == \
         "fef468fc88e8fd3b66cc8acd58ce2b6d"
+
+
+def test_decode_validate_mixed_subsampling(ray_session):
+    """The Ray decode stage handles a table whose jpeg rows mix 4:4:4
+    and 4:2:0 layouts (a foreign corpus shape): every row decodes,
+    shapes match, and mean luminance tracks the source."""
+    import ray
+    from osm2shp_ray.functions import codec, jpeg
+    from osm2shp_ray.stages import images as imgstage
+
+    n = 24
+    imgs = [_smooth_image(32, 32, 1000 + i) for i in range(n)]
+    rows = []
+    for i, im in enumerate(imgs):
+        if i % 3 == 0:
+            blob, fmt = codec.encode_png(im), "png"
+        elif i % 3 == 1:
+            blob, fmt = jpeg.encode_jpeg(im, quality=97), "jpeg"
+        else:
+            blob, fmt = jpeg.encode_jpeg(im, quality=97,
+                                         subsampling="420"), "jpeg"
+        rows.append({"image_id": f"x-{i}", "bytes": blob, "w": 32,
+                     "h": 32, "fmt": fmt, "caption": "c"})
+    ds = ray.data.from_items(rows)
+    out = imgstage.decode_validate(ds, check_ground_truth=False).to_pandas()
+    assert len(out) == n
+    assert out["decode_ok"].all()
+    src_lum = np.array([im.mean() for im in imgs])
+    got = out.sort_values("image_id",
+                          key=lambda s: s.str.split("-").str[1].astype(int))
+    assert np.allclose(got["mean_lum"].to_numpy(), src_lum, atol=1.5)
