@@ -104,6 +104,19 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     stride = 1 + w * 3
     rows = raw.reshape(h, stride)
+    # whole-image fast paths for uniform non-recursive filters (the
+    # common encoder choices — our own fixture writer emits filter 0):
+    # one vectorized op instead of a per-scanline Python loop
+    ftypes = rows[:, 0]
+    body = rows[:, 1:]
+    if not ftypes.any():                               # all None
+        return body.reshape(h, w, 3).copy()
+    if (ftypes == 2).all():                            # all Up
+        return ((np.cumsum(body, axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8).reshape(h, w, 3))
+    if (ftypes == 1).all():                            # all Sub
+        return ((np.cumsum(body.reshape(h, w, 3), axis=1, dtype=np.int64)
+                 & 0xFF).astype(np.uint8))
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for r in range(h):
