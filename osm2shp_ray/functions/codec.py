@@ -29,6 +29,12 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _QJPG_MAGIC = b"QJPG"
+# Decode revision: bump whenever a decoder change may alter OUTPUT
+# PIXELS (even by rint-boundary +-1), so decode-round-trip fixture
+# side tables (fixtures.cached_clip_meta_parquet) regenerate with the
+# decoder that the queries will run. rev 2 = round-4 float32 IDCT.
+DECODE_REV = 2
+
 _QSTEP = 6  # quantization step: RMSE ~= 6/sqrt(12) = 1.73 -> PSNR ~= 43.3 dB
 
 

@@ -432,8 +432,15 @@ def cached_clip_meta_parquet(n: int) -> str:
     blob — computed here by round-tripping the generator's own encode
     (PNG is lossless, the lossy stand-in is deterministic, so the
     engine's decode must reproduce these doubles bit-exactly; the
-    audio-meta contract)."""
-    path = os.path.join(FIXTURE_ROOT, f"clip_meta_n{n}.parquet")
+    audio-meta contract).
+
+    The filename carries codec.DECODE_REV: this is the ONE side table
+    derived from DECODED pixels rather than generator ground truth, so
+    a decoder rounding change (e.g. the round-4 float32 IDCT) must
+    regenerate it coherently — everything else in FIXTURE_ROOT stays
+    valid because the encoder (hence every blob) is unchanged."""
+    path = os.path.join(
+        FIXTURE_ROOT, f"clip_meta_d{codec.DECODE_REV}_n{n}.parquet")
     if os.path.exists(path):
         return path
     tbl = images_table(n)
