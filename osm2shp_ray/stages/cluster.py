@@ -47,7 +47,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min, Sum
 
 from .components import connected_components
 from .util import coalesced
@@ -57,6 +57,16 @@ _PACK = np.int64(1) << np.int64(32)  # cell key = (cx+1)*2^32 + (cy+1)
 
 def _ids(t: pa.Table, col: str) -> np.ndarray:
     return t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED id array via searchsorted —
+    the broadcast-semijoin probe (O(n log m), no hashing)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), bool)
+    idx = np.minimum(np.searchsorted(sorted_arr, vals),
+                     len(sorted_arr) - 1)
+    return sorted_arr[idx] == vals
 
 
 def _grid_pairs(points_ds, eps: int, id_col: str, x_col: str, y_col: str,
@@ -181,7 +191,7 @@ def _driver_min_label(a: np.ndarray, b: np.ndarray):
 def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
            x_col: str = "xi", y_col: str = "yi",
            n_buckets: int = 32, pair_block: int = 1 << 22,
-           uf_cap: int = 5_000_000):
+           uf_cap: int = 5_000_000, bcast_cap: int = 2_000_000):
     """DBSCAN(eps, min_pts) -> Dataset (id_col, label, role).
 
     ``label`` is the min core id of the cluster (int64), -1 for noise;
@@ -193,10 +203,16 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
     ids-only edge list folds on the driver via vectorized min-label
     propagation (equivalence-tested against the distributed path);
     above it, ``components.connected_components`` runs its bucketed
-    O(diameter)-round propagation. Every join around it is a
-    size-adaptive ``dim_join`` — core/label sides broadcast while
-    dimension-sized and automatically fall back to the bucketed
-    ``hash_join`` past the cap.
+    O(diameter)-round propagation.
+
+    Joins around it make the dim_join broadcast decision ONCE, on the
+    core-set size: at or below ``bcast_cap`` cores the sorted core-id
+    / label arrays ship via ray.put and the a-AND-b edge semijoin,
+    isolated-core detection and border-label lookup each run as one
+    streamed pass over the pair list (zero extra exchanges); past the
+    cap every step falls back to the bucketed ``dim_join``/
+    ``hash_join`` plan. Both groupbys (neighbor counts, per-point min
+    label) are pre-combined inside each block before their exchange.
     """
     if eps <= 0 or min_pts < 2:
         raise ValueError(f"dbscan: need eps > 0 and min_pts >= 2, "
@@ -207,28 +223,66 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
     pairs = _grid_pairs(points_ds, eps, id_col, x_col, y_col,
                         pair_block).materialize()
 
-    # core set: 1 + directed-neighbor count >= min_pts
-    cores = (pairs.groupby("a").aggregate(Count(alias_name="n"))
+    import ray
+    import ray.data as rd
+
+    # core set: 1 + directed-neighbor count >= min_pts. The count is
+    # PRE-COMBINED inside each pair block (a point's pairs concentrate
+    # in <= 5 cell groups, so partials are ~5 rows per point), so the
+    # exchange moves partial counts, never the 9x-bigger pair list.
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["a"]).group_by(["a"]).aggregate([("a", "count")])
+        return pa.table({"a": g["a"],
+                         "n": g["a_count"].cast(pa.int64())})
+
+    cores = (coalesced(pairs.map_batches(count_partial,
+                                         batch_format="pyarrow"))
+             .groupby("a").aggregate(Sum("n", alias_name="n"))
              .map_batches(lambda t: t.filter(
                  pa.compute.greater_equal(t["n"],
                                           pa.scalar(min_pts - 1)))
                  .select(["a"]), batch_format="pyarrow")
              .materialize())
 
-    # components over core-core edges; isolated cores self-label
+    # components over core-core edges; isolated cores self-label.
+    # Broadcast fast path (the dim_join decision, made once here for
+    # the whole tail): while the CORE SET is dimension-small, ship the
+    # sorted core-id array via ray.put and run the a-and-b semijoin as
+    # ONE streamed pass over the pair list; past the cap, fall back to
+    # the two bucketed semijoins.
     from .joins import dim_join
 
     sch_a = pa.schema([("a", pa.int64())])
     sch_b = pa.schema([("b", pa.int64())])
     sch_cid = pa.schema([("cid", pa.int64())])
     sch_lab = pa.schema([("cid", pa.int64()), ("label", pa.int64())])
-    core_edges = dim_join(
-        dim_join(pairs, cores, on="a", how="left_semi",
-                 n_buckets=n_buckets, right_schema=sch_a),
-        cores.map_batches(lambda t: t.rename_columns(["b"]),
-                          batch_format="pyarrow"),
-        on="b", how="left_semi", n_buckets=n_buckets,
-        right_schema=sch_b).materialize()
+    n_cores = cores.count()
+    bcast = n_cores <= bcast_cap
+    if bcast:
+        chunks = [b["a"].to_numpy(zero_copy_only=False)
+                  for b in cores.iter_batches(batch_format="pyarrow")]
+        core_arr = np.sort(np.concatenate(chunks).astype(np.int64)
+                           if chunks else np.empty(0, np.int64))
+        core_ref = ray.put(core_arr)
+
+        def edge_filter(t: pa.Table) -> pa.Table:
+            ca = ray.get(core_ref)
+            m = (_in_sorted(ca, _ids(t, "a"))
+                 & _in_sorted(ca, _ids(t, "b")))
+            return t.filter(pa.array(m))
+
+        core_edges = pairs.map_batches(
+            edge_filter, batch_format="pyarrow").materialize()
+    else:
+        core_edges = dim_join(
+            dim_join(pairs, cores, on="a", how="left_semi",
+                     n_buckets=n_buckets, right_schema=sch_a),
+            cores.map_batches(lambda t: t.rename_columns(["b"]),
+                              batch_format="pyarrow"),
+            on="b", how="left_semi", n_buckets=n_buckets,
+            right_schema=sch_b).materialize()
+
+    cid_arr = lab_arr = None     # sorted (cid -> label) driver arrays
     if core_edges.count() <= uf_cap:
         cols = {"a": [], "b": []}
         for batch in core_edges.iter_batches(batch_format="pyarrow"):
@@ -240,10 +294,21 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
                 np.concatenate(cols["b"]).astype(np.int64))
         else:
             nodes = roots = np.empty(0, np.int64)
-        import ray.data as rd
-        comp_l = rd.from_arrow(pa.table({
-            "cid": pa.array(nodes, pa.int64()),
-            "label": pa.array(roots, pa.int64())}))
+        if bcast:
+            # isolated cores computed ids-only on the driver: no
+            # left_anti exchange needed while cores are dim-small
+            lone = np.setdiff1d(core_arr, nodes)
+            cid_arr = np.concatenate([nodes, lone])
+            lab_arr = np.concatenate([roots, lone])
+            order = np.argsort(cid_arr, kind="stable")
+            cid_arr, lab_arr = cid_arr[order], lab_arr[order]
+            core_labels = rd.from_arrow(pa.table({
+                "cid": pa.array(cid_arr, pa.int64()),
+                "label": pa.array(lab_arr, pa.int64())}))
+        else:
+            comp_l = rd.from_arrow(pa.table({
+                "cid": pa.array(nodes, pa.int64()),
+                "label": pa.array(roots, pa.int64())}))
     else:
         comp = connected_components(core_edges, id_a="a", id_b="b",
                                     n_buckets=n_buckets)
@@ -251,28 +316,70 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
             lambda t: pa.table({"cid": t["id"].cast(pa.int64()),
                                 "label": t["root"].cast(pa.int64())}),
             batch_format="pyarrow")
-    lonely = dim_join(
-        cores.map_batches(lambda t: t.rename_columns(["cid"]),
-                          batch_format="pyarrow"),
-        comp_l.select_columns(["cid"]), on="cid", how="left_anti",
-        n_buckets=n_buckets, right_schema=sch_cid).map_batches(
-        lambda t: pa.table({"cid": t["cid"], "label": t["cid"]}),
-        batch_format="pyarrow")
-    core_labels = comp_l.union(lonely).materialize()
+    if cid_arr is None:
+        lonely = dim_join(
+            cores.map_batches(lambda t: t.rename_columns(["cid"]),
+                              batch_format="pyarrow"),
+            comp_l.select_columns(["cid"]), on="cid", how="left_anti",
+            n_buckets=n_buckets, right_schema=sch_cid).map_batches(
+            lambda t: pa.table({"cid": t["cid"], "label": t["cid"]}),
+            batch_format="pyarrow")
+        core_labels = comp_l.union(lonely).materialize()
+        if bcast:
+            # label table has exactly n_cores rows <= bcast_cap: the
+            # same bounded pull dim_join's broadcast side would make
+            lt = pa.concat_tables(list(core_labels.iter_batches(
+                batch_format="pyarrow")))
+            cid_arr = lt["cid"].to_numpy(zero_copy_only=False)
+            lab_arr = lt["label"].to_numpy(zero_copy_only=False)
+            order = np.argsort(cid_arr, kind="stable")
+            cid_arr = cid_arr[order].astype(np.int64)
+            lab_arr = lab_arr[order].astype(np.int64)
 
-    # point labels: min over core-neighbor labels, union cores' own
-    cand = dim_join(
-        pairs.map_batches(lambda t: pa.table({"p": t["a"],
-                                              "cid": t["b"]}),
-                          batch_format="pyarrow"),
-        core_labels, on="cid", n_buckets=n_buckets,
-        right_schema=sch_lab).map_batches(
-        lambda t: pa.table({"p": t["p"], "label": t["label"]}),
-        batch_format="pyarrow")
-    self_cand = core_labels.map_batches(
-        lambda t: pa.table({"p": t["cid"], "label": t["label"]}),
-        batch_format="pyarrow")
-    point_labels = (cand.union(self_cand).groupby("p")
+    # point labels: min over core-neighbor labels, union cores' own.
+    # Either path pre-combines the per-point min INSIDE each block
+    # before the groupby, so the exchange is ~5 rows per point.
+    if bcast:
+        lab_ref = ray.put((cid_arr, lab_arr))
+
+        def cand_min_partial(t: pa.Table) -> pa.Table:
+            cid, lab = ray.get(lab_ref)
+            p, b = _ids(t, "a"), _ids(t, "b")
+            m = _in_sorted(cid, b)
+            if not m.any():
+                return pa.table({"p": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            lb = lab[np.searchsorted(cid, b[m])]
+            up, inv = np.unique(p[m], return_inverse=True)
+            mn = np.full(len(up), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mn, inv, lb)
+            return pa.table({"p": pa.array(up, pa.int64()),
+                             "label": pa.array(mn, pa.int64())})
+
+        cand = pairs.map_batches(cand_min_partial,
+                                 batch_format="pyarrow")
+        self_cand = rd.from_arrow(pa.table({
+            "p": pa.array(cid_arr, pa.int64()),
+            "label": pa.array(lab_arr, pa.int64())}))
+    else:
+        def min_partial(t: pa.Table) -> pa.Table:
+            g = (t.select(["p", "label"]).group_by(["p"])
+                 .aggregate([("label", "min")]))
+            return pa.table({"p": g["p"], "label": g["label_min"]})
+
+        cand = dim_join(
+            pairs.map_batches(lambda t: pa.table({"p": t["a"],
+                                                  "cid": t["b"]}),
+                              batch_format="pyarrow"),
+            core_labels, on="cid", n_buckets=n_buckets,
+            right_schema=sch_lab).map_batches(
+            lambda t: pa.table({"p": t["p"], "label": t["label"]}),
+            batch_format="pyarrow").map_batches(
+            min_partial, batch_format="pyarrow")
+        self_cand = core_labels.map_batches(
+            lambda t: pa.table({"p": t["cid"], "label": t["label"]}),
+            batch_format="pyarrow")
+    point_labels = (coalesced(cand.union(self_cand)).groupby("p")
                     .aggregate(Min("label", alias_name="label")))
 
     # assemble roles over ALL points

@@ -76,9 +76,13 @@ def test_dbscan_matches_brute_force_fuzzed(ray_session, seed):
     ref = _brute_dbscan(ids, x, y, eps, mp)
     assert _run(ids, x, y, eps, mp) == ref
     # the capped driver min-label and the distributed component path
-    # must be byte-identical duals (uf_cap=0 forces the latter)
+    # must be byte-identical duals (uf_cap=0 forces the latter), and
+    # the broadcast tail (one-pass semijoin / border lookup) must
+    # equal the bucketed dim_join tail (bcast_cap=0 forces the latter)
     if seed == 0:
         assert _run(ids, x, y, eps, mp, uf_cap=0) == ref
+        assert _run(ids, x, y, eps, mp, bcast_cap=0) == ref
+        assert _run(ids, x, y, eps, mp, uf_cap=0, bcast_cap=0) == ref
 
 
 def test_dbscan_edge_cases(ray_session):
