@@ -168,15 +168,40 @@ def signature_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     return (sig_a == sig_b).mean(axis=-1)
 
 
-def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
-                    num_perm: int, bands: int, n: int = 5,
-                    shingle_mode: str = "char") -> pa.Table:
-    """docs -> (band_id, band_hash, doc id, signature) rows — the LSH
-    explode. signature rides along (num_perm * 8 bytes) so candidate
-    verification happens inside the band group without re-reading text."""
+def sig_rows_batch(batch: pa.Table, text_col: str, id_col: str,
+                   num_perm: int, n: int = 5,
+                   shingle_mode: str = "char") -> pa.Table:
+    """docs -> (id, sig list<int64>) — ONE minhash pass per doc; the
+    signature table is the shared input of the band explode and the
+    post-candidate similarity attach (it never rides the band
+    exchange bands-times over, the round-4 LSH restructure)."""
     sig = minhash_signatures(batch[text_col], num_perm=num_perm, n=n,
                              shingle_mode=shingle_mode)
     ndocs, _ = sig.shape
+    off = pa.array(np.arange(0, (ndocs + 1) * num_perm, num_perm,
+                             dtype=np.int32), pa.int32())
+    return pa.table({
+        id_col: batch[id_col],
+        "sig": pa.ListArray.from_arrays(
+            off, pa.array(sig.reshape(-1).astype(np.int64), pa.int64()))})
+
+
+def _sig_matrix(t: pa.Table, num_perm: int) -> np.ndarray:
+    """(rows, num_perm) uint64 view of a sig list column (int64 ->
+    uint64 astype is a bit-exact reinterpret for hash words)."""
+    col = t["sig"].combine_chunks() if isinstance(
+        t["sig"], pa.ChunkedArray) else t["sig"]
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.uint64).reshape(-1, num_perm)
+
+
+def band_rows_batch(batch: pa.Table, id_col: str,
+                    num_perm: int, bands: int) -> pa.Table:
+    """(id, sig) rows -> (id, band_id, band_hash) rows — the LSH
+    explode, ids-only: 24 bytes per band row cross the exchange, the
+    signatures stay behind in the materialized sig table."""
+    sig = _sig_matrix(batch, num_perm)
+    ndocs = sig.shape[0]
     r = num_perm // bands
     band_hash = np.empty((ndocs, bands), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -187,31 +212,38 @@ def band_rows_batch(batch: pa.Table, text_col: str, id_col: str,
                 acc = splitmix64(acc ^ chunk[:, j])
             band_hash[:, bi] = acc
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    out_ids = np.repeat(ids, bands)
-    out_band = np.tile(np.arange(bands, dtype=np.int64), ndocs)
-    out_hash = band_hash.reshape(-1).astype(np.int64)
-    sig_rep = np.repeat(sig.astype(np.int64), bands, axis=0)
-    off = pa.array(np.arange(0, (ndocs * bands + 1) * num_perm, num_perm,
-                             dtype=np.int32), pa.int32())
     return pa.table({
-        id_col: pa.array(out_ids),
-        "band_id": pa.array(out_band, pa.int64()),
-        "band_hash": pa.array(out_hash, pa.int64()),
-        "sig": pa.ListArray.from_arrays(off, pa.array(sig_rep.reshape(-1), pa.int64())),
-    })
+        id_col: pa.array(np.repeat(ids, bands)),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64),
+                                    ndocs), pa.int64()),
+        "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64),
+                              pa.int64())})
 
 
 def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16,
                         shingle_n: int = 5, threshold: float = 0.7,
                         max_bucket: int | None = 200,
-                        shingle_mode: str = "char"):
+                        shingle_mode: str = "char",
+                        sig_bcast_cap: int = 200_000):
     """Dataset of docs -> Dataset of verified near-dup pairs
     (id_a, id_b, sim) with sim = signature similarity >= threshold.
 
+    Scale shape (round-4 restructure): ONE minhash pass materializes
+    the (id, sig) table; the band explode and its (band_id, band_hash)
+    exchange carry 24-byte ids-only rows (signatures used to ride the
+    band exchange ``bands`` times over — 16x the bytes, through a
+    sort); candidate pairs are deduped ids-only; the signature
+    similarity is attached afterwards as a capped dual — at or below
+    ``sig_bcast_cap`` docs the sig matrix ships once via ray.put and
+    every pair batch probes it by searchsorted, above the cap two
+    bucketed ``hash_join`` attaches move each signature at most twice
+    (vs ``bands`` times before). Identical (id_a, id_b, sim) output:
+    sims are full-signature means either way.
+
     ``max_bucket`` bounds per-bucket pair enumeration: a bucket with
     m > max_bucket members switches from all-pairs (O(m^2) output) to
-    STAR-LINKING — every member is verified against the bucket's min-id
+    STAR-LINKING — every member is paired with the bucket's min-id
     member only (O(m) output). The star preserves connectivity for the
     common huge-bucket case (a near-duplicate CLUSTER, where every
     member is similar to every other, center included); it can miss
@@ -221,8 +253,9 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     contract (exact_jaccard_pairs does; its output is inherently
     quadratic in duplicate-cluster size). Star fallbacks are logged
     (print + 'lsh_star_buckets' metrics counter), never silent."""
+    import ray
 
-    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+    def cand_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m >= 64:
             # heavy LSH buckets are the skew signal; observing every
@@ -233,41 +266,97 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if m < 2:
             return arrow_table(pd.DataFrame({
                 "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "sim": pd.Series(dtype="float64")}))
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["sig"]])
+                "id_b": pd.Series(dtype="int64")}))
         ids = df[id_col].to_numpy()
         if max_bucket is not None and m > max_bucket:
             _log_star_bucket(m)
-            center = int(np.argmin(ids))
-            others = np.flatnonzero(np.arange(m) != center)
-            sims = (sig[others] == sig[center]).mean(axis=1)
-            keep = sims >= threshold
-            oa = ids[others[keep]]
+            center = ids.min()
+            oa = ids[ids != center]
             return arrow_table(pd.DataFrame({
-                "id_a": np.minimum(oa, ids[center]),
-                "id_b": np.maximum(oa, ids[center]),
-                "sim": sims[keep]}))
+                "id_a": np.minimum(oa, center),
+                "id_b": np.maximum(oa, center)}))
         ia, ib = np.triu_indices(m, k=1)
-        sims = (sig[ia] == sig[ib]).mean(axis=1)
-        keep = sims >= threshold
         return arrow_table(pd.DataFrame({
-            "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
-            "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
-            "sim": sims[keep]}))
+            "id_a": np.minimum(ids[ia], ids[ib]),
+            "id_b": np.maximum(ids[ia], ids[ib])}))
 
     # coalesce BEFORE the signature map: a single-file parquet read is
     # one block, which would serialize the (expensive) minhash compute
-    # on one core; ~1 block/core parallelizes it. The band rows inherit
-    # that block count, which is already right for the groupby.
-    bands_ds = coalesced(ds).map_batches(
-        lambda t: band_rows_batch(t, text_col, id_col, num_perm, bands,
-                                  shingle_n, shingle_mode),
+    # on one core; ~1 block/core parallelizes it.
+    sigs = coalesced(ds).map_batches(
+        lambda t: sig_rows_batch(t, text_col, id_col, num_perm,
+                                 shingle_n, shingle_mode),
+        batch_format="pyarrow").materialize()
+    bands_ds = sigs.map_batches(
+        lambda t: band_rows_batch(t, id_col, num_perm, bands),
         batch_format="pyarrow")
-    pairs = (bands_ds.groupby(["band_id", "band_hash"])
-             .map_groups(pairs_in_group, batch_format="pandas"))
-    # same pair can surface from several bands -> dedup
-    return _dedup_pairs(pairs)
+    cand = (bands_ds.groupby(["band_id", "band_hash"])
+            .map_groups(cand_in_group, batch_format="pandas"))
+
+    n_docs = sigs.count()
+    if n_docs <= sig_bcast_cap:
+        chunks = list(sigs.iter_batches(batch_format="pyarrow"))
+        if chunks:
+            tt = pa.concat_tables(chunks)
+            # ids may be ints OR strings: keep the native numpy dtype
+            # (object arrays sort/searchsort via Python comparisons)
+            all_ids = tt[id_col].to_numpy(zero_copy_only=False)
+            mat = _sig_matrix(tt, num_perm)
+            order = np.argsort(all_ids, kind="stable")
+            sig_ref = ray.put((all_ids[order],
+                               np.ascontiguousarray(mat[order])))
+        else:
+            sig_ref = ray.put((np.empty(0, np.int64),
+                               np.empty((0, num_perm), np.uint64)))
+
+        def attach_sim(t: pa.Table) -> pa.Table:
+            ids_sorted, m_ = ray.get(sig_ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            sims = ((m_[np.searchsorted(ids_sorted, a)]
+                     == m_[np.searchsorted(ids_sorted, b)]).mean(axis=1)
+                    if len(a) else np.empty(0, np.float64))
+            keep = sims >= threshold
+            return (t.filter(pa.array(keep))
+                    .append_column("sim",
+                                   pa.array(sims[keep], pa.float64())))
+
+        # sim-filter FIRST (a stateless broadcast map), so the
+        # multi-band dedup exchange sees only surviving pairs —
+        # pair sims are band-independent, so filter/dedup commute
+        return _dedup_pairs(cand.map_batches(attach_sim,
+                                             batch_format="pyarrow"))
+
+    # distributed attach: dedup FIRST (ids only), then each signature
+    # crosses at most two bucketed exchanges, independent of the band
+    # count
+    cand = _dedup_pairs(cand)
+    from .joins import hash_join
+
+    def ren(suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"id_{suffix}", f"sig_{suffix}"])
+        return f
+
+    both = hash_join(
+        hash_join(cand, sigs.map_batches(ren("a"),
+                                         batch_format="pyarrow"),
+                  on="id_a"),
+        sigs.map_batches(ren("b"), batch_format="pyarrow"), on="id_b")
+
+    def sim_filter(t: pa.Table) -> pa.Table:
+        ma = _sig_matrix(t.select(["sig_a"]).rename_columns(["sig"]),
+                         num_perm)
+        mb = _sig_matrix(t.select(["sig_b"]).rename_columns(["sig"]),
+                         num_perm)
+        sims = (ma == mb).mean(axis=1) if len(ma) else \
+            np.empty(0, np.float64)
+        keep = sims >= threshold
+        kt = t.filter(pa.array(keep))
+        return pa.table({"id_a": kt["id_a"], "id_b": kt["id_b"],
+                         "sim": pa.array(sims[keep], pa.float64())})
+
+    return both.map_batches(sim_filter, batch_format="pyarrow")
 
 
 def shingle_sets_batch(batch: pa.Table, text_col: str = "text",

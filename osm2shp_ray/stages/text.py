@@ -730,36 +730,41 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cnt = bigram_counts(ds, text_col)
 
-    def add_w1(t: pa.Table) -> pa.Table:
-        w1 = pl.from_arrow(t["big"].combine_chunks()
-                           if isinstance(t["big"], pa.ChunkedArray)
-                           else t["big"]).str.split(" ").list.first()
-        return t.append_column("w1", w1.to_arrow().cast(pa.string()))
-
-    with_w1 = cnt.map_batches(add_w1, batch_format="pyarrow")
-    c1 = (with_w1.map_batches(
-        lambda t: t.select(["w1", "c"]).rename_columns(["w1", "c1"]),
-        batch_format="pyarrow")
-        .groupby("w1").aggregate(Sum("c1", alias_name="c1")))
-
-    def add_lp(t: pa.Table) -> pa.Table:
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lp = np.floor(scale * np.log(c / s)).astype(np.int64)
-        return pa.table({"big": t["big"], "lp": pa.array(lp, pa.int64())})
-
-    model = hash_join(with_w1, c1, on="w1").map_batches(
-        add_lp, batch_format="pyarrow")
-
-    def doc_bigrams(t: pa.Table) -> pa.Table:
-        idc = (t[id_col].combine_chunks()
-               if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
-        long = _bigram_rows(t[text_col])
-        return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
-                         "big": long["big"].to_arrow().cast(pa.string())})
-
     if distributed:
         from ray.data.aggregate import Count
+
+        # no-broadcast dual: the model itself is built distributed
+        # (vocab-sized groupby + join), then probed via hash_join
+        def add_w1(t: pa.Table) -> pa.Table:
+            w1 = pl.from_arrow(t["big"].combine_chunks()
+                               if isinstance(t["big"], pa.ChunkedArray)
+                               else t["big"]).str.split(" ").list.first()
+            return t.append_column("w1", w1.to_arrow().cast(pa.string()))
+
+        with_w1 = cnt.map_batches(add_w1, batch_format="pyarrow")
+        c1 = (with_w1.map_batches(
+            lambda t: t.select(["w1", "c"]).rename_columns(["w1", "c1"]),
+            batch_format="pyarrow")
+            .groupby("w1").aggregate(Sum("c1", alias_name="c1")))
+
+        def add_lp(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lp = np.floor(scale * np.log(c / s)).astype(np.int64)
+            return pa.table({"big": t["big"],
+                             "lp": pa.array(lp, pa.int64())})
+
+        model = hash_join(with_w1, c1, on="w1").map_batches(
+            add_lp, batch_format="pyarrow")
+
+        def doc_bigrams(t: pa.Table) -> pa.Table:
+            idc = (t[id_col].combine_chunks()
+                   if isinstance(t[id_col], pa.ChunkedArray)
+                   else t[id_col])
+            long = _bigram_rows(t[text_col])
+            return pa.table({
+                id_col: idc.take(pa.array(long["i"].to_numpy())),
+                "big": long["big"].to_arrow().cast(pa.string())})
 
         joined = hash_join(ds.map_batches(doc_bigrams,
                                           batch_format="pyarrow"),
@@ -769,12 +774,25 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                           Sum("lp", alias_name="lp_sum")))
         return out
 
-    rows = model.take_all()  # bigram vocab only — bounded by contract
+    # broadcast path: the model gets take_all'd for the probe anyway
+    # (bigram vocab — bounded by contract), so finalize it ON THE
+    # DRIVER in one vectorized pass: the c1 groupby and the model
+    # hash_join were two extra exchanges spent producing a table we
+    # were about to collect. Same integers (int64 sums), same doubles
+    # (c/s division), so byte-identical to the distributed dual.
+    rows = cnt.take_all()  # bigram vocab only — bounded by contract
     bigs = np.array([r["big"] for r in rows], dtype=object)
-    lps = np.array([r["lp"] for r in rows], dtype=np.int64)
+    cs = np.array([r["c"] for r in rows], dtype=np.int64)
     order = np.argsort(bigs)
-    scored = _bigram_value_scan(ds, text_col, id_col, bigs[order],
-                                lps[order])
+    bigs, cs = bigs[order], cs[order]
+    w1 = np.array([s.split(" ", 1)[0] for s in bigs], dtype=object)
+    uw, inv = np.unique(w1, return_inverse=True)
+    c1s = np.zeros(len(uw), np.int64)
+    np.add.at(c1s, inv, cs)
+    lps = np.floor(scale * np.log(cs.astype(np.float64)
+                                  / c1s[inv].astype(np.float64))
+                   ).astype(np.int64)
+    scored = _bigram_value_scan(ds, text_col, id_col, bigs, lps)
     return scored
 
 
