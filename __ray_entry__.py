@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
         "q_image_sharpness": q.q_image_sharpness,
+        # round 4: header-only metadata scan (no decode) — the cheap
+        # filter-before-decode pass of a 100-TB image pipeline
+        "q_image_meta_scan": q.q_image_meta_scan,
         "q_thumbnails": q.q_thumbnails,
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
@@ -190,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_orders_events_daily": q.q_orders_events_daily,
         "q_running_total": q.q_running_total,
+        # round 4: event-time watermark accounting (distributed
+        # prefix-MAX scan over arrival order)
+        "q_watermark_late": q.q_watermark_late,
         "q_rollup_docs": q.q_rollup_docs,
         "q_ntile_events": q.q_ntile_events,
         "q_pagerank": q.q_pagerank,
@@ -1961,6 +1967,17 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
             FROM read_parquet('{image_stats_pq}')
             WHERE fmt = 'png'""",
+        # header-only metadata scan: the query reads ONLY
+        # (image_id, bytes), so fmt/w/h/detail are re-derived from
+        # PNG IHDR / JFIF SOF0 bytes and must equal the generator's
+        # own columns (engine-independent ground truth); detail =
+        # 'rgb8' for the 8-bit RGB PNGs, '444' for the 4:4:4 JPEGs
+        "q_image_meta_scan": f"""
+            SELECT image_id, fmt,
+                   CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                   CASE fmt WHEN 'png' THEN 'rgb8' ELSE '444' END
+                     AS detail
+            FROM read_parquet('{images2k_dir}/*.parquet')""",
         # sharpness: decode -> integer Laplacian stencil must
         # reproduce the generator-side focus-measure ground truth
         "q_image_sharpness": f"""
@@ -2082,6 +2099,28 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(COALESCE(o.tp, 0.0), 4) AS total_price,
                    COALESCE(e.n_events, 0) AS n_events
             FROM o FULL OUTER JOIN e ON o.day = e.day""",
+        # event-time watermark accounting: arrival order = event_id,
+        # hwm = running max event time over previously-arrived rows;
+        # late iff ts < hwm - 1h (epoch-us integer arithmetic on both
+        # engines, so the distributed prefix-MAX scan is bit-exact)
+        "q_watermark_late": """
+            WITH w AS (
+                SELECT event_type, epoch_us(ts) AS tu,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS hwm
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) FILTER (
+                       WHERE hwm IS NOT NULL
+                         AND tu < hwm - 3600000000) AS BIGINT) AS n_late,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(COALESCE(max(CASE
+                       WHEN hwm IS NOT NULL AND tu < hwm - 3600000000
+                       THEN hwm - 3600000000 - tu END), 0) AS BIGINT)
+                     AS max_late_us
+            FROM w GROUP BY event_type""",
         # global prefix scan: integer-quantized so the distributed
         # two-phase sum equals the sequential window sum exactly
         "q_running_total": """

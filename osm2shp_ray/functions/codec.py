@@ -85,6 +85,56 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def png_dimensions(data) -> tuple[int, int, int, int]:
+    """(w, h, bit_depth, color_type) from the IHDR chunk only — the
+    PNG header-scan twin of jpeg.jpeg_dimensions (IHDR is mandated to
+    be the first chunk, so this reads exactly 33 bytes)."""
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG")
+    if bytes(data[12:16]) != b"IHDR":
+        raise ValueError("IHDR not first")
+    w, h, depth, ctype = struct.unpack(">IIBB", bytes(data[16:26]))
+    return int(w), int(h), int(depth), int(ctype)
+
+
+def image_meta_batch(blobs: list) -> dict:
+    """Header-only metadata for a batch of image blobs: format sniffed
+    from magic bytes, dimensions from the container header — NO pixel
+    decode, no decompression. Returns dict of numpy/object arrays
+    (fmt, w, h, detail) with fmt='' and w=h=-1 on parse failure
+    (failures are data, the DecodeValidate contract). ``detail`` is
+    the format-specific layout tag: chroma subsampling for JPEG,
+    'rgb8'-style depth/type for PNG."""
+    from . import jpeg as _jpeg
+
+    n = len(blobs)
+    fmts = np.empty(n, object)
+    ws = np.full(n, -1, np.int64)
+    hs = np.full(n, -1, np.int64)
+    det = np.empty(n, object)
+    for i, b in enumerate(blobs):
+        try:
+            head = bytes(b[:8])
+            if head == _PNG_SIG:
+                w, h, depth, ctype = png_dimensions(b)
+                fmts[i], ws[i], hs[i] = "png", w, h
+                kind = {0: "gray", 2: "rgb", 3: "pal", 4: "graya",
+                        6: "rgba"}.get(ctype, f"ct{ctype}")
+                det[i] = f"{kind}{depth}"
+            elif head[:2] == b"\xff\xd8":
+                w, h, sub = _jpeg.jpeg_dimensions(b)
+                fmts[i], ws[i], hs[i], det[i] = "jpeg", w, h, sub
+            elif head[:4] == _QJPG_MAGIC:
+                w, h, step = struct.unpack(">IIB", bytes(b[4:13]))
+                fmts[i], ws[i], hs[i] = "qjpg", w, h
+                det[i] = f"q{step}"
+            else:
+                fmts[i], det[i] = "", ""
+        except Exception:
+            fmts[i], det[i] = "", ""
+    return {"fmt": fmts, "w": ws, "h": hs, "detail": det}
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8. Supports 8-bit RGB, filters 0-4."""
     if data[:8] != _PNG_SIG:

@@ -861,6 +861,38 @@ def decode_jpeg_batch(blobs: list) -> list:
     return out
 
 
+def jpeg_dimensions(data) -> tuple[int, int, str]:
+    """(w, h, subsampling) from the JFIF HEADER ONLY — no entropy
+    decode, no segment split: the marker scan stops at SOF0. The
+    metadata pass of a 100-TB image table reads a few hundred bytes
+    per blob where a decode reads (and transforms) them all."""
+    buf = bytes(data[:4096])  # SOF precedes scan data; headers are small
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        tag = buf[pos + 1]
+        (ln,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if tag == 0xC0:                                   # SOF0 baseline
+            payload = buf[pos + 4:pos + 2 + ln]
+            prec, hh, ww, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline")
+            samp = [payload[6 + 3 * ci + 1] for ci in range(3)]
+            sub = {(0x11, 0x11, 0x11): "444",
+                   (0x22, 0x11, 0x11): "420"}.get(tuple(samp), "other")
+            return int(ww), int(hh), sub
+        if tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0x{tag:02x} unsupported")
+        if tag == 0xDA:
+            break
+        pos += 2 + ln
+    raise ValueError("no SOF0 before scan start")
+
+
 def decode_jpeg(data) -> np.ndarray:
     """Single-blob convenience wrapper; raises on failure."""
     res = decode_jpeg_batch([data])[0]

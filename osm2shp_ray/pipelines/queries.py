@@ -2028,6 +2028,22 @@ def q_orders_events_daily(sf_dir: str):
     return _round_cols(out, ["total_price"])
 
 
+WM_LATE_US = 3_600_000_000  # watermark lag: 1 hour in microseconds
+
+
+def q_watermark_late(sf_dir: str):
+    """Event-time watermark accounting
+    (stages/temporal.py::watermark_late): arrival order = event_id;
+    a row is late iff its ts trails the running max event time of all
+    previously-arrived rows by more than WM_LATE_US. Distributed
+    prefix-MAX scan; per-type late counts and worst lateness."""
+    from ..stages import temporal
+    return (temporal.watermark_late(
+                _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+                late_us=WM_LATE_US)
+            .to_pandas())
+
+
 def q_running_total(sf_dir: str):
     """Global ordered cumulative sum over the event stream
     (stages/temporal.py::running_total — the distributed prefix
@@ -3429,6 +3445,22 @@ def q_image_stats(sf_dir: str):
     out = channel_stats(images.filter(expr="fmt == 'png'"),
                         batch_size=512)
     return out.drop_columns(["fmt"]).to_pandas()
+
+
+def q_image_meta_scan(sf_dir: str):
+    """Header-only image metadata scan
+    (stages/images.py::meta_scan): format sniffed from magic bytes,
+    dimensions/layout parsed from PNG IHDR / JFIF SOF0 — no pixel
+    decode. The query reads ONLY (image_id, bytes), so every emitted
+    value is re-derived from the blob and hash-gated against the
+    generator's own w/h/fmt columns (engine-independent ground
+    truth)."""
+    from ..sources.fixtures import cached_images_parquet
+    from ..stages.images import meta_scan
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes"])
+    return meta_scan(images).to_pandas()
 
 
 def q_image_sharpness(sf_dir: str):

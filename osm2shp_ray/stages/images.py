@@ -86,6 +86,33 @@ class DecodeValidate:
                 .append_column("mean_lum", pa.array(mean_lum, pa.float64())))
 
 
+def meta_scan_batch(batch: pa.Table) -> pa.Table:
+    """Header-only metadata scan over the image table: format sniffed
+    from magic bytes, dimensions/layout parsed from the container
+    header (PNG IHDR / JFIF SOF0 / QJPG) — NO pixel decode, no
+    inflate. This is the cheap first pass of a 100-TB image pipeline:
+    filter by dimensions/format/subsampling BEFORE paying a decode,
+    reading a few hundred bytes per blob instead of all of them.
+    Parse failures surface as fmt='' rows (failures are data, the
+    DecodeValidate contract; the reference instead aborts,
+    /root/reference/osm2shp.cc:20-23)."""
+    blobs = _binary_views(batch["bytes"])
+    meta = codec.image_meta_batch(blobs)
+    out = batch.drop_columns(["bytes"])
+    return (out.append_column("fmt", pa.array(meta["fmt"], pa.string()))
+            .append_column("w", pa.array(meta["w"], pa.int64()))
+            .append_column("h", pa.array(meta["h"], pa.int64()))
+            .append_column("detail", pa.array(meta["detail"],
+                                              pa.string())))
+
+
+def meta_scan(ds, batch_size: int = 2048):
+    """Dataset wrapper of meta_scan_batch (stateless elastic tasks —
+    header parsing needs no per-actor setup)."""
+    return ds.map_batches(meta_scan_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 class ImageFeatures:
     """bytes -> compact feature vector: 4x4 box-resized RGB thumbnail
     (48 dims, [0,1]) — the decode/resize/feature-extract actor stage

@@ -480,6 +480,97 @@ def running_total(ds, ts_col: str = "ts", value_col: str = "value",
     return prepped.groupby("__bin").map_groups(scan, batch_format="pandas")
 
 
+def watermark_late(ds, ts_col: str = "ts", order_col: str = "event_id",
+                   type_col: str = "event_type",
+                   late_us: int = 3_600_000_000, bin_sz: int = 65_536):
+    """Event-time watermark accounting over an out-of-order stream —
+    the streaming-ingest health metric: with arrival order defined by
+    ``order_col`` (a monotone ingest sequence), the high-water mark
+    before a row is max(event time) over all PREVIOUSLY ARRIVED rows,
+    and a row is LATE iff its ts < hwm - late_us — it would have
+    missed a watermark that trails the stream head by ``late_us``.
+
+    Distributed prefix-MAX scan (the running_total two-phase shape —
+    max is associative, so the scan distributes exactly like sum):
+    1. rows bin by ``order_col // bin_sz``; per-bin max-ts partials
+       (per-batch combiner) feed ONE small (bin, max) exchange;
+    2. the driver computes the exclusive prefix max over the bounded
+       bin list (#bins = id range / bin_sz, data-volume-free) and
+       broadcasts it;
+    3. one groupby(bin) kernel sorts its bin by ``order_col``, runs
+       the in-bin exclusive running max seeded with the bin's offset,
+       flags late rows, and emits per-type PARTIAL aggregates; a tiny
+       final groupby sums them.
+
+    Partitioning contract: one bin's rows fit one worker (size
+    ``bin_sz`` accordingly).
+
+    Output: (type_col, n_late, n_events, max_late_us) int64 — per
+    event type, how many rows arrived later than the watermark and
+    the worst lateness observed (0 when none).
+    """
+    import ray
+    from ray.data.aggregate import Max as AMax, Sum
+
+    NEG = np.int64(-(1 << 62))  # "no prior row" sentinel; NEG-late_us
+    #                             cannot underflow and beats no epoch
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        oid = (t[order_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return pa.table({
+            "__o": pa.array(oid, pa.int64()),
+            "__tu": pa.array(ts, pa.int64()),
+            "__bin": pa.array(oid // bin_sz, pa.int64()),
+            type_col: t[type_col]})
+
+    prepped = coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+    prepped = prepped.materialize()  # consumed by both phases
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("__bin").aggregate([("__tu", "max")])
+        return g.rename_columns(["__bin", "part"])
+
+    bin_rows = (prepped.map_batches(partial, batch_format="pyarrow")
+                .groupby("__bin").aggregate(AMax("part",
+                                                 alias_name="mx"))
+                .take_all())
+    bins = sorted(r["__bin"] for r in bin_rows)
+    mxs = {r["__bin"]: int(r["mx"]) for r in bin_rows}
+    offsets, acc = {}, int(NEG)
+    for b_ in bins:
+        offsets[b_] = acc
+        acc = max(acc, mxs[b_])
+    off_ref = ray.put(offsets)
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        off = ray.get(off_ref)
+        df = df.sort_values("__o", kind="mergesort")
+        tu = df["__tu"].to_numpy()
+        # exclusive running max, seeded with the bin's prefix offset
+        hwm = np.maximum.accumulate(
+            np.concatenate(([off[int(df["__bin"].iloc[0])]], tu[:-1])))
+        late = tu < hwm - late_us
+        lateness = np.where(late, hwm - late_us - tu, 0)
+        part = (pd.DataFrame({type_col: df[type_col].to_numpy(),
+                              "n_late": late.astype(np.int64),
+                              "n_events": np.ones(len(tu), np.int64),
+                              "max_late_us": lateness.astype(np.int64)})
+                .groupby(type_col, as_index=False)
+                .agg({"n_late": "sum", "n_events": "sum",
+                      "max_late_us": "max"}))
+        return arrow_table(part)
+
+    parts = prepped.groupby("__bin").map_groups(scan,
+                                                batch_format="pandas")
+    return (parts.groupby(type_col)
+            .aggregate(Sum("n_late", alias_name="n_late"),
+                       Sum("n_events", alias_name="n_events"),
+                       AMax("max_late_us", alias_name="max_late_us")))
+
+
 def ntile(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
           tiebreak_col: str = "event_id", n_buckets: int | None = None):
     """Per-key ``NTILE(k)`` — rows of one key ordered by (ts, tiebreak)

@@ -584,6 +584,10 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     if distributed:
         from .joins import hash_join
 
+        # pin the counts: total, and the join side below, both trace
+        # to this lineage — unmaterialized, Ray re-runs the full
+        # corpus count reduce once PER consumer
+        vocab = vocab.materialize()
         total = vocab.sum("c")  # tiny driver scalar
 
         def add_lp(t: pa.Table) -> pa.Table:
@@ -595,8 +599,12 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                                           batch_format="pyarrow"),
                            vocab.map_batches(add_lp, batch_format="pyarrow"),
                            on="tok")
-        return (joined.groupby(id_col)
-                .aggregate(Count(alias_name="n_tok"),
+        # pre-combine per batch: the exchange moves one row per doc
+        # per block, never the full (doc, token) join output
+        return (joined.map_batches(_doc_lp_partial(id_col, "n_tok"),
+                                   batch_format="pyarrow")
+                .groupby(id_col)
+                .aggregate(Sum("n_tok", alias_name="n_tok"),
                            Sum("lp", alias_name="lp_sum")))
 
     rows = vocab.take_all()  # reduced vocab only — bounded by contract
@@ -608,6 +616,20 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     qlp = (np.floor(scale * np.log(cs / total)).astype(np.int64)
            if len(cs) else np.empty(0, np.int64))
     return _token_value_scan(ds, text_col, id_col, toks, qlp, "lp_sum")
+
+
+def _doc_lp_partial(id_col: str, n_col: str):
+    """Per-batch combiner for the distributed LM-score tails: group a
+    (id, ..., lp) join-output batch by doc id, emitting (id, n, lp)
+    partial count/sum rows — integer sums, so Sum-of-partials equals
+    the ungrouped Count/Sum exactly."""
+    def f(t: pa.Table) -> pa.Table:
+        g = (t.select([id_col, "lp"]).group_by([id_col])
+             .aggregate([("lp", "sum"), ("lp", "count")]))
+        return pa.table({id_col: g[id_col],
+                         n_col: g["lp_count"].cast(pa.int64()),
+                         "lp": g["lp_sum"]})
+    return f
 
 
 def _token_value_scan(ds, text_col: str, id_col: str,
@@ -733,6 +755,12 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     if distributed:
         from ray.data.aggregate import Count
 
+        # pin the bigram counts: with_w1 and c1 are BOTH sides of the
+        # model join and both trace to cnt — unmaterialized, the full
+        # corpus bigram reduce runs once per consumer (measured: the
+        # whole 12s query was ~2x this stage plus chain latency)
+        cnt = cnt.materialize()
+
         # no-broadcast dual: the model itself is built distributed
         # (vocab-sized groupby + join), then probed via hash_join
         def add_w1(t: pa.Table) -> pa.Table:
@@ -769,8 +797,11 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
         joined = hash_join(ds.map_batches(doc_bigrams,
                                           batch_format="pyarrow"),
                            model, on="big")
-        out = (joined.groupby(id_col)
-               .aggregate(Count(alias_name="n_big"),
+        # pre-combine per batch (the lm_score distributed-tail shape)
+        out = (joined.map_batches(_doc_lp_partial(id_col, "n_big"),
+                                  batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Sum("n_big", alias_name="n_big"),
                           Sum("lp", alias_name="lp_sum")))
         return out
 

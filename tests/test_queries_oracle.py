@@ -148,6 +148,10 @@ SQL_CHECKED = [
     # SQL oracle (planted recall-1.0 corpus), and the no-broadcast
     # bigram-LM dual under its own gate
     "q_embed_near_dup_lsh", "q_bigram_lm_distributed",
+    # round 4: header-only image metadata scan (fmt/w/h/detail
+    # re-derived from container headers, no decode) and event-time
+    # watermark accounting (distributed prefix-MAX over arrival order)
+    "q_image_meta_scan", "q_watermark_late",
 ]
 
 

@@ -261,3 +261,60 @@ def test_decode_validate_mixed_subsampling(ray_session):
     got = out.sort_values("image_id",
                           key=lambda s: s.str.split("-").str[1].astype(int))
     assert np.allclose(got["mean_lum"].to_numpy(), src_lum, atol=1.5)
+
+
+def test_image_meta_scan_headers_and_failures(ray_session):
+    """Header-only meta scan: dims/format/detail parsed from container
+    bytes without decode; corrupt blobs surface as fmt='' rows."""
+    import ray
+    from osm2shp_ray.functions import codec, jpeg
+    from osm2shp_ray.stages import images as imgstage
+
+    rows = [
+        {"image_id": "p0", "bytes": codec.encode_png(_smooth_image(24, 17, 5))},
+        {"image_id": "j4", "bytes": jpeg.encode_jpeg(_smooth_image(16, 33, 6), quality=90)},
+        {"image_id": "j2", "bytes": jpeg.encode_jpeg(_smooth_image(32, 32, 7), subsampling="420")},
+        {"image_id": "qq", "bytes": codec.encode_qjpg(_smooth_image(9, 11, 8))},
+        {"image_id": "xx", "bytes": b"\x00\x01garbage"},
+        {"image_id": "tr", "bytes": b"\xff\xd8\xff\xe0"},  # truncated JPEG
+    ]
+    out = (imgstage.meta_scan(ray.data.from_items(rows))
+           .to_pandas().set_index("image_id"))
+    # _smooth_image(h, w, seed) -> header must report (w, h)
+    assert tuple(out.loc["p0", ["fmt", "w", "h", "detail"]]) == ("png", 17, 24, "rgb8")
+    assert tuple(out.loc["j4", ["fmt", "w", "h", "detail"]]) == ("jpeg", 33, 16, "444")
+    assert tuple(out.loc["j2", ["fmt", "w", "h", "detail"]]) == ("jpeg", 32, 32, "420")
+    assert tuple(out.loc["qq", ["fmt", "w", "h"]]) == ("qjpg", 11, 9)
+    assert tuple(out.loc["xx", ["fmt", "w", "h"]]) == ("", -1, -1)
+    assert tuple(out.loc["tr", ["fmt", "w", "h"]]) == ("", -1, -1)
+
+
+def test_watermark_late_planted_stream(ray_session):
+    """Planted out-of-order stream: rows 'arrive' in event_id order;
+    exactly the rows whose ts trails the running max by > late_us are
+    late, across bin boundaries (bin_sz=4 forces multi-bin scans)."""
+    import pandas as pd
+    import ray
+    from osm2shp_ray.stages import temporal
+
+    # arrival order 0..7; event times (us): head runs to 10_000, two
+    # stragglers (idx 3: 2_000 behind; idx 6: 200 behind), one exactly
+    # AT the watermark (idx 7 - not late; strict <)
+    tu = np.array([1000, 5000, 10_000, 8000 - 0, 11_000, 12_000,
+                   11_800, 11_500], np.int64)
+    late_us = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime(tu, unit="us"),
+        "event_type": ["a", "a", "a", "a", "b", "b", "b", "b"]})
+    out = (temporal.watermark_late(ray.data.from_pandas(df),
+                                   late_us=late_us, bin_sz=4)
+           .to_pandas().set_index("event_type"))
+    # idx 3: hwm=10_000, ts=8000 -> late by 1500; idx 7: hwm=12_000,
+    # ts=11_500 = hwm-500 -> NOT late (strict); idx 6: 11_800 -> not
+    assert int(out.loc["a", "n_late"]) == 1
+    assert int(out.loc["a", "max_late_us"]) == 1500
+    assert int(out.loc["a", "n_events"]) == 4
+    assert int(out.loc["b", "n_late"]) == 0
+    assert int(out.loc["b", "max_late_us"]) == 0
+    assert int(out.loc["b", "n_events"]) == 4
