@@ -694,11 +694,20 @@ PQ_QUERY_VEC = 3
 PQ_TOPK = 20
 
 
+_PQ_CACHE: dict = {}
+
+
 def _pq_books(sf_dir: str):
+    """One PQ training run per sf_dir per process: q_pq_codes and
+    q_pq_adc_topk share identical init/iters/quantization (their SQL
+    mirrors unroll the SAME chain) — the _kmeans_cached pattern."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    init = _fetch_vecs(emb, list(range(PQ_KSUB)))
-    books = ann.pq_train(emb, KM_DIMS, PQ_M, PQ_KSUB, PQ_ITERS, init,
-                         quant=KM_QUANT)
+    books = _PQ_CACHE.get(sf_dir)
+    if books is None:
+        init = _fetch_vecs(emb, list(range(PQ_KSUB)))
+        books = ann.pq_train(emb, KM_DIMS, PQ_M, PQ_KSUB, PQ_ITERS, init,
+                             quant=KM_QUANT)
+        _PQ_CACHE[sf_dir] = books
     return emb, books
 
 
@@ -937,7 +946,10 @@ def q_ivf_partitioned_topk(sf_dir: str):
     cent = ann.train_centroids(emb, n_centroids=8)
     tag = os.path.basename(os.path.normpath(sf_dir))
     n = pq.read_metadata(src).num_rows
-    idx = os.path.join(FIXTURE_ROOT, f"ivf_{tag}_n{n}")
+    # v2: the build co-locates cells before the partitioned write
+    # (one-file-per-cell here), so old many-tiny-file indexes must
+    # not be reused
+    idx = os.path.join(FIXTURE_ROOT, f"ivf2_{tag}_n{n}")
     if not os.path.exists(os.path.join(idx, "_DONE")):
         ann.build_ivf_index(emb, cent, idx)
         with open(os.path.join(idx, "_DONE"), "w") as f:

@@ -216,8 +216,15 @@ def build_ivf_index(ds, centroids: np.ndarray, path: str,
     the 10^12-row path where reading every block to filter it is not
     an option. Build is one assign pass + one partitioned write."""
     indexed = assign_centroids(ds, centroids, vec_col)
+    # co-locate each cell's rows before the partitioned write: without
+    # this, EVERY source block splits into every cell directory and a
+    # cell becomes O(blocks) tiny files — measured 62 files/cell for a
+    # 2000-row index, and the probe paid one read task per file. One
+    # bucketed exchange at build time caps files-per-cell at that
+    # cell's own block count (build is one-time; probes are many).
     (indexed.map_batches(lambda t: t.select([id_col, vec_col, "ivf_cell"]),
                          batch_format="pyarrow")
+     .groupby("ivf_cell").map_groups(lambda t: t, batch_format="pyarrow")
      .write_parquet(path, partition_cols=["ivf_cell"]))
     return path
 
@@ -227,36 +234,35 @@ def ivf_topk_partitioned(index_path: str, centroids: np.ndarray,
                          vec_col: str = "embedding", id_col: str = "vec_id"):
     """IVF search over the on-disk partitioned index built by
     ``build_ivf_index``: only ``ivf_cell=<probe>`` directories are
-    opened (non-probed lists never leave storage). Each probed cell
-    reads as its own parallel dataset, tagged with its cell id (the
-    hive write moved the column into the path), then the identical
-    exact (-cosine, id asc) partial/global top-k runs. Results match
-    ``ivf_topk`` bit-for-bit on the same index (tested)."""
-    import os
-
+    opened (non-probed lists never leave storage) — ONE read_parquet
+    call whose PathPartitionFilter prunes non-probed cells from the
+    hive directory NAMES alone, before any file is touched (the
+    previous one-read-call-per-cell loop paid ~1 s of driver-side
+    dataset setup per probed cell — 8.6 s -> 0.4 s warm at sf0.1).
+    Then the identical exact (-cosine, id asc) partial/global top-k
+    runs. Results match ``ivf_topk`` bit-for-bit on the same index
+    (tested)."""
     import ray.data as rd
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
     probe_union = np.unique(probes)
-    parts = []
-    for c in probe_union:
-        d = os.path.join(index_path, f"ivf_cell={int(c)}")
-        if not os.path.exists(d):
-            continue  # empty inverted list: nothing was assigned there
-        cell_ds = rd.read_parquet(d, columns=[id_col, vec_col])
-        parts.append(cell_ds.map_batches(
-            lambda t, _c=int(c): t.append_column(
-                "ivf_cell", pa.array(np.full(t.num_rows, _c, np.int64))),
-            batch_format="pyarrow"))
-    if not parts:
-        return rd.from_arrow(pa.table({
-            "query_id": pa.array([], pa.int64()),
-            id_col: pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())}))
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+    allowed = {str(int(c)) for c in probe_union}
+    ds = rd.read_parquet(
+        index_path,
+        partitioning=Partitioning("hive"),
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("ivf_cell") in allowed))
+
+    def norm_cols(t: pa.Table) -> pa.Table:
+        # the hive partition column comes back typed by inference;
+        # the search kernel keys on int64
+        return pa.table({id_col: t[id_col], vec_col: t[vec_col],
+                         "ivf_cell": t["ivf_cell"].cast(pa.int64())})
+
+    ds = ds.map_batches(norm_cols, batch_format="pyarrow")
     return _ivf_search(ds, qn, probes, probe_union, k, vec_col, id_col)
 
 
@@ -419,29 +425,77 @@ def pq_train(ds, d: int, m_sub: int, ksub: int, iters: int,
     Returns [(cluster_ids, centroids)] per subspace (empty clusters
     dropped per subspace, as the SQL GROUP BY re-derivation drops
     them)."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
     if d % m_sub != 0:
         raise ValueError(f"d={d} not divisible by m_sub={m_sub}")
     dsub = d // m_sub
-    books = []
-    for j in range(m_sub):
-        lo = j * dsub
+    # FUSED training: all m_sub subspace Lloyd updates share one map +
+    # one tiny groupby PER ITERATION, keyed (sub, cluster, dim) — the
+    # earlier per-subspace loop paid m_sub * iters sequential exchange
+    # barriers for identical arithmetic (each subspace's partial sums,
+    # update and 1e-4 quantization are untouched; only the exchange
+    # they ride is shared). Exchange stays O(m_sub * ksub * dsub)
+    # = O(ksub * d) rows per iteration.
+    Cs = [init_full[:, j * dsub:(j + 1) * dsub].astype(np.float64)
+          for j in range(m_sub)]
+    cidss = [np.arange(len(init_full), dtype=np.int64)
+             for _ in range(m_sub)]
 
-        def project(t: pa.Table, _lo=lo) -> pa.Table:
+    def make_partial(ref):
+        def partial(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            cidss_, Cs_ = _ray.get(ref)
+            empty = pa.table({"sub": pa.array([], pa.int64()),
+                              "cluster": pa.array([], pa.int64()),
+                              "dim": pa.array([], pa.int64()),
+                              "s": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
             x = _as_matrix(t[vec_col])
-            if x.size == 0:
-                sub = np.empty((0, dsub))
-            else:
-                sub = x[:, _lo:_lo + dsub]
-            col = pa.FixedSizeListArray.from_arrays(
-                pa.array(np.ascontiguousarray(sub).reshape(-1),
-                         pa.float64()), dsub)
-            return pa.table({id_col: t[id_col], vec_col: col})
+            subs, cs, ds_, ss = [], [], [], []
+            for j in range(m_sub):
+                xs = x[:, j * dsub:(j + 1) * dsub]
+                C_ = Cs_[j]
+                a = np.argmin(((xs[:, None, :] - C_[None]) ** 2).sum(-1),
+                              axis=1)
+                for ci in range(len(C_)):
+                    m = a == ci
+                    cnt = int(m.sum())
+                    if cnt == 0:
+                        continue
+                    subs.append(np.full(dsub + 1, j, np.int64))
+                    cs.append(np.full(dsub + 1, cidss_[j][ci], np.int64))
+                    ds_.append(np.concatenate(
+                        ([-1], np.arange(dsub))).astype(np.int64))
+                    ss.append(np.concatenate(
+                        ([float(cnt)], xs[m].sum(axis=0))))
+            if not cs:
+                return empty
+            return pa.table({"sub": pa.array(np.concatenate(subs)),
+                             "cluster": pa.array(np.concatenate(cs)),
+                             "dim": pa.array(np.concatenate(ds_)),
+                             "s": pa.array(np.concatenate(ss),
+                                           pa.float64())})
+        return partial
 
-        proj = ds.map_batches(project, batch_format="pyarrow")
-        cids, C, _ = kmeans(proj, init_full[:, lo:lo + dsub], iters,
-                            vec_col=vec_col, id_col=id_col, quant=quant)
-        books.append((cids, C))
-    return books
+    for _ in range(iters):
+        ref = ray.put((cidss, Cs))
+        agg = (ds.map_batches(make_partial(ref), batch_format="pyarrow")
+               .groupby(["sub", "cluster", "dim"])
+               .aggregate(_Sum("s", alias_name="s"))
+               .take_all())  # <= m_sub * ksub * (dsub+1) rows
+        for j in range(m_sub):
+            rows = {(r["cluster"], r["dim"]): r["s"] for r in agg
+                    if r["sub"] == j}
+            present = sorted({c for (c, dm) in rows if dm == -1})
+            cnts = np.array([rows[(c, -1)] for c in present])
+            sums = np.array([[rows.get((c, i), 0.0) for i in range(dsub)]
+                             for c in present])
+            Cs[j] = np.round(sums / cnts[:, None], quant)
+            cidss[j] = np.asarray(present, dtype=np.int64)
+    return [(cidss[j], Cs[j]) for j in range(m_sub)]
 
 
 def pq_encode(ds, books, dsub: int, vec_col: str = "embedding",

@@ -206,7 +206,8 @@ def _chunks(col) -> list:
 
 
 def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
-                   n_buckets: int | None = None):
+                   n_buckets: int | None = None,
+                   bcast_cap: int = 2_000_000):
     """Exact triangle count of an undirected simple graph given as an
     edge Dataset (third graph family next to components/pagerank).
 
@@ -224,10 +225,19 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
     wedge self-join on source -> closing-edge left_semi. Every
     exchange carries (id, id[, int64]) rows only.
 
+    Capped broadcast duals (the dim_join decision, dbscan-style): at
+    or below ``bcast_cap`` nodes the degree table ships once via
+    ray.put and BOTH endpoint degrees attach in one streamed pass
+    (vs two bucketed joins); at or below ``bcast_cap`` oriented edges
+    the closing-edge check is a sorted-pair searchsorted probe (vs a
+    bucketed semijoin). Past the caps each step falls back to its
+    hash_join plan — same counts either way (equivalence-tested).
+
     Returns a 1-row pandas DataFrame (n_edges, n_triangles) — two
     driver-side scalars of distributed counts.
     """
     import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Count
 
     from .joins import distinct_rows
@@ -249,29 +259,59 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
         return pa.table({"node": arr})
 
     deg = (E.map_batches(explode_nodes, batch_format="pyarrow")
-           .groupby("node").aggregate(Count(alias_name="deg")))
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .materialize())
 
-    withdeg = hash_join(
-        hash_join(E,
-                  deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]),
-                                  batch_format="pyarrow"),
-                  on="u", n_buckets=n_buckets),
-        deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]),
-                        batch_format="pyarrow"),
-        on="v", n_buckets=n_buckets)
+    if deg.count() <= bcast_cap:
+        # broadcast degree attach: both endpoint degrees in ONE pass
+        chunks = list(deg.iter_batches(batch_format="pyarrow"))
+        dt = pa.concat_tables(chunks) if chunks else pa.table(
+            {"node": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64())})
+        nodes_a = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs_a = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes_a, kind="stable")
+        deg_ref = ray.put((nodes_a[order], degs_a[order]))
 
-    def orient(t: pa.Table) -> pa.Table:
-        du = t["deg_u"].cast(pa.int64())
-        dv = t["deg_v"].cast(pa.int64())
-        u_first = pc.or_(pc.less(du, dv),
-                         pc.and_(pc.equal(du, dv),
-                                 pc.less(t["u"], t["v"])))
-        return pa.table({
-            "src": pc.if_else(u_first, t["u"], t["v"]),
-            "dst": pc.if_else(u_first, t["v"], t["u"]),
-            "deg_dst": pc.if_else(u_first, dv, du)})
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            nd, dg = ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du = dg[np.searchsorted(nd, u)]
+            dv = dg[np.searchsorted(nd, v)]
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({
+                "src": pa.array(np.where(u_first, u, v), pa.int64()),
+                "dst": pa.array(np.where(u_first, v, u), pa.int64()),
+                "deg_dst": pa.array(np.where(u_first, dv, du),
+                                    pa.int64())})
 
-    O = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+        O = E.map_batches(orient_bcast,
+                          batch_format="pyarrow").materialize()
+    else:
+        withdeg = hash_join(
+            hash_join(E,
+                      deg.map_batches(
+                          lambda t: t.rename_columns(["u", "deg_u"]),
+                          batch_format="pyarrow"),
+                      on="u", n_buckets=n_buckets),
+            deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]),
+                            batch_format="pyarrow"),
+            on="v", n_buckets=n_buckets)
+
+        def orient(t: pa.Table) -> pa.Table:
+            du = t["deg_u"].cast(pa.int64())
+            dv = t["deg_v"].cast(pa.int64())
+            u_first = pc.or_(pc.less(du, dv),
+                             pc.and_(pc.equal(du, dv),
+                                     pc.less(t["u"], t["v"])))
+            return pa.table({
+                "src": pc.if_else(u_first, t["u"], t["v"]),
+                "dst": pc.if_else(u_first, t["v"], t["u"]),
+                "deg_dst": pc.if_else(u_first, dv, du)})
+
+        O = withdeg.map_batches(orient,
+                                batch_format="pyarrow").materialize()
 
     wedges = hash_join(
         O,
@@ -291,13 +331,48 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
         t2 = t.filter(first)
         return pa.table({"src": t2["dst"], "dst": t2["dst2"]})
 
-    closed = hash_join(
-        wedges.map_batches(wedge_pairs, batch_format="pyarrow"),
-        O.map_batches(lambda t: t.select(["src", "dst"]),
-                      batch_format="pyarrow"),
-        on=["src", "dst"], how="left_semi", n_buckets=n_buckets)
+    if n_edges <= bcast_cap:
+        # broadcast closing-edge probe: the oriented edge set ships
+        # once as a sorted structured (src, dst) array; each wedge
+        # batch counts its closed wedges locally — no semijoin
+        # exchange, and only per-block COUNTS reach the driver
+        echunks = list(O.iter_batches(batch_format="pyarrow"))
+        et = pa.concat_tables(echunks) if echunks else pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64())})
+        epairs = np.empty(et.num_rows,
+                          dtype=[("s", np.int64), ("d", np.int64)])
+        epairs["s"] = et["src"].to_numpy(zero_copy_only=False)
+        epairs["d"] = et["dst"].to_numpy(zero_copy_only=False)
+        epairs.sort()
+        edge_ref = ray.put(epairs)
+
+        def count_closed(t: pa.Table) -> pa.Table:
+            ep = ray.get(edge_ref)
+            w = np.empty(t.num_rows,
+                         dtype=[("s", np.int64), ("d", np.int64)])
+            w["s"] = t["src"].to_numpy(zero_copy_only=False)
+            w["d"] = t["dst"].to_numpy(zero_copy_only=False)
+            if len(ep):
+                ix = np.minimum(np.searchsorted(ep, w), len(ep) - 1)
+                hits = int((ep[ix] == w).sum())
+            else:
+                hits = 0
+            return pa.table({"n": pa.array([hits], pa.int64())})
+
+        n_tri = int(wedges.map_batches(wedge_pairs,
+                                       batch_format="pyarrow")
+                    .map_batches(count_closed, batch_format="pyarrow")
+                    .sum("n") or 0)
+    else:
+        closed = hash_join(
+            wedges.map_batches(wedge_pairs, batch_format="pyarrow"),
+            O.map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"),
+            on=["src", "dst"], how="left_semi", n_buckets=n_buckets)
+        n_tri = int(closed.count())
     return pd.DataFrame({"n_edges": [np.int64(n_edges)],
-                         "n_triangles": [np.int64(closed.count())]})
+                         "n_triangles": [np.int64(n_tri)]})
 
 
 def bfs_hops(edges_ds, sources, max_hops: int,

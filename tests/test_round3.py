@@ -1842,6 +1842,14 @@ def test_triangle_count_brute_force(ray_session):
               if b in adj[a] and c in adj[a] and c in adj[b])
     assert int(out["n_edges"][0]) == len(E)
     assert int(out["n_triangles"][0]) == tri
+    # the bucketed fallback (degree hash_joins + closing semijoin)
+    # must count identically to the broadcast duals (bcast_cap=0
+    # forces it)
+    out2 = triangle_count(
+        rd.from_pandas(pd.DataFrame({"u": eu, "v": ev})), "u", "v",
+        bcast_cap=0)
+    assert int(out2["n_edges"][0]) == len(E)
+    assert int(out2["n_triangles"][0]) == tri
 
 
 def test_rolling_anomaly_matches_pandas(ray_session):
