@@ -247,9 +247,20 @@ def ivf_topk_partitioned(index_path: str, centroids: np.ndarray,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
     probe_union = np.unique(probes)
+    import os
+
     from ray.data.datasource.partitioning import (Partitioning,
                                                   PathPartitionFilter)
     allowed = {str(int(c)) for c in probe_union}
+    present = {d.split("=", 1)[1] for d in os.listdir(index_path)
+               if d.startswith("ivf_cell=")}
+    if not (allowed & present):
+        # every probed inverted list is empty (nothing was assigned
+        # there): read_parquet would fail on zero matching files
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     ds = rd.read_parquet(
         index_path,
         partitioning=Partitioning("hive"),

@@ -328,8 +328,11 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
         if bcast:
             # label table has exactly n_cores rows <= bcast_cap: the
             # same bounded pull dim_join's broadcast side would make
-            lt = pa.concat_tables(list(core_labels.iter_batches(
-                batch_format="pyarrow")))
+            batches = list(core_labels.iter_batches(
+                batch_format="pyarrow"))
+            lt = pa.concat_tables(batches) if batches else pa.table(
+                {"cid": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())})
             cid_arr = lt["cid"].to_numpy(zero_copy_only=False)
             lab_arr = lt["label"].to_numpy(zero_copy_only=False)
             order = np.argsort(cid_arr, kind="stable")
