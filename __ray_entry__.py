@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: header-only metadata scan (no decode) — the cheap
         # filter-before-decode pass of a 100-TB image pipeline
         "q_image_meta_scan": q.q_image_meta_scan,
+        # round 4: bit-exact pixel gate on the vendored JPEG decoder
+        # (decode-round-trip side table, the clip_meta contract)
+        "q_image_stats_lossy": q.q_image_stats_lossy,
         "q_thumbnails": q.q_thumbnails,
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
@@ -344,6 +347,9 @@ def _oracle_sql_base() -> dict[str, str]:
     clip_meta_pq = cached_clip_meta_parquet(CLIP_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_image_stats_parquet
     image_stats_pq = cached_image_stats_parquet(POSTPROCESS_IMAGES_N)
+    from osm2shp_ray.sources.fixtures import cached_image_stats_lossy_parquet
+    image_stats_lossy_pq = cached_image_stats_lossy_parquet(
+        POSTPROCESS_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_thumb_stats_parquet
     thumb_stats_pq = cached_thumb_stats_parquet(POSTPROCESS_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_image_sharpness_parquet
@@ -1967,6 +1973,12 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
             FROM read_parquet('{image_stats_pq}')
             WHERE fmt = 'png'""",
+        # lossy-row channel stats: the distributed batch JPEG decode
+        # must reproduce the decode-round-trip ground truth of every
+        # pixel (int64 sums/extrema) — the bit-exact decoder gate
+        "q_image_stats_lossy": f"""
+            SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
+            FROM read_parquet('{image_stats_lossy_pq}')""",
         # header-only metadata scan: the query reads ONLY
         # (image_id, bytes), so fmt/w/h/detail are re-derived from
         # PNG IHDR / JFIF SOF0 bytes and must equal the generator's

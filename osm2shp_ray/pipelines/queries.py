@@ -3459,6 +3459,25 @@ def q_image_stats(sf_dir: str):
     return out.drop_columns(["fmt"]).to_pandas()
 
 
+def q_image_stats_lossy(sf_dir: str):
+    """Exact channel statistics over the LOSSY (jpeg) rows — the
+    bit-exact hash gate on the vendored JPEG decoder's pixel OUTPUT:
+    the oracle side table is a decode round-trip of the generator's
+    own blobs (the clip_meta contract), so the distributed batch
+    decoder must reproduce every int64 sum/min/max exactly, not just
+    clear the PSNR bound."""
+    from ..sources.fixtures import (cached_image_stats_lossy_parquet,
+                                    cached_images_parquet)
+    from ..stages.images import channel_stats
+    cached_image_stats_lossy_parquet(POSTPROCESS_IMAGES_N)  # oracle side
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes", "fmt"])
+    out = channel_stats(images.filter(expr="fmt == 'jpeg'"),
+                        batch_size=512)
+    return out.drop_columns(["fmt"]).to_pandas()
+
+
 def q_image_meta_scan(sf_dir: str):
     """Header-only image metadata scan
     (stages/images.py::meta_scan): format sniffed from magic bytes,

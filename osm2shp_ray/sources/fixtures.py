@@ -492,6 +492,48 @@ def cached_image_stats_parquet(n: int) -> str:
     }), path)
 
 
+def cached_image_stats_lossy_parquet(n: int) -> str:
+    """Per-image channel ground truth of the DECODE of the LOSSY
+    (fmt='jpeg') rows — the decode-round-trip contract
+    (cached_clip_meta_parquet): values are computed here by decoding
+    the generator's own blobs, so the engine's distributed decode +
+    channel-stats must reproduce every int64 bit-exactly. This is the
+    full-pixel-sum hash gate on the vendored JPEG decoder's OUTPUT
+    (the PSNR gate bounds error; this one pins the exact pixels).
+    Filename carries codec.DECODE_REV — see clip_meta."""
+    path = os.path.join(
+        FIXTURE_ROOT,
+        f"image_stats_lossy_d{codec.DECODE_REV}_n{n}.parquet")
+    if os.path.exists(path):
+        return path
+    tbl = images_table(n)
+    fmts = tbl["fmt"].to_pylist()
+    blobs = tbl["bytes"].to_pylist()
+    ids = tbl["image_id"].to_pylist()
+    keep, npx, rs, gs, bs, mins, maxs = [], [], [], [], [], [], []
+    for i in range(n):
+        if fmts[i] != "jpeg":
+            continue
+        img = codec.decode_image(blobs[i], fmts[i])
+        px = img.astype(np.int64)
+        keep.append(ids[i])
+        npx.append(int(img.shape[0] * img.shape[1]))
+        rs.append(int(px[:, :, 0].sum()))
+        gs.append(int(px[:, :, 1].sum()))
+        bs.append(int(px[:, :, 2].sum()))
+        mins.append(int(px.min()))
+        maxs.append(int(px.max()))
+    return _atomic_parquet(pa.table({
+        "image_id": pa.array(keep, pa.string()),
+        "n_px": pa.array(npx, pa.int64()),
+        "r_sum": pa.array(rs, pa.int64()),
+        "g_sum": pa.array(gs, pa.int64()),
+        "b_sum": pa.array(bs, pa.int64()),
+        "px_min": pa.array(mins, pa.int64()),
+        "px_max": pa.array(maxs, pa.int64()),
+    }), path)
+
+
 def cached_image_sharpness_parquet(n: int) -> str:
     """Per-image sharpness ground truth: integer 4-neighbor Laplacian
     sum-of-squares over the channel-sum luma of ground_truth_pixels
