@@ -152,6 +152,9 @@ SQL_CHECKED = [
     # re-derived from container headers, no decode) and event-time
     # watermark accounting (distributed prefix-MAX over arrival order)
     "q_image_meta_scan", "q_watermark_late",
+    # round 5: lossy-JPEG decode stats under the decode-round-trip
+    # contract (ground truth = same decoder run locally on the driver)
+    "q_image_stats_lossy",
 ]
 
 
