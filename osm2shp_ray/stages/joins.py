@@ -121,7 +121,8 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
               n_buckets: int | None = None,
               bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
               bloom_k: int = 4, left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              sort_blocks: int | None = None):
     """Equi-join two Datasets on shared key column(s).
 
     ``how``: "inner" | "left" | "left_semi" | "left_anti" | "right" |
@@ -155,6 +156,17 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     sides that can legitimately execute to ZERO rows (a filter that
     matches nothing) — Ray keeps no empty block to infer from, so
     schema inference raises without a hint.
+
+    ``sort_blocks``: explicit block count for the union exchange (the
+    sort-partition count of the bucket groupby). Default is
+    ``shuffle_blocks()`` (~1-2 per core) — right for big sides, but a
+    VOCAB-SIZED union sorted into 16-32 range partitions gets
+    duplicate sampled boundaries (few distinct keys), hence EMPTY
+    reduce ranges; Ray map tasks over empty blocks emit zero-column
+    blocks, which trips the executor's RefBundle schema warning on
+    every downstream stage. Callers that know a union is small (e.g.
+    a materialized count) should pass ``sort_blocks ≈ rows/8192`` so
+    every range partition stays non-empty.
     """
     if how not in ("inner", "left", "left_semi", "left_anti",
                    "right", "full_outer"):
@@ -229,9 +241,14 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         out = pa.table(cols)
         return out.append_column("__jb", pa.array(_key_bucket(t, keys, b), pa.int64()))
 
-    unioned = coalesced(
-        left_ds.map_batches(tag_left, batch_format="pyarrow")
-        .union(right_ds.map_batches(tag_right, batch_format="pyarrow")))
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(tag_right, batch_format="pyarrow")))
+    if sort_blocks is not None:
+        from .util import _strip_meta
+        unioned = (tagged.map_batches(_strip_meta, batch_format="pyarrow")
+                   .repartition(max(1, sort_blocks)))
+    else:
+        unioned = coalesced(tagged)
 
     out_cols = keys + l_vals + out_r_vals
     types = {**l_types, **r_types}

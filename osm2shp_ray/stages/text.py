@@ -753,13 +753,22 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     cnt = bigram_counts(ds, text_col)
 
     if distributed:
-        from ray.data.aggregate import Count
+        from .util import shuffle_blocks as _shuffle_blocks
 
         # pin the bigram counts: with_w1 and c1 are BOTH sides of the
         # model join and both trace to cnt — unmaterialized, the full
         # corpus bigram reduce runs once per consumer (measured: the
         # whole 12s query was ~2x this stage plus chain latency)
         cnt = cnt.materialize()
+        # vocab-sized block count for every vocab-sized exchange below
+        # (the c1 groupby and the model join): sorting a few hundred
+        # rows into 16-32 range partitions guarantees duplicate sampled
+        # boundaries -> empty reduce ranges -> zero-column blocks ->
+        # executor RefBundle schema warnings on every downstream map.
+        # count() on a materialized Dataset is free (block metadata).
+        n_vocab = cnt.count()
+        vb = max(1, min(int(_shuffle_blocks()), (int(n_vocab) // 8192) + 1))
+        cnt = cnt.repartition(vb)
 
         # no-broadcast dual: the model itself is built distributed
         # (vocab-sized groupby + join), then probed via hash_join
@@ -782,23 +791,48 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             return pa.table({"big": t["big"],
                              "lp": pa.array(lp, pa.int64())})
 
-        model = hash_join(with_w1, c1, on="w1").map_batches(
+        model = hash_join(with_w1, c1, on="w1",
+                          sort_blocks=vb).map_batches(
             add_lp, batch_format="pyarrow")
 
         def doc_bigrams(t: pa.Table) -> pa.Table:
+            # per-batch (id, big) -> n combiner BEFORE the join
+            # exchange: docs repeat bigrams (Zipf), so shipping one
+            # weighted row per distinct (doc, bigram) instead of one
+            # row per INSTANCE cuts exchange volume and flattens the
+            # hot-bigram bucket (a hot key now holds <= one row per
+            # doc per batch, not its full instance count). lp_sum =
+            # sum(n*lp) == sum over instances of lp, exactly (int64).
             idc = (t[id_col].combine_chunks()
                    if isinstance(t[id_col], pa.ChunkedArray)
                    else t[id_col])
             long = _bigram_rows(t[text_col])
-            return pa.table({
+            pairs = pa.table({
                 id_col: idc.take(pa.array(long["i"].to_numpy())),
                 "big": long["big"].to_arrow().cast(pa.string())})
+            g = pairs.group_by([id_col, "big"]).aggregate([([], "count_all")])
+            return pa.table({id_col: g[id_col], "big": g["big"],
+                             "n": g["count_all"].cast(pa.int64())})
 
         joined = hash_join(ds.map_batches(doc_bigrams,
                                           batch_format="pyarrow"),
                            model, on="big")
-        # pre-combine per batch (the lm_score distributed-tail shape)
-        out = (joined.map_batches(_doc_lp_partial(id_col, "n_big"),
+
+        def weighted_partial(t: pa.Table) -> pa.Table:
+            # per-batch combiner of weighted join output: n_big =
+            # sum(n), lp = sum(n*lp) per doc (integer — exact)
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = t["lp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = pa.table({id_col: t[id_col],
+                          "n": pa.array(n, pa.int64()),
+                          "nlp": pa.array(n * lp, pa.int64())})
+            g = w.group_by([id_col]).aggregate([("n", "sum"),
+                                                ("nlp", "sum")])
+            return pa.table({id_col: g[id_col],
+                             "n_big": g["n_sum"],
+                             "lp": g["nlp_sum"]})
+
+        out = (joined.map_batches(weighted_partial,
                                   batch_format="pyarrow")
                .groupby(id_col)
                .aggregate(Sum("n_big", alias_name="n_big"),

@@ -16,6 +16,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from osm2shp_ray.functions import codec
@@ -76,3 +77,25 @@ def test_golden_matches_fixture_contract(golden):
         assert r["px_min"] == g["px_min"]
         assert r["px_max"] == g["px_max"]
         assert r["n_px"] == g["w"] * g["h"]
+
+
+def test_hash_join_sort_blocks_equivalence(ray_session):
+    """hash_join output is byte-identical with an explicit sort_blocks
+    (the vocab-sized-union escape hatch for Ray's empty-range
+    zero-column blocks) and with the default coalesce."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([i % 7 for i in range(50)], pa.int64()),
+        "a": pa.array(list(range(50)), pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(5)), pa.int64()),
+        "b": pa.array([10 * i for i in range(5)], pa.int64())}))
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        base = (hash_join(left, right, on="k", how=how)
+                .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+        one = (hash_join(left, right, on="k", how=how, sort_blocks=1)
+               .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+        assert base.equals(one), how
