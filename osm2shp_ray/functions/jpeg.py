@@ -866,15 +866,34 @@ def jpeg_dimensions(data) -> tuple[int, int, str]:
     decode, no segment split: the marker scan stops at SOF0. The
     metadata pass of a 100-TB image table reads a few hundred bytes
     per blob where a decode reads (and transforms) them all."""
-    buf = bytes(data[:4096])  # SOF precedes scan data; headers are small
+    # grow the header window on demand: SOF precedes scan data, but
+    # APPn/EXIF segments (embedded thumbnails) routinely exceed a
+    # fixed 4 KB prefix — a hard cap would silently diverge from
+    # decode_jpeg_batch (meta scan raises where decode succeeds)
+    win = 4096
+    buf = bytes(data[:win])
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    while pos + 4 <= len(buf):
+    while True:
+        if pos + 4 > len(buf):
+            if len(buf) < win or win >= len(data):
+                break                     # true end of data — no SOF0
+            win = max(win * 2, pos + 4)
+            buf = bytes(data[:win])
+            continue
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
         tag = buf[pos + 1]
         (ln,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if tag == 0xDA:
+            break
+        if pos + 2 + ln > len(buf) and win < len(data):
+            # segment extends past the window (large APPn/EXIF, or a
+            # SOF0 straddling the boundary): re-slice a bigger prefix
+            win = max(win * 2, pos + 2 + ln + 4)
+            buf = bytes(data[:win])
+            continue
         if tag == 0xC0:                                   # SOF0 baseline
             payload = buf[pos + 4:pos + 2 + ln]
             prec, hh, ww, nc = struct.unpack(">BHHB", payload[:6])
@@ -887,8 +906,6 @@ def jpeg_dimensions(data) -> tuple[int, int, str]:
         if tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF 0x{tag:02x} unsupported")
-        if tag == 0xDA:
-            break
         pos += 2 + ln
     raise ValueError("no SOF0 before scan start")
 

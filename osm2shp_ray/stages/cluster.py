@@ -302,9 +302,8 @@ def dbscan(points_ds, eps: int, min_pts: int, id_col: str = "id",
             lab_arr = np.concatenate([roots, lone])
             order = np.argsort(cid_arr, kind="stable")
             cid_arr, lab_arr = cid_arr[order], lab_arr[order]
-            core_labels = rd.from_arrow(pa.table({
-                "cid": pa.array(cid_arr, pa.int64()),
-                "label": pa.array(lab_arr, pa.int64())}))
+            # (the bcast tail consumes cid_arr/lab_arr directly — no
+            # Dataset materialization of the label table needed here)
         else:
             comp_l = rd.from_arrow(pa.table({
                 "cid": pa.array(nodes, pa.int64()),

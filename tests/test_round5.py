@@ -99,3 +99,25 @@ def test_hash_join_sort_blocks_equivalence(ray_session):
         one = (hash_join(left, right, on="k", how=how, sort_blocks=1)
                .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
         assert base.equals(one), how
+
+
+def test_jpeg_dimensions_large_appn():
+    """jpeg_dimensions must grow its header window past a fixed 4 KB
+    prefix when a large APPn/EXIF segment (embedded thumbnail)
+    precedes SOF0 — a hard cap silently diverges from
+    decode_jpeg_batch, which decodes such blobs fine."""
+    from osm2shp_ray.functions import codec, jpeg
+
+    img = fixtures.ground_truth_pixels(3, 16, 16)
+    blob = codec.encode_lossy(img)
+    assert blob[:2] == b"\xff\xd8"
+    # splice an 8 KB APP1 (EXIF-shaped) segment right after SOI
+    payload = b"Exif\x00\x00" + b"\x00" * 8186
+    seg = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    fat = blob[:2] + seg + blob[2:]
+    w, h, sub = jpeg.jpeg_dimensions(fat)
+    assert (w, h) == (16, 16)
+    assert jpeg.jpeg_dimensions(blob)[:2] == (16, 16)
+    # and the decode side agrees with the meta side on the fat blob
+    out = jpeg.decode_jpeg(fat)
+    assert out.shape == (16, 16, 3)
