@@ -22,6 +22,12 @@ skew histograms (state/metrics.py) are summarized inline.
 (RAY_GRAFT_CPUS=8 then 32) on the same (pre-warmed) input and reports
 throughput at both plus efficiency = (t8/t32)/(32/8) — the sandbox
 stand-in for the N vs 4N node cluster criterion (BASELINE.md).
+
+--diff PREV.json [CUR.json] compares two per-query timing artifacts
+(BENCH_QUERIES.json sidecars, or any JSON with a "queries" dict) and
+prints every regression >25%, keeping the round-over-round
+zero-regression discipline a one-command check. CUR defaults to the
+repo's current BENCH_QUERIES.json. Exit code 1 if regressions exist.
 """
 
 from __future__ import annotations
@@ -571,7 +577,50 @@ def run_resume() -> dict:
     }
 
 
+def run_diff(prev_path: str, cur_path: str = "BENCH_QUERIES.json") -> int:
+    """Print per-query regressions >25% between two timing artifacts.
+    Only meaningful when both were recorded at the same sf/num_cpus —
+    the header calls out a mismatch instead of silently comparing."""
+    def load(p):
+        with open(p) as f:
+            d = json.load(f)
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]     # driver BENCH_r{N}.json wrapper
+        return d if "queries" in d else {"queries": d}
+
+    prev, cur = load(prev_path), load(cur_path)
+    for k in ("sf", "num_cpus"):
+        if prev.get(k) != cur.get(k):
+            print(f"# WARNING: {k} differs: prev={prev.get(k)} "
+                  f"cur={cur.get(k)} — timings not comparable")
+    pq_, cq = prev["queries"], cur["queries"]
+    common = sorted(set(pq_) & set(cq))
+    reg, imp = [], 0
+    for name in common:
+        a, b = float(pq_[name]), float(cq[name])
+        if a <= 0:
+            continue
+        r = b / a
+        if r > 1.25:
+            reg.append((name, a, b, r))
+        elif r < 0.75:
+            imp += 1
+    print(f"# {len(common)} comparable queries; prev-only "
+          f"{len(set(pq_) - set(cq))}, new {len(set(cq) - set(pq_))}; "
+          f"{imp} improved >25%, {len(reg)} regressed >25%")
+    for name, a, b, r in sorted(reg, key=lambda x: -x[3]):
+        print(f"REGRESSION {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
+    return 1 if reg else 0
+
+
 if __name__ == "__main__":
+    if "--diff" in sys.argv:
+        i = sys.argv.index("--diff")
+        rest = sys.argv[i + 1:i + 3]
+        if not rest:
+            print("usage: bench.py --diff PREV.json [CUR.json]")
+            sys.exit(2)
+        sys.exit(run_diff(*rest))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--resume" in sys.argv:
