@@ -220,12 +220,115 @@ def band_rows_batch(batch: pa.Table, id_col: str,
                               pa.int64())})
 
 
+def _mix_bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """One avalanched uint64 per (band_id, band_hash) pair — the
+    broadcastable heavy-bucket lookup key (collision odds across the
+    observed bucket population are ~n_heavy * n_buckets / 2^64)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(band_hash.astype(np.int64).view(np.uint64)
+                          ^ splitmix64(band_id.astype(np.uint64)
+                                       + np.uint64(0x9E3779B9))
+                          ).view(np.int64)
+
+
+def _detect_heavy_buckets(bands_ds, heavy_threshold: int, det_cap: int):
+    """Exact-SOUND heavy-bucket detection in one map-only pass: each
+    batch emits (mixed key, count) only for buckets with in-batch
+    count >= 2, the driver sums partials. The sum is a LOWER bound on
+    the true bucket size (per-batch singletons are dropped), so
+    ``lower > heavy_threshold`` never flags a light bucket; a heavy
+    bucket spread too thin across batches can be missed, which only
+    forgoes flattening — the group kernel's own fallback still runs
+    and the pair output is identical. Returns (mk_sorted, counts) or
+    None when the partial volume exceeds ``det_cap`` (logged, never
+    silent)."""
+    def partial(t: pa.Table) -> pa.Table:
+        mk = _mix_bucket_key(
+            t["band_id"].to_numpy(zero_copy_only=False),
+            t["band_hash"].to_numpy(zero_copy_only=False))
+        uk, cnt = np.unique(mk, return_counts=True)
+        keep = cnt >= 2
+        return pa.table({
+            "mk": pa.array(uk[keep], pa.int64()),
+            "c": pa.array(cnt[keep].astype(np.int64), pa.int64())})
+
+    mks, cs, total = [], [], 0
+    for b in (bands_ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        mks.append(b["mk"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+        total += len(mks[-1])
+        if total > det_cap:
+            try:
+                import ray
+                ray.get_actor("osm2shp_metrics").inc_many.remote(
+                    {"lsh_flatten_detection_overflow": 1})
+            except Exception:
+                pass
+            print(f"lsh: heavy-bucket detection partials exceeded "
+                  f"det_cap={det_cap}; skipping exchange flattening "
+                  "(outputs unchanged, in-group fallbacks still apply)")
+            return None
+    if not total:
+        return None
+    mk = np.concatenate(mks)
+    c = np.concatenate(cs)
+    uk, inv = np.unique(mk, return_inverse=True)
+    sums = np.zeros(len(uk), np.int64)
+    np.add.at(sums, inv, c)
+    heavy = sums > heavy_threshold
+    if not heavy.any():
+        return None
+    return uk[heavy], sums[heavy]           # uk sorted ascending (int64)
+
+
+def _exact_bucket_min(bands_ds, id_col: str, mk_heavy: np.ndarray):
+    """Exact global min id per detected heavy bucket (the star
+    center): map-only per-batch min over broadcast keys, driver-side
+    min merge. Bounded by the (small) heavy-bucket count."""
+    import ray
+
+    ref = ray.put(np.sort(mk_heavy))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mk = _mix_bucket_key(
+            t["band_id"].to_numpy(zero_copy_only=False),
+            t["band_hash"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(keys, mk)
+        np.clip(pos, 0, max(len(keys) - 1, 0), out=pos)
+        hit = (keys[pos] == mk) if len(keys) else np.zeros(len(mk), bool)
+        sub = t.filter(pa.array(hit))
+        if sub.num_rows == 0:
+            return pa.table({"mk": pa.array([], pa.int64()),
+                             "mn": pa.nulls(0, t[id_col].type)})
+        smk = mk[hit]
+        g = (pl.from_arrow(sub.select([id_col]))
+             .with_columns(pl.Series("mk", smk))
+             .group_by("mk").agg(pl.col(id_col).min().alias("mn")))
+        at = g.to_arrow()
+        return pa.table({"mk": at["mk"].cast(pa.int64()),
+                         "mn": at["mn"]})
+
+    best: dict = {}
+    for b in (bands_ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for mkv, mnv in zip(b["mk"].to_pylist(), b["mn"].to_pylist()):
+            cur = best.get(mkv)
+            if cur is None or mnv < cur:
+                best[mkv] = mnv
+    return [best[int(k)] for k in mk_heavy]
+
+
 def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16,
                         shingle_n: int = 5, threshold: float = 0.7,
                         max_bucket: int | None = 200,
                         shingle_mode: str = "char",
-                        sig_bcast_cap: int = 200_000):
+                        sig_bcast_cap: int = 200_000,
+                        flatten_heavy: bool = True,
+                        target_cell: int = 96,
+                        det_cap: int = 500_000):
     """Dataset of docs -> Dataset of verified near-dup pairs
     (id_a, id_b, sim) with sim = signature similarity >= threshold.
 
@@ -258,11 +361,30 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def cand_in_group(df: pd.DataFrame) -> pd.DataFrame:
         m = len(df)
         if m >= 64:
-            # heavy LSH buckets are the skew signal; observing every
-            # (band, hash) group would be one remote call per bucket
+            # heavy LSH (sub)buckets are the skew signal; observing
+            # every group would be one remote call per bucket. Key by
+            # (band_hash, cell) so flattened sub-buckets register as
+            # separate exchange partitions, not re-accumulations of
+            # the parent bucket.
             from ..state.metrics import observe_partition
-            observe_partition("lsh_band_bucket",
-                              int(df["band_hash"].iloc[0]), m)
+            ok = (int(df["band_hash"].iloc[0])
+                  ^ (0x9E3779B9 * (int(df["cell_i"].iloc[0]) + 1))
+                  ^ (0x85EBCA6B * (int(df["cell_j"].iloc[0]) + 1)))
+            observe_partition("lsh_band_bucket", ok, m)
+        if "__has_center" in df.columns and bool(df["__has_center"].iloc[0]):
+            # salted STAR sub-bucket: pair every member with the
+            # bucket's broadcast exact-min center — the union over
+            # sub-buckets is exactly the unsalted star pair set
+            center = df["__center"].iloc[0]
+            ids = df[id_col].to_numpy()
+            oa = ids[ids != center]
+            if len(oa) == 0:
+                return arrow_table(pd.DataFrame({
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64")}))
+            return arrow_table(pd.DataFrame({
+                "id_a": np.minimum(oa, center),
+                "id_b": np.maximum(oa, center)}))
         if m < 2:
             return arrow_table(pd.DataFrame({
                 "id_a": pd.Series(dtype="int64"),
@@ -290,7 +412,95 @@ def lsh_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bands_ds = sigs.map_batches(
         lambda t: band_rows_batch(t, id_col, num_perm, bands),
         batch_format="pyarrow")
-    cand = (bands_ds.groupby(["band_id", "band_hash"])
+
+    # --- heavy-bucket exchange flattening (round 5) -----------------
+    # A near-dup CLUSTER puts its whole membership into ONE (band,
+    # hash) group in every band — at web scale that is one reducer
+    # swallowing the cluster. Detect genuinely-heavy buckets exactly
+    # (sound lower-bound counts), then split their rows BEFORE the
+    # exchange:
+    #   * all-pairs mode (max_bucket=None): TRIANGLE BLOCKING — member
+    #     in salt-group g is replicated to cells {(min(g,j),max(g,j))},
+    #     so every pair of the bucket co-occurs in exactly one cell;
+    #     in-cell all-pairs is a superset whose duplicates the
+    #     downstream pair dedup removes. Replication factor s on
+    #     heavy-bucket rows only; max cell ~2m/s.
+    #   * star mode: member goes to ONE salt cell, paired against the
+    #     bucket's broadcast exact-min center — identical pair set to
+    #     the unsalted in-group star.
+    # A missed heavy bucket (thin spread) just keeps today's in-group
+    # path: outputs identical either way.
+    flat_ref = None
+    star_mode = max_bucket is not None
+    if flatten_heavy:
+        thr = max_bucket if star_mode else 2 * target_cell
+        det = _detect_heavy_buckets(bands_ds, thr, det_cap)
+        if det is not None:
+            mk_h, c_h = det
+            if star_mode:
+                s_h = np.maximum(
+                    np.ceil(c_h / float(target_cell)), 2).astype(np.int64)
+                centers = _exact_bucket_min(bands_ds, id_col, mk_h)
+            else:
+                s_h = np.maximum(
+                    np.ceil(2.0 * c_h / target_cell), 2).astype(np.int64)
+                centers = None
+            try:
+                ray.get_actor("osm2shp_metrics").inc_many.remote(
+                    {"lsh_flattened_buckets": int(len(mk_h)),
+                     "lsh_flattened_members": int(c_h.sum())})
+            except Exception:
+                pass
+            flat_ref = ray.put((mk_h, s_h, centers))
+
+    def _id_hash(col) -> np.ndarray:
+        if pa.types.is_integer(col.type):
+            return splitmix64(
+                col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pl.from_arrow(c).hash(seed=71).to_numpy().astype(np.uint64)
+
+    def add_cells(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
+        if flat_ref is None:
+            return (t.append_column("cell_i", zeros)
+                    .append_column("cell_j", zeros))
+        mk_h_, s_h_, centers_ = ray.get(flat_ref)
+        mk = _mix_bucket_key(
+            t["band_id"].to_numpy(zero_copy_only=False),
+            t["band_hash"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(mk_h_, mk)
+        np.clip(pos, 0, max(len(mk_h_) - 1, 0), out=pos)
+        hit = mk_h_[pos] == mk
+        hv = _id_hash(t[id_col])
+        s_row = np.where(hit, s_h_[pos], 1).astype(np.uint64)
+        g = (hv % s_row).astype(np.int64)
+        if star_mode:
+            cell_i = np.where(hit, g, 0)
+            # center rides as (flag, value) — a nullable int column
+            # would widen to float in the pandas group kernel and
+            # corrupt ids above 2^53, so light rows carry a fill value
+            # and the flag column gates its use
+            cen_arr = np.asarray(centers_)
+            cen_full = np.where(hit, cen_arr[pos], cen_arr[0])
+            return (t.append_column("cell_i", pa.array(cell_i, pa.int64()))
+                    .append_column("cell_j", zeros)
+                    .append_column("__has_center", pa.array(hit))
+                    .append_column("__center", pa.array(cen_full)))
+        reps = np.where(hit, s_h_[pos], 1).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        j = np.arange(idx.size, dtype=np.int64) - np.repeat(cum[:-1], reps)
+        g_rep = np.repeat(g, reps)
+        cell_i = np.minimum(g_rep, j)
+        cell_j = np.maximum(g_rep, j)
+        return (t.take(pa.array(idx))
+                .append_column("cell_i", pa.array(cell_i, pa.int64()))
+                .append_column("cell_j", pa.array(cell_j, pa.int64())))
+
+    cand = (bands_ds.map_batches(add_cells, batch_format="pyarrow")
+            .groupby(["band_id", "band_hash", "cell_i", "cell_j"])
             .map_groups(cand_in_group, batch_format="pandas"))
 
     n_docs = sigs.count()

@@ -121,3 +121,37 @@ def test_jpeg_dimensions_large_appn():
     # and the decode side agrees with the meta side on the fat blob
     out = jpeg.decode_jpeg(fat)
     assert out.shape == (16, 16, 3)
+
+
+def _lsh_docs():
+    import pandas as pd
+
+    # a 260-member duplicate cluster (over max_bucket=200) + distinct tails
+    texts = ["the quick brown fox jumps over the lazy dog again " * 3] * 260
+    texts += [f"unique document body number {i} with its own words "
+              f"{i * 7} {i * 13} trailing" for i in range(100)]
+    return pd.DataFrame({
+        "doc_id": pd.Series(range(len(texts)), dtype="int64"),
+        "text": texts})
+
+
+@pytest.mark.parametrize("max_bucket", [200, None])
+def test_lsh_flatten_heavy_equivalence(ray_session, max_bucket):
+    """Heavy-bucket exchange flattening (triangle cells in all-pairs
+    mode, salted star vs broadcast exact-min center in star mode)
+    produces the identical verified pair set as the unflattened path
+    on a planted 260-member duplicate cluster."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages import dedup
+
+    df = _lsh_docs()
+
+    def pairs(flatten):
+        out = dedup.lsh_candidate_pairs(
+            rd.from_pandas(df), max_bucket=max_bucket,
+            flatten_heavy=flatten).to_pandas()
+        return set(zip(out["id_a"], out["id_b"],
+                       out["sim"].round(9)))
+
+    assert pairs(True) == pairs(False)
