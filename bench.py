@@ -577,6 +577,91 @@ def run_resume() -> dict:
     }
 
 
+def run_hotkey() -> dict:
+    """Salt-knob evidence under ADVERSARIAL skew (north-rule skew
+    pillar): plant a mega-hub node referenced by 20% of ways, run the
+    node-ref->coordinate join with salt=1 and salt=8 on the SAME
+    input in one Ray session (fresh metrics actor per run), and report
+    the join_ref_bucket max/mean histogram for each plus an
+    outputs-byte-identical check. The benign-data histogram in the
+    main bench shows the join flat when keys are uniform; this shows
+    the knob actually moving a planted hot bucket."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm2shp_ray.stages.join import resolve_ways
+    from osm2shp_ray.state import metrics
+
+    n_ways, refs_per_way, n_nodes = 200_000, 5, 1_000_000
+    hub = 7  # node id planted into every 5th way
+
+    def make_ways(b):
+        i = b["id"].to_numpy().astype(np.int64)
+        rng_refs = (np.arange(refs_per_way, dtype=np.int64)[None, :]
+                    + i[:, None] * 37) % n_nodes + 1
+        rng_refs[i % 5 == 0, 0] = hub      # the mega-hub: 20% of ways
+        counts = np.full(len(i), refs_per_way, np.int64)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))),
+                           pa.int32())
+        return pa.table({
+            "way_id": pa.array(i + 1, pa.int64()),
+            "node_refs": pa.ListArray.from_arrays(
+                offsets, pa.array(rng_refs.reshape(-1), pa.int64())),
+            "layer_idx": pa.array(np.zeros(len(i), np.int8), pa.int8()),
+        })
+
+    def make_nodes(b):
+        i = b["id"].to_numpy().astype(np.int64) + 1
+        return pa.table({
+            "id": pa.array(i, pa.int64()),
+            "lon": pa.array((i % 3600) / 10.0 - 180.0, pa.float64()),
+            "lat": pa.array((i % 1700) / 10.0 - 85.0, pa.float64()),
+        })
+
+    out = {}
+    hashes = {}
+    for salt in (1, 8):
+        actor = metrics.get_or_create("osm2shp_metrics")
+        ways = rd.range(n_ways).map_batches(make_ways,
+                                            batch_format="pyarrow")
+        nodes = rd.range(n_nodes).map_batches(make_nodes,
+                                              batch_format="pyarrow")
+        t0 = time.time()
+        res = resolve_ways(nodes, ways, salt=salt)
+        df = res.to_pandas().sort_values("way_id").reset_index(drop=True)
+        sec = time.time() - t0
+        rep = ray.get(actor.report.remote())
+        sk = rep.get("skew[join_ref_bucket]", {})
+        import hashlib
+        h = hashlib.md5()
+        h.update(df["way_id"].to_numpy().tobytes())
+        for col in ("xs", "ys"):
+            h.update(np.concatenate(
+                [np.asarray(v, np.float64) for v in df[col]]).tobytes())
+        hashes[salt] = h.hexdigest()
+        out[f"salt{salt}"] = {
+            "sec": round(sec, 3), "rows": len(df),
+            "max_over_mean": sk.get("max_over_mean"),
+            "max": sk.get("max"), "partitions": sk.get("partitions"),
+        }
+        ray.kill(ray.get_actor("osm2shp_metrics"))
+    ray.shutdown()
+    return {
+        "metric": "planted-hot-key join salt sweep",
+        "value": out["salt8"]["max_over_mean"],
+        "unit": "max_over_mean",
+        "hub_share": 0.2, "n_ways": n_ways, "refs_per_way": refs_per_way,
+        **out,
+        "outputs_identical": hashes[1] == hashes[8],
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_diff(prev_path: str, cur_path: str = "BENCH_QUERIES.json") -> int:
     """Print per-query regressions >25% between two timing artifacts.
     Only meaningful when both were recorded at the same sf/num_cpus —
@@ -621,7 +706,9 @@ if __name__ == "__main__":
             print("usage: bench.py --diff PREV.json [CUR.json]")
             sys.exit(2)
         sys.exit(run_diff(*rest))
-    if "--scaling" in sys.argv:
+    if "--hotkey" in sys.argv:
+        print(json.dumps(run_hotkey()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--resume" in sys.argv:
         print(json.dumps(run_resume()))
