@@ -4737,7 +4737,8 @@ def q_geojson_roundtrip(sf_dir: str):
     .geojsonl shards -> parallel parse back -> per-layer aggregate.
     repr/shortest-float serialization makes the coordinate round trip
     bit-exact, so the aggregate over what was READ BACK equals the
-    direct SQL aggregate."""
+    direct SQL aggregate. Shard discovery flows writer->reader through
+    the data plane (return_paths manifest), not a driver listing."""
     import shutil
     import tempfile
 
@@ -4756,8 +4757,10 @@ def q_geojson_roundtrip(sf_dir: str):
                 "geometry_wkb": pa.array(
                     wkbmod.encode_points(lon, lat), pa.binary())})
 
-        write_geojsonl(_read(sf_dir, "customer", ["c_custkey"])
-                       .map_batches(mk, batch_format="pyarrow"), out_dir)
+        _, shard_files = write_geojsonl(
+            _read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(mk, batch_format="pyarrow"), out_dir,
+            return_paths=True)
 
         def agg(t: pa.Table) -> pa.Table:
             from ..functions import wkb as w
@@ -4773,7 +4776,7 @@ def q_geojson_roundtrip(sf_dir: str):
                             ("xq", "count")]))
             return g.rename_columns(["layer", "xq", "yq", "n"])
 
-        return (read_geojsonl(out_dir)
+        return (read_geojsonl(shard_files)
                 .map_batches(agg, batch_format="pyarrow")
                 .groupby("layer")
                 .aggregate(Sum("xq", alias_name="xq_sum"),
@@ -5267,8 +5270,10 @@ def q_csv_roundtrip(sf_dir: str):
     q_jsonl_roundtrip): events keys/types -> sharded CSV
     (ray.data write_csv) -> parallel read_csv -> the per-type
     aggregate of what was read back equals the direct SQL aggregate
-    over the parquet view (integer/string columns only). Shard dir is
-    driver-local /tmp — single-node assumption, see q_orc_roundtrip."""
+    over the parquet view (integer/string columns only). Ray-native
+    sink + source: cluster-correct under the same shared-dir
+    precondition as write_parquet (the sandbox uses /tmp because it
+    is one node)."""
     import shutil
     import tempfile
 
@@ -5293,13 +5298,12 @@ def q_orc_roundtrip(sf_dir: str):
     a pyarrow.orc scan -> per-status aggregate equals the direct SQL
     aggregate (warehouse interchange format proven lossless).
 
-    SINGLE-NODE PATH ASSUMPTION (this query and the CSV twin): the
-    shard dir is driver-local /tmp, written by map_batches workers and
-    globbed on the driver — valid here because the sandbox is one
-    node. On a multi-node cluster pass a shared-filesystem / object-
-    store URI instead (as the parquet sinks do), or worker-local
-    shards would be silently missed by the driver's glob."""
-    import glob
+    Cluster-correct shard discovery: the writer tasks EMIT their shard
+    paths through the data plane and the read-back consumes that
+    manifest — no driver-side glob of worker-written files. The only
+    remaining precondition is the one every file sink has (parquet
+    included): ``out_dir`` must be a shared filesystem / object-store
+    URI on a multi-node cluster."""
     import shutil
     import tempfile
 
@@ -5308,18 +5312,21 @@ def q_orc_roundtrip(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="q_orc_", dir="/tmp")
     try:
         def write_shard(t: pa.Table) -> pa.Table:
-            if t.num_rows:
-                import hashlib
-                h = hashlib.md5(str(t["o_orderkey"][0].as_py()
-                                    ).encode()).hexdigest()[:12]
-                porc.write_table(t, f"{out_dir}/part-{h}.orc")
-            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+            if not t.num_rows:
+                return pa.table({"path": pa.array([], pa.string())})
+            import hashlib
+            h = hashlib.md5(str(t["o_orderkey"][0].as_py()
+                                ).encode()).hexdigest()[:12]
+            path = f"{out_dir}/part-{h}.orc"
+            porc.write_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
 
-        (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
-                                  "o_custkey"])
-         .map_batches(write_shard, batch_format="pyarrow")
-         .sum("n"))  # consume to force the writes
-        files = sorted(glob.glob(f"{out_dir}/*.orc"))
+        files = sorted(
+            r["path"] for r in
+            (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                      "o_custkey"])
+             .map_batches(write_shard, batch_format="pyarrow")
+             .take_all()))  # shard MANIFEST only — one row per block
         back = rd.from_items(files).map_batches(
             lambda t: pa.concat_tables(
                 [porc.read_table(f) for f in t["item"].to_pylist()]),

@@ -63,11 +63,17 @@ def _features_to_lines(ids, layers, names, kinds, xs_list,
 
 def write_geojsonl(ds, out_dir: str, id_col: str = "way_id",
                    layer_col: str = "layer",
-                   wkb_col: str = "geometry_wkb") -> int:
+                   wkb_col: str = "geometry_wkb",
+                   return_paths: bool = False):
     """Write a feature Dataset (id, layer, WKB Point/LineString) as
     one content-addressed .geojsonl file per block. Returns the
     number of features written (a scalar reduce — no feature rows
-    return to the driver)."""
+    return to the driver), or, with ``return_paths=True``,
+    ``(count, sorted shard paths)`` — the writer tasks emit their
+    shard paths through the data plane so the read side needs no
+    driver listing of worker-written files (one metadata row per
+    block reaches the driver; ``out_dir`` must be a shared URI on a
+    multi-node cluster, the same precondition as write_parquet)."""
     from ..functions import wkb as wkbmod
 
     os.makedirs(out_dir, exist_ok=True)
@@ -82,6 +88,7 @@ def write_geojsonl(ds, out_dir: str, id_col: str = "way_id",
         kinds, xs_l, ys_l = wkbmod.decode_batch(t[wkb_col].to_pylist())
         payload = _features_to_lines(ids, layers, names, kinds, xs_l,
                                      ys_l)
+        path = ""
         if payload:
             name = hashlib.md5(payload).hexdigest()[:20]
             final = os.path.join(out_dir, f"{name}.geojsonl")
@@ -89,20 +96,33 @@ def write_geojsonl(ds, out_dir: str, id_col: str = "way_id",
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, final)  # atomic: no partial files survive
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+            path = final
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string())})
 
-    return ds.map_batches(write_block, batch_format="pyarrow").sum("n")
+    out = ds.map_batches(write_block, batch_format="pyarrow")
+    if not return_paths:
+        return out.sum("n")
+    rows = out.take_all()   # shard manifest — one row per block
+    return (sum(r["n"] for r in rows),
+            sorted(r["path"] for r in rows if r["path"]))
 
 
-def read_geojsonl(path: str, override_num_blocks: int | None = None):
-    """Read a GeoJSONL directory (or single file) back into a feature
-    Dataset (id, layer, geometry_wkb) — one parse task per file, so
-    the read parallelizes like any file-sharded source."""
+def read_geojsonl(path: str | list[str],
+                  override_num_blocks: int | None = None):
+    """Read a GeoJSONL directory (or single file, or an explicit shard
+    list from ``write_geojsonl(..., return_paths=True)``) back into a
+    feature Dataset (id, layer, geometry_wkb) — one parse task per
+    file, so the read parallelizes like any file-sharded source.
+    Passing the writer's own shard manifest avoids any directory
+    listing of worker-written files."""
     import ray.data as rd
 
     from ..functions import wkb as wkbmod
 
-    if os.path.isdir(path):
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.endswith(".geojsonl"))
