@@ -50,19 +50,18 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm2shp_ray.pipelines import queries as q
 
+    # NOTE on key ORDER: the driver's per-round correctness gate
+    # samples the FIRST 50 keys of this dict, so the head is curated
+    # to track the operator frontier — each round's newest operators
+    # and the scale-dual paths rotate in, long-stable simple rows
+    # rotate out (round-4 brief task #4). Every query, head or tail,
+    # is still oracle-mirrored at sf0.001 by tests/test_queries_oracle.
     return {
         # core relational / reference-operator analogs
         "q01_pricing_summary": q.q01_pricing_summary,
         "q03_top_orders": q.q03_top_orders,
         "q_join_resolve": q.q_join_resolve,
         "q_first_match_classify": q.q_first_match_classify,
-        "q_window_tumbling": q.q_window_tumbling,
-        "q_window_sliding": q.q_window_sliding,
-        "q_topk_users": q.q_topk_users,
-        "q_topk_per_group": q.q_topk_per_group,
-        "q_quantiles_by_user": q.q_quantiles_by_user,
-        "q_customers_without_orders": q.q_customers_without_orders,
-        "q_supplier_by_region": q.q_supplier_by_region,
         # spatial pack
         "q_cell_encode": q.q_cell_encode,
         "q_tile_histogram": q.q_tile_histogram,
@@ -74,11 +73,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snap_dedup": q.q_snap_dedup,
         # text / dedup / similarity pack
         "q_dedup_exact": q.q_dedup_exact,
-        "q_token_stats": q.q_token_stats,
-        "q_punct_by_source": q.q_punct_by_source,
+        # rotated into the sampled head (round 5): the dedup family's
+        # scale-shaped members
+        "q_semantic_dedup": q.q_semantic_dedup,
+        "q_incremental_dedup": q.q_incremental_dedup,
+        "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
+        "q_chunk_dedup": q.q_chunk_dedup,
         "q_ann_topk": q.q_ann_topk,
         "q_session_windows": q.q_session_windows,
         "q_asof_join": q.q_asof_join,
+        # rotated in (round 5): event-time watermark accounting and
+        # the degree-oriented triangle count
+        "q_watermark_late": q.q_watermark_late,
+        "q_triangle_count": q.q_triangle_count,
         "q_range_join_alerts": q.q_range_join_alerts,
         # sketch/LSH family — SQL-oracled: hash-bearing outputs use the
         # md5-derived 60-bit hash and similarity outputs are
@@ -88,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         "q_fingerprints": q.q_fingerprints,
+        # rotated in (round 5): the no-broadcast bigram-LM scale dual
+        # and corpus KL drift
+        "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
+        "q_kl_drift": q.q_kl_drift,
         "q_embed_near_dup": q.q_embed_near_dup,
         # round 4: the subquadratic hyperplane-LSH near-dup path,
         # hash-gated on a planted recall-1.0 corpus
@@ -96,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
         # deterministic hash split + HLL distinct sketch (register
         # table compared exactly; estimate tested in pytest)
-        "q_split_stats": q.q_split_stats,
         "q_stratified_sample": q.q_stratified_sample,
         "q_quantile_sketch": q.q_quantile_sketch,
         "q_distinct_hll": q.q_distinct_hll,
@@ -120,18 +130,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled via engine-independent fixture side tables
         # (entities / clip metadata written at fixture time)
         "q_convert_images": q.q_convert_images,
+        # rotated in (round 5): header-only meta scan and the
+        # bit-exact lossy-decode gate on the vendored JPEG decoder
+        "q_image_meta_scan": q.q_image_meta_scan,
+        "q_image_stats_lossy": q.q_image_stats_lossy,
+        # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
+        # rotated out of the head (round 5, all 4-rounds-stable):
+        "q_window_tumbling": q.q_window_tumbling,
+        "q_window_sliding": q.q_window_sliding,
+        "q_topk_users": q.q_topk_users,
+        "q_topk_per_group": q.q_topk_per_group,
+        "q_quantiles_by_user": q.q_quantiles_by_user,
+        "q_customers_without_orders": q.q_customers_without_orders,
+        "q_supplier_by_region": q.q_supplier_by_region,
+        "q_token_stats": q.q_token_stats,
+        "q_punct_by_source": q.q_punct_by_source,
+        "q_split_stats": q.q_split_stats,
         "q_way_area": q.q_way_area,
         "q_bbox_join": q.q_bbox_join,
         "q_ring_centroid": q.q_ring_centroid,
         "q_image_stats": q.q_image_stats,
         "q_image_sharpness": q.q_image_sharpness,
-        # round 4: header-only metadata scan (no decode) — the cheap
-        # filter-before-decode pass of a 100-TB image pipeline
-        "q_image_meta_scan": q.q_image_meta_scan,
-        # round 4: bit-exact pixel gate on the vendored JPEG decoder
-        # (decode-round-trip side table, the clip_meta contract)
-        "q_image_stats_lossy": q.q_image_stats_lossy,
         "q_thumbnails": q.q_thumbnails,
         "q_video_scenes": q.q_video_scenes,
         "q_new_users_daily": q.q_new_users_daily,
@@ -159,11 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_blocking_supplier": q.q21_sole_blocking_supplier,
         "q_bm25_topk": q.q_bm25_topk,
         "q_kmeans_clusters": q.q_kmeans_clusters,
-        "q_semantic_dedup": q.q_semantic_dedup,
         "q_mixture_sample": q.q_mixture_sample,
         "q_decontaminate": q.q_decontaminate,
-        "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
-        "q_chunk_dedup": q.q_chunk_dedup,
         "q_gap_fill": q.q_gap_fill,
         "q16_part_supplier_counts": q.q16_part_supplier_counts,
         "q_trimmed_mean": q.q_trimmed_mean,
@@ -173,8 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
         "q_bigram_lm": q.q_bigram_lm,
-        # round 4: the no-broadcast scale dual under its own hash gate
-        "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
         "q_rrf_fusion": q.q_rrf_fusion,
         "q_value_trend": q.q_value_trend,
         "q_scd2": q.q_scd2,
@@ -187,7 +202,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_weights": q.q_dsir_weights,
         "q_grouped_mode": q.q_grouped_mode,
         "q_clip_score": q.q_clip_score,
-        "q_incremental_dedup": q.q_incremental_dedup,
         "q_cooccurrence_pmi": q.q_cooccurrence_pmi,
         "q_quality_cut": q.q_quality_cut,
         "q_window_distinct_users": q.q_window_distinct_users,
@@ -196,9 +210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_adc_topk": q.q_pq_adc_topk,
         "q_orders_events_daily": q.q_orders_events_daily,
         "q_running_total": q.q_running_total,
-        # round 4: event-time watermark accounting (distributed
-        # prefix-MAX scan over arrival order)
-        "q_watermark_late": q.q_watermark_late,
         "q_rollup_docs": q.q_rollup_docs,
         "q_ntile_events": q.q_ntile_events,
         "q_pagerank": q.q_pagerank,
@@ -233,9 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_docs": q.q_profile_docs,
         "q_snapshot_diff": q.q_snapshot_diff,
         "q_fuzzy_names": q.q_fuzzy_names,
-        "q_triangle_count": q.q_triangle_count,
         "q_rolling_anomaly": q.q_rolling_anomaly,
-        "q_kl_drift": q.q_kl_drift,
         "q_tfidf_terms": q.q_tfidf_terms,
         "q_melt_lineitem": q.q_melt_lineitem,
         "q_event_sequences": q.q_event_sequences,
