@@ -755,45 +755,47 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     if distributed:
         from .util import shuffle_blocks as _shuffle_blocks
 
-        # pin the bigram counts: with_w1 and c1 are BOTH sides of the
-        # model join and both trace to cnt — unmaterialized, the full
-        # corpus bigram reduce runs once per consumer (measured: the
-        # whole 12s query was ~2x this stage plus chain latency)
-        cnt = cnt.materialize()
-        # vocab-sized block count for every vocab-sized exchange below
-        # (the c1 groupby and the model join): sorting a few hundred
-        # rows into 16-32 range partitions guarantees duplicate sampled
-        # boundaries -> empty reduce ranges -> zero-column blocks ->
-        # executor RefBundle schema warnings on every downstream map.
-        # count() on a materialized Dataset is free (block metadata).
-        n_vocab = cnt.count()
-        vb = max(1, min(int(_shuffle_blocks()), (int(n_vocab) // 8192) + 1))
-        cnt = cnt.repartition(vb)
+        # no-broadcast dual, ONE-exchange model build (round 5; was
+        # cnt-aggregate -> c1-aggregate -> model hash_join = three
+        # barriers): grouping the per-batch (w1, big, c) partials by
+        # w1 co-locates every bigram sharing a left context, so one
+        # map_groups computes the cross-batch bigram totals AND the
+        # c1 normalizer AND the quantized lp in place. Same int64
+        # sums, same doubles, same floor — byte-identical model. A w1
+        # group is bounded by one context word's fan-out in the
+        # REDUCED vocab (partial rows, never doc instances) — the
+        # documented model-build skew bound.
+        def w1_partials(t: pa.Table) -> pa.Table:
+            cnt_b = _bigram_rows(t[text_col]).group_by("big").len()
+            w1 = cnt_b["big"].str.split(" ").list.first()
+            return pa.table({
+                "w1": w1.to_arrow().cast(pa.string()),
+                "big": cnt_b["big"].to_arrow().cast(pa.string()),
+                "c": pa.array(cnt_b["len"].to_numpy().astype(np.int64),
+                              pa.int64())})
 
-        # no-broadcast dual: the model itself is built distributed
-        # (vocab-sized groupby + join), then probed via hash_join
-        def add_w1(t: pa.Table) -> pa.Table:
-            w1 = pl.from_arrow(t["big"].combine_chunks()
-                               if isinstance(t["big"], pa.ChunkedArray)
-                               else t["big"]).str.split(" ").list.first()
-            return t.append_column("w1", w1.to_arrow().cast(pa.string()))
+        # partials are vocab-bounded per batch; materialize to SIZE
+        # the exchange: empty sort ranges over a low-cardinality w1
+        # key are what trip Ray's zero-column RefBundle warnings — a
+        # single reduce partition has no boundaries to duplicate, and
+        # by the time partial rows outgrow the threshold the w1
+        # cardinality is high enough for distinct sampled boundaries.
+        partials = ds.map_batches(w1_partials,
+                                  batch_format="pyarrow").materialize()
+        vb = max(1, min(int(_shuffle_blocks()),
+                        int(partials.count()) // 65536))
 
-        with_w1 = cnt.map_batches(add_w1, batch_format="pyarrow")
-        c1 = (with_w1.map_batches(
-            lambda t: t.select(["w1", "c"]).rename_columns(["w1", "c1"]),
-            batch_format="pyarrow")
-            .groupby("w1").aggregate(Sum("c1", alias_name="c1")))
-
-        def add_lp(t: pa.Table) -> pa.Table:
-            c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-            s = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
-            lp = np.floor(scale * np.log(c / s)).astype(np.int64)
-            return pa.table({"big": t["big"],
+        def model_group(t: pa.Table) -> pa.Table:
+            g = (pl.from_arrow(t.select(["big", "c"]))
+                 .group_by("big").agg(pl.col("c").sum()))
+            c = g["c"].to_numpy().astype(np.float64)
+            c1 = float(c.sum())
+            lp = np.floor(scale * np.log(c / c1)).astype(np.int64)
+            return pa.table({"big": g["big"].to_arrow().cast(pa.string()),
                              "lp": pa.array(lp, pa.int64())})
 
-        model = hash_join(with_w1, c1, on="w1",
-                          sort_blocks=vb).map_batches(
-            add_lp, batch_format="pyarrow")
+        model = (partials.repartition(vb).groupby("w1")
+                 .map_groups(model_group, batch_format="pyarrow"))
 
         def doc_bigrams(t: pa.Table) -> pa.Table:
             # per-batch (id, big) -> n combiner BEFORE the join
