@@ -531,16 +531,41 @@ def unigram_counts(ds, text_col: str = "text"):
             .groupby("tok").aggregate(Sum("c", alias_name="c")))
 
 
-def _doc_token_pairs(text_col: str, id_col: str):
-    """Batch fn: explode docs to (id, tok) rows — the probe side of
-    the distributed (no-broadcast) scoring joins."""
+def _doc_token_weights(text_col: str, id_col: str):
+    """Batch fn: explode docs to DISTINCT (id, tok, n) rows — the
+    weighted probe side of the distributed scoring joins. Tokens
+    repeat heavily (stopwords), so shipping one weighted row per
+    distinct (doc, token) instead of one per INSTANCE cuts the join
+    exchange and flattens the hot-token bucket; downstream sums use
+    Σ n·lp == Σ over instances of lp, exactly (int64)."""
     def doc_tokens(t: pa.Table) -> pa.Table:
         idc = (t[id_col].combine_chunks()
                if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
         long = _token_rows(t[text_col])
-        return pa.table({id_col: idc.take(pa.array(long["i"].to_numpy())),
-                         "tok": long["tok"].to_arrow().cast(pa.string())})
+        pairs = pa.table({
+            id_col: idc.take(pa.array(long["i"].to_numpy())),
+            "tok": long["tok"].to_arrow().cast(pa.string())})
+        g = pairs.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+        return pa.table({id_col: g[id_col], "tok": g["tok"],
+                         "n": g["count_all"].cast(pa.int64())})
     return doc_tokens
+
+
+def _weighted_doc_lp_partial(id_col: str, n_col: str):
+    """Per-batch combiner of WEIGHTED join output (id, ..., n, lp):
+    per doc, n_col = Σn and lp = Σ n·lp — integer sums, so the global
+    Sum-of-partials equals the unweighted per-instance Count/Sum."""
+    def f(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = t["lp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pa.table({id_col: t[id_col],
+                      "n": pa.array(n, pa.int64()),
+                      "nlp": pa.array(n * lp, pa.int64())})
+        g = w.group_by([id_col]).aggregate([("n", "sum"), ("nlp", "sum")])
+        return pa.table({id_col: g[id_col],
+                         n_col: g["n_sum"],
+                         "lp": g["nlp_sum"]})
+    return f
 
 
 def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -595,13 +620,15 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             lp = np.floor(scale * np.log(c / float(total))).astype(np.int64)
             return pa.table({"tok": t["tok"], "lp": pa.array(lp, pa.int64())})
 
-        joined = hash_join(ds.map_batches(_doc_token_pairs(text_col, id_col),
+        joined = hash_join(ds.map_batches(_doc_token_weights(text_col,
+                                                             id_col),
                                           batch_format="pyarrow"),
                            vocab.map_batches(add_lp, batch_format="pyarrow"),
                            on="tok")
         # pre-combine per batch: the exchange moves one row per doc
         # per block, never the full (doc, token) join output
-        return (joined.map_batches(_doc_lp_partial(id_col, "n_tok"),
+        return (joined.map_batches(_weighted_doc_lp_partial(id_col,
+                                                            "n_tok"),
                                    batch_format="pyarrow")
                 .groupby(id_col)
                 .aggregate(Sum("n_tok", alias_name="n_tok"),
@@ -616,20 +643,6 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     qlp = (np.floor(scale * np.log(cs / total)).astype(np.int64)
            if len(cs) else np.empty(0, np.int64))
     return _token_value_scan(ds, text_col, id_col, toks, qlp, "lp_sum")
-
-
-def _doc_lp_partial(id_col: str, n_col: str):
-    """Per-batch combiner for the distributed LM-score tails: group a
-    (id, ..., lp) join-output batch by doc id, emitting (id, n, lp)
-    partial count/sum rows — integer sums, so Sum-of-partials equals
-    the ungrouped Count/Sum exactly."""
-    def f(t: pa.Table) -> pa.Table:
-        g = (t.select([id_col, "lp"]).group_by([id_col])
-             .aggregate([("lp", "sum"), ("lp", "count")]))
-        return pa.table({id_col: g[id_col],
-                         n_col: g["lp_count"].cast(pa.int64()),
-                         "lp": g["lp_sum"]})
-    return f
 
 
 def _token_value_scan(ds, text_col: str, id_col: str,
@@ -820,21 +833,8 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                                           batch_format="pyarrow"),
                            model, on="big")
 
-        def weighted_partial(t: pa.Table) -> pa.Table:
-            # per-batch combiner of weighted join output: n_big =
-            # sum(n), lp = sum(n*lp) per doc (integer — exact)
-            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-            lp = t["lp"].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = pa.table({id_col: t[id_col],
-                          "n": pa.array(n, pa.int64()),
-                          "nlp": pa.array(n * lp, pa.int64())})
-            g = w.group_by([id_col]).aggregate([("n", "sum"),
-                                                ("nlp", "sum")])
-            return pa.table({id_col: g[id_col],
-                             "n_big": g["n_sum"],
-                             "lp": g["nlp_sum"]})
-
-        out = (joined.map_batches(weighted_partial,
+        out = (joined.map_batches(_weighted_doc_lp_partial(id_col,
+                                                           "n_big"),
                                   batch_format="pyarrow")
                .groupby(id_col)
                .aggregate(Sum("n_big", alias_name="n_big"),
@@ -906,9 +906,10 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
         raise ValueError(f"scale must be positive, got {scale}")
 
     if distributed:
-        from ray.data.aggregate import Count, Sum
+        from ray.data.aggregate import Sum
 
         from .joins import hash_join
+        from .util import shuffle_blocks as _shuffle_blocks
 
         raw = unigram_counts(ds, text_col).materialize()  # scalars + join
         tgt = unigram_counts(target_ds, text_col).materialize()
@@ -919,9 +920,14 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
         def rename_ct(t: pa.Table) -> pa.Table:
             return pa.table({"tok": t["tok"], "ct": t["c"]})
 
+        # vocab-sized union: size the exchange from the known counts
+        # so no sort range partition is empty (zero-column RefBundle
+        # warnings; see hash_join's sort_blocks doc)
+        vb = max(1, min(int(_shuffle_blocks()),
+                        (int(v) + int(tgt.count())) // 65536))
         vocab = hash_join(raw, tgt.map_batches(rename_ct,
                                                batch_format="pyarrow"),
-                          on="tok", how="left")
+                          on="tok", how="left", sort_blocks=vb)
 
         def add_w(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -932,12 +938,18 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
                   - np.floor(scale * np.log(cr_ / t_raw))).astype(np.int64)
             return pa.table({"tok": t["tok"], "lp": pa.array(w_, pa.int64())})
 
-        joined = hash_join(ds.map_batches(_doc_token_pairs(text_col, id_col),
+        joined = hash_join(ds.map_batches(_doc_token_weights(text_col,
+                                                             id_col),
                                           batch_format="pyarrow"),
                            vocab.map_batches(add_w, batch_format="pyarrow"),
                            on="tok")
-        return (joined.groupby(id_col)
-                .aggregate(Count(alias_name="n_tok"),
+        # weighted pre-combine (see _doc_token_weights): Σn == the
+        # per-instance Count, Σ n·lp == the per-instance Sum, exactly
+        return (joined.map_batches(_weighted_doc_lp_partial(id_col,
+                                                            "n_tok"),
+                                   batch_format="pyarrow")
+                .groupby(id_col)
+                .aggregate(Sum("n_tok", alias_name="n_tok"),
                            Sum("lp", alias_name="w_sum")))
 
     raw_rows = unigram_counts(ds, text_col).take_all()
