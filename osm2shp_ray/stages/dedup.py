@@ -45,11 +45,19 @@ def _log_star_bucket(m: int) -> None:
           f"star-linked to its min-id member (connectivity preserved, "
           f"full pair enumeration skipped)")
 
-def _dedup_pairs(pairs_ds, n_buckets: int = 32):
+def _dedup_pairs(pairs_ds, n_buckets: int = 1024):
     """Dedup (id_a, id_b) pairs surfaced by multiple bands: bucket by a
     pair hash, then one vectorized drop_duplicates per bucket — NOT a
     groupby over the pair key itself, which would invoke Python once
-    per pair (measured: dominated the whole LSH runtime)."""
+    per pair (measured: dominated the whole LSH runtime).
+
+    n_buckets is deliberately well above the sort-partition count:
+    with as many distinct bucket values as partitions, the sort's
+    sampled range boundaries duplicate and empty reduce ranges emit
+    zero-column blocks (the executor RefBundle schema warning — see
+    hash_join's sort_blocks doc). 1024 avalanched values keep every
+    boundary distinct while drop_dups stays one vectorized call per
+    present bucket."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         def h(col):
