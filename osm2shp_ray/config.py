@@ -68,6 +68,14 @@ S2_ANALOG_LEVEL = 13
 
 # Default shuffle knobs. At 100 TB these scale with the cluster:
 # buckets ~ 4 x total cores; SALT sized to split the hottest key across
-# that many subkeys.
-DEFAULT_JOIN_BUCKETS = 128
+# that many subkeys. Buckets are also kept WELL above the sort
+# partition count (~1-2 per core): with as many distinct bucket values
+# as range partitions, the sort's sampled boundaries duplicate and the
+# empty reduce ranges emit zero-column blocks (Ray's RefBundle schema
+# warning). 256 avalanched values over ≤64 partitions keep every
+# boundary distinct (duplicate boundaries need one value holding
+# ~1/partitions of the sample — 8x its flat share) while group-kernel
+# invocation count stays moderate (measured: 1024 buckets doubled the
+# convert chain's wall time in per-group pandas overhead).
+DEFAULT_JOIN_BUCKETS = 256
 DEFAULT_SALT = 8

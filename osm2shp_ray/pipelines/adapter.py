@@ -107,13 +107,21 @@ def _build_ways_group(df: pd.DataFrame) -> pa.Table:
     })
 
 
-def adapt_images(images_ds, n_buckets: int = 64):
+def adapt_images(images_ds, n_buckets: int | None = None):
     """images Dataset -> (nodes_ds, ways_ds).
 
     One groupby (bucketed by way_id) constructs the ways side; the
     nodes side is a pure map. The ways groupby is narrow: membership
     rows are (3 ints + tags string) — payload bytes were dropped in
-    nodes_from_images_batch."""
+    nodes_from_images_batch. n_buckets defaults to
+    config.DEFAULT_JOIN_BUCKETS — deliberately far above the sort
+    partition count, because bucket counts ~ reducer counts duplicate
+    the sort's sampled boundaries and the empty reduce ranges emit
+    schema-less empty blocks that poison every downstream stage with
+    RefBundle schema warnings (measured: 5 of 32 adapter output
+    blocks were zero-column at n_buckets=32, sf0.1)."""
+    from .. import config
+    n_buckets = n_buckets or config.DEFAULT_JOIN_BUCKETS
     nodes = images_ds.map_batches(nodes_from_images_batch, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:

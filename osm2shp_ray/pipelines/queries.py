@@ -976,10 +976,11 @@ def q_convert_images(sf_dir: str):
     cached_entities_parquet(n)  # side input for the SQL oracle
     images = rd.read_parquet(cached_images_parquet(n, use_ray=False),
                              columns=["image_id", "caption", "phash"])
-    nodes, ways = adapter.adapt_images(images, n_buckets=32)
-    points, ways_out = convert.convert(nodes, ways, n_buckets=32)
-    p = points.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
-    w = ways_out.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    nodes, ways = adapter.adapt_images(images)
+    points, ways_out = convert.convert(nodes, ways)
+    from ..stages.util import small_key_count
+    p = small_key_count(points, "layer").to_pandas()
+    w = small_key_count(ways_out, "layer").to_pandas()
     p["kind"] = "point"
     w["kind"] = "way"
     return pd.concat([p, w], ignore_index=True)
@@ -1008,7 +1009,7 @@ def q_postprocess_ways(sf_dir: str):
     images = rd.read_parquet(
         cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
         columns=["image_id", "caption", "phash"])
-    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    nodes, ways = adapter.adapt_images(images)
     classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
     assembled = resolve_ways(nodes, classified, n_buckets=16)
     simplified = assembled.map_batches(
@@ -1060,7 +1061,7 @@ def q_way_length(sf_dir: str):
     images = rd.read_parquet(
         cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
         columns=["image_id", "caption", "phash"])
-    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    nodes, ways = adapter.adapt_images(images)
     classified = ways.map_batches(classify_ways_batch, batch_format="pyarrow")
     assembled = resolve_ways(nodes, classified, n_buckets=16)
     agg = (assembled
@@ -1151,8 +1152,15 @@ def _customer_rings(sf_dir: str):
             "xs": pa.ListArray.from_arrays(off, t["lon"].combine_chunks()),
             "ys": pa.ListArray.from_arrays(off, t["lat"].combine_chunks())})
 
+    # reducer count ≤ ring_count/4: the ring key is LOW-cardinality by
+    # contract, and reducers ~ distinct keys duplicate sampled sort
+    # boundaries (empty ranges -> zero-column blocks -> RefBundle
+    # schema warnings; see config.DEFAULT_JOIN_BUCKETS)
+    from ..stages.util import shuffle_blocks
+    nb = max(1, min(shuffle_blocks(), WAY_AREA_RINGS // 4))
     return (_read(sf_dir, "customer", ["c_custkey"])
             .map_batches(to_verts, batch_format="pyarrow")
+            .repartition(nb)
             .groupby("ring_id")
             .map_groups(assemble, batch_format="pyarrow"))
 
@@ -1490,7 +1498,7 @@ wc AS (SELECT w, n, n_bad, pk0, pk1,
 res AS (SELECT * FROM wc WHERE layer IS NOT NULL AND vok AND n_bad = 0)"""
 
 
-def sql_entities(sf_dir: str, n_buckets: int = 32):
+def sql_entities(sf_dir: str, n_buckets: int | None = None):
     """(nodes_ds, ways_ds) derived from part/lineitem with pure integer
     arithmetic (node ids/coords/tags from p_partkey, way membership
     from l_orderkey/l_linenumber) — every derivation mirrored in the
@@ -1498,6 +1506,8 @@ def sql_entities(sf_dir: str, n_buckets: int = 32):
     from ..stages.util import coalesced
     from .adapter import _build_ways_group
     from ..functions.hashing import bucket_of
+    from .. import config
+    n_buckets = n_buckets or config.DEFAULT_JOIN_BUCKETS
 
     def part_nodes(t: pa.Table) -> pa.Table:
         pk = t["p_partkey"].to_numpy(zero_copy_only=False)
@@ -1540,9 +1550,10 @@ def q_convert_pipeline(sf_dir: str):
     the DuckDB re-derivation."""
     from . import convert
     nodes, ways = sql_entities(sf_dir)
-    points, ways_out = convert.convert(nodes, ways, n_buckets=32)
-    p = points.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
-    w = ways_out.groupby("layer").aggregate(Count(alias_name="n")).to_pandas()
+    points, ways_out = convert.convert(nodes, ways)
+    from ..stages.util import small_key_count
+    p = small_key_count(points, "layer").to_pandas()
+    w = small_key_count(ways_out, "layer").to_pandas()
     p["kind"] = "point"
     w["kind"] = "way"
     out = pd.concat([p, w], ignore_index=True)
@@ -1594,8 +1605,9 @@ def q_postprocess_pipeline(sf_dir: str):
         return pa.table({"layer": layer,
                          "one": pa.array(np.ones(t.num_rows, np.int64))})
 
-    return (deduped.map_batches(survivors, batch_format="pyarrow")
-            .groupby("layer").aggregate(Sum("one", alias_name="n")))
+    from ..stages.util import small_key_count
+    return small_key_count(
+        deduped.map_batches(survivors, batch_format="pyarrow"), "layer")
 
 
 def q_supplier_by_region(sf_dir: str):
@@ -4904,7 +4916,7 @@ def q_clip_ways(sf_dir: str):
     images = rd.read_parquet(
         cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
         columns=["image_id", "caption", "phash"])
-    nodes, ways = adapter.adapt_images(images, n_buckets=16)
+    nodes, ways = adapter.adapt_images(images)
     classified = ways.map_batches(classify_ways_batch,
                                   batch_format="pyarrow")
     assembled = resolve_ways(nodes, classified, n_buckets=16)

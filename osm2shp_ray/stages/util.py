@@ -85,3 +85,25 @@ def topk(ds, keys, descending, k: int):
     return (ds.map_batches(block_topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final_topk, batch_format="pyarrow"))
+
+
+def small_key_count(ds, key: str, alias: str = "n"):
+    """Count-per-key for LOW-cardinality keys (layers, statuses)
+    without empty sort ranges: per-batch partial counts collapse the
+    stream to one row per key per batch, then a SINGLE-partition
+    groupby sums them. One reducer has no range boundaries to
+    duplicate, so Ray never emits the zero-column empty blocks that
+    trip its RefBundle schema warning — and a single reducer over
+    n_batches x n_keys partial rows is exact and tiny at any corpus
+    size. Output: (key, alias: int64)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t):
+        g = t.select([key]).group_by([key]).aggregate([([], "count_all")])
+        return pa.table({key: g[key],
+                         "__pc": g["count_all"].cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .groupby(key).aggregate(Sum("__pc", alias_name=alias)))
