@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdc_merge": q.q_cdc_merge,
         "q_weighted_median": q.q_weighted_median,
         "q_lm_score": q.q_lm_score,
+        # round 5: the no-broadcast scale duals under their own gates
+        "q_lm_score_distributed": q.q_lm_score_distributed,
+        "q_dsir_distributed": q.q_dsir_distributed,
         "q_bigram_lm": q.q_bigram_lm,
         "q_rrf_fusion": q.q_rrf_fusion,
         "q_value_trend": q.q_value_trend,
@@ -1708,6 +1711,7 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) AS wmedian_q
             FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
+        "q_lm_score_distributed": lm_sql,
         # per-key OLS slope from the same five int64 moment sums;
         # DuckDB // truncates toward zero, which the engine mirrors
         "q_value_trend": f"""
@@ -1793,6 +1797,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM big JOIN q ON big.w1 = q.w1 AND big.w2 = q.w2
             GROUP BY big.doc_id""",
         "q_dsir_weights": dsir_sql,
+        "q_dsir_distributed": dsir_sql,
         "q_clip_score": clip_sql,
         "q_incremental_dedup": incr_sql,
         "q_embed_outliers": emb_out_sql,

@@ -72,10 +72,12 @@ S2_ANALOG_LEVEL = 13
 # partition count (~1-2 per core): with as many distinct bucket values
 # as range partitions, the sort's sampled boundaries duplicate and the
 # empty reduce ranges emit zero-column blocks (Ray's RefBundle schema
-# warning). 256 avalanched values over ≤64 partitions keep every
-# boundary distinct (duplicate boundaries need one value holding
-# ~1/partitions of the sample — 8x its flat share) while group-kernel
-# invocation count stays moderate (measured: 1024 buckets doubled the
-# convert chain's wall time in per-group pandas overhead).
-DEFAULT_JOIN_BUCKETS = 256
+# warning). 128 over the usual ≤64 reducers keeps boundary-duplicate
+# odds low (a duplicate needs one value holding ~1/reducers of the
+# sample — 4-8x its flat share) without inflating group-kernel
+# invocation counts (measured: 256 cost the headline ~20% in
+# per-group overhead; the REAL empty-range offenders were
+# reducer-SIZED literals of 16-32 in the adapter/entity chains, now
+# removed in favor of this default).
+DEFAULT_JOIN_BUCKETS = 128
 DEFAULT_SALT = 8

@@ -1686,6 +1686,19 @@ def q_lm_score(sf_dir: str):
             .to_pandas())
 
 
+def q_lm_score_distributed(sf_dir: str):
+    """The SCALE dual of q_lm_score under its own hash gate: the
+    no-broadcast path (distributed=True — weighted (doc, tok, n) rows
+    inner-join the vocab Dataset via hash_join, shared weighted
+    combiner), which is what runs when a web-scale vocab outgrows
+    worker heaps. Byte-identical contract to the broadcast default,
+    proven against the SQL oracle end-to-end (the round-4 rule:
+    oracle-gate the scale duals, not just their equivalence tests)."""
+    return (text.lm_score(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          distributed=True)
+            .to_pandas())
+
+
 def q_bigram_lm(sf_dir: str):
     """Conditional bigram LM scoring (stages/text.py::bigram_lm_score):
     corpus-trained bigram model, per-doc integer micro-nat sums of
@@ -1867,6 +1880,21 @@ def q_dsir_weights(sf_dir: str):
 
     tgt = docs.map_batches(tgt_filter, batch_format="pyarrow")
     return text.dsir_weights(docs, tgt).to_pandas()
+
+
+def q_dsir_distributed(sf_dir: str):
+    """The SCALE dual of q_dsir_weights under its own hash gate: the
+    no-broadcast path (distributed=True — both unigram models join
+    via a count-sized hash_join sized with sort_blocks, doc tokens
+    explode weighted). Byte-identical to the broadcast default."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tgt_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % DECON_EVAL_MOD) == 0))
+
+    tgt = docs.map_batches(tgt_filter, batch_format="pyarrow")
+    return text.dsir_weights(docs, tgt, distributed=True).to_pandas()
 
 
 def q_grouped_mode(sf_dir: str):

@@ -155,6 +155,9 @@ SQL_CHECKED = [
     # round 5: lossy-JPEG decode stats under the decode-round-trip
     # contract (ground truth = same decoder run locally on the driver)
     "q_image_stats_lossy",
+    # round 5: the remaining no-broadcast scale duals under their own
+    # oracle gates (the round-4 rule, completed for the LM family)
+    "q_lm_score_distributed", "q_dsir_distributed",
 ]
 
 
