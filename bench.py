@@ -356,6 +356,13 @@ def run_bench() -> dict:
         ("q_morans_i", q.q_morans_i),
         ("q_embed_near_dup_lsh", q.q_embed_near_dup_lsh),
         ("q_bigram_lm_distributed", q.q_bigram_lm_distributed),
+        # round 5: the remaining LM-family scale duals + the frontier
+        # additions rotated into the driver gate
+        ("q_lm_score_distributed", q.q_lm_score_distributed),
+        ("q_dsir_distributed", q.q_dsir_distributed),
+        ("q_image_meta_scan", q.q_image_meta_scan),
+        ("q_image_stats_lossy", q.q_image_stats_lossy),
+        ("q_watermark_late", q.q_watermark_late),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold
