@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial pack
         "q_cell_encode": q.q_cell_encode,
         "q_tile_histogram": q.q_tile_histogram,
+        # round 5: one-pass multi-resolution tile-pyramid rollup
+        "q_cell_pyramid": q.q_cell_pyramid,
         "q_pip_rect": q.q_pip_rect,
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
@@ -1011,6 +1013,22 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
+        "q_cell_pyramid": f"""
+            WITH c AS ({cells})
+            SELECT 13 AS res,
+                   13 * 288230376151711744 + y13 * 536870912 + x13 AS cell,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT 10 AS res,
+                   10 * 288230376151711744 + (y13 // 8) * 536870912 + (x13 // 8),
+                   CAST(count(*) AS BIGINT)
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT 7 AS res,
+                   7 * 288230376151711744 + (y13 // 64) * 536870912 + (x13 // 64),
+                   CAST(count(*) AS BIGINT)
+            FROM c GROUP BY 2""",
         # partition-pruned bbox scan: the engine opens only the hive
         # partitions whose res-3 cell can intersect the rect; the SQL
         # scans ALL rows with the same integer predicate — equality

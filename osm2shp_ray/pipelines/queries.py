@@ -435,6 +435,17 @@ def q_cell_encode(sf_dir: str):
     return _customer_points(sf_dir).map_batches(enc, batch_format="pyarrow")
 
 
+def q_cell_pyramid(sf_dir: str):
+    """Multi-resolution tile-pyramid rollup
+    (stages/spatial.py::cell_pyramid): per-cell point counts at res
+    13 / 10 / 7 from ONE pass over the corpus — per-batch partials per
+    (level, cell), one groupby on the packed res-embedding cell id.
+    The z/x/y pyramid build of a web map tile server, without
+    re-aggregating the corpus once per zoom."""
+    ds = spatial.encode_cells(_customer_points(sf_dir), res=CELL_RES)
+    return spatial.cell_pyramid(ds, levels=[13, 10, 7])
+
+
 def q_tile_histogram(sf_dir: str):
     """Salted two-phase tile reduce (raster<->vector assignment)."""
     ds = spatial.encode_cells(_customer_points(sf_dir), res=CELL_RES)

@@ -225,6 +225,49 @@ def tile_histogram(ds, zoom: int, salt: int = config.DEFAULT_SALT,
                   .groupby("tile").aggregate(Sum("partial_n", alias_name="n")))
 
 
+def cell_pyramid(ds, levels, cell_col: str = "h3_cell"):
+    """Multi-resolution tile-pyramid rollup in ONE pass: per batch,
+    every row's finest cell is coarsened to each requested resolution
+    (``cell_to_parent`` bit shifts) and the batch emits one partial
+    count row per DISTINCT (level, cell) — so the exchange carries
+    ~levels x distinct-cells-per-batch rows, never the row stream —
+    then a single groupby sums partials. The packed cell id embeds its
+    resolution in the high bits, so one int64 group key covers all
+    levels at once (no two-key groupby, no per-level pass: the classic
+    z/x/y pyramid build that would otherwise re-aggregate the corpus
+    once per zoom).
+
+    Output: (res: int64, cell: int64, n: int64)."""
+    from ray.data.aggregate import Sum
+
+    lv = sorted(set(int(x) for x in levels), reverse=True)
+    if not lv:
+        raise ValueError("cell_pyramid: need at least one level")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        outs, cnts = [], []
+        for r in lv:
+            p = cellmod.cell_to_parent(cell, r).astype(np.int64)
+            u, c = np.unique(p, return_counts=True)
+            outs.append(u)
+            cnts.append(c.astype(np.int64))
+        return pa.table({
+            "cell": pa.array(np.concatenate(outs), pa.int64()),
+            "partial_n": pa.array(np.concatenate(cnts), pa.int64())})
+
+    agg = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+           .groupby("cell").aggregate(Sum("partial_n", alias_name="n")))
+
+    def add_res(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        res = cellmod.cell_res(cell).astype(np.int64)
+        return pa.table({"res": pa.array(res, pa.int64()),
+                         "cell": t["cell"], "n": t["n"]})
+
+    return agg.map_batches(add_res, batch_format="pyarrow")
+
+
 def raster_tile_ids(ds, zoom: int, cell_col: str = "h3_cell",
                     out_col: str = "raster_tile"):
     """Append a z/x/y raster tile id string per row (vector feature ->

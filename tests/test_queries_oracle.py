@@ -158,6 +158,8 @@ SQL_CHECKED = [
     # round 5: the remaining no-broadcast scale duals under their own
     # oracle gates (the round-4 rule, completed for the LM family)
     "q_lm_score_distributed", "q_dsir_distributed",
+    # round 5: one-pass multi-resolution tile-pyramid rollup
+    "q_cell_pyramid",
 ]
 
 
