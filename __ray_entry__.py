@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_histogram": q.q_tile_histogram,
         # round 5: one-pass multi-resolution tile-pyramid rollup
         "q_cell_pyramid": q.q_cell_pyramid,
+        # round 5: k-core graph-curation peel
+        "q_kcore": q.q_kcore,
         "q_pip_rect": q.q_pip_rect,
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
@@ -1013,6 +1015,79 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
+        "q_kcore": f"""
+            WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+              SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+              FROM lineitem WHERE l_quantity <= {q.KCORE_QTY}
+              UNION ALL
+              SELECT l_partkey * 2 + 1, l_orderkey * 2
+              FROM lineitem WHERE l_quantity <= {q.KCORE_QTY})),
+            a0 AS MATERIALIZED (SELECT dst AS node FROM e0
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e1 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e0 e
+            JOIN a0 s ON e.src = s.node
+            JOIN a0 d ON e.dst = d.node),
+            a1 AS MATERIALIZED (SELECT dst AS node FROM e1
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e2 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e1 e
+            JOIN a1 s ON e.src = s.node
+            JOIN a1 d ON e.dst = d.node),
+            a2 AS MATERIALIZED (SELECT dst AS node FROM e2
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e3 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e2 e
+            JOIN a2 s ON e.src = s.node
+            JOIN a2 d ON e.dst = d.node),
+            a3 AS MATERIALIZED (SELECT dst AS node FROM e3
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e4 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e3 e
+            JOIN a3 s ON e.src = s.node
+            JOIN a3 d ON e.dst = d.node),
+            a4 AS MATERIALIZED (SELECT dst AS node FROM e4
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e5 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e4 e
+            JOIN a4 s ON e.src = s.node
+            JOIN a4 d ON e.dst = d.node),
+            a5 AS MATERIALIZED (SELECT dst AS node FROM e5
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e6 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e5 e
+            JOIN a5 s ON e.src = s.node
+            JOIN a5 d ON e.dst = d.node),
+            a6 AS MATERIALIZED (SELECT dst AS node FROM e6
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e7 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e6 e
+            JOIN a6 s ON e.src = s.node
+            JOIN a6 d ON e.dst = d.node),
+            a7 AS MATERIALIZED (SELECT dst AS node FROM e7
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e8 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e7 e
+            JOIN a7 s ON e.src = s.node
+            JOIN a7 d ON e.dst = d.node),
+            a8 AS MATERIALIZED (SELECT dst AS node FROM e8
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e9 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e8 e
+            JOIN a8 s ON e.src = s.node
+            JOIN a8 d ON e.dst = d.node),
+            a9 AS MATERIALIZED (SELECT dst AS node FROM e9
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K}),
+            e10 AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e9 e
+            JOIN a9 s ON e.src = s.node
+            JOIN a9 d ON e.dst = d.node),
+            a10 AS MATERIALIZED (SELECT dst AS node FROM e10
+                  GROUP BY dst HAVING count(*) >= {q.KCORE_K})
+            SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e10 GROUP BY dst
+            HAVING count(*) >= {q.KCORE_K}""",
         "q_cell_pyramid": f"""
             WITH c AS ({cells})
             SELECT 13 AS res,

@@ -2146,6 +2146,38 @@ def q_ntile_events(sf_dir: str):
 PR_ITERS = 3
 
 
+KCORE_K = 2
+KCORE_QTY = 10.0
+
+
+def q_kcore(sf_dir: str):
+    """k-core of the thin bipartite order<->part graph
+    (stages/graph.py::kcore): edges = lineitems with quantity <=
+    KCORE_QTY (thinning makes the peel cascade — 5-8 rounds to the
+    fixpoint across test scales), k = KCORE_K. The graph-curation
+    peel: keep only the densely-connected core. Output = surviving
+    nodes with their in-core degrees; the SQL oracle unrolls 10 peel
+    rounds (a fixpoint round is idempotent, so any unroll >= the
+    convergence round is exact)."""
+    from ..stages.graph import kcore
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_quantity"], pa.scalar(KCORE_QTY))
+        t = t.filter(keep)
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return kcore(edges, k=KCORE_K, dedup=True).to_pandas()
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank over the bipartite order<->part graph
     (stages/graph.py::pagerank): one dst-bucket setup exchange (which

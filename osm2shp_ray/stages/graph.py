@@ -666,3 +666,135 @@ def ra_link_scores(edges_ds, hub_col: str = "o", item_col: str = "p",
                         ascending=[False, True, True])
            .head(topk).reset_index(drop=True))
     return out
+
+
+def kcore(edges_ds, k: int, node_cap: int = 5_000_000,
+          max_rounds: int = 16, n_buckets: int | None = None,
+          dedup: bool = False):
+    """Nodes of the k-core of an undirected graph — iterative peel:
+    repeatedly drop nodes whose degree (over surviving edges) is
+    below ``k`` until a fixpoint. The graph-curation primitive for
+    spam/fringe trimming (keep only the densely-connected core).
+
+    Input: directed edge Dataset ``(src, dst)`` with BOTH directions
+    present (the pagerank convention); ``dedup=True`` folds
+    duplicate-pair removal into the setup exchange. Output:
+    ``(node: int64, deg: int64)`` — the surviving nodes with their
+    in-core degrees. Raises if the peel has not converged within
+    ``max_rounds`` (the SQL oracle unrolls a fixed round count, so
+    convergence within it is part of the contract).
+
+    Capped dual (the pagerank shape):
+    - ``n <= node_cap``: ONE dst-bucket exchange makes edge blocks
+      stationary; each round is one zero-shuffle map over the edge
+      blocks with the sorted alive-node array broadcast via ray.put
+      (in-block per-dst degree sums are final), and only bounded
+      (node, int64) arrays cross the driver.
+    - above the cap: fully distributed — each round semi-joins the
+      ORIGINAL edge set against the current alive Dataset on both
+      endpoints and re-counts degrees (peeling is monotone, so
+      re-filtering from the full set is exact); no driver-side node
+      state at any size.
+    Both paths compute the identical fixpoint (equivalence-tested).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import ray
+    from ray.data.aggregate import Count
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    edges = _bucket_by_dst(edges_ds, b, drop_dups=dedup).materialize()
+    deg = (edges.groupby("dst").aggregate(Count(alias_name="deg"))
+           .materialize())
+    n = deg.count()
+
+    if n <= node_cap:
+        parts = [(b_["dst"].to_numpy(zero_copy_only=False),
+                  b_["deg"].to_numpy(zero_copy_only=False))
+                 for b_ in deg.iter_batches(batch_format="pyarrow")]
+        ids = np.concatenate([p[0] for p in parts]) if parts else \
+            np.empty(0, np.int64)
+        dg = np.concatenate([p[1] for p in parts]) if parts else \
+            np.empty(0, np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, dg = ids[order], dg[order]
+        alive = dg >= k          # round 0 uses the full-graph degrees
+        cur_deg = dg
+        for _ in range(max_rounds):
+            if not alive.any():
+                break
+            aref = ray.put(ids[alive])
+
+            def deg_map(t: pa.Table, aref=aref) -> pa.Table:
+                av = ray.get(aref)
+                s = t["src"].to_numpy(zero_copy_only=False)
+                d = t["dst"].to_numpy(zero_copy_only=False)
+                si = np.searchsorted(av, s).clip(0, max(len(av) - 1, 0))
+                di = np.searchsorted(av, d).clip(0, max(len(av) - 1, 0))
+                keep = (av[si] == s) & (av[di] == d) if len(av) else \
+                    np.zeros(len(s), bool)
+                ud, cnt = np.unique(d[keep], return_counts=True)
+                return pa.table({"dst": pa.array(ud, pa.int64()),
+                                 "c": pa.array(cnt.astype(np.int64),
+                                               pa.int64())})
+
+            acc = np.zeros(len(ids), dtype=np.int64)
+            for b_ in (edges.map_batches(deg_map, batch_format="pyarrow",
+                                         batch_size=None)
+                       .iter_batches(batch_format="pyarrow")):
+                dst = b_["dst"].to_numpy(zero_copy_only=False)
+                c = b_["c"].to_numpy(zero_copy_only=False)
+                np.add.at(acc, np.searchsorted(ids, dst), c)
+            new_alive = acc >= k
+            cur_deg = acc
+            if (new_alive == alive).all():
+                alive = new_alive
+                sel = alive
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array(ids[sel], pa.int64()),
+                    "deg": pa.array(cur_deg[sel], pa.int64())}))
+            alive = new_alive
+        if not alive.any():
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())}))
+        raise ValueError(
+            f"kcore: no fixpoint within max_rounds={max_rounds}")
+
+    # distributed dual: re-filter the ORIGINAL edges against the
+    # current alive set each round (2 semijoins + 1 count exchange)
+    from .joins import hash_join
+
+    alive_ds = (deg.filter(expr=f"deg >= {int(k)}")
+                .map_batches(lambda t: t.select(["dst"])
+                             .rename_columns(["node"]),
+                             batch_format="pyarrow").materialize())
+    n_alive = alive_ds.count()
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            break
+        nodes_u = alive_ds.map_batches(
+            lambda t: t.rename_columns(["src"]), batch_format="pyarrow")
+        nodes_v = alive_ds.map_batches(
+            lambda t: t.rename_columns(["dst"]), batch_format="pyarrow")
+        kept = hash_join(
+            hash_join(edges, nodes_u, on="src", how="left_semi",
+                      n_buckets=b),
+            nodes_v, on="dst", how="left_semi", n_buckets=b)
+        deg2 = (kept.groupby("dst").aggregate(Count(alias_name="deg"))
+                .materialize())
+        nxt = (deg2.filter(expr=f"deg >= {int(k)}")
+               .map_batches(lambda t: t.select(["dst"])
+                            .rename_columns(["node"]),
+                            batch_format="pyarrow").materialize())
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            return deg2.filter(expr=f"deg >= {int(k)}").map_batches(
+                lambda t: pa.table({"node": t["dst"], "deg": t["deg"]}),
+                batch_format="pyarrow")
+        alive_ds, n_alive = nxt, n_nxt
+    if n_alive == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64())}))
+    raise ValueError(f"kcore: no fixpoint within max_rounds={max_rounds}")

@@ -158,8 +158,9 @@ SQL_CHECKED = [
     # round 5: the remaining no-broadcast scale duals under their own
     # oracle gates (the round-4 rule, completed for the LM family)
     "q_lm_score_distributed", "q_dsir_distributed",
-    # round 5: one-pass multi-resolution tile-pyramid rollup
-    "q_cell_pyramid",
+    # round 5: one-pass multi-resolution tile-pyramid rollup + the
+    # k-core graph-curation peel (unrolled MATERIALIZED-CTE oracle)
+    "q_cell_pyramid", "q_kcore",
 ]
 
 

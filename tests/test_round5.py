@@ -155,3 +155,31 @@ def test_lsh_flatten_heavy_equivalence(ray_session, max_bucket):
                        out["sim"].round(9)))
 
     assert pairs(True) == pairs(False)
+
+
+def test_kcore_dual_equivalence(ray_session):
+    """kcore's broadcast (stationary edges + driver peel) and
+    distributed (per-round semijoin) paths reach the identical
+    fixpoint — node_cap=0 forces the distributed dual."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import kcore
+
+    # a 4-clique (3-core) with a pendant path that peels away over
+    # several rounds: 1-2-3-4 complete, then 4-5-6-7 chain
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (5, 6), (6, 7)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = rd.from_items([{"src": s, "dst": d} for s, d in zip(src, dst)])
+
+    def got(**kw):
+        out = kcore(edges, k=2, **kw).to_pandas()
+        return sorted(map(tuple, out[["node", "deg"]].values.tolist()))
+
+    b = got()
+    d = got(node_cap=0)
+    assert b == d
+    # the 2-core of this graph is exactly the 4-clique
+    assert [n for n, _ in b] == [1, 2, 3, 4]
+    assert all(deg == 3 for _, deg in b)
