@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cell_pyramid": q.q_cell_pyramid,
         # round 5: k-core graph-curation peel
         "q_kcore": q.q_kcore,
+        # round 5: half-life-decayed per-key totals (integer halving)
+        "q_decayed_counts": q.q_decayed_counts,
         "q_pip_rect": q.q_pip_rect,
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
@@ -1015,6 +1017,18 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
+        "q_decayed_counts": f"""
+            WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+            b AS (
+              SELECT user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS vq,
+                     LEAST(((SELECT m FROM mx) - epoch_us(ts))
+                           // {q.DECAY_HL_S * 1_000_000}, 62) AS bins
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vq >> CAST(bins AS INTEGER)) AS BIGINT)
+                     AS decayed_q
+            FROM b GROUP BY user_id""",
         "q_kcore": f"""
             WITH e0 AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (

@@ -363,6 +363,8 @@ def run_bench() -> dict:
         ("q_image_meta_scan", q.q_image_meta_scan),
         ("q_image_stats_lossy", q.q_image_stats_lossy),
         ("q_watermark_late", q.q_watermark_late),
+        ("q_cell_pyramid", q.q_cell_pyramid),
+        ("q_kcore", q.q_kcore),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -4001,6 +4001,23 @@ def q_dedup_keep_best(sf_dir: str):
 EWMA_NUM, EWMA_DEN = 3, 4
 
 
+DECAY_HL_S = 172_800  # 2-day half-life
+
+
+def q_decayed_counts(sf_dir: str):
+    """Half-life-decayed per-user value totals
+    (stages/temporal.py::decayed_counts): each event contributes
+    floor(value*100) >> whole-half-lives-before-watermark — integer
+    halving, so the freshness weighting is float-free and bit-exact
+    against the SQL mirror. One broadcast scalar + one narrow
+    exchange."""
+    from ..stages import temporal
+    return (temporal.decayed_counts(
+                _read(sf_dir, "events", ["user_id", "ts", "value"]),
+                half_life_s=DECAY_HL_S)
+            .to_pandas())
+
+
 def q_ewma(sf_dir: str):
     """Per-user integer EWMA (stages/temporal.py::ewma): the
     sequential streaming recurrence s_t = (3*s + vq) // 4, bit-exact

@@ -1529,3 +1529,47 @@ def cusum_range(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
+def decayed_counts(ds, half_life_s: int = 172_800,
+                   ts_col: str = "ts", key_col: str = "user_id",
+                   val_col: str = "value", scale: int = 100):
+    """Exponential-decay (half-life) value totals per key — the
+    feature-store freshness-weighting primitive: each event
+    contributes ``floor(value * scale) >> age_bins`` where
+    ``age_bins = (max_ts - ts) // half_life`` counts whole half-lives
+    before the corpus watermark. Integer halving makes the decay
+    EXACT (no float exp), so per-key sums are order-independent and
+    the SQL mirror is bit-equal; shifts cap at 62 (older events
+    contribute 0).
+
+    Scale shape: one driver scalar (the global max event time — the
+    q22 broadcast-scalar pattern), one stateless partial map (per-key
+    in-batch combine), one narrow groupby sum. Output:
+    ``(key, n: int64, decayed_q: int64)``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    mx = ds.max(ts_col)
+    mx_us = int(pa.scalar(mx, pa.timestamp("us")).value)
+    hl_us = int(half_life_s) * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        vq = np.floor(v * scale).astype(np.int64)
+        bins = np.minimum((mx_us - ts) // hl_us, 62).astype(np.int64)
+        contrib = vq >> bins
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, contrib)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({key_col: pa.array(uk),
+                         "n": pa.array(n, pa.int64()),
+                         "decayed_q": pa.array(s, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("decayed_q", alias_name="decayed_q")))
