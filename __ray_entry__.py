@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore": q.q_kcore,
         # round 5: half-life-decayed per-key totals (integer halving)
         "q_decayed_counts": q.q_decayed_counts,
+        # round 5: market-basket pair support
+        "q_basket_pairs": q.q_basket_pairs,
         "q_pip_rect": q.q_pip_rect,
         "q_pip_partitioned": q.q_pip_partitioned,
         "q_knn": q.q_knn,
@@ -1017,6 +1019,19 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT 6 * 288230376151711744 + (y13 // 128) * 536870912 + (x13 // 128) AS tile,
                    CAST(count(*) AS BIGINT) AS n
             FROM ({cells}) GROUP BY 1""",
+        "q_basket_pairs": f"""
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 3600000000 AS hb, event_type
+              FROM events),
+            p AS (
+              SELECT a.event_type AS item_a, b.event_type AS item_b
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.hb = b.hb
+               AND a.event_type < b.event_type)
+            SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            HAVING count(*) >= {q.BASKET_MIN_SUP}""",
         "q_decayed_counts": f"""
             WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
             b AS (

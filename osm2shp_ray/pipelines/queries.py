@@ -4001,6 +4001,22 @@ def q_dedup_keep_best(sf_dir: str):
 EWMA_NUM, EWMA_DEN = 3, 4
 
 
+BASKET_MIN_SUP = 2
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair support
+    (stages/temporal.py::basket_pairs): baskets = (user, hour),
+    support = baskets containing both event types; pairs with
+    support >= BASKET_MIN_SUP. The pairwise frequent-itemset
+    primitive of recommendation/co-occurrence mining."""
+    from ..stages import temporal
+    return (temporal.basket_pairs(
+                _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+                bucket_s=3600, min_support=BASKET_MIN_SUP)
+            .to_pandas())
+
+
 DECAY_HL_S = 172_800  # 2-day half-life
 
 

@@ -1573,3 +1573,67 @@ def decayed_counts(ds, half_life_s: int = 172_800,
             .groupby(key_col)
             .aggregate(Sum("n", alias_name="n"),
                        Sum("decayed_q", alias_name="decayed_q")))
+
+
+def basket_pairs(ds, bucket_s: int = 3600, min_support: int = 1,
+                 ts_col: str = "ts", key_col: str = "user_id",
+                 item_col: str = "event_type"):
+    """Pairwise frequent-itemset support (market-basket analysis):
+    a basket = one (key, time bucket); every unordered item pair
+    co-occurring in a basket counts one support. Scale shape: the
+    batch partial dedups (basket, item) rows, ONE groupby on a packed
+    basket key enumerates in-basket pairs (items per basket are
+    catalog-bounded, so the pair fan-out is bounded per group), and a
+    second narrow groupby sums per-pair support. Output:
+    ``(item_a, item_b, n)`` with item_a < item_b and n >= min_support.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    bs_us = int(bucket_s) * 1_000_000
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hb = ts // bs_us
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # packed basket key: key * 2^40 + bucket (epoch buckets are
+        # far below 2^40 for any realistic bucket_s)
+        bk = k * (1 << 40) + hb
+        g = (pa.table({"bk": pa.array(bk, pa.int64()),
+                       "item": t[item_col]})
+             .group_by(["bk", "item"]).aggregate([]))
+        return g
+
+    def pairs_in_basket(df) -> pa.Table:
+        items = np.sort(np.unique(df["item"].to_numpy()))
+        m = len(items)
+        if m < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(m, k=1)
+        pair = np.char.add(np.char.add(items[ia].astype(str), "\x1f"),
+                           items[ib].astype(str))
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "c": pa.array(np.ones(len(pair), np.int64))})
+
+    from .util import coalesced
+    per_basket = (coalesced(ds.map_batches(dedup_batch,
+                                           batch_format="pyarrow"))
+                  .groupby("bk")
+                  .map_groups(pairs_in_basket, batch_format="pandas"))
+    agg = (per_basket.groupby("pair")
+           .aggregate(Sum("c", alias_name="n"))
+           .filter(expr=f"n >= {int(min_support)}"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import polars as pl
+        p = pl.from_arrow(t["pair"].combine_chunks()
+                          if isinstance(t["pair"], pa.ChunkedArray)
+                          else t["pair"]).str.split_exact("\x1f", 1)
+        f = p.struct.unnest()
+        return pa.table({
+            "item_a": f["field_0"].to_arrow().cast(pa.string()),
+            "item_b": f["field_1"].to_arrow().cast(pa.string()),
+            "n": t["n"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

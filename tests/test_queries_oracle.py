@@ -161,8 +161,9 @@ SQL_CHECKED = [
     # round 5: one-pass multi-resolution tile-pyramid rollup + the
     # k-core graph-curation peel (unrolled MATERIALIZED-CTE oracle)
     "q_cell_pyramid", "q_kcore",
-    # round 5: half-life-decayed per-key totals (integer halving)
-    "q_decayed_counts",
+    # round 5: half-life-decayed per-key totals (integer halving) and
+    # market-basket pair support
+    "q_decayed_counts", "q_basket_pairs",
 ]
 
 
