@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact lossy-decode gate on the vendored JPEG decoder
         "q_image_meta_scan": q.q_image_meta_scan,
         "q_image_stats_lossy": q.q_image_stats_lossy,
+        # rotated in (round 5): multinomial Naive Bayes source
+        # classifier — broadcast model + the no-broadcast scale dual
+        "q_nb_classify": q.q_nb_classify,
+        "q_nb_classify_distributed": q.q_nb_classify_distributed,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -731,6 +735,42 @@ def _oracle_sql_base() -> dict[str, str]:
         SELECT tok.doc_id, count(*) AS n_tok, sum(q.w) AS w_sum
         FROM tok JOIN q USING (t)
         GROUP BY tok.doc_id"""
+
+    # multinomial Naive Bayes: corpus-trained source classifier,
+    # add-one smoothing over the corpus vocab, doc-count priors —
+    # per-token class logprobs and priors quantized to micro-nats
+    # BEFORE summation (the lm_score contract), argmax with
+    # lexicographic tie-break
+    nb_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents),
+        cls AS (SELECT source, CAST(count(*) AS DOUBLE) AS ndc
+                FROM documents GROUP BY source),
+        ndt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        ct AS (SELECT d.source, tok.t, CAST(count(*) AS DOUBLE) AS c
+               FROM tok JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        ctot AS (SELECT source, sum(c) AS tc FROM ct GROUP BY source),
+        vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS nv FROM tok),
+        dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY 1, 2),
+        sc AS (
+          SELECT dt.doc_id, cls.source,
+                 CAST(floor({LM_SCALE} * ln(cls.ndc / (SELECT n FROM ndt)))
+                      AS BIGINT)
+                 + sum(dt.n * CAST(floor({LM_SCALE} *
+                         ln((COALESCE(ct.c, 0) + 1.0)
+                            / (ctot.tc + (SELECT nv FROM vv)))) AS BIGINT))
+                   AS s
+          FROM dt CROSS JOIN cls
+          JOIN ctot ON ctot.source = cls.source
+          LEFT JOIN ct ON ct.source = cls.source AND ct.t = dt.t
+          GROUP BY dt.doc_id, cls.source, cls.ndc),
+        p AS (SELECT doc_id, source, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, source) AS rn
+              FROM sc)
+        SELECT doc_id, source AS pred, s AS score_q FROM p WHERE rn = 1"""
 
     # caption-image consistency: caption features from bit slices of
     # h60(token), image side from the fixture's decode-round-trip
@@ -1834,6 +1874,8 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM c GROUP BY grp""",
         "q_lm_score": lm_sql,
         "q_lm_score_distributed": lm_sql,
+        "q_nb_classify": nb_sql,
+        "q_nb_classify_distributed": nb_sql,
         # per-key OLS slope from the same five int64 moment sums;
         # DuckDB // truncates toward zero, which the engine mirrors
         "q_value_trend": f"""

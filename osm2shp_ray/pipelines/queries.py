@@ -1710,6 +1710,36 @@ def q_lm_score_distributed(sf_dir: str):
             .to_pandas())
 
 
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes source classifier
+    (stages/text.py::nb_classify): trained on the corpus itself
+    (add-one smoothing over the corpus vocab, doc-count priors),
+    applied back to every document — the supervised domain-routing /
+    quality-tagging stage of corpus curation. Integer micro-nat
+    quantization BEFORE summation makes every (doc, class) score an
+    order-independent int64 and the argmax SQL-exact (ties break
+    lexicographically). One O(classes x vocab) model exchange + one
+    broadcast scoring map."""
+    return (text.nb_classify(_read(sf_dir, "documents",
+                                   ["doc_id", "text", "source"]))
+            .to_pandas())
+
+
+def q_nb_classify_distributed(sf_dir: str):
+    """The SCALE dual of q_nb_classify under its own hash gate: no
+    model broadcast — scores decompose into a per-class base vector
+    plus a sparse observed-(class, token) delta join, per-doc token
+    totals ride the same exchange as sentinel-label rows, one final
+    bucketed groupby computes all class scores + argmax. This is what
+    runs when classes x vocab outgrows worker heaps. Byte-identical
+    contract to the broadcast default, proven against the SQL oracle
+    end-to-end."""
+    return (text.nb_classify(_read(sf_dir, "documents",
+                                   ["doc_id", "text", "source"]),
+                             distributed=True)
+            .to_pandas())
+
+
 def q_bigram_lm(sf_dir: str):
     """Conditional bigram LM scoring (stages/text.py::bigram_lm_score):
     corpus-trained bigram model, per-doc integer micro-nat sums of

@@ -979,6 +979,227 @@ def dsir_weights(ds, target_ds, text_col: str = "text",
     return _token_value_scan(ds, text_col, id_col, toks, w, "w_sum")
 
 
+def nb_classify(ds, text_col: str = "text", id_col: str = "doc_id",
+                label_col: str = "source", scale: int = LM_SCALE,
+                distributed: bool = False):
+    """Multinomial Naive Bayes, trained on the corpus itself and then
+    applied back to every document — the classic supervised
+    source/domain classifier of corpus curation (fastText-style
+    routing, quality-domain tagging). Add-one (Laplace) smoothing over
+    the corpus vocabulary, class priors from document counts.
+
+    Exactness contract (the lm_score family contract): every per-token
+    class log-probability and every class prior is QUANTIZED to
+    integer micro-nats — ``floor(scale * ln(x))`` — before any
+    summation, so per-(doc, class) scores are order-independent int64
+    sums and the SQL oracle reproduces them bit-for-bit. Prediction is
+    argmax score with lexicographic tie-break on the label.
+
+    Training is one narrow exchange either way: per-batch (label, tok,
+    c) partials (polars combiner) -> one groupby sum whose output is
+    O(classes x observed vocab), corpus-size-independent. Priors ride
+    a second O(classes) aggregate.
+
+    Broadcast path (default): the quantized dense (classes x vocab)
+    log-prob matrix — bounded by the same vocab contract as lm_score;
+    prune upstream if a web-scale vocab outgrows worker heap — ships
+    once via ray.put; each doc batch scores with one searchsorted
+    probe + one integer matmul accumulation. Zero additional shuffles.
+
+    ``distributed=True``: no model broadcast. Scores decompose as
+    ``score(d,c) = base_q(c) + N_d*miss_q(c) + sum_t n_t*delta(c,t)``
+    where delta is only defined on OBSERVED (class, token) pairs — so
+    the model Dataset stays sparse. The weighted doc explode joins the
+    sparse model on ``tok`` (hash_join), per-batch partials combine by
+    (id, label), per-doc token totals ride the SAME exchange as
+    sentinel-label rows (one union, no second reduce), and one final
+    groupby(id) computes all class scores + argmax against the tiny
+    O(classes) base vector. Byte-identical output (equivalence test).
+
+    Output: ``(id_col, pred: string, score_q: int64)`` for docs with
+    at least one token (empty docs carry no evidence, matching the
+    SQL inner-join semantics).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        labc = (t[label_col].combine_chunks()
+                if isinstance(t[label_col], pa.ChunkedArray)
+                else t[label_col])
+        long = _token_rows(t[text_col])
+        pairs = pa.table({
+            "lab": labc.take(pa.array(long["i"].to_numpy())),
+            "tok": long["tok"].to_arrow().cast(pa.string())})
+        g = pairs.group_by(["lab", "tok"]).aggregate([([], "count_all")])
+        return pa.table({"lab": g["lab"], "tok": g["tok"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    model = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lab", "tok"]).aggregate(Sum("c", alias_name="c")))
+    if distributed:
+        # the sparse join side below shares this lineage with the
+        # driver fold — pin it or Ray re-runs the count reduce twice
+        model = model.materialize()
+
+    prior_rows = (ds.groupby(label_col)
+                  .aggregate(Count(alias_name="nd")).take_all())
+    labels = np.array(sorted(r[label_col] for r in prior_rows),
+                      dtype=object)
+    nd_by_lab = {r[label_col]: float(r["nd"]) for r in prior_rows}
+    nd_total = float(sum(nd_by_lab.values()))
+    prior_q = np.array([np.floor(scale * np.log(nd_by_lab[l] / nd_total))
+                        for l in labels], dtype=np.int64)
+
+    # model exchange output is O(classes x vocab) — bounded by the
+    # lm_score vocab contract, so the driver fold below is too
+    rows = model.take_all()
+    toks_all = np.array(sorted({r["tok"] for r in rows}), dtype=object)
+    v = float(len(toks_all))
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    cnt = np.zeros((len(labels), len(toks_all)), dtype=np.float64)
+    if rows:
+        r_lab = np.array([lab_idx[r["lab"]] for r in rows], np.int64)
+        r_tok = np.searchsorted(toks_all,
+                                np.array([r["tok"] for r in rows],
+                                         dtype=object))
+        cnt[r_lab, r_tok] = np.array([r["c"] for r in rows], np.float64)
+    tc = cnt.sum(axis=1)  # per-class token totals
+    # quantize BEFORE summing: identical float64 composition in SQL
+    lp = np.floor(scale * np.log((cnt + 1.0)
+                                 / (tc[:, None] + v))).astype(np.int64)
+    miss_q = np.floor(scale * np.log(1.0 / (tc + v))).astype(np.int64)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("pred", pa.string()),
+                            ("score_q", pa.int64())])
+
+    if not distributed:
+        ref = ray.put((toks_all, labels, lp, prior_q))
+
+        def score(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            idc = (t[id_col].combine_chunks()
+                   if isinstance(t[id_col], pa.ChunkedArray) else t[id_col])
+            long = _token_rows(t[text_col])
+            if long.height == 0:
+                return out_schema.empty_table()
+            toks_, labs_, lp_, pr_ = ray.get(ref)
+            g = long.group_by(["i", "tok"]).len()
+            di = g["i"].to_numpy()
+            n = g["len"].to_numpy().astype(np.int64)
+            tix = np.searchsorted(toks_, g["tok"].to_numpy())
+            # docs trained on == docs scored: every token is in-vocab
+            uniq, inv = np.unique(di, return_inverse=True)
+            scores = np.tile(pr_, (len(uniq), 1))
+            np.add.at(scores, inv, (lp_[:, tix] * n).T)
+            best = np.argmax(scores, axis=1)  # first max = smallest label
+            return pa.table({
+                id_col: idc.take(pa.array(uniq)),
+                "pred": pa.array(labs_[best].tolist(), pa.string()),
+                "score_q": pa.array(scores[np.arange(len(uniq)), best],
+                                    pa.int64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # ---- distributed dual: sparse-delta join, one union, one reduce
+    from .joins import hash_join
+
+    SENTINEL = "\x00"
+    base_ref = ray.put((labels, prior_q, miss_q))
+
+    def sparse_delta(t: pa.Table) -> pa.Table:
+        labs_, _, miss_ = ray.get(base_ref)
+        li = np.array([lab_idx[x] for x in
+                       t["lab"].to_numpy(zero_copy_only=False)], np.int64)
+        tix = np.searchsorted(toks_all,
+                              t["tok"].to_numpy(zero_copy_only=False)
+                              .astype(object))
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp_obs = np.floor(scale * np.log((c + 1.0)
+                                         / (tc[li] + v))).astype(np.int64)
+        return pa.table({"tok": t["tok"],
+                         "lab": t["lab"].combine_chunks().cast(pa.string())
+                         if isinstance(t["lab"], pa.ChunkedArray)
+                         else t["lab"],
+                         "delta": pa.array(lp_obs - miss_[li], pa.int64())})
+
+    probe = ds.map_batches(_doc_token_weights(text_col, id_col),
+                           batch_format="pyarrow")
+
+    from .. import config
+    n_buckets = config.DEFAULT_JOIN_BUCKETS
+
+    def _bucket(ids: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(ids.astype(np.uint64))
+                         % np.uint64(n_buckets)).astype(np.int64),
+                        pa.int64())
+
+    def ntok_partial(t: pa.Table) -> pa.Table:
+        df = (pl.DataFrame({"id": t[id_col].to_numpy(zero_copy_only=False),
+                            "n": t["n"].to_numpy(zero_copy_only=False)})
+              .group_by("id").agg(pl.col("n").sum()))
+        ids = df["id"].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "lab": pa.array([SENTINEL] * df.height, pa.string()),
+            "s": pa.array(df["n"].to_numpy().astype(np.int64), pa.int64()),
+            "__b": _bucket(ids)})
+
+    joined = hash_join(probe, model.map_batches(sparse_delta,
+                                                batch_format="pyarrow"),
+                       on="tok")
+
+    def obs_partial(t: pa.Table) -> pa.Table:
+        df = (pl.DataFrame({"id": t[id_col].to_numpy(zero_copy_only=False),
+                            "lab": t["lab"].to_numpy(zero_copy_only=False),
+                            "v": t["n"].to_numpy(zero_copy_only=False)
+                            * t["delta"].to_numpy(zero_copy_only=False)})
+              .group_by(["id", "lab"]).agg(pl.col("v").sum()))
+        ids = df["id"].to_numpy().astype(np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "lab": pa.array(df["lab"].to_list(), pa.string()),
+                         "s": pa.array(df["v"].to_numpy().astype(np.int64),
+                                       pa.int64()),
+                         "__b": _bucket(ids)})
+
+    both = (joined.map_batches(obs_partial, batch_format="pyarrow")
+            .union(probe.map_batches(ntok_partial,
+                                     batch_format="pyarrow")))
+
+    def finalize(df: "pd.DataFrame") -> pa.Table:
+        labs_, pr_, miss_ = ray.get(base_ref)
+        ids = df[id_col].to_numpy()
+        labs = df["lab"].to_numpy()
+        s = df["s"].to_numpy().astype(np.int64)
+        # NB: compare in polars — numpy's U dtype strips "\x00", so a
+        # numpy == comparison against the sentinel is always False
+        frame = pl.DataFrame({"id": ids, "lab": labs, "s": s})
+        n_tok = (frame.filter(pl.col("lab") == SENTINEL)
+                 .group_by("id").agg(pl.col("s").sum()))
+        uniq = np.sort(n_tok["id"].to_numpy())
+        nvec = n_tok.sort("id")["s"].to_numpy().astype(np.int64)
+        scores = pr_[None, :] + nvec[:, None] * miss_[None, :]
+        obs = frame.filter(pl.col("lab") != SENTINEL)
+        if obs.height:
+            oi = np.searchsorted(uniq, obs["id"].to_numpy())
+            oc = np.array([lab_idx[x] for x in obs["lab"].to_list()],
+                          np.int64)
+            np.add.at(scores, (oi, oc),
+                      obs["s"].to_numpy().astype(np.int64))
+        best = np.argmax(scores, axis=1)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "pred": pa.array(labs_[best].tolist(), pa.string()),
+            "score_q": pa.array(scores[np.arange(len(uniq)), best],
+                                pa.int64())})
+
+    return both.groupby("__b").map_groups(finalize, batch_format="pandas")
+
+
 def json_extract_field(ds, col: str, key: str, out_col: str,
                        as_int: bool = True):
     """Semi-structured column access: extract ``$.key`` from a JSON

@@ -164,6 +164,9 @@ SQL_CHECKED = [
     # round 5: half-life-decayed per-key totals (integer halving) and
     # market-basket pair support
     "q_decayed_counts", "q_basket_pairs",
+    # round 5: multinomial Naive Bayes source classifier (broadcast
+    # model + the sparse-delta no-broadcast scale dual)
+    "q_nb_classify", "q_nb_classify_distributed",
 ]
 
 

@@ -183,3 +183,32 @@ def test_kcore_dual_equivalence(ray_session):
     # the 2-core of this graph is exactly the 4-clique
     assert [n for n, _ in b] == [1, 2, 3, 4]
     assert all(deg == 3 for _, deg in b)
+
+
+def test_nb_classify_dual_equivalence_and_ties(ray_session):
+    """nb_classify's broadcast and sparse-delta distributed paths are
+    byte-identical, tie scores break to the lexicographically smaller
+    label, and zero-token docs are dropped."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.text import nb_classify
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "x x y", "source": "b"},
+        {"doc_id": 2, "text": "x x y", "source": "a"},
+        {"doc_id": 3, "text": "y z", "source": "a"},
+        {"doc_id": 4, "text": "y z", "source": "b"},
+        {"doc_id": 5, "text": "???", "source": "a"},  # zero tokens
+    ])
+
+    def got(**kw):
+        out = nb_classify(docs, **kw).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    b = got()
+    d = got(distributed=True)
+    assert b.values.tolist() == d.values.tolist()
+    assert b["doc_id"].tolist() == [1, 2, 3, 4]  # doc 5 dropped
+    # the corpus is fully symmetric in (a, b): every score ties, so
+    # every prediction is the lexicographically smaller label
+    assert set(b["pred"]) == {"a"}
