@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classifier — broadcast model + the no-broadcast scale dual
         "q_nb_classify": q.q_nb_classify,
         "q_nb_classify_distributed": q.q_nb_classify_distributed,
+        # rotated in (round 5): per-node local clustering coefficient
+        "q_clustering_coeff": q.q_clustering_coeff,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -3323,6 +3325,32 @@ def _oracle_sql_base() -> dict[str, str]:
                     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
                      AS n_triangles""",
+        # per-node local clustering coefficient over the same thinned
+        # co-purchase graph: naive triangle enumeration credits all
+        # three vertices; cc_ppm = (2e6*tri) // (deg*(deg-1)) is exact
+        # integer arithmetic on both engines
+        "q_clustering_coeff": """
+            WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_partkey % 3 = 0),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e) GROUP BY node),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+            tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+                     SELECT a AS node FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri) GROUP BY node)
+            SELECT deg.node, deg.deg,
+                   COALESCE(tn.t, 0) AS tri_cnt,
+                   (2000000 * COALESCE(tn.t, 0))
+                     // (deg.deg * (deg.deg - 1)) AS cc_ppm
+            FROM deg LEFT JOIN tn USING (node)
+            WHERE deg.deg >= 2""",
         # windowed z-score outlier flag, divisions cleared to int64:
         # (n*v - s)^2 > z^2 * (n*ssq - s^2) over ROWS-frame sums
         "q_rolling_anomaly": """

@@ -3764,6 +3764,38 @@ def q_triangle_count(sf_dir: str):
     return graph.triangle_count(pairs, "p", "p2", n_buckets=32)
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient of the same thinned part
+    co-purchase graph (stages/graph.py::clustering_coeff): the wedge
+    plan of q_triangle_count with the center vertex riding along, each
+    closed wedge crediting its three vertices, credits attached to the
+    deg>=2 degree table. cc_ppm is exact integer arithmetic
+    ((2e6*tri) // (deg*(deg-1))), so the naive-enumeration SQL mirror
+    is bit-identical."""
+    from ..stages import graph
+    from ..stages.joins import distinct_rows, hash_join
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["o", "p"])
+        return t.filter(pc.equal(
+            pc.subtract(t["p"], pc.multiply(
+                pc.divide(t["p"], TRI_PART_MOD), TRI_PART_MOD)),
+            pa.scalar(0, pa.int64())))
+
+    pr = distinct_rows(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(thin, batch_format="pyarrow"),
+        ["o", "p"], n_buckets=32)
+    pairs = (hash_join(pr,
+                       pr.map_batches(lambda t: t.rename_columns(
+                           ["o", "p2"]), batch_format="pyarrow"),
+                       on="o", n_buckets=32)
+             .map_batches(lambda t: t.filter(pc.less(t["p"], t["p2"]))
+                          .select(["p", "p2"]), batch_format="pyarrow"))
+    return (graph.clustering_coeff(pairs, "p", "p2", n_buckets=32)
+            .to_pandas())
+
+
 # window must exceed z^2 + 1 or the population-z bound
 # (max z^2 = n - 1) makes the flag unsatisfiable
 ANOM_WINDOW, ANOM_Z, ANOM_MIN_N = 8, 2, 6

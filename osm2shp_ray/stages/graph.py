@@ -205,37 +205,17 @@ def _chunks(col) -> list:
     return col.chunks if isinstance(col, pa.ChunkedArray) else [col]
 
 
-def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
-                   n_buckets: int | None = None,
-                   bcast_cap: int = 2_000_000):
-    """Exact triangle count of an undirected simple graph given as an
-    edge Dataset (third graph family next to components/pagerank).
-
-    Degree-ORIENTED join plan — the standard skew defense: every edge
-    is directed from its lower (degree, id) endpoint to the higher, so
-    every node's out-degree is O(sqrt(m)) and the wedge self-join can
-    never explode on a hub the way a naive (u < v) plan does. Each
-    triangle has exactly one node whose two oriented out-edges cover
-    it, so every wedge is enumerated once (strict (deg, id) order
-    between the two out-neighbors picks one of the two join orders)
-    and closed by one left_semi join against the oriented edge set —
-    the closing edge, when present, is stored in exactly the wedge's
-    direction. Pipeline: normalize+dedup edges -> degree count -> two
-    hash_joins to attach endpoint degrees -> orient (stateless map) ->
-    wedge self-join on source -> closing-edge left_semi. Every
-    exchange carries (id, id[, int64]) rows only.
-
-    Capped broadcast duals (the dim_join decision, dbscan-style): at
-    or below ``bcast_cap`` nodes the degree table ships once via
-    ray.put and BOTH endpoint degrees attach in one streamed pass
-    (vs two bucketed joins); at or below ``bcast_cap`` oriented edges
-    the closing-edge check is a sorted-pair searchsorted probe (vs a
-    bucketed semijoin). Past the caps each step falls back to its
-    hash_join plan — same counts either way (equivalence-tested).
-
-    Returns a 1-row pandas DataFrame (n_edges, n_triangles) — two
-    driver-side scalars of distributed counts.
-    """
+def _tri_wedges(edges_ds, u_col: str, v_col: str,
+                n_buckets: int | None, bcast_cap: int, keep_ctr: bool):
+    """Shared degree-oriented triangle plan (see triangle_count's
+    docstring for the full rationale): normalize+dedup edges ->
+    degree count -> endpoint-degree attach (broadcast under
+    ``bcast_cap`` nodes, two hash_joins past it) -> orient -> wedge
+    self-join -> strict (deg, id)-ordered wedge pairs. Returns
+    ``(n_edges, n_nodes, deg, O, W)`` where ``W`` rows are candidate
+    closing edges ``([ctr,] src, dst)`` — ``ctr`` (the wedge center,
+    i.e. the triangle's third vertex) rides along only when
+    ``keep_ctr`` so the count-only caller pays no extra column."""
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
@@ -262,7 +242,8 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
            .groupby("node").aggregate(Count(alias_name="deg"))
            .materialize())
 
-    if deg.count() <= bcast_cap:
+    n_nodes = deg.count()
+    if n_nodes <= bcast_cap:
         # broadcast degree attach: both endpoint degrees in ONE pass
         chunks = list(deg.iter_batches(batch_format="pyarrow"))
         dt = pa.concat_tables(chunks) if chunks else pa.table(
@@ -329,7 +310,51 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
                        pc.and_(pc.equal(d1, d2),
                                pc.less(t["dst"], t["dst2"])))
         t2 = t.filter(first)
+        if keep_ctr:
+            return pa.table({"ctr": t2["src"], "src": t2["dst"],
+                             "dst": t2["dst2"]})
         return pa.table({"src": t2["dst"], "dst": t2["dst2"]})
+
+    W = wedges.map_batches(wedge_pairs, batch_format="pyarrow")
+    return n_edges, n_nodes, deg, O, W
+
+
+def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
+                   n_buckets: int | None = None,
+                   bcast_cap: int = 2_000_000):
+    """Exact triangle count of an undirected simple graph given as an
+    edge Dataset (third graph family next to components/pagerank).
+
+    Degree-ORIENTED join plan — the standard skew defense: every edge
+    is directed from its lower (degree, id) endpoint to the higher, so
+    every node's out-degree is O(sqrt(m)) and the wedge self-join can
+    never explode on a hub the way a naive (u < v) plan does. Each
+    triangle has exactly one node whose two oriented out-edges cover
+    it, so every wedge is enumerated once (strict (deg, id) order
+    between the two out-neighbors picks one of the two join orders)
+    and closed by one left_semi join against the oriented edge set —
+    the closing edge, when present, is stored in exactly the wedge's
+    direction. Pipeline: normalize+dedup edges -> degree count -> two
+    hash_joins to attach endpoint degrees -> orient (stateless map) ->
+    wedge self-join on source -> closing-edge left_semi. Every
+    exchange carries (id, id[, int64]) rows only.
+
+    Capped broadcast duals (the dim_join decision, dbscan-style): at
+    or below ``bcast_cap`` nodes the degree table ships once via
+    ray.put and BOTH endpoint degrees attach in one streamed pass
+    (vs two bucketed joins); at or below ``bcast_cap`` oriented edges
+    the closing-edge check is a sorted-pair searchsorted probe (vs a
+    bucketed semijoin). Past the caps each step falls back to its
+    hash_join plan — same counts either way (equivalence-tested).
+
+    Returns a 1-row pandas DataFrame (n_edges, n_triangles) — two
+    driver-side scalars of distributed counts.
+    """
+    import ray
+
+    n_edges, _, _, O, W = _tri_wedges(edges_ds, u_col, v_col,
+                                      n_buckets, bcast_cap,
+                                      keep_ctr=False)
 
     if n_edges <= bcast_cap:
         # broadcast closing-edge probe: the oriented edge set ships
@@ -360,19 +385,150 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
                 hits = 0
             return pa.table({"n": pa.array([hits], pa.int64())})
 
-        n_tri = int(wedges.map_batches(wedge_pairs,
-                                       batch_format="pyarrow")
-                    .map_batches(count_closed, batch_format="pyarrow")
+        n_tri = int(W.map_batches(count_closed, batch_format="pyarrow")
                     .sum("n") or 0)
     else:
         closed = hash_join(
-            wedges.map_batches(wedge_pairs, batch_format="pyarrow"),
+            W,
             O.map_batches(lambda t: t.select(["src", "dst"]),
                           batch_format="pyarrow"),
             on=["src", "dst"], how="left_semi", n_buckets=n_buckets)
         n_tri = int(closed.count())
     return pd.DataFrame({"n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+CC_SCALE = 1_000_000
+
+
+def clustering_coeff(edges_ds, u_col: str = "u", v_col: str = "v",
+                     n_buckets: int | None = None,
+                     bcast_cap: int = 2_000_000):
+    """Per-node LOCAL clustering coefficient — the node-level dual of
+    triangle_count and the standard cohesion feature of graph
+    curation (ego-net density, spam/bot heuristics, community
+    seeding). Shares the degree-oriented wedge plan (``_tri_wedges``)
+    so it inherits the O(sqrt(m)) hub bound; the only addition is that
+    the wedge CENTER rides the candidate rows, and each closed wedge
+    credits all three of its vertices.
+
+    Closing-edge check is the same capped dual as triangle_count:
+    broadcast sorted-pair probe at or below ``bcast_cap`` oriented
+    edges (per-batch (node, c) partials — the per-block combiner keeps
+    the credit exchange node-bounded), bucketed left_semi hash_join
+    past it. Triangle credits then attach to the degree table
+    (deg >= 2 nodes only — one wedge minimum) the dim_join way:
+    collected + ray.put under ``bcast_cap`` nodes, hash_join above.
+
+    Output: ``(node, deg, tri_cnt, cc_ppm)`` — all int64, with
+    ``cc_ppm = (2 * CC_SCALE * tri_cnt) // (deg * (deg - 1))``
+    (parts-per-million coefficient; exact integer arithmetic, so the
+    SQL mirror is bit-identical).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_edges, n_nodes, deg, O, W = _tri_wedges(edges_ds, u_col, v_col,
+                                              n_buckets, bcast_cap,
+                                              keep_ctr=True)
+
+    def credit_partial(ctr, src, dst) -> pa.Table:
+        nodes = np.concatenate([ctr, src, dst])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un, pa.int64()),
+                         "c": pa.array(cn.astype(np.int64), pa.int64())})
+
+    if n_edges <= bcast_cap:
+        echunks = list(O.iter_batches(batch_format="pyarrow"))
+        et = pa.concat_tables(echunks) if echunks else pa.table(
+            {"src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64())})
+        epairs = np.empty(et.num_rows,
+                          dtype=[("s", np.int64), ("d", np.int64)])
+        epairs["s"] = et["src"].to_numpy(zero_copy_only=False)
+        epairs["d"] = et["dst"].to_numpy(zero_copy_only=False)
+        epairs.sort()
+        edge_ref = ray.put(epairs)
+
+        def closed_credits(t: pa.Table) -> pa.Table:
+            ep = ray.get(edge_ref)
+            w = np.empty(t.num_rows,
+                         dtype=[("s", np.int64), ("d", np.int64)])
+            w["s"] = t["src"].to_numpy(zero_copy_only=False)
+            w["d"] = t["dst"].to_numpy(zero_copy_only=False)
+            if len(ep) and len(w):
+                ix = np.minimum(np.searchsorted(ep, w), len(ep) - 1)
+                hit = ep[ix] == w
+            else:
+                hit = np.zeros(len(w), bool)
+            return credit_partial(
+                t["ctr"].to_numpy(zero_copy_only=False)[hit],
+                w["s"][hit], w["d"][hit])
+
+        credits = W.map_batches(closed_credits, batch_format="pyarrow")
+    else:
+        closed = hash_join(
+            W,
+            O.map_batches(lambda t: t.select(["src", "dst"]),
+                          batch_format="pyarrow"),
+            on=["src", "dst"], how="left_semi", n_buckets=n_buckets)
+
+        def explode_credits(t: pa.Table) -> pa.Table:
+            return credit_partial(
+                t["ctr"].to_numpy(zero_copy_only=False),
+                t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False))
+
+        credits = closed.map_batches(explode_credits,
+                                     batch_format="pyarrow")
+
+    tri = credits.groupby("node").aggregate(Sum("c", alias_name="t"))
+
+    def finish(node, dg, t) -> pa.Table:
+        cc = (2 * CC_SCALE * t) // (dg * (dg - 1))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "deg": pa.array(dg, pa.int64()),
+                         "tri_cnt": pa.array(t, pa.int64()),
+                         "cc_ppm": pa.array(cc, pa.int64())})
+
+    deg2 = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["deg"].cast(pa.int64()), 2)),
+        batch_format="pyarrow")
+
+    if n_nodes <= bcast_cap:
+        # triangle-credit table is node-bounded: collect once, probe
+        # the degree blocks — zero additional exchanges
+        rows = tri.take_all()
+        tn = np.array([r["node"] for r in rows], np.int64)
+        tv = np.array([r["t"] for r in rows], np.int64)
+        order = np.argsort(tn, kind="stable")
+        tri_ref = ray.put((tn[order], tv[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            tn_, tv_ = ray.get(tri_ref)
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tt = np.zeros(len(node), np.int64)
+            if len(tn_) and len(node):
+                ix = np.minimum(np.searchsorted(tn_, node), len(tn_) - 1)
+                hit = tn_[ix] == node
+                tt[hit] = tv_[ix[hit]]
+            return finish(node, dg, tt)
+
+        return deg2.map_batches(attach, batch_format="pyarrow")
+
+    joined = hash_join(deg2, tri, on="node", how="left",
+                       n_buckets=n_buckets)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return finish(
+            t["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["deg"].to_numpy(zero_copy_only=False).astype(np.int64),
+            pc.fill_null(t["t"], 0).to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def bfs_hops(edges_ds, sources, max_hops: int,

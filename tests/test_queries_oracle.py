@@ -167,6 +167,9 @@ SQL_CHECKED = [
     # round 5: multinomial Naive Bayes source classifier (broadcast
     # model + the sparse-delta no-broadcast scale dual)
     "q_nb_classify", "q_nb_classify_distributed",
+    # round 5: per-node local clustering coefficient (wedge plan with
+    # center attribution; exact integer cc_ppm)
+    "q_clustering_coeff",
 ]
 
 

@@ -212,3 +212,34 @@ def test_nb_classify_dual_equivalence_and_ties(ray_session):
     # the corpus is fully symmetric in (a, b): every score ties, so
     # every prediction is the lexicographically smaller label
     assert set(b["pred"]) == {"a"}
+
+
+def test_clustering_coeff_duals_and_values(ray_session):
+    """clustering_coeff's broadcast probe/attach and the bcast_cap=0
+    distributed (semijoin + hash_join) paths agree, and values are
+    exact on a hand-checked graph."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import clustering_coeff
+
+    # 4-clique {1,2,3,4} + pendant 5 attached to 1 and 2 (one extra
+    # triangle 1-2-5), + isolated edge 6-7 (deg 1 -> excluded)
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (1, 5), (2, 5), (6, 7)]
+    edges = rd.from_items([{"u": a, "v": b} for a, b in und])
+
+    def got(**kw):
+        out = clustering_coeff(edges, **kw).to_pandas()
+        return sorted(map(tuple, out.values.tolist()))
+
+    b = got()
+    d = got(bcast_cap=0)
+    assert b == d
+    # node: (deg, tri, cc_ppm = 2e6*tri // (deg*(deg-1)))
+    expect = {1: (4, 4), 2: (4, 4), 3: (3, 3), 4: (3, 3), 5: (2, 1)}
+    assert {n: (dg, t) for n, dg, t, _ in b} == expect
+    cc = {n: c for n, dg, t, c in b}
+    assert cc[5] == 1_000_000  # 2*1e6*1 // (2*1)
+    assert cc[3] == 1_000_000  # 2*1e6*3 // (3*2)
+    assert cc[1] == 666_666    # 2*1e6*4 // (4*3)
+    assert 6 not in cc and 7 not in cc
