@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nb_classify_distributed": q.q_nb_classify_distributed,
         # rotated in (round 5): per-node local clustering coefficient
         "q_clustering_coeff": q.q_clustering_coeff,
+        # rotated in (round 5): the geospatial x image composition —
+        # real decode + phash-derived tile rollup in one pipeline
+        "q_tile_mosaic": q.q_tile_mosaic,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -373,6 +376,10 @@ def _oracle_sql_base() -> dict[str, str]:
     clip_meta_pq = cached_clip_meta_parquet(CLIP_IMAGES_N)
     from osm2shp_ray.sources.fixtures import cached_image_stats_parquet
     image_stats_pq = cached_image_stats_parquet(POSTPROCESS_IMAGES_N)
+    from osm2shp_ray.pipelines.queries import CELL_RES as _CELL_RES
+    from osm2shp_ray.sources.fixtures import cached_image_cells_parquet
+    image_cells_pq = cached_image_cells_parquet(POSTPROCESS_IMAGES_N,
+                                                _CELL_RES)
     from osm2shp_ray.sources.fixtures import cached_image_stats_lossy_parquet
     image_stats_lossy_pq = cached_image_stats_lossy_parquet(
         POSTPROCESS_IMAGES_N)
@@ -2159,6 +2166,32 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_image_stats_lossy": f"""
             SELECT image_id, n_px, r_sum, g_sum, b_sum, px_min, px_max
             FROM read_parquet('{image_stats_lossy_pq}')""",
+        # per-tile image mosaic: channel sums from the source-pixel
+        # side table, tiles re-derived from the phash->cell side table
+        # with pure int64 bit arithmetic (cell = res<<58 | y<<29 | x;
+        # res 13 -> 6 rollup is a >>7 on both axes)
+        "q_tile_mosaic": f"""
+            WITH s AS (SELECT image_id, n_px, r_sum, g_sum, b_sum
+                       FROM read_parquet('{image_stats_pq}')
+                       WHERE fmt = 'png' AND n_px > 0),
+            c AS (SELECT image_id,
+                         (cell >> 29) & 536870911 AS y13,
+                         cell & 536870911 AS x13
+                  FROM read_parquet('{image_cells_pq}')),
+            t AS (SELECT s.*,
+                         6 * 288230376151711744
+                           + (y13 // 128) * 536870912
+                           + (x13 // 128) AS tile
+                  FROM s JOIN c USING (image_id))
+            SELECT tile, CAST(count(*) AS BIGINT) AS n_img,
+                   CAST(sum(n_px) AS BIGINT) AS n_px,
+                   (1000 * CAST(sum(r_sum) AS BIGINT))
+                     // CAST(sum(n_px) AS BIGINT) AS mean_r_mil,
+                   (1000 * CAST(sum(g_sum) AS BIGINT))
+                     // CAST(sum(n_px) AS BIGINT) AS mean_g_mil,
+                   (1000 * CAST(sum(b_sum) AS BIGINT))
+                     // CAST(sum(n_px) AS BIGINT) AS mean_b_mil
+            FROM t GROUP BY tile""",
         # header-only metadata scan: the query reads ONLY
         # (image_id, bytes), so fmt/w/h/detail are re-derived from
         # PNG IHDR / JFIF SOF0 bytes and must equal the generator's

@@ -3572,6 +3572,78 @@ def q_image_stats(sf_dir: str):
     return out.drop_columns(["fmt"]).to_pandas()
 
 
+def q_tile_mosaic(sf_dir: str):
+    """Per-tile image mosaic statistics — the geospatial x image
+    composition of the graft in one pipeline: every PNG row decodes
+    (real decode; bytes drop before any exchange), maps to its
+    phash-derived res-13 quadcell rolled up to the res-6 tile, and
+    each tile aggregates exact int64 channel sums into per-channel
+    mil-means ((1000*sum) // n_px). Per-batch (tile, sums) partials
+    keep the exchange tile-bounded. The gate pins BOTH halves
+    independently: channel sums against the generator's source-pixel
+    side table, cell ids against the generator's own phash->cell
+    side table (cached_image_cells_parquet)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import cells as cellmod
+    from ..functions.hilbert import phash_to_lonlat
+    from ..sources.fixtures import (cached_image_cells_parquet,
+                                    cached_image_stats_parquet,
+                                    cached_images_parquet)
+    from ..stages.images import channel_stats
+
+    cached_image_stats_parquet(POSTPROCESS_IMAGES_N)      # oracle side
+    cached_image_cells_parquet(POSTPROCESS_IMAGES_N, CELL_RES)
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "bytes", "fmt", "phash"])
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        lon, lat = phash_to_lonlat(ph)
+        cell = cellmod.latlng_to_cell(lat, lon, CELL_RES)
+        tile = cellmod.cell_to_parent(cell, TILE_RES).astype(np.int64)
+        return (t.drop_columns(["phash"])
+                .append_column("tile", pa.array(tile, pa.int64())))
+
+    stats = channel_stats(
+        images.filter(expr="fmt == 'png'")
+        .map_batches(add_tile, batch_format="pyarrow"), batch_size=512)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        t = t.filter(pc.greater(t["n_px"], 0))  # decoded rows only
+        df = (pl.from_arrow(t.select(["tile", "n_px", "r_sum",
+                                      "g_sum", "b_sum"]))
+              .group_by("tile")
+              .agg(pl.len().alias("n_img"),
+                   pl.col("n_px").sum(), pl.col("r_sum").sum(),
+                   pl.col("g_sum").sum(), pl.col("b_sum").sum()))
+        return df.to_arrow().cast(pa.schema([
+            ("tile", pa.int64()), ("n_img", pa.int64()),
+            ("n_px", pa.int64()), ("r_sum", pa.int64()),
+            ("g_sum", pa.int64()), ("b_sum", pa.int64())]))
+
+    agg = (stats.map_batches(partial, batch_format="pyarrow")
+           .groupby("tile")
+           .aggregate(Sum("n_img", alias_name="n_img"),
+                      Sum("n_px", alias_name="n_px"),
+                      Sum("r_sum", alias_name="r_sum"),
+                      Sum("g_sum", alias_name="g_sum"),
+                      Sum("b_sum", alias_name="b_sum")))
+
+    def means(t: pa.Table) -> pa.Table:
+        npx = t["n_px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"tile": t["tile"], "n_img": t["n_img"], "n_px": t["n_px"]}
+        for ch in ("r", "g", "b"):
+            s = t[f"{ch}_sum"].to_numpy(zero_copy_only=False)
+            out[f"mean_{ch}_mil"] = pa.array(
+                (1000 * s.astype(np.int64)) // npx, pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(means, batch_format="pyarrow").to_pandas()
+
+
 def q_image_stats_lossy(sf_dir: str):
     """Exact channel statistics over the LOSSY (jpeg) rows — the
     bit-exact hash gate on the vendored JPEG decoder's pixel OUTPUT:

@@ -391,6 +391,29 @@ def cached_entities_parquet(n: int) -> str:
     }), path)
 
 
+def cached_image_cells_parquet(n: int, res: int = 13) -> str:
+    """Engine-independent spatial ground truth for the images fixture:
+    (image_id, cell) where cell is the res-``res`` quadcell of the
+    image's phash-derived location — computed HERE from the
+    generator's own phash chain (phash_of -> hilbert decode ->
+    latlng_to_cell), so the engine's in-pipeline derivation from the
+    stored phash COLUMN must reproduce every id bit-exactly. DuckDB
+    re-derives tile rollups from this table with pure int64 bit
+    arithmetic (cell layout: res<<58 | y<<29 | x)."""
+    path = os.path.join(FIXTURE_ROOT, f"image_cells_n{n}_r{res}.parquet")
+    if os.path.exists(path):
+        return path
+    from ..functions.cells import latlng_to_cell
+    from ..functions.hilbert import phash_to_lonlat
+    idx = np.arange(n, dtype=np.int64)
+    lon, lat = phash_to_lonlat(phash_of(idx))
+    cell = latlng_to_cell(lat, lon, res).astype(np.int64)
+    return _atomic_parquet(pa.table({
+        "image_id": pa.array([f"img-{i:09d}" for i in idx], pa.string()),
+        "cell": pa.array(cell, pa.int64()),
+    }), path)
+
+
 def cached_audio_meta_parquet(n: int, rate: int = 8000) -> str:
     """Per-clip ground truth for the audio fixture: nominal tone and
     the RMS of the exact int16 samples the WAV encodes (computed here

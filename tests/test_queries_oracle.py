@@ -170,6 +170,9 @@ SQL_CHECKED = [
     # round 5: per-node local clustering coefficient (wedge plan with
     # center attribution; exact integer cc_ppm)
     "q_clustering_coeff",
+    # round 5: per-tile image mosaic (real decode + phash-derived
+    # tile rollup; both halves pinned by independent side tables)
+    "q_tile_mosaic",
 ]
 
 
