@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated in (round 5): the geospatial x image composition —
         # real decode + phash-derived tile rollup in one pipeline
         "q_tile_mosaic": q.q_tile_mosaic,
+        # rotated in (round 5): A/B Welch t over hash-split variants
+        "q_ab_test": q.q_ab_test,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -3064,6 +3066,44 @@ def _oracle_sql_base() -> dict[str, str]:
                                       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
                               ELSE 0.0 END, 4) AS corr
             FROM s""",
+        # per-event-type Welch two-sample t between md5-hash-split
+        # user variants: exact int64 moments, the t expression
+        # repeated verbatim from the engine (same parenthesization)
+        "q_ab_test": """
+            WITH b AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 AS v,
+                     CAST(floor(value * 100) AS BIGINT) AS x
+              FROM events),
+            s AS (SELECT event_type,
+                         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END)
+                              AS DOUBLE) AS sa,
+                         CAST(sum(CASE WHEN v = 0 THEN x * x ELSE 0 END)
+                              AS DOUBLE) AS ssa,
+                         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_b,
+                         CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END)
+                              AS DOUBLE) AS sb,
+                         CAST(sum(CASE WHEN v = 1 THEN x * x ELSE 0 END)
+                              AS DOUBLE) AS ssb
+                  FROM b GROUP BY event_type),
+            f AS (SELECT event_type, n_a, n_b, sa, sb, ssa, ssb,
+                         CAST(n_a AS DOUBLE) AS na,
+                         CAST(n_b AS DOUBLE) AS nb
+                  FROM s)
+            SELECT event_type, n_a, n_b,
+                   round(CASE WHEN n_a >= 2 AND n_b >= 2
+                               AND sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                                        + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+                                   > 0
+                          THEN (sa / na - sb / nb)
+                               / sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                                      + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+                          ELSE 0.0 END, 4) AS t
+            FROM f""",
         "q_ntile_events": """
             SELECT event_id, user_id,
                    CAST(ntile(4) OVER (PARTITION BY user_id

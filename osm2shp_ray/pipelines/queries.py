@@ -2353,6 +2353,31 @@ def q_corr_events(sf_dir: str):
     return _round_cols(out, ["corr"])
 
 
+def q_ab_test(sf_dir: str):
+    """Per-event-type Welch two-sample t-statistic between
+    deterministic hash-split user variants
+    (stages/sketch.py::ab_welch) — the A/B experiment readout: values
+    quantized to integer centi-units, per-(type, variant) moment sums
+    exact int64 across one narrow exchange, the t expression written
+    once and repeated verbatim in SQL (rounded to 4 decimals)."""
+    from ..stages import sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "user_id": t["user_id"],
+            "vq": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    out = (sketch.ab_welch(ev.map_batches(prep, batch_format="pyarrow"),
+                           "event_type", "user_id", "vq")
+           .to_pandas())
+    return _round_cols(out, ["t"])
+
+
 PPS_RATE = 1.0 / 4000.0  # inclusion prob = n_chars / 4000, capped at 1
 
 

@@ -924,6 +924,71 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def ab_welch(ds, key_col: str, unit_col: str, value_col: str):
+    """Per-key Welch two-sample t-statistic between deterministic
+    hash-split variants — the A/B experiment readout of an event
+    pipeline, computed the grouped_corr way: exact int64 moment sums,
+    one narrow exchange, floats only in the final shared expression.
+
+    Variant assignment is ``md5_hash60(str(unit)) % 2`` (0 = A) — the
+    engine-parity hash of the split/sample family, so DuckDB assigns
+    the identical variants. ``value_col`` must already be
+    integer-valued (callers quantize floats first, the running_total
+    contract): per-(key, variant) ``(n, s, ss)`` sums are then exact
+    and order-independent. Welch's t computes as
+    ``(ma - mb) / sqrt(va/na + vb/nb)`` with sample variances
+    ``v = (ss - s*s/n) / (n - 1)``, identical parenthesization in the
+    SQL mirror; keys where either arm has n < 2 or the denominator is
+    not positive yield t = 0.0 (documented, mirrored).
+
+    Output: ``(key, n_a, n_b, t: float64 UNROUNDED — callers round)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hash60
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        u = t[unit_col].to_numpy(zero_copy_only=False)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (md5_hash60(u) % 2 == 1).astype(np.int64)
+        df = pd.DataFrame({key_col: k,
+                           "n_a": 1 - b, "s_a": (1 - b) * x,
+                           "ss_a": (1 - b) * x * x,
+                           "n_b": b, "s_b": b * x, "ss_b": b * x * x})
+        g = df.groupby(key_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n_a", "s_a", "ss_a",
+                                   "n_b", "s_b", "ss_b")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = t["s_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = t["s_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ssa = t["ss_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ssb = t["ss_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (na >= 2) & (nb >= 2)
+        na_ = np.where(ok, na, 2.0)
+        nb_ = np.where(ok, nb, 2.0)
+        va = (ssa - sa * sa / na_) / (na_ - 1.0)
+        vb = (ssb - sb * sb / nb_) / (nb_ - 1.0)
+        den = np.sqrt(va / na_ + vb / nb_)
+        ok = ok & (den > 0)
+        tstat = np.where(ok, (sa / na_ - sb / nb_)
+                         / np.where(den > 0, den, 1.0), 0.0)
+        return pa.table({key_col: t[key_col],
+                         "n_a": t["n_a"], "n_b": t["n_b"],
+                         "t": pa.array(tstat, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def pps_sample(ds, id_col: str, weight_col: str, rate_per_unit: float,
                basis: int = 1_000_000):
     """Probability-proportional-to-size Bernoulli sampling: keep a row

@@ -173,6 +173,8 @@ SQL_CHECKED = [
     # round 5: per-tile image mosaic (real decode + phash-derived
     # tile rollup; both halves pinned by independent side tables)
     "q_tile_mosaic",
+    # round 5: A/B Welch two-sample t over md5-hash-split variants
+    "q_ab_test",
 ]
 
 
