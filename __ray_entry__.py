@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_mosaic": q.q_tile_mosaic,
         # rotated in (round 5): A/B Welch t over hash-split variants
         "q_ab_test": q.q_ab_test,
+        # rotated in (round 5): linear-interpolation time-grid resample
+        "q_interp_resample": q.q_interp_resample,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -1781,6 +1783,45 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_chunk_dedup": chunk_dedup_sql,
         # dense daily grid: every day in [min, max] per user exists,
         # zero-filled; same integer epoch-us floor-div day key
+        # per-user hourly linear interpolation: grid via
+        # generate_series, prev/next surrounding events via bounded
+        # aggregate joins, explicit toward-zero integer division —
+        # identical int64 arithmetic to the engine kernel
+        "q_interp_resample": f"""
+            WITH e0 AS (SELECT user_id, epoch_us(ts) AS tsu,
+                               CAST(floor(value * 100) AS BIGINT) AS vq,
+                               event_id
+                        FROM events),
+            e AS (SELECT user_id, tsu, arg_max(vq, event_id) AS vq
+                  FROM e0 GROUP BY user_id, tsu),
+            r AS (SELECT user_id,
+                         (min(tsu) + {q.INTERP_BUCKET_S * 1000000} - 1)
+                           // {q.INTERP_BUCKET_S * 1000000} AS gmin,
+                         max(tsu) // {q.INTERP_BUCKET_S * 1000000} AS gmax
+                  FROM e GROUP BY user_id),
+            g AS (SELECT user_id, unnest(generate_series(gmin, gmax)) AS gb
+                  FROM r WHERE gmax >= gmin),
+            p AS (SELECT g.user_id, g.gb, max(e.tsu) AS tp,
+                         arg_max(e.vq, e.tsu) AS vp
+                  FROM g JOIN e ON e.user_id = g.user_id
+                   AND e.tsu <= g.gb * {q.INTERP_BUCKET_S * 1000000}
+                  GROUP BY 1, 2),
+            nx AS (SELECT g.user_id, g.gb, min(e.tsu) AS tn,
+                          arg_min(e.vq, e.tsu) AS vn
+                   FROM g JOIN e ON e.user_id = g.user_id
+                    AND e.tsu >= g.gb * {q.INTERP_BUCKET_S * 1000000}
+                   GROUP BY 1, 2)
+            SELECT p.user_id, p.gb AS bucket,
+                   CASE WHEN tn = tp THEN vp
+                        ELSE vp + CASE
+                          WHEN (vn - vp) * (p.gb * {q.INTERP_BUCKET_S * 1000000} - tp) >= 0
+                          THEN ((vn - vp) * (p.gb * {q.INTERP_BUCKET_S * 1000000} - tp))
+                               // (tn - tp)
+                          ELSE -((-((vn - vp) * (p.gb * {q.INTERP_BUCKET_S * 1000000} - tp)))
+                                 // (tn - tp))
+                        END
+                   END AS v_q
+            FROM p JOIN nx ON nx.user_id = p.user_id AND nx.gb = p.gb""",
         "q_gap_fill": """
             WITH b AS (
               SELECT user_id,

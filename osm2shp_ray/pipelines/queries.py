@@ -3551,6 +3551,36 @@ def q16_part_supplier_counts(sf_dir: str):
     return out
 
 
+INTERP_BUCKET_S = 3600
+
+
+def q_interp_resample(sf_dir: str):
+    """Per-user hourly linear-interpolation resample
+    (stages/temporal.py::interp_resample): every whole hour between a
+    user's first and last event gets the value interpolated between
+    the surrounding events — centi-unit int64 values, explicit
+    toward-zero division, last-write-wins on duplicate timestamps, so
+    the SQL mirror (grid via generate_series + prev/next aggregates)
+    is bit-identical. One bucketed exchange; the kernel is fully
+    vectorized via compound-key searchsorted."""
+    from ..stages.temporal import interp_resample
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "vq": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    return interp_resample(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", value_col="vq",
+        id_col="event_id", bucket_s=INTERP_BUCKET_S).to_pandas()
+
+
 def q_gap_fill(sf_dir: str):
     """Dense per-user daily event grid with zero-filled gaps
     (stages/temporal.py::gap_fill): every day between a user's first

@@ -1376,6 +1376,110 @@ def gap_fill(ds, key_col: str, ts_col: str, bucket_s: float,
     return out.map_batches(zero_fill, batch_format="pyarrow")
 
 
+def interp_resample(ds, key_col: str, ts_col: str, value_col: str,
+                    id_col: str, bucket_s: float,
+                    max_buckets: int = 100_000,
+                    n_buckets: int | None = None):
+    """Per-key LINEAR interpolation onto a regular time grid — the
+    third member of the densification family (gap_fill zero-fills,
+    locf_fill carries forward, this one interpolates): every grid
+    instant ``g*bucket`` between a key's first and last event gets the
+    value linearly interpolated between its surrounding events. The
+    resampling step of sensor/trajectory/metrics alignment.
+
+    Exactness contract: ``value_col`` must be integer-quantized
+    upstream (the running_total contract); the interpolated value is
+    ``vp + trunc((vn - vp)*(g - tp) / (tn - tp))`` with EXPLICIT
+    toward-zero integer division (sign * (abs // den)) — pure int64
+    on both engines, so the SQL mirror is bit-identical. Duplicate
+    timestamps within a key collapse to the max-``id_col`` event
+    (last-write-wins, deterministic); a grid instant that hits an
+    event exactly returns that event's value.
+
+    Plan shape: ONE bucketed exchange (hash(key) — interpolation needs
+    each key's full event set co-located, the sessionize layout); the
+    per-bucket kernel is fully vectorized across keys AND grid points
+    via structured-array searchsorted over the (key_rank, ts) compound
+    (the triangle-closing-probe trick — no per-key Python loop). Keys
+    whose grid would exceed ``max_buckets`` rows drop with a log line
+    (never silently).
+
+    Output: ``(key, bucket: int64 grid index, v_q: int64)``.
+    """
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    bucket_us = int(bucket_s * 1e6)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        us = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            key_col: t[key_col],
+            "__t": pa.array(us, pa.int64()),
+            "__v": t[value_col].cast(pa.int64()),
+            "__e": t[id_col].cast(pa.int64()),
+            "__b": pa.array(bucket_of(
+                t[key_col].to_numpy(zero_copy_only=False), b),
+                pa.int64())})
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        k = df[key_col].to_numpy()
+        ts = df["__t"].to_numpy().astype(np.int64)
+        v = df["__v"].to_numpy().astype(np.int64)
+        e = df["__e"].to_numpy().astype(np.int64)
+        order = np.lexsort((e, ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        # last-write-wins per (key, ts): keep the final row of each run
+        last = np.ones(len(k), bool)
+        if len(k) > 1:
+            last[:-1] = (k[1:] != k[:-1]) | (ts[1:] != ts[:-1])
+        k, ts, v = k[last], ts[last], v[last]
+        first = np.ones(len(k), bool)
+        if len(k) > 1:
+            first[1:] = k[1:] != k[:-1]
+        rank = np.cumsum(first) - 1  # dense key index, sorted order
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(k))
+        gmin = (ts[starts] + bucket_us - 1) // bucket_us
+        gmax = ts[ends - 1] // bucket_us
+        cnt = np.maximum(gmax - gmin + 1, 0)
+        over = cnt > max_buckets
+        if over.any():
+            print(f"interp_resample: skipped {int(over.sum())} keys "
+                  f"spanning > {max_buckets} grid rows")
+            cnt = np.where(over, 0, cnt)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "v_q": pa.array(
+                                 np.empty(0, np.int64), pa.int64())})
+        src = np.repeat(np.arange(len(cnt)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        g = gmin[src] + (np.arange(total, dtype=np.int64)
+                         - np.repeat(offs, cnt))
+        gt = g * bucket_us
+        a = np.empty(len(k), dtype=[("r", np.int64), ("t", np.int64)])
+        a["r"], a["t"] = rank, ts
+        q = np.empty(total, dtype=[("r", np.int64), ("t", np.int64)])
+        q["r"], q["t"] = src, gt
+        # grid instants lie inside [first, last], so both probes stay
+        # within the key's own segment of the compound-sorted array
+        pi = np.searchsorted(a, q, side="right") - 1
+        ni = np.searchsorted(a, q, side="left")
+        tp, tn = ts[pi], ts[ni]
+        vp, vn = v[pi], v[ni]
+        num = (vn - vp) * (gt - tp)
+        den = np.maximum(tn - tp, 1)
+        interp = vp + np.sign(num) * (np.abs(num) // den)
+        out = np.where(tn == tp, vp, interp)
+        return pa.table({key_col: pa.array(k[starts][src]),
+                         "bucket": pa.array(g, pa.int64()),
+                         "v_q": pa.array(out, pa.int64())})
+
+    return (coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("__b").map_groups(kernel, batch_format="pandas"))
+
+
 def locf_fill(sparse_ds, key_col: str, bucket_col: str, value_col: str,
               max_buckets: int = 100_000, n_buckets: int | None = None):
     """Last-observation-carried-forward over a dense per-key bucket

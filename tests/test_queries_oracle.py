@@ -175,6 +175,8 @@ SQL_CHECKED = [
     "q_tile_mosaic",
     # round 5: A/B Welch two-sample t over md5-hash-split variants
     "q_ab_test",
+    # round 5: per-key linear-interpolation time-grid resample
+    "q_interp_resample",
 ]
 
 

@@ -243,3 +243,43 @@ def test_clustering_coeff_duals_and_values(ray_session):
     assert cc[3] == 1_000_000  # 2*1e6*3 // (3*2)
     assert cc[1] == 666_666    # 2*1e6*4 // (4*3)
     assert 6 not in cc and 7 not in cc
+
+
+def test_interp_resample_edges(ray_session):
+    """interp_resample: exact-hit grid points, negative-slope
+    toward-zero division, and last-write-wins duplicate timestamps."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from osm2shp_ray.stages.temporal import interp_resample
+
+    def t(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # key 1: v 100 at t=0 (on-grid, exact hit), dup ts at t=90
+        # where the higher event_id (999) wins -> grid at 60s:
+        # 100 + trunc((999-100)*60/90) = 100 + 599 = 699
+        {"event_id": 1, "user_id": 1, "ts": t(0), "vq": 100},
+        {"event_id": 2, "user_id": 1, "ts": t(90), "vq": -50},
+        {"event_id": 3, "user_id": 1, "ts": t(90), "vq": 999},
+        # key 2: rising 10 -> 13 over 120s: grid 60s ->
+        # 10 + trunc(3*30/120) = 10, grid 120s -> 10 + trunc(2.25) = 12
+        {"event_id": 4, "user_id": 2, "ts": t(30), "vq": 10},
+        {"event_id": 5, "user_id": 2, "ts": t(150), "vq": 13},
+        # key 3: falling 10 -> 7: trunc TOWARD ZERO on negatives:
+        # grid 60s -> 10 + trunc(-0.75) = 10, grid 120s ->
+        # 10 + trunc(-2.25) = 8 (floor would give 9 and 7)
+        {"event_id": 6, "user_id": 3, "ts": t(30), "vq": 10},
+        {"event_id": 7, "user_id": 3, "ts": t(150), "vq": 7},
+    ]
+    out = interp_resample(rd.from_items(rows), key_col="user_id",
+                          ts_col="ts", value_col="vq",
+                          id_col="event_id", bucket_s=60).to_pandas()
+    base = int(dt.datetime(2024, 1, 1,
+                           tzinfo=dt.timezone.utc).timestamp()) // 60
+    got = {(r.user_id, r.bucket - base): r.v_q for r in out.itertuples()}
+    assert got == {(1, 0): 100, (1, 1): 699,
+                   (2, 1): 10, (2, 2): 12,
+                   (3, 1): 10, (3, 2): 8}
