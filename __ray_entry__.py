@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ab_test": q.q_ab_test,
         # rotated in (round 5): linear-interpolation time-grid resample
         "q_interp_resample": q.q_interp_resample,
+        # rotated in (round 5): bounded-round weighted shortest paths
+        "q_sssp": q.q_sssp,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -925,6 +927,34 @@ def _oracle_sql_base() -> dict[str, str]:
         )
         SELECT node, CAST(min(h) AS BIGINT) AS hops
         FROM walk GROUP BY node"""
+
+    # bounded-round Bellman-Ford: one min-aggregate CTE per relaxation
+    # round (the unrolled-chain pattern — no path enumeration, exactly
+    # the engine's synchronous recurrence)
+    sssp_seed_vals = ", ".join(f"(CAST({k * 2} AS BIGINT), "
+                               f"CAST(0 AS BIGINT))"
+                               for k in q.BFS_SEED_ORDERS)
+    sssp_rounds = "".join(
+        f""", d{i + 1} AS (
+              SELECT node, min(d) AS d FROM (
+                SELECT node, d FROM d{i}
+                UNION ALL
+                SELECT e.dst, d{i}.d + e.w
+                FROM d{i} JOIN e ON e.src = d{i}.node)
+              GROUP BY node)"""
+        for i in range(q.SSSP_ROUNDS))
+    sssp_sql = f"""
+        WITH e AS (
+          SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+            SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                   CAST(l_quantity AS BIGINT) AS w FROM lineitem
+            UNION ALL
+            SELECT l_partkey * 2 + 1, l_orderkey * 2,
+                   CAST(l_quantity AS BIGINT) FROM lineitem)
+          GROUP BY src, dst),
+        d0(node, d) AS (SELECT * FROM (VALUES {sssp_seed_vals}))
+        {sssp_rounds}
+        SELECT node, CAST(d AS BIGINT) AS dist FROM d{q.SSSP_ROUNDS}"""
 
     pip_case = "CASE " + " ".join(
         f"WHEN x > {x0} AND x < {x1} AND y > {y0} AND y < {y1} THEN '{tid}'"
@@ -3058,6 +3088,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "q_pagerank": pr_sql,
         "q_bfs_hops": bfs_sql,
+        "q_sssp": sssp_sql,
         # exact distributed selection: the output is the selected
         # VALUE itself (no arithmetic), so equality is bit-exact
         "q_exact_median": """

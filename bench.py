@@ -365,6 +365,16 @@ def run_bench() -> dict:
         ("q_watermark_late", q.q_watermark_late),
         ("q_cell_pyramid", q.q_cell_pyramid),
         ("q_kcore", q.q_kcore),
+        # round 5 (second sweep): supervised NB classifier duals, the
+        # geospatial x image mosaic, graph cohesion, A/B readout and
+        # the interpolation resample
+        ("q_nb_classify", q.q_nb_classify),
+        ("q_nb_classify_distributed", q.q_nb_classify_distributed),
+        ("q_clustering_coeff", q.q_clustering_coeff),
+        ("q_tile_mosaic", q.q_tile_mosaic),
+        ("q_ab_test", q.q_ab_test),
+        ("q_interp_resample", q.q_interp_resample),
+        ("q_sssp", q.q_sssp),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -2261,6 +2261,37 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).to_pandas()
 
 
+SSSP_ROUNDS = 3
+
+
+def q_sssp(sf_dir: str):
+    """Bounded-round weighted shortest paths (stages/graph.py::sssp)
+    over the order<->part bipartite graph with quantity edge weights
+    (parallel edges collapse to their min): synchronous Bellman-Ford,
+    3 relaxation rounds from the BFS seed orders. int64 min-plus is
+    order-free, so the UNROLLED per-round min-aggregate SQL chain (no
+    path enumeration) is bit-exact."""
+    from ..stages.graph import sssp
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        w = (t["l_quantity"].to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64()),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    seeds = [k * 2 for k in BFS_SEED_ORDERS]
+    return sssp(edges, seeds, rounds=SSSP_ROUNDS).to_pandas()
+
+
 def q_exact_median(sf_dir: str):
     """EXACT global median of l_extendedprice (stages/sketch.py::
     exact_kth — multi-pass histogram-refinement selection): narrow

@@ -667,6 +667,121 @@ def _bfs_distributed(edges, seeds: np.ndarray, max_hops: int,
     return res
 
 
+def sssp(edges_ds, sources, rounds: int,
+         n_buckets: int | None = None, edge_cap: int = 5_000_000):
+    """Bounded-round single-source(-set) shortest paths over a
+    directed WEIGHTED edge Dataset ``(src, dst, w: int64 >= 0)`` —
+    synchronous Bellman-Ford: after ``rounds`` relaxation rounds every
+    node carries the exact minimum path weight reachable in <= rounds
+    edges (seeds at 0). Sixth graph family next to components /
+    pagerank / triangles / BFS / k-core; the weighted generalization
+    of ``bfs_hops``. All arithmetic is int64 min-plus — associative
+    and order-free, so the unrolled per-round SQL mirror (one
+    min-aggregate CTE per round, NO path enumeration) is bit-exact.
+
+    Parallel edges collapse to their minimum weight in one setup
+    exchange (per-batch combiner first). Capped dual (the bfs/pagerank
+    pattern):
+
+    - ``<= edge_cap`` distinct edges: the edge arrays materialize once
+      on the driver; each round is one vectorized relaxation
+      (searchsorted membership + np.minimum.at) — zero per-round
+      exchanges, driver state bounded by the distinct-node count.
+    - above the cap: dist stays a Dataset; each round is one
+      hash_join (dist onto edges by src) + a union with the previous
+      dist + one groupby-min. No driver-side node array at any size.
+
+    Both paths compute the identical synchronous recurrence
+    (equivalence-tested). Returns ``(node, dist)`` for reached nodes.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from .util import coalesced
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+    seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(seeds) == 0:
+        raise ValueError("sssp needs at least one source node")
+
+    def pre(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.DataFrame({
+            "src": t["src"].to_numpy(zero_copy_only=False),
+            "dst": t["dst"].to_numpy(zero_copy_only=False),
+            "w": t["w"].to_numpy(zero_copy_only=False)})
+            .group_by(["src", "dst"]).agg(pl.col("w").min()))
+        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.int64()),
+                         "dst": pa.array(df["dst"].to_numpy(), pa.int64()),
+                         "w": pa.array(df["w"].to_numpy(), pa.int64())})
+
+    edges = (coalesced(edges_ds.map_batches(pre, batch_format="pyarrow"))
+             .groupby(["src", "dst"]).aggregate(Min("w", alias_name="w"))
+             .materialize())
+
+    if edges.count() <= edge_cap:
+        chunks = list(edges.iter_batches(batch_format="pyarrow"))
+        et = (pa.concat_tables(chunks) if chunks else
+              pa.table({"src": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64())}))
+        es = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ed = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ew = et["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(es, kind="stable")
+        es, ed, ew = es[order], ed[order], ew[order]
+
+        nodes = seeds.copy()
+        dist = np.zeros(len(seeds), np.int64)
+        for _ in range(rounds):
+            if len(es):
+                ix = np.minimum(np.searchsorted(nodes, es),
+                                len(nodes) - 1)
+                hit = nodes[ix] == es
+                cd = dist[ix[hit]] + ew[hit]
+                cn = ed[hit]
+                un, inv = np.unique(cn, return_inverse=True)
+                best = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(best, inv, cd)
+            else:
+                un = np.empty(0, np.int64)
+                best = np.empty(0, np.int64)
+            allan = np.union1d(nodes, un)
+            nd = np.full(len(allan), np.iinfo(np.int64).max, np.int64)
+            pos = np.searchsorted(allan, nodes)
+            nd[pos] = dist
+            pos2 = np.searchsorted(allan, un)
+            nd[pos2] = np.minimum(nd[pos2], best)
+            nodes, dist = allan, nd
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "dist": pa.array(dist, pa.int64())}))
+
+    dist_ds = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64())}))
+    for _ in range(rounds):
+        relaxed = hash_join(
+            edges.map_batches(lambda t: t.rename_columns(
+                ["node", "dst", "w"]), batch_format="pyarrow"),
+            dist_ds, on="node", n_buckets=b)
+
+        def step(t: pa.Table) -> pa.Table:
+            d = (t["dist"].to_numpy(zero_copy_only=False)
+                 + t["w"].to_numpy(zero_copy_only=False))
+            return pa.table({"node": t["dst"],
+                             "dist": pa.array(d, pa.int64())})
+
+        dist_ds = (relaxed.map_batches(step, batch_format="pyarrow")
+                   .union(dist_ds)
+                   .groupby("node")
+                   .aggregate(Min("dist", alias_name="dist"))
+                   .materialize())
+    return dist_ds
+
+
 def _ra_wedges(o: np.ndarray, p: np.ndarray, quant: int,
                max_hub_degree: int) -> tuple[pa.Table, int]:
     """Wedge generation for one hash(hub) bucket: dedup (hub, item)

@@ -177,6 +177,9 @@ SQL_CHECKED = [
     "q_ab_test",
     # round 5: per-key linear-interpolation time-grid resample
     "q_interp_resample",
+    # round 5: bounded-round weighted shortest paths (Bellman-Ford,
+    # unrolled min-aggregate SQL chain)
+    "q_sssp",
 ]
 
 

@@ -283,3 +283,30 @@ def test_interp_resample_edges(ray_session):
     assert got == {(1, 0): 100, (1, 1): 699,
                    (2, 1): 10, (2, 2): 12,
                    (3, 1): 10, (3, 2): 8}
+
+
+def test_sssp_dual_equivalence(ray_session):
+    """sssp's broadcast relaxation and the edge_cap=0 distributed
+    (join + union + groupby-min) paths reach identical distances,
+    checked against hand-computed values."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import sssp
+
+    # 1 -2-> 2 -3-> 3;  1 -10-> 3 (longer direct edge);  parallel
+    # edge 1->2 weight 7 collapses to the min (2);  4 unreachable src
+    rows = [(1, 2, 2), (2, 3, 3), (1, 3, 10), (1, 2, 7), (4, 1, 1)]
+    edges = rd.from_items([{"src": s, "dst": d, "w": w}
+                           for s, d, w in rows])
+
+    def got(**kw):
+        out = sssp(edges, [1], rounds=3, **kw).to_pandas()
+        return dict(zip(out["node"], out["dist"]))
+
+    b = got()
+    d = got(edge_cap=0)
+    assert b == d == {1: 0, 2: 2, 3: 5}
+
+    # rounds=1 cannot take the 2-edge path yet: dist(3) = 10
+    one = sssp(edges, [1], rounds=1).to_pandas()
+    assert dict(zip(one["node"], one["dist"])) == {1: 0, 2: 2, 3: 10}
