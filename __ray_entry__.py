@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interp_resample": q.q_interp_resample,
         # rotated in (round 5): bounded-round weighted shortest paths
         "q_sssp": q.q_sssp,
+        # rotated in (round 5): exact interpolated PERCENTILE_CONT
+        "q_quantile_cont": q.q_quantile_cont,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -3097,6 +3099,21 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT (SELECT k FROM kk) AS k, v AS median
             FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
             WHERE rn = (SELECT k FROM kk)""",
+        # exact interpolated p90: the two surrounding order statistics
+        # by row_number, integer-exact fractional position, one shared
+        # interpolation expression
+        "q_quantile_cont": """
+            WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+            kk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          ((count(*) - 1) * 9) // 10 AS lo,
+                          ((count(*) - 1) * 9) % 10 AS fr
+                   FROM s),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+            SELECT (SELECT n FROM kk) AS n,
+                   round((SELECT v FROM r WHERE rn = (SELECT lo FROM kk) + 1)
+                         + ((SELECT v FROM r WHERE rn = (SELECT lo FROM kk) + 2)
+                            - (SELECT v FROM r WHERE rn = (SELECT lo FROM kk) + 1))
+                           * (SELECT fr FROM kk) / 10.0, 4) AS p90""",
         "q_interval_overlap": """
             WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS lo,
                               epoch_us(ts) + 600000000 AS hi

@@ -2307,6 +2307,33 @@ def q_exact_median(sf_dir: str):
                          "median": np.array([v], np.float64)})
 
 
+QC_NUM, QC_DEN = 9, 10  # PERCENTILE_CONT(0.9)
+
+
+def q_quantile_cont(sf_dir: str):
+    """EXACT interpolated p90 of l_extendedprice — the
+    PERCENTILE_CONT analog, composed from two exact_kth distributed
+    selections (the surrounding order statistics at 0-based rank
+    floor((n-1)*9/10) and +1). The fractional position is exact
+    integer arithmetic (p_num = (n-1)*9; lo = p_num // 10; frac =
+    p_num % 10), the interpolation is ONE shared float expression
+    rounded to 4 decimals — identical composition in the SQL mirror."""
+    from ..stages import sketch
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+    n = li.count()
+    p_num = (n - 1) * QC_NUM
+    lo = p_num // QC_DEN
+    fr = p_num % QC_DEN
+    v_lo = sketch.exact_kth(li, "l_extendedprice", lo + 1,
+                            coarse_width=1000.0)
+    v_hi = (v_lo if fr == 0 else
+            sketch.exact_kth(li, "l_extendedprice", lo + 2,
+                             coarse_width=1000.0))
+    val = round(v_lo + (v_hi - v_lo) * fr / 10.0, 4)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "p90": np.array([val], np.float64)})
+
+
 def q_interval_overlap(sf_dir: str):
     """Interval-OVERLAP join (stages/temporal.py::interval_join):
     10-minute error windows x 5-minute purchase windows; each pair

@@ -180,6 +180,9 @@ SQL_CHECKED = [
     # round 5: bounded-round weighted shortest paths (Bellman-Ford,
     # unrolled min-aggregate SQL chain)
     "q_sssp",
+    # round 5: exact interpolated PERCENTILE_CONT via two exact_kth
+    # selections
+    "q_quantile_cont",
 ]
 
 
