@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sssp": q.q_sssp,
         # rotated in (round 5): exact interpolated PERCENTILE_CONT
         "q_quantile_cont": q.q_quantile_cont,
+        # rotated in (round 5): vendored Avro container round trip
+        "q_avro_roundtrip": q.q_avro_roundtrip,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -3387,6 +3389,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
                    CAST(max(o_orderkey) AS BIGINT) AS max_order
+            FROM orders GROUP BY o_orderstatus""",
+        # Avro round trip (vendored container codec): doubles quantize
+        # AFTER the round trip, so a single ULP of loss would break
+        # the price sum
+        "q_avro_roundtrip": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_order,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_q_sum
             FROM orders GROUP BY o_orderstatus""",
         # PII redaction: identical synthetic contact string, then the
         # same ordered pattern list (count, then replace; pattern 2

@@ -375,6 +375,8 @@ def run_bench() -> dict:
         ("q_ab_test", q.q_ab_test),
         ("q_interp_resample", q.q_interp_resample),
         ("q_sssp", q.q_sssp),
+        ("q_quantile_cont", q.q_quantile_cont),
+        ("q_avro_roundtrip", q.q_avro_roundtrip),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

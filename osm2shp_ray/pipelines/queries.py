@@ -5703,6 +5703,60 @@ def q_orc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro sink/source round trip over the VENDORED spec-subset
+    container codec (sources/avrofmt.py — magic/metadata/sync blocks,
+    zigzag-varint longs, length-prefixed strings, LE doubles; files
+    any Avro implementation can read): orders columns -> one
+    content-addressed .avro shard per block (writer tasks emit shard
+    paths through the data plane — the ORC/GeoJSONL manifest pattern)
+    -> parallel read back through the lockstep-vectorized decoder ->
+    per-status aggregate equals the direct SQL aggregate. Doubles are
+    proven lossless by quantizing AFTER the round trip."""
+    import shutil
+    import tempfile
+
+    from ..sources.avrofmt import read_avro, write_avro_table
+
+    out_dir = tempfile.mkdtemp(prefix="q_avro_", dir="/tmp")
+    try:
+        def write_shard(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table({"path": pa.array([], pa.string())})
+            import hashlib
+            h = hashlib.md5(str(t["o_orderkey"][0].as_py()
+                                ).encode()).hexdigest()[:12]
+            path = f"{out_dir}/part-{h}.avro"
+            write_avro_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        files = sorted(
+            r["path"] for r in
+            (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                      "o_custkey", "o_totalprice"])
+             .map_batches(write_shard, batch_format="pyarrow")
+             .take_all()))  # shard MANIFEST only — one row per block
+
+        def read_back(t: pa.Table) -> pa.Table:
+            tbl = pa.concat_tables(
+                [read_avro(f) for f in t["item"].to_pylist()])
+            pq = pc.floor(pc.multiply(tbl["o_totalprice"],
+                                      pa.scalar(100.0))).cast(pa.int64())
+            return (tbl.drop_columns(["o_totalprice"])
+                    .append_column("price_q", pq))
+
+        back = rd.from_items(files).map_batches(
+            read_back, batch_format="pyarrow", batch_size=1)
+        return (back.groupby("o_orderstatus")
+                .aggregate(Count(alias_name="n"),
+                           Sum("o_custkey", alias_name="cust_sum"),
+                           Max("o_orderkey", alias_name="max_order"),
+                           Sum("price_q", alias_name="price_q_sum"))
+                .to_pandas())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 BPE_MERGES = 6
 
 

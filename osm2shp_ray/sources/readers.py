@@ -26,6 +26,9 @@ def read_table(path: str, columns=None, **kwargs):
     import ray.data as rd
 
     ext = _ext(path)
+    if ext == "" and os.path.isdir(path) and any(
+            f.endswith(".avro") for f in os.listdir(path)):
+        ext = "avro"  # extension-less shard directory
     if ext in ("parquet", ""):
         return rd.read_parquet(path, columns=columns, **kwargs)
     if ext == "lance":
@@ -44,6 +47,22 @@ def read_table(path: str, columns=None, **kwargs):
         return rd.read_csv(path, **kwargs)
     if ext in ("json", "jsonl"):
         return rd.read_json(path, **kwargs)
+    if ext == "avro":
+        # vendored spec-subset container reader (sources/avrofmt.py);
+        # one file or a directory of shards, one read task per file
+        import pyarrow as pa
+
+        from .avrofmt import read_avro
+        paths = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+                  if f.endswith(".avro")]
+                 if os.path.isdir(path) else [path])
+        ds = rd.from_items(paths).map_batches(
+            lambda t: pa.concat_tables(
+                [read_avro(p) for p in t["item"].to_pylist()]),
+            batch_format="pyarrow", batch_size=1)
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
+        return ds
     raise NotImplementedError(f"no reader for extension {ext!r} ({path})")
 
 
@@ -75,7 +94,7 @@ def is_osm_path(path: str) -> bool:
 
 
 def discover_input(base: str, exts=("lance", "parquet", "csv", "jsonl",
-                                    "osm", "osm.pbf", "osm.gz",
+                                    "avro", "osm", "osm.pbf", "osm.gz",
                                     "osm.bz2")) -> str:
     """Probe ``base.<ext>`` in priority order (mapgen.sh:24-33 analog);
     an existing path (file or directory) is accepted as-is."""

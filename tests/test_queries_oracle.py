@@ -183,6 +183,8 @@ SQL_CHECKED = [
     # round 5: exact interpolated PERCENTILE_CONT via two exact_kth
     # selections
     "q_quantile_cont",
+    # round 5: vendored Avro container sink/source round trip
+    "q_avro_roundtrip",
 ]
 
 
