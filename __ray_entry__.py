@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_cont": q.q_quantile_cont,
         # rotated in (round 5): vendored Avro container round trip
         "q_avro_roundtrip": q.q_avro_roundtrip,
+        # rotated in (round 5): degree assortativity (graph summary)
+        "q_assortativity": q.q_assortativity,
+        # rotated in (round 5): per-source lexical diversity
+        "q_lexical_diversity": q.q_lexical_diversity,
         # --- end of the driver-sampled head (first 50 keys) ---
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
@@ -1962,6 +1966,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_lm_score_distributed": lm_sql,
         "q_nb_classify": nb_sql,
         "q_nb_classify_distributed": nb_sql,
+        # per-source lexical diversity: pure integer counts over the
+        # shared tokenizer
+        "q_lexical_diversity": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+              FROM documents),
+            c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   (CAST(count(*) AS BIGINT) * 1000000)
+                     // CAST(sum(c) AS BIGINT) AS ttr_ppm
+            FROM c GROUP BY source""",
         # per-key OLS slope from the same five int64 moment sums;
         # DuckDB // truncates toward zero, which the engine mirrors
         "q_value_trend": f"""
@@ -3499,6 +3519,31 @@ def _oracle_sql_base() -> dict[str, str]:
                     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
                      AS n_triangles""",
+        # degree assortativity over the same thinned co-purchase
+        # graph: Pearson r of the symmetrized endpoint-degree pairs,
+        # exact int64 moments, shared float expression
+        "q_assortativity": """
+            WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_partkey % 3 = 0),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e) GROUP BY node),
+            p AS (SELECT d1.deg AS du, d2.deg AS dv
+                  FROM e JOIN deg d1 ON d1.node = e.u
+                         JOIN deg d2 ON d2.node = e.v),
+            s AS (SELECT CAST(2 * count(*) AS DOUBLE) AS n,
+                         CAST(sum(du + dv) AS DOUBLE) AS sx,
+                         CAST(sum(du * du + dv * dv) AS DOUBLE) AS sxx,
+                         CAST(sum(2 * du * dv) AS DOUBLE) AS sxy
+                  FROM p)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sx)
+                                   / (n * sxx - sx * sx)
+                              ELSE 0.0 END, 4) AS r
+            FROM s""",
         # per-node local clustering coefficient over the same thinned
         # co-purchase graph: naive triangle enumeration credits all
         # three vertices; cc_ppm = (2e6*tri) // (deg*(deg-1)) is exact

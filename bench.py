@@ -377,6 +377,8 @@ def run_bench() -> dict:
         ("q_sssp", q.q_sssp),
         ("q_quantile_cont", q.q_quantile_cont),
         ("q_avro_roundtrip", q.q_avro_roundtrip),
+        ("q_assortativity", q.q_assortativity),
+        ("q_lexical_diversity", q.q_lexical_diversity),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

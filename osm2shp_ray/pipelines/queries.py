@@ -1710,6 +1710,16 @@ def q_lm_score_distributed(sf_dir: str):
             .to_pandas())
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-source lexical-diversity statistics
+    (stages/text.py::lexical_diversity): token totals, vocabulary
+    size, hapax-legomena count and integer type-token ratio — the
+    corpus-health dashboard row. Two narrow exchanges; all int64."""
+    return (text.lexical_diversity(
+                _read(sf_dir, "documents", ["source", "text"]))
+            .to_pandas())
+
+
 def q_nb_classify(sf_dir: str):
     """Multinomial Naive Bayes source classifier
     (stages/text.py::nb_classify): trained on the corpus itself
@@ -3979,6 +3989,36 @@ def q_clustering_coeff(sf_dir: str):
                           .select(["p", "p2"]), batch_format="pyarrow"))
     return (graph.clustering_coeff(pairs, "p", "p2", n_buckets=32)
             .to_pandas())
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity coefficient of the thinned part
+    co-purchase graph (stages/graph.py::assortativity): Pearson r over
+    the symmetrized endpoint-degree pairs of every edge — exact int64
+    moment sums, the correlation in one shared float expression,
+    rounded to 4 decimals."""
+    from ..stages import graph
+    from ..stages.joins import distinct_rows, hash_join
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["o", "p"])
+        return t.filter(pc.equal(
+            pc.subtract(t["p"], pc.multiply(
+                pc.divide(t["p"], TRI_PART_MOD), TRI_PART_MOD)),
+            pa.scalar(0, pa.int64())))
+
+    pr = distinct_rows(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(thin, batch_format="pyarrow"),
+        ["o", "p"], n_buckets=32)
+    pairs = (hash_join(pr,
+                       pr.map_batches(lambda t: t.rename_columns(
+                           ["o", "p2"]), batch_format="pyarrow"),
+                       on="o", n_buckets=32)
+             .map_batches(lambda t: t.filter(pc.less(t["p"], t["p2"]))
+                          .select(["p", "p2"]), batch_format="pyarrow"))
+    out = graph.assortativity(pairs, "p", "p2", n_buckets=32)
+    return _round_cols(out, ["r"])
 
 
 # window must exceed z^2 + 1 or the population-z bound

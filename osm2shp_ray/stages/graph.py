@@ -667,6 +667,114 @@ def _bfs_distributed(edges, seeds: np.ndarray, max_hops: int,
     return res
 
 
+def assortativity(edges_ds, u_col: str = "u", v_col: str = "v",
+                  n_buckets: int | None = None,
+                  bcast_cap: int = 2_000_000):
+    """Degree assortativity coefficient of an undirected simple graph
+    — the Pearson correlation between the endpoint degrees of every
+    edge (Newman's r): positive = hubs link hubs, negative = hub-leaf
+    (the disassortative signature of web/co-purchase graphs). The
+    graph-level summary statistic beside the per-node
+    clustering_coeff.
+
+    Reuses the triangle-plan front (normalize+dedup + degree count +
+    capped broadcast/hash_join degree attach via ``_tri_wedges``'s
+    shape): per-batch int64 moment partials over the SYMMETRIZED
+    (deg_u, deg_v) pairs (each undirected edge contributes both
+    orders, the standard convention), one scalar reduce, Pearson in
+    the one shared float expression of grouped_corr.
+
+    Returns a 1-row pandas DataFrame ``(n_edges, r: float64
+    UNROUNDED)``; graphs with zero degree variance yield r = 0.0.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import distinct_rows
+
+    def norm(t: pa.Table) -> pa.Table:
+        a, b = t[u_col], t[v_col]
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        return (pa.table({"u": lo, "v": hi})
+                .filter(pc.not_equal(lo, hi)))
+
+    E = distinct_rows(edges_ds.map_batches(norm, batch_format="pyarrow"),
+                      ["u", "v"], n_buckets).materialize()
+    n_edges = E.count()
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        arr = pa.chunked_array(_chunks(t["u"]) + _chunks(t["v"]),
+                               type=t.schema.field("u").type)
+        return pa.table({"node": arr})
+
+    deg = (E.map_batches(explode_nodes, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .materialize())
+
+    if deg.count() <= bcast_cap:
+        chunks = list(deg.iter_batches(batch_format="pyarrow"))
+        dt = pa.concat_tables(chunks) if chunks else pa.table(
+            {"node": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64())})
+        nodes_a = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs_a = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes_a, kind="stable")
+        deg_ref = ray.put((nodes_a[order], degs_a[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            nd, dg = ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du = dg[np.searchsorted(nd, u)]
+            dv = dg[np.searchsorted(nd, v)]
+            return pa.table({"du": pa.array(du, pa.int64()),
+                             "dv": pa.array(dv, pa.int64())})
+
+        pairs = E.map_batches(attach, batch_format="pyarrow")
+    else:
+        withdeg = hash_join(
+            hash_join(E,
+                      deg.map_batches(
+                          lambda t: t.rename_columns(["u", "deg_u"]),
+                          batch_format="pyarrow"),
+                      on="u", n_buckets=n_buckets),
+            deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]),
+                            batch_format="pyarrow"),
+            on="v", n_buckets=n_buckets)
+        pairs = withdeg.map_batches(
+            lambda t: pa.table({"du": t["deg_u"].cast(pa.int64()),
+                                "dv": t["deg_v"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def moments(t: pa.Table) -> pa.Table:
+        du = t["du"].to_numpy(zero_copy_only=False)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        # symmetrize: each edge contributes (du, dv) AND (dv, du)
+        x = np.concatenate([du, dv]).astype(np.int64)
+        y = np.concatenate([dv, du]).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    m = (pairs.map_batches(moments, batch_format="pyarrow")
+         .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("sxy", alias_name="sxy")))
+    n = float(m["n"] or 0)
+    sx = float(m["sx"] or 0)
+    sxx = float(m["sxx"] or 0)
+    sxy = float(m["sxy"] or 0)
+    # symmetric pairs: Sy == Sx, Syy == Sxx
+    var = n * sxx - sx * sx
+    r = (n * sxy - sx * sx) / var if var > 0 else 0.0
+    return pd.DataFrame({"n_edges": [np.int64(n_edges)],
+                         "r": [np.float64(r)]})
+
+
 def sssp(edges_ds, sources, rounds: int,
          n_buckets: int | None = None, edge_cap: int = 5_000_000):
     """Bounded-round single-source(-set) shortest paths over a

@@ -1200,6 +1200,67 @@ def nb_classify(ds, text_col: str = "text", id_col: str = "doc_id",
     return both.groupby("__b").map_groups(finalize, batch_format="pandas")
 
 
+def lexical_diversity(ds, group_col: str = "source",
+                      text_col: str = "text"):
+    """Per-group lexical-diversity statistics — the corpus-health
+    readout of curation dashboards: total token count, distinct
+    vocabulary size, hapax-legomena count (tokens seen exactly once
+    in the group — the OOV/noise signal) and the type-token ratio in
+    ppm. All int64 (ttr_ppm = n_distinct * 1e6 // n_tokens), so the
+    SQL mirror is bit-exact.
+
+    Two narrow exchanges: per-batch (group, tok, c) partials (polars
+    combiner) -> one groupby sum bounded by groups x vocab, then
+    per-batch scalar partials -> one O(groups) reduce. The corpus
+    streams once; no token ever reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        gc = (t[group_col].combine_chunks()
+              if isinstance(t[group_col], pa.ChunkedArray)
+              else t[group_col])
+        long = _token_rows(t[text_col])
+        pairs = pa.table({
+            "g": gc.take(pa.array(long["i"].to_numpy())),
+            "tok": long["tok"].to_arrow().cast(pa.string())})
+        agg = pairs.group_by(["g", "tok"]).aggregate([([], "count_all")])
+        return pa.table({"g": agg["g"], "tok": agg["tok"],
+                         "c": agg["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["g", "tok"]).aggregate(Sum("c", alias_name="c")))
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        df = (pl.DataFrame({"g": t["g"].to_numpy(zero_copy_only=False),
+                            "c": t["c"].to_numpy(zero_copy_only=False)})
+              .group_by("g")
+              .agg(pl.col("c").sum().alias("n_tokens"),
+                   pl.len().alias("n_distinct"),
+                   (pl.col("c") == 1).sum().alias("n_hapax")))
+        return pa.table({
+            group_col: pa.array(df["g"].to_list(), pa.string()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy()
+                                 .astype(np.int64), pa.int64()),
+            "n_distinct": pa.array(df["n_distinct"].to_numpy()
+                                   .astype(np.int64), pa.int64()),
+            "n_hapax": pa.array(df["n_hapax"].to_numpy()
+                                .astype(np.int64), pa.int64())})
+
+    sums = (counts.map_batches(scalar_partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_distinct", alias_name="n_distinct"),
+                       Sum("n_hapax", alias_name="n_hapax")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (t.append_column("ttr_ppm", pa.array(
+            (nd * 1_000_000) // np.maximum(nt, 1), pa.int64())))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def json_extract_field(ds, col: str, key: str, out_col: str,
                        as_int: bool = True):
     """Semi-structured column access: extract ``$.key`` from a JSON

@@ -185,6 +185,11 @@ SQL_CHECKED = [
     "q_quantile_cont",
     # round 5: vendored Avro container sink/source round trip
     "q_avro_roundtrip",
+    # round 5: degree assortativity (symmetrized endpoint-degree
+    # Pearson r, exact int64 moments)
+    "q_assortativity",
+    # round 5: per-source lexical diversity (integer TTR/hapax)
+    "q_lexical_diversity",
 ]
 
 

@@ -310,3 +310,18 @@ def test_sssp_dual_equivalence(ray_session):
     # rounds=1 cannot take the 2-edge path yet: dist(3) = 10
     one = sssp(edges, [1], rounds=1).to_pandas()
     assert dict(zip(one["node"], one["dist"])) == {1: 0, 2: 2, 3: 10}
+
+
+def test_assortativity_duals(ray_session):
+    """assortativity's broadcast degree attach and the bcast_cap=0
+    hash_join path agree; a star graph is maximally disassortative."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    edges = rd.from_items([{"u": a, "v": b} for a, b in star])
+    b = assortativity(edges)
+    d = assortativity(edges, bcast_cap=0)
+    assert b["n_edges"][0] == d["n_edges"][0] == 5
+    assert round(b["r"][0], 9) == round(d["r"][0], 9) == -1.0
