@@ -58,8 +58,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # is still oracle-mirrored at sf0.001 by tests/test_queries_oracle.
     return {
         # core relational / reference-operator analogs
-        "q01_pricing_summary": q.q01_pricing_summary,
-        "q03_top_orders": q.q03_top_orders,
         "q_join_resolve": q.q_join_resolve,
         "q_first_match_classify": q.q_first_match_classify,
         # spatial pack
@@ -88,21 +86,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_ngram_ratio": q.q_dup_ngram_ratio,
         "q_chunk_dedup": q.q_chunk_dedup,
         "q_ann_topk": q.q_ann_topk,
-        "q_session_windows": q.q_session_windows,
-        "q_asof_join": q.q_asof_join,
         # rotated in (round 5): event-time watermark accounting and
         # the degree-oriented triangle count
         "q_watermark_late": q.q_watermark_late,
         "q_triangle_count": q.q_triangle_count,
-        "q_range_join_alerts": q.q_range_join_alerts,
         # sketch/LSH family — SQL-oracled: hash-bearing outputs use the
         # md5-derived 60-bit hash and similarity outputs are
         # EXACT-verified, so DuckDB recomputes every value
-        "q_langid_counts": q.q_langid_counts,
-        "q_simhash_docs": q.q_simhash_docs,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
-        "q_fingerprints": q.q_fingerprints,
         # rotated in (round 5): the no-broadcast bigram-LM scale dual
         # and corpus KL drift
         "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
@@ -115,11 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
         # deterministic hash split + HLL distinct sketch (register
         # table compared exactly; estimate tested in pytest)
-        "q_stratified_sample": q.q_stratified_sample,
-        "q_quantile_sketch": q.q_quantile_sketch,
-        "q_distinct_hll": q.q_distinct_hll,
-        "q_distinct_hll_grouped": q.q_distinct_hll_grouped,
-        "q_token_pack": q.q_token_pack,
         "q_phash_near_dup": q.q_phash_near_dup,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
@@ -127,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style token-repetition quality gate (one-pass map)
         "q_repetition_filter": q.q_repetition_filter,
         # exact Misra-Gries heavy hitters over exploded bigrams
-        "q_heavy_hitters": q.q_heavy_hitters,
         # mandated Lance format end-to-end (vendored reader/writer)
         "q_lance_scan": q.q_lance_scan,
         # full conversion chain over SQL-derivable entities (the same
@@ -166,6 +152,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated in (round 5): per-source lexical diversity
         "q_lexical_diversity": q.q_lexical_diversity,
         # --- end of the driver-sampled head (first 50 keys) ---
+        # rotated out of the head (round 5, second sweep — all
+        # multi-round-stable): TPC-H rows, window/join basics,
+        # sketch family
+        "q01_pricing_summary": q.q01_pricing_summary,
+        "q03_top_orders": q.q03_top_orders,
+        "q_session_windows": q.q_session_windows,
+        "q_asof_join": q.q_asof_join,
+        "q_range_join_alerts": q.q_range_join_alerts,
+        "q_langid_counts": q.q_langid_counts,
+        "q_simhash_docs": q.q_simhash_docs,
+        "q_fingerprints": q.q_fingerprints,
+        "q_stratified_sample": q.q_stratified_sample,
+        "q_quantile_sketch": q.q_quantile_sketch,
+        "q_distinct_hll": q.q_distinct_hll,
+        "q_distinct_hll_grouped": q.q_distinct_hll_grouped,
+        "q_token_pack": q.q_token_pack,
+        "q_heavy_hitters": q.q_heavy_hitters,
         "q_way_length": q.q_way_length,
         # rotated out of the head (round 5, all 4-rounds-stable):
         "q_window_tumbling": q.q_window_tumbling,
