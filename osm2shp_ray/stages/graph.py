@@ -816,17 +816,31 @@ def sssp(edges_ds, sources, rounds: int,
 
     def pre(t: pa.Table) -> pa.Table:
         import polars as pl
+        src = t["src"].to_numpy(zero_copy_only=False)
         df = (pl.DataFrame({
-            "src": t["src"].to_numpy(zero_copy_only=False),
+            "src": src,
             "dst": t["dst"].to_numpy(zero_copy_only=False),
             "w": t["w"].to_numpy(zero_copy_only=False)})
             .group_by(["src", "dst"]).agg(pl.col("w").min()))
-        return pa.table({"src": pa.array(df["src"].to_numpy(), pa.int64()),
+        s = df["src"].to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(s, pa.int64()),
                          "dst": pa.array(df["dst"].to_numpy(), pa.int64()),
-                         "w": pa.array(df["w"].to_numpy(), pa.int64())})
+                         "w": pa.array(df["w"].to_numpy(), pa.int64()),
+                         "__b": pa.array(bucket_of(s, b), pa.int64())})
 
+    def group_min(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["src", "dst"], as_index=False, sort=False)["w"]
+             .min())
+        return pa.table({"src": pa.array(g["src"].to_numpy(), pa.int64()),
+                         "dst": pa.array(g["dst"].to_numpy(), pa.int64()),
+                         "w": pa.array(g["w"].to_numpy(), pa.int64())})
+
+    # bucket-of-src exchange instead of a sort-based 2-key groupby:
+    # 2x fewer comparisons on the wide step (the pagerank setup shape);
+    # a (src, dst) pair lands in exactly one bucket, so the in-group
+    # pandas min is the exact global min
     edges = (coalesced(edges_ds.map_batches(pre, batch_format="pyarrow"))
-             .groupby(["src", "dst"]).aggregate(Min("w", alias_name="w"))
+             .groupby("__b").map_groups(group_min, batch_format="pandas")
              .materialize())
 
     if edges.count() <= edge_cap:
