@@ -53,8 +53,9 @@ def cmd_convert(args) -> int:
         actor.inc.remote("processed_images", meta.count())
         nodes, ways = adapter.adapt_images(meta)
     points, ways_out = convert.convert(nodes, ways)
-    if getattr(args, "shapefiles", False) or getattr(args, "geojson",
-                                                     False):
+    if (getattr(args, "shapefiles", False) or getattr(args, "geojson",
+                                                      False)
+            or getattr(args, "avro", False)):
         # consumed twice (parquet + extra export): materialize so
         # the lineage doesn't re-execute the join per consumer
         points = points.materialize()
@@ -77,6 +78,10 @@ def cmd_convert(args) -> int:
         from .sources.geojson import write_geojsonl
         write_geojsonl(points, os.path.join(args.out, "geojson", "points"))
         write_geojsonl(ways_out, os.path.join(args.out, "geojson", "ways"))
+    if getattr(args, "avro", False):
+        from .sources.avrofmt import write_avro_dataset
+        write_avro_dataset(points, os.path.join(args.out, "avro", "points"))
+        write_avro_dataset(ways_out, os.path.join(args.out, "avro", "ways"))
     # A4 analog: job-end totals (handler.cc:59-62) — now including
     # dropped_ways/unresolved_refs from the J2 gate
     report = ray.get(actor.report.remote())
@@ -139,6 +144,9 @@ def main(argv=None) -> int:
                              "triples per layer")
         sp.add_argument("--geojson", action="store_true",
                         help="also export line-delimited GeoJSON shards")
+        sp.add_argument("--avro", action="store_true",
+                        help="also export Avro container shards "
+                             "(vendored spec-subset codec)")
         sp.add_argument("--num-cpus", type=int, default=None)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

@@ -266,6 +266,43 @@ def _encode_block(chunk: pa.Table) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), row_ends
 
 
+def write_avro_dataset(ds, out_dir: str, codec: str = "null",
+                       return_paths: bool = False):
+    """Write a Dataset as one content-addressed .avro shard per block
+    (the GeoJSONL/ORC sink pattern): writer tasks emit their shard
+    paths through the data plane, so the read side needs no driver
+    listing of worker-written files — one metadata row per block
+    reaches the driver. ``out_dir`` must be a shared URI on a
+    multi-node cluster (the write_parquet precondition). Returns the
+    row count, or ``(count, sorted shard paths)``."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        path = ""
+        if t.num_rows:
+            blob_name = hashlib.md5(
+                t.schema.serialize().to_pybytes()
+                + str(t.slice(0, 1).to_pydict()).encode()
+                + str(t.num_rows).encode()).hexdigest()[:20]
+            final = os.path.join(out_dir, f"{blob_name}.avro")
+            tmp = final + ".tmp"
+            write_avro_table(t, tmp, codec=codec)
+            os.replace(tmp, final)  # atomic: no partial files survive
+            path = final
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string())})
+
+    out = ds.map_batches(write_block, batch_format="pyarrow")
+    if not return_paths:
+        return out.sum("n")
+    rows = out.take_all()   # shard manifest — one row per block
+    return (sum(r["n"] for r in rows),
+            sorted(r["path"] for r in rows if r["path"]))
+
+
 # ------------------------------------------------------------ reader
 
 def read_avro(path: str) -> pa.Table:

@@ -102,3 +102,25 @@ def test_cli_convert_from_lance(tmp_path):
            .to_table().sort_by("x"))
     assert t_l.num_rows == t_p.num_rows
     assert t_l["x"].equals(t_p["x"]) and t_l["y"].equals(t_p["y"])
+
+
+def test_cli_convert_avro_sink(tmp_path):
+    """--avro exports points/ways as vendored Avro container shards
+    whose read-back row counts match the parquet output."""
+    from osm2shp_ray.sources.fixtures import cached_images_parquet
+
+    fixture = cached_images_parquet(500, use_ray=False)
+    out = str(tmp_path / "out")
+    r = _run("convert", fixture, out, "--avro")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from osm2shp_ray.sources.avrofmt import read_avro
+    for sub in ("points", "ways"):
+        d = os.path.join(out, "avro", sub)
+        shards = [os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".avro")]
+        assert shards, sub
+        n = sum(read_avro(p).num_rows for p in shards)
+        pq = pads.dataset(os.path.join(out, sub),
+                          partitioning="hive").to_table()
+        assert n == pq.num_rows, sub
