@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_assortativity": q.q_assortativity,
         # rotated in (round 5): per-source lexical diversity
         "q_lexical_diversity": q.q_lexical_diversity,
+        # rotated in (round 5): areal interpolation (zone transfer)
+        "q_areal_interp": q.q_areal_interp,
         # --- end of the driver-sampled head (first 50 keys) ---
         # rotated out of the head (round 5, second sweep — all
         # multi-round-stable): TPC-H rows, window/join basics,
@@ -3522,6 +3524,40 @@ def _oracle_sql_base() -> dict[str, str]:
                     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
                      AS n_triangles""",
+        # areal interpolation: supplier value rects re-gridded onto
+        # 1-degree cells, trunc(val * overlap / area) per piece —
+        # identical int64 arithmetic incl. the negative-value sign
+        # handling
+        "q_areal_interp": f"""
+            WITH r AS (SELECT
+                   (s_suppkey * {q.SUP_LON_MULT}) % 360000000 AS x0,
+                   (s_suppkey * {q.SUP_LAT_MULT}) % 180000000 AS y0,
+                   200000 + (s_suppkey % 5) * 100000 AS w,
+                   150000 + (s_suppkey % 7) * 50000 AS h,
+                   CAST(floor(s_acctbal * 100) AS BIGINT) AS v
+                   FROM supplier),
+            rr AS (SELECT x0, y0, v,
+                          LEAST(x0 + w, 360000000) AS x1,
+                          LEAST(y0 + h, 180000000) AS y1
+                   FROM r),
+            g AS (SELECT rr.*, gx.cx, gy.cy
+                  FROM rr,
+                  LATERAL (SELECT unnest(generate_series(
+                             x0 // 1000000, (x1 - 1) // 1000000)) AS cx) gx,
+                  LATERAL (SELECT unnest(generate_series(
+                             y0 // 1000000, (y1 - 1) // 1000000)) AS cy) gy),
+            o AS (SELECT cx, cy, v, (x1 - x0) * (y1 - y0) AS area,
+                         LEAST(x1, (cx + 1) * 1000000)
+                           - GREATEST(x0, cx * 1000000) AS ox,
+                         LEAST(y1, (cy + 1) * 1000000)
+                           - GREATEST(y0, cy * 1000000) AS oy
+                  FROM g)
+            SELECT cx AS cell_x, cy AS cell_y,
+                   CAST(sum(CASE WHEN v * ox * oy >= 0
+                                 THEN (v * ox * oy) // area
+                                 ELSE -((-(v * ox * oy)) // area) END)
+                        AS BIGINT) AS v_q
+            FROM o GROUP BY 1, 2""",
         # degree assortativity over the same thinned co-purchase
         # graph: Pearson r of the symmetrized endpoint-degree pairs,
         # exact int64 moments, shared float expression

@@ -490,6 +490,36 @@ def _supplier_points(sf_dir: str):
             .map_batches(pts, batch_format="pyarrow"))
 
 
+def q_areal_interp(sf_dir: str):
+    """Areal interpolation (stages/spatial.py::areal_interp):
+    supplier account balances (centi-units, can be negative)
+    distribute onto a 1-degree cell grid proportional to each
+    supplier rect's overlap area — the census/zonal re-gridding
+    operator. Micro-degree int64 geometry, explicit toward-zero
+    division, one exchange on a packed cell key."""
+    from ..stages.spatial import areal_interp
+
+    def rects(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        ab = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        x0 = (sk * SUP_LON_MULT) % 360_000_000
+        y0 = (sk * SUP_LAT_MULT) % 180_000_000
+        w = 200_000 + (sk % 5) * 100_000
+        h = 150_000 + (sk % 7) * 50_000
+        return pa.table({
+            "x0": pa.array(x0, pa.int64()),
+            "y0": pa.array(y0, pa.int64()),
+            "x1": pa.array(np.minimum(x0 + w, 360_000_000), pa.int64()),
+            "y1": pa.array(np.minimum(y0 + h, 180_000_000), pa.int64()),
+            "vq": pa.array(np.floor(ab * 100).astype(np.int64)),
+        })
+
+    src = (_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+           .map_batches(rects, batch_format="pyarrow"))
+    return areal_interp(src, "x0", "y0", "x1", "y1", "vq",
+                        cell_micro=1_000_000).to_pandas()
+
+
 def q_distance_join(sf_dir: str):
     """Within-radius point-point spatial join (grid join: one shuffle,
     3x3 right-side replication, blocked in-group distance matrix)."""

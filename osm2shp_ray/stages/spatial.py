@@ -1351,3 +1351,84 @@ def morans_i(cells_ds, cx_col: str = "cx", cy_col: str = "cy",
         batch_format="pyarrow").sum("d2"))
     return pd.DataFrame({"n_cells": [n], "w_pairs": [w],
                          "num": [n * cross], "den": [w * d2]})
+
+
+def areal_interp(ds, x0_col: str, y0_col: str, x1_col: str, y1_col: str,
+                 val_col: str, cell_micro: int,
+                 max_cells: int = 4096, n_buckets: int | None = None):
+    """AREAL INTERPOLATION — the zone-transfer operator of spatial
+    statistics (census reallocation, raster zonal re-gridding): every
+    source rectangle's integer value distributes onto a fixed square
+    cell grid proportional to its area of overlap with each cell,
+    ``contribution = trunc(val * overlap_area / rect_area)`` with
+    EXPLICIT toward-zero division (values may be negative; numpy //
+    floors where DuckDB truncates, so both engines run
+    sign * (abs // den)).
+
+    Coordinates are non-negative micro-degree int64s, rects half-open
+    ``[x0, x1) x [y0, y1)``. One exchange: the per-batch kernel
+    explodes each rect across its covered cell window with the
+    grouped-arange trick (rects spanning more than ``max_cells``
+    cells drop with a log line — route such outliers through a
+    coarser grid), computes all overlaps vectorized, pre-combines to
+    per-cell partial sums on a PACKED single int64 cell key, and one
+    groupby-sum finishes. Output: ``(cell_x, cell_y, v_q: int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    c = int(cell_micro)
+    if c <= 0:
+        raise ValueError(f"cell_micro must be positive, got {cell_micro}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        x0 = t[x0_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y0 = t[y0_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = t[x1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = t[y1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0, cx1 = x0 // c, (x1 - 1) // c
+        cy0, cy1 = y0 // c, (y1 - 1) // c
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        ncell = nx * ny
+        over = ncell > max_cells
+        if over.any():
+            print(f"areal_interp: skipped {int(over.sum())} rects "
+                  f"covering > {max_cells} cells")
+            ncell = np.where(over, 0, ncell)
+        total = int(ncell.sum())
+        empty = pa.table({"__cell": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(len(ncell)), ncell)
+        offs = np.concatenate(([0], np.cumsum(ncell)[:-1]))
+        local = (np.arange(total, dtype=np.int64)
+                 - np.repeat(offs, ncell))
+        cx = cx0[rep] + local % nx[rep]
+        cy = cy0[rep] + local // nx[rep]
+        ox = (np.minimum(x1[rep], (cx + 1) * c)
+              - np.maximum(x0[rep], cx * c))
+        oy = (np.minimum(y1[rep], (cy + 1) * c)
+              - np.maximum(y0[rep], cy * c))
+        area = (x1[rep] - x0[rep]) * (y1[rep] - y0[rep])
+        num = v[rep] * ox * oy
+        contrib = np.sign(num) * (np.abs(num) // area)
+        key = cy * np.int64(1) * (1 << 32) + cx  # packed cell key
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, contrib)
+        return pa.table({"__cell": pa.array(uk, pa.int64()),
+                         "v": pa.array(s, pa.int64())})
+
+    agg = (coalesced(ds.map_batches(explode, batch_format="pyarrow"))
+           .groupby("__cell").aggregate(Sum("v", alias_name="v_q")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["__cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell_x": pa.array(k & ((1 << 32) - 1), pa.int64()),
+            "cell_y": pa.array(k >> 32, pa.int64()),
+            "v_q": t["v_q"].cast(pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -190,6 +190,9 @@ SQL_CHECKED = [
     "q_assortativity",
     # round 5: per-source lexical diversity (integer TTR/hapax)
     "q_lexical_diversity",
+    # round 5: areal interpolation (area-weighted zone transfer,
+    # integer overlap arithmetic)
+    "q_areal_interp",
 ]
 
 

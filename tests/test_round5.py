@@ -325,3 +325,24 @@ def test_assortativity_duals(ray_session):
     d = assortativity(edges, bcast_cap=0)
     assert b["n_edges"][0] == d["n_edges"][0] == 5
     assert round(b["r"][0], 9) == round(d["r"][0], 9) == -1.0
+
+
+def test_areal_interp_mass_and_split(ray_session):
+    """areal_interp conserves mass up to per-piece truncation and
+    splits a straddling rect by exact overlap proportions."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.spatial import areal_interp
+
+    # rect [500k, 1.5M) x [0, 1M) with value 1000: exactly half in
+    # cell (0,0) and half in cell (1,0)
+    rows = [{"x0": 500_000, "y0": 0, "x1": 1_500_000, "y1": 1_000_000,
+             "vq": 1000},
+            # negative value fully inside cell (2, 3)
+            {"x0": 2_100_000, "y0": 3_100_000, "x1": 2_400_000,
+             "y1": 3_500_000, "vq": -700}]
+    out = areal_interp(rd.from_items(rows), "x0", "y0", "x1", "y1",
+                       "vq", cell_micro=1_000_000).to_pandas()
+    got = {(r.cell_x, r.cell_y): r.v_q for r in out.itertuples()}
+    assert got == {(0, 0): 500, (1, 0): 500, (2, 3): -700}
+    assert sum(got.values()) == 1000 - 700  # mass conserved here
