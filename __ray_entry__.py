@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lexical_diversity": q.q_lexical_diversity,
         # rotated in (round 5): areal interpolation (zone transfer)
         "q_areal_interp": q.q_areal_interp,
+        # rotated in (round 5): DAU/WAU rolling distinct actives
+        "q_rolling_active": q.q_rolling_active,
         # --- end of the driver-sampled head (first 50 keys) ---
         # rotated out of the head (round 5, second sweep — all
         # multi-round-stable): TPC-H rows, window/join basics,
@@ -1826,6 +1828,21 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_chunk_dedup": chunk_dedup_sql,
         # dense daily grid: every day in [min, max] per user exists,
         # zero-filled; same integer epoch-us floor-div day key
+        # DAU + trailing-7-day WAU: distinct (user, day) pairs, 7-day
+        # membership explode, second distinct, observed-days inner join
+        "q_rolling_active": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events),
+            w AS (SELECT DISTINCT ud.user_id, ud.d + g.i AS td
+                  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6))
+                                    AS i) g),
+            wau AS (SELECT td AS d, CAST(count(*) AS BIGINT) AS wau
+                    FROM w GROUP BY td),
+            dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY d)
+            SELECT dau.d AS day, dau.dau, wau.wau
+            FROM dau JOIN wau ON wau.d = dau.d""",
         # per-user hourly linear interpolation: grid via
         # generate_series, prev/next surrounding events via bounded
         # aggregate joins, explicit toward-zero integer division —

@@ -380,6 +380,7 @@ def run_bench() -> dict:
         ("q_assortativity", q.q_assortativity),
         ("q_lexical_diversity", q.q_lexical_diversity),
         ("q_areal_interp", q.q_areal_interp),
+        ("q_rolling_active", q.q_rolling_active),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

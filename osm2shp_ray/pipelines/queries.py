@@ -3649,6 +3649,21 @@ def q16_part_supplier_counts(sf_dir: str):
     return out
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def q_rolling_active(sf_dir: str):
+    """DAU + trailing-7-day WAU per observed day
+    (stages/temporal.py::rolling_active): distinct (user, day) pairs,
+    a bounded 7-day membership explode, a second distinct, per-day
+    counts — the product-analytics rolling-distinct staple without a
+    per-day window scan."""
+    from ..stages.temporal import rolling_active
+    return rolling_active(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        window_days=WAU_WINDOW_DAYS).to_pandas()
+
+
 INTERP_BUCKET_S = 3600
 
 

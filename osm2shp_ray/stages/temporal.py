@@ -1376,6 +1376,80 @@ def gap_fill(ds, key_col: str, ts_col: str, bucket_s: float,
     return out.map_batches(zero_fill, batch_format="pyarrow")
 
 
+def rolling_active(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   window_days: int = 7,
+                   n_buckets: int | None = None):
+    """DAU / trailing-window active users — the product-analytics
+    staple (WAU/MAU): for every observed day, the count of distinct
+    users active that day (dau) and within the trailing
+    ``window_days`` window ending that day (wau).
+
+    Set-distinct shapes throughout, never per-event rows past the
+    first combine: per-batch DISTINCT (user, day) pairs -> one
+    distinct exchange; each surviving pair then claims membership for
+    the ``window_days`` target days it covers (a bounded vectorized
+    explode — window length is a query constant, not data-scale) ->
+    a second distinct exchange -> per-day counts from per-batch
+    partials. Output days are restricted to OBSERVED days (inner
+    join), matching the SQL mirror.
+
+    Output: ``(day: int64 epoch-day, dau: int64, wau: int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import distinct_rows, hash_join
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        d = us // 86_400_000_000
+        g = (pa.table({"u": t[user_col], "d": pa.array(d, pa.int64())})
+             .group_by(["u", "d"]).aggregate([]))
+        return g
+
+    ud = distinct_rows(
+        coalesced(ds.map_batches(pairs, batch_format="pyarrow")),
+        ["u", "d"], n_buckets).materialize()  # consumed 3x below
+
+    def day_count(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        un, cn = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(un, pa.int64()),
+                         "dau": pa.array(cn.astype(np.int64), pa.int64())})
+
+    dau = (ud.map_batches(day_count, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("dau", alias_name="dau")))
+
+    def explode_window(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        rep = np.repeat(np.arange(n), window_days)
+        off = np.tile(np.arange(window_days, dtype=np.int64), n)
+        return pa.table({"u": pa.array(u[rep]),
+                         "d": pa.array(d[rep] + off, pa.int64())})
+
+    w = distinct_rows(ud.map_batches(explode_window,
+                                     batch_format="pyarrow"),
+                      ["u", "d"], n_buckets)
+
+    def wau_count(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        un, cn = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(un, pa.int64()),
+                         "wau": pa.array(cn.astype(np.int64), pa.int64())})
+
+    wau = (w.map_batches(wau_count, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("wau", alias_name="wau")))
+
+    # inner join restricts to observed days (window explode also
+    # creates future phantom days — a day with no events reports no row)
+    return hash_join(dau, wau, on="day", n_buckets=n_buckets)
+
+
 def interp_resample(ds, key_col: str, ts_col: str, value_col: str,
                     id_col: str, bucket_s: float,
                     max_buckets: int = 100_000,

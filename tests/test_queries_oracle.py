@@ -193,6 +193,8 @@ SQL_CHECKED = [
     # round 5: areal interpolation (area-weighted zone transfer,
     # integer overlap arithmetic)
     "q_areal_interp",
+    # round 5: DAU + trailing-window WAU (set-distinct explode)
+    "q_rolling_active",
 ]
 
 
