@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_areal_interp": q.q_areal_interp,
         # rotated in (round 5): DAU/WAU rolling distinct actives
         "q_rolling_active": q.q_rolling_active,
+        # rotated in (round 5): mutual-information dependence audit
+        "q_mutual_info": q.q_mutual_info,
         # --- end of the driver-sampled head (first 50 keys) ---
         # rotated out of the head (round 5, second sweep — all
         # multi-round-stable): TPC-H rows, window/join basics,
@@ -3199,6 +3201,26 @@ def _oracle_sql_base() -> dict[str, str]:
                                       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
                               ELSE 0.0 END, 4) AS corr
             FROM s""",
+        # mutual information between event type and hour-of-day:
+        # per-cell micro-nat-quantized log-ratio weighted by the exact
+        # cell count — identical float composition to the engine
+        "q_mutual_info": """
+            WITH b AS (SELECT event_type AS x,
+                              (epoch_us(ts) // 3600000000) % 24 AS y
+                       FROM events),
+            cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                    FROM b GROUP BY 1, 2),
+            mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+                   FROM cxy GROUP BY x),
+            my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+                   FROM cxy GROUP BY y),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cxy)
+            SELECT (SELECT n FROM nn) AS n,
+                   CAST(sum(c * CAST(floor(1000000 * ln(
+                         (CAST(c AS DOUBLE) * (SELECT n FROM nn))
+                         / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))))
+                       AS BIGINT)) AS BIGINT) AS mi_q
+            FROM cxy JOIN mx USING (x) JOIN my USING (y)""",
         # per-event-type Welch two-sample t between md5-hash-split
         # user variants: exact int64 moments, the t expression
         # repeated verbatim from the engine (same parenthesization)

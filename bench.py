@@ -381,6 +381,7 @@ def run_bench() -> dict:
         ("q_lexical_diversity", q.q_lexical_diversity),
         ("q_areal_interp", q.q_areal_interp),
         ("q_rolling_active", q.q_rolling_active),
+        ("q_mutual_info", q.q_mutual_info),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

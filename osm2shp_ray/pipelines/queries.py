@@ -2451,6 +2451,27 @@ def q_corr_events(sf_dir: str):
     return _round_cols(out, ["corr"])
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information between event type and hour-of-day
+    (stages/sketch.py::mutual_info): the dependence audit beside
+    chi-square — per-cell micro-nat-quantized log-ratios weighted by
+    exact cell counts, order-independent int64 total."""
+    from ..stages import sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": t["event_type"],
+            "hod": pa.array((us // 3_600_000_000) % 24, pa.int64())})
+
+    return sketch.mutual_info(ev.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              "event_type", "hod")
+
+
 def q_ab_test(sf_dir: str):
     """Per-event-type Welch two-sample t-statistic between
     deterministic hash-split user variants

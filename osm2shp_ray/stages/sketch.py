@@ -924,6 +924,56 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def mutual_info(ds, x_col: str, y_col: str, scale: int = 1_000_000):
+    """Mutual information between two categorical columns — the
+    dependence audit beside chi_square (feature selection, leakage
+    detection): ``MI = sum p(x,y) ln(p(x,y) / (p(x) p(y)))``.
+
+    Exactness contract (the lm_score family): each cell's log-ratio is
+    QUANTIZED to integer micro-nats BEFORE weighting —
+    ``c_xy * floor(scale * ln((c_xy * N) / (c_x * c_y)))`` — so the
+    total is an order-independent int64 sum and the SQL mirror is
+    bit-exact (MI in nats ~= mi_q / (N * scale)).
+
+    One narrow exchange: per-batch (x, y, c) partials -> a groupby
+    bounded by the CATEGORICAL cross-cardinality (the chi_square
+    contract — both columns must be low-cardinality categories); the
+    contingency table folds on the driver under that bound.
+
+    Output: 1-row ``(n: int64, mi_q: int64)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"x": t[x_col], "y": t[y_col]})
+             .group_by(["x", "y"]).aggregate([([], "count_all")]))
+        return pa.table({"x": g["x"], "y": g["y"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    rows = (coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(["x", "y"]).aggregate(Sum("c", alias_name="c"))
+            .take_all())  # bounded: |X| x |Y| categorical cells
+    if not rows:
+        return pd.DataFrame({"n": np.array([0], np.int64),
+                             "mi_q": np.array([0], np.int64)})
+    xs = np.array([r["x"] for r in rows], dtype=object)
+    ys = np.array([r["y"] for r in rows], dtype=object)
+    c = np.array([r["c"] for r in rows], np.int64)
+    n = int(c.sum())
+    ux, xi = np.unique(xs, return_inverse=True)
+    uy, yi = np.unique(ys, return_inverse=True)
+    cx = np.zeros(len(ux), np.int64)
+    np.add.at(cx, xi, c)
+    cy = np.zeros(len(uy), np.int64)
+    np.add.at(cy, yi, c)
+    val = (c.astype(np.float64) * float(n)) \
+        / (cx[xi].astype(np.float64) * cy[yi].astype(np.float64))
+    mi_q = int((c * np.floor(scale * np.log(val)).astype(np.int64)).sum())
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "mi_q": np.array([mi_q], np.int64)})
+
+
 def ab_welch(ds, key_col: str, unit_col: str, value_col: str):
     """Per-key Welch two-sample t-statistic between deterministic
     hash-split variants — the A/B experiment readout of an event

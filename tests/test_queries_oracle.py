@@ -195,6 +195,8 @@ SQL_CHECKED = [
     "q_areal_interp",
     # round 5: DAU + trailing-window WAU (set-distinct explode)
     "q_rolling_active",
+    # round 5: mutual information (quantized micro-nat cell terms)
+    "q_mutual_info",
 ]
 
 
