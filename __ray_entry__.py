@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_active": q.q_rolling_active,
         # rotated in (round 5): mutual-information dependence audit
         "q_mutual_info": q.q_mutual_info,
+        # rotated in (round 5): weighted PageRank (per-edge (r*w)//W)
+        "q_pagerank_weighted": q.q_pagerank_weighted,
         # --- end of the driver-sampled head (first 50 keys) ---
         # rotated out of the head (round 5, second sweep — all
         # multi-round-stable): TPC-H rows, window/join basics,
@@ -923,6 +925,30 @@ def _oracle_sql_base() -> dict[str, str]:
     pr_sql = ("WITH " + ",\n".join(pr_ctes)
               + f"\nSELECT src AS node, CAST(r AS BIGINT) AS r"
                 f" FROM pr{PR_ITERS}")
+
+    # weighted PageRank: same unrolled chain over the quantity-weighted
+    # MULTIGRAPH (no DISTINCT — parallel edges each contribute), with
+    # the verbatim per-edge (r * w) // W expression
+    prw_ctes = [
+        ("e AS (SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst, "
+         "CAST(l_quantity AS BIGINT) AS w FROM lineitem "
+         "UNION ALL SELECT l_partkey * 2 + 1, l_orderkey * 2, "
+         "CAST(l_quantity AS BIGINT) FROM lineitem)"),
+        "ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY src)",
+        f"k AS (SELECT {PR_SCALE} // count(*) AS r0 FROM ws)",
+        "pw0 AS (SELECT ws.src, (SELECT r0 FROM k) AS r FROM ws)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        prw_ctes.append(
+            f"wc{t} AS (SELECT e.dst, sum((pw{t - 1}.r * e.w) // ws.W) AS s "
+            f"FROM e JOIN pw{t - 1} ON e.src = pw{t - 1}.src "
+            f"JOIN ws ON e.src = ws.src GROUP BY e.dst)")
+        prw_ctes.append(
+            f"pw{t} AS (SELECT dst AS src, (SELECT 15 * r0 // 100 FROM k)"
+            f" + (85 * s) // 100 AS r FROM wc{t})")
+    prw_sql = ("WITH " + ",\n".join(prw_ctes)
+               + f"\nSELECT src AS node, CAST(r AS BIGINT) AS r"
+                 f" FROM pw{PR_ITERS}")
 
     # multi-source BFS: bounded recursive CTE; UNION (not ALL) dedups
     # (node, h) pairs so the recursion terminates at the hop cap
@@ -3135,6 +3161,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      AS max_k
             FROM events GROUP BY event_type""",
         "q_pagerank": pr_sql,
+        "q_pagerank_weighted": prw_sql,
         "q_bfs_hops": bfs_sql,
         "q_sssp": sssp_sql,
         # exact distributed selection: the output is the selected

@@ -2332,6 +2332,34 @@ def q_sssp(sf_dir: str):
     return sssp(edges, seeds, rounds=SSSP_ROUNDS).to_pandas()
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Weighted integer PageRank
+    (stages/graph.py::pagerank_weighted) over the bipartite
+    order<->part multigraph with quantity edge weights: per-EDGE
+    contributions (r*w) // W_src, 3 iterations, same stationary
+    dst-partitioned broadcast plan as q_pagerank. The SQL oracle
+    unrolls the iterations with the verbatim weighted expression —
+    pure integer arithmetic, bit-exact."""
+    from ..stages.graph import pagerank_weighted
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        w = (t["l_quantity"].to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64()),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank_weighted(edges, iters=PR_ITERS).to_pandas()
+
+
 def q_exact_median(sf_dir: str):
     """EXACT global median of l_extendedprice (stages/sketch.py::
     exact_kth — multi-pass histogram-refinement selection): narrow

@@ -161,6 +161,136 @@ def _pagerank_broadcast(edges, deg, n, r0, base, iters,
         "r": pa.array(ranks, pa.int64())}))
 
 
+def pagerank_weighted(edges_ds, iters: int = 3, damping_num: int = 85,
+                      damping_den: int = 100, scale: int = PR_SCALE,
+                      n_buckets: int | None = None,
+                      node_cap: int = 5_000_000, w_col: str = "w"):
+    """WEIGHTED integer PageRank over a directed edge Dataset
+    ``(src, dst, w: int64 >= 1)`` — rank mass flows proportional to
+    edge weight: each edge ROW contributes ``(r_src * w) // W_src``
+    (``W_src`` = the source's total out-weight). Flooring PER EDGE
+    keeps parallel-edge semantics explicit (two rows of weight w are
+    NOT merged into one of 2w — floors differ) and makes the unrolled
+    SQL mirror a verbatim ``sum((r * w) // W)``.
+
+    Same capped dual and stationary dst-partitioned layout as
+    ``pagerank`` (every dst's edges in one bucket, so in-block sums
+    are final and a broadcast iteration has zero shuffles); the
+    distributed path joins the rank Dataset per iteration. Guards:
+    weights must be >= 1 (zero/negative weights break the invariant
+    that every src has W >= out-degree) and ``scale * max_w`` must
+    fit int64 (ValueError otherwise — lower ``scale`` for heavy
+    weights). Returns ``(node, r)`` in ``scale`` fixed-point units.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return (t.select(["src", "dst", w_col])
+                .append_column("__b", pa.array(bucket_of(dst, b),
+                                               pa.int64())))
+
+    def regroup(df: pd.DataFrame) -> pa.Table:
+        return arrow_table(df[["src", "dst", w_col]])
+
+    edges = (coalesced(edges_ds.map_batches(add_bucket,
+                                            batch_format="pyarrow"))
+             .groupby("__b").map_groups(regroup, batch_format="pandas")
+             .materialize())
+    wmin = edges.min(w_col)
+    wmax = edges.max(w_col)
+    if wmin is None:
+        raise ValueError("pagerank_weighted needs at least one edge")
+    if wmin < 1:
+        raise ValueError(f"edge weights must be >= 1, got min {wmin}")
+    if int(scale) > (2**62) // int(wmax):
+        raise ValueError(
+            f"scale {scale} * max weight {wmax} risks int64 overflow — "
+            "lower scale")
+
+    W = (edges.groupby("src").aggregate(Sum(w_col, alias_name="W"))
+         .materialize())
+    n = W.count()
+    r0 = int(scale) // n
+    base = ((damping_den - damping_num) * r0) // damping_den
+
+    if n <= node_cap:
+        parts = [(b_["src"].to_numpy(zero_copy_only=False),
+                  b_["W"].to_numpy(zero_copy_only=False))
+                 for b_ in W.iter_batches(batch_format="pyarrow")]
+        ids = np.concatenate([p[0] for p in parts])
+        ws = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        ids, ws = ids[order], ws[order]
+        ranks = np.full(n, r0, dtype=np.int64)
+
+        for _ in range(iters):
+            state = ray.put((ids, ws, ranks))
+
+            def contrib(t: pa.Table, state=state) -> pa.Table:
+                nid, wv, r = ray.get(state)
+                si = np.searchsorted(
+                    nid, t["src"].to_numpy(zero_copy_only=False))
+                w = t[w_col].to_numpy(zero_copy_only=False)
+                c = (r[si] * w) // wv[si]
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                ud, inv = np.unique(dst, return_inverse=True)
+                s = np.zeros(len(ud), dtype=np.int64)
+                np.add.at(s, inv, c)
+                return pa.table({"dst": pa.array(ud, pa.int64()),
+                                 "c": pa.array(s, pa.int64())})
+
+            gathered = edges.map_batches(contrib, batch_format="pyarrow",
+                                         batch_size=None)
+            acc = np.zeros(n, dtype=np.int64)
+            for b_ in gathered.iter_batches(batch_format="pyarrow"):
+                dst = b_["dst"].to_numpy(zero_copy_only=False)
+                s = b_["c"].to_numpy(zero_copy_only=False)
+                np.add.at(acc, np.searchsorted(ids, dst), s)
+            ranks = base + (damping_num * acc) // damping_den
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(ids, pa.int64()),
+            "r": pa.array(ranks, pa.int64())}))
+
+    # distributed dual: ranks stay a Dataset; per iteration one
+    # hash_join (ranks+W onto edges) + one groupby-sum
+    edges_w = hash_join(edges, W, on="src", n_buckets=b).materialize()
+    ranks_ds = W.map_batches(
+        lambda t: pa.table({"src": t["src"],
+                            "r": pa.array(np.full(t.num_rows, r0,
+                                                  np.int64))}),
+        batch_format="pyarrow")
+    for _ in range(iters):
+        joined = hash_join(edges_w, ranks_ds, on="src", n_buckets=b)
+
+        def step(t: pa.Table) -> pa.Table:
+            c = ((t["r"].to_numpy(zero_copy_only=False)
+                  * t[w_col].to_numpy(zero_copy_only=False))
+                 // t["W"].to_numpy(zero_copy_only=False))
+            return pa.table({"dst": t["dst"],
+                             "c": pa.array(c, pa.int64())})
+
+        summed = (joined.map_batches(step, batch_format="pyarrow")
+                  .groupby("dst").aggregate(Sum("c", alias_name="s")))
+        ranks_ds = summed.map_batches(
+            lambda t: pa.table({
+                "src": t["dst"],
+                "r": pa.array(base + (damping_num
+                                      * t["s"].to_numpy(
+                                          zero_copy_only=False))
+                              // damping_den, pa.int64())}),
+            batch_format="pyarrow").materialize()
+    return ranks_ds.map_batches(
+        lambda t: t.rename_columns(["node", "r"]),
+        batch_format="pyarrow")
+
+
 def _pagerank_distributed(edges_in, deg, r0, base, iters,
                           damping_num, damping_den, n_buckets):
     """No-driver-state dual: ranks stay a Dataset; each iteration is

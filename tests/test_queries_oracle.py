@@ -197,6 +197,8 @@ SQL_CHECKED = [
     "q_rolling_active",
     # round 5: mutual information (quantized micro-nat cell terms)
     "q_mutual_info",
+    # round 5: weighted PageRank (per-edge (r*w)//W integer flow)
+    "q_pagerank_weighted",
 ]
 
 

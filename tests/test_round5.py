@@ -346,3 +346,34 @@ def test_areal_interp_mass_and_split(ray_session):
     got = {(r.cell_x, r.cell_y): r.v_q for r in out.itertuples()}
     assert got == {(0, 0): 500, (1, 0): 500, (2, 3): -700}
     assert sum(got.values()) == 1000 - 700  # mass conserved here
+
+
+def test_pagerank_weighted_duals(ray_session):
+    """pagerank_weighted's broadcast and node_cap=0 distributed paths
+    produce identical integer ranks; weight guards fire."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import pagerank_weighted
+
+    und = [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1),
+           (1, 3, 6), (3, 1, 6), (1, 2, 2), (2, 1, 2)]  # parallel 1-2
+    edges = rd.from_items([{"src": s, "dst": d, "w": w}
+                           for s, d, w in und])
+
+    def got(**kw):
+        out = pagerank_weighted(edges, iters=2, **kw).to_pandas()
+        return dict(zip(out["node"], out["r"]))
+
+    b = got()
+    d = got(node_cap=0)
+    assert b == d
+    assert set(b) == {1, 2, 3}
+    # node 1 carries the most weighted in-flow (weights 3+2 from 2, 6
+    # from 3)
+    assert b[1] == max(b.values())
+
+    import pytest as _pytest
+    bad = rd.from_items([{"src": 1, "dst": 2, "w": 0},
+                         {"src": 2, "dst": 1, "w": 1}])
+    with _pytest.raises(ValueError, match="weights must be >= 1"):
+        pagerank_weighted(bad, iters=1)
