@@ -99,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and corpus KL drift
         "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
         "q_kl_drift": q.q_kl_drift,
-        "q_embed_near_dup": q.q_embed_near_dup,
         # round 4: the subquadratic hyperplane-LSH near-dup path,
         # hash-gated on a planted recall-1.0 corpus
         "q_embed_near_dup_lsh": q.q_embed_near_dup_lsh,
@@ -107,12 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_partitioned_topk": q.q_ivf_partitioned_topk,
         # deterministic hash split + HLL distinct sketch (register
         # table compared exactly; estimate tested in pytest)
-        "q_phash_near_dup": q.q_phash_near_dup,
         # composed corpus-cleaning chain (langid + quality + tokens +
         # exact dedup in one streaming pass)
-        "q_corpus_filter": q.q_corpus_filter,
         # Gopher-style token-repetition quality gate (one-pass map)
-        "q_repetition_filter": q.q_repetition_filter,
         # exact Misra-Gries heavy hitters over exploded bigrams
         # mandated Lance format end-to-end (vendored reader/writer)
         "q_lance_scan": q.q_lance_scan,
@@ -160,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated in (round 5): weighted PageRank (per-edge (r*w)//W)
         "q_pagerank_weighted": q.q_pagerank_weighted,
         # --- end of the driver-sampled head (first 50 keys) ---
+        # rotated out (round 5, final): stable filter/near-dup rows
+        "q_phash_near_dup": q.q_phash_near_dup,
+        "q_corpus_filter": q.q_corpus_filter,
+        "q_repetition_filter": q.q_repetition_filter,
+        "q_embed_near_dup": q.q_embed_near_dup,
         # rotated out of the head (round 5, second sweep — all
         # multi-round-stable): TPC-H rows, window/join basics,
         # sketch family
