@@ -377,3 +377,134 @@ def test_pagerank_weighted_duals(ray_session):
                          {"src": 2, "dst": 1, "w": 1}])
     with _pytest.raises(ValueError, match="weights must be >= 1"):
         pagerank_weighted(bad, iters=1)
+
+
+def test_mutual_info_independence_and_dependence(ray_session):
+    """mutual_info reports exactly 0 on an independent contingency
+    table (every cell ratio is 1, floor(ln 1) = 0) and positive on a
+    deterministic dependence."""
+    import ray.data as rd
+
+    from osm2shp_ray.stages.sketch import mutual_info
+
+    indep = rd.from_items([{"x": x, "y": y}
+                           for x in "ab" for y in "cd" for _ in range(5)])
+    out = mutual_info(indep, "x", "y")
+    assert out["n"][0] == 20 and out["mi_q"][0] == 0
+
+    dep = rd.from_items([{"x": "a", "y": "c"}] * 10
+                        + [{"x": "b", "y": "d"}] * 10)
+    out2 = mutual_info(dep, "x", "y")
+    # perfect dependence: MI = ln 2 nats -> mi_q ~= 20 * 1e6 * ln 2
+    assert out2["n"][0] == 20
+    assert abs(out2["mi_q"][0] - round(20 * 1_000_000 * 0.6931471805599453)) <= 20
+
+
+def test_ab_welch_guards_and_zero_diff(ray_session):
+    """ab_welch: identical constant arms yield t = 0 via the
+    zero-variance guard; arms with a clear shift yield the right
+    sign."""
+    import numpy as np
+    import ray.data as rd
+
+    from osm2shp_ray.functions.hashing import md5_hash60
+    from osm2shp_ray.stages.sketch import ab_welch
+
+    units = np.arange(1, 401)
+    const = rd.from_items([{"k": "t", "u": int(u), "v": 7}
+                           for u in units])
+    out = ab_welch(const, "k", "u", "v").to_pandas()
+    assert out["t"].tolist() == [0.0]
+    assert out["n_a"][0] + out["n_b"][0] == 400
+
+    # arm B (hash odd) gets +100: t must be negative (mean_a < mean_b)
+    arm_b = md5_hash60(units) % 2 == 1
+    shift = rd.from_items([
+        {"k": "t", "u": int(u), "v": 10 + (100 if b else 0)}
+        for u, b in zip(units, arm_b)])
+    out2 = ab_welch(shift, "k", "u", "v").to_pandas()
+    # both arms constant -> zero variance -> guard fires (den == 0)
+    assert out2["t"].tolist() == [0.0]
+    # add one unit of jitter so variances are positive
+    jit = rd.from_items([
+        {"k": "t", "u": int(u), "v": 10 + (100 if b else 0) + int(u % 2)}
+        for u, b in zip(units, arm_b)])
+    out3 = ab_welch(jit, "k", "u", "v").to_pandas()
+    assert out3["t"][0] < -100  # enormous effect size, negative sign
+
+
+def test_clustering_coeff_brute_force(ray_session):
+    """clustering_coeff on a seeded random graph equals the adjacency
+    -matrix brute force (tri/node = diag(A^3)/2, deg = row sums)."""
+    import numpy as np
+    import ray.data as rd
+
+    from osm2shp_ray.stages.graph import clustering_coeff
+
+    rng = np.random.default_rng(7)
+    n = 40
+    A = np.triu((rng.random((n, n)) < 0.2), 1).astype(np.int64)
+    A = A + A.T
+    us, vs = np.nonzero(np.triu(A, 1))
+    edges = rd.from_items([{"u": int(a), "v": int(b)}
+                           for a, b in zip(us, vs)])
+    out = clustering_coeff(edges).to_pandas()
+    deg = A.sum(axis=1)
+    tri = np.diag(np.linalg.matrix_power(A, 3)) // 2
+    want = {i: (int(deg[i]), int(tri[i]),
+                int(2_000_000 * tri[i]) // int(deg[i] * (deg[i] - 1)))
+            for i in range(n) if deg[i] >= 2}
+    got = {r.node: (r.deg, r.tri_cnt, r.cc_ppm) for r in out.itertuples()}
+    assert got == want
+
+
+def test_interp_resample_brute_force(ray_session):
+    """interp_resample on seeded random per-key events equals a
+    per-key numpy reimplementation (trunc division, last-write-wins)."""
+    import datetime as dt
+
+    import numpy as np
+    import ray.data as rd
+
+    from osm2shp_ray.stages.temporal import interp_resample
+
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for k in range(6):
+        for _ in range(rng.integers(2, 30)):
+            eid += 1
+            rows.append({"event_id": eid, "user_id": k,
+                         "ts": base + dt.timedelta(
+                             seconds=int(rng.integers(0, 7200))),
+                         "vq": int(rng.integers(-500, 500))})
+    out = interp_resample(rd.from_items(rows), key_col="user_id",
+                          ts_col="ts", value_col="vq",
+                          id_col="event_id", bucket_s=600).to_pandas()
+    got = {(r.user_id, r.bucket): r.v_q for r in out.itertuples()}
+
+    want = {}
+    B = 600_000_000
+    by_key: dict = {}
+    for r in rows:
+        us = int(np.datetime64(r["ts"], "us").astype(np.int64))
+        by_key.setdefault(r["user_id"], {})
+        cur = by_key[r["user_id"]]
+        if us not in cur or r["event_id"] > cur[us][0]:
+            cur[us] = (r["event_id"], r["vq"])
+    for k, m in by_key.items():
+        ts = np.array(sorted(m))
+        v = np.array([m[t][1] for t in ts], np.int64)
+        for g in range(-(-int(ts[0]) // B), int(ts[-1]) // B + 1):
+            gt = g * B
+            pi = np.searchsorted(ts, gt, side="right") - 1
+            ni = np.searchsorted(ts, gt, side="left")
+            if ts[ni] == ts[pi]:
+                want[(k, g)] = int(v[pi])
+            else:
+                num = int(v[ni] - v[pi]) * (gt - int(ts[pi]))
+                den = int(ts[ni] - ts[pi])
+                q = abs(num) // den
+                want[(k, g)] = int(v[pi]) + (q if num >= 0 else -q)
+    assert got == want
