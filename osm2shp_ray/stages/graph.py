@@ -202,8 +202,11 @@ def pagerank_weighted(edges_ds, iters: int = 3, damping_num: int = 85,
                                             batch_format="pyarrow"))
              .groupby("__b").map_groups(regroup, batch_format="pandas")
              .materialize())
-    wmin = edges.min(w_col)
-    wmax = edges.max(w_col)
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    bounds = edges.aggregate(_Min(w_col, alias_name="lo"),
+                             _Max(w_col, alias_name="hi"))
+    wmin, wmax = bounds["lo"], bounds["hi"]
     if wmin is None:
         raise ValueError("pagerank_weighted needs at least one edge")
     if wmin < 1:
