@@ -94,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-derived 60-bit hash and similarity outputs are
         # EXACT-verified, so DuckDB recomputes every value
         "q_minhash_pairs": q.q_minhash_pairs,
-        "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         # rotated in (round 5): the no-broadcast bigram-LM scale dual
         # and corpus KL drift
         "q_bigram_lm_distributed": q.q_bigram_lm_distributed,
@@ -155,7 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mutual_info": q.q_mutual_info,
         # rotated in (round 5): weighted PageRank (per-edge (r*w)//W)
         "q_pagerank_weighted": q.q_pagerank_weighted,
+        # rotated in (round 5): pairwise source-vocabulary Jaccard
+        "q_vocab_overlap": q.q_vocab_overlap,
         # --- end of the driver-sampled head (first 50 keys) ---
+        # rotated out (round 5, final): stable near-dup row
+        "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
         # rotated out (round 5, final): stable filter/near-dup rows
         "q_phash_near_dup": q.q_phash_near_dup,
         "q_corpus_filter": q.q_corpus_filter,
@@ -2017,6 +2020,26 @@ def _oracle_sql_base() -> dict[str, str]:
         "q_lm_score_distributed": lm_sql,
         "q_nb_classify": nb_sql,
         "q_nb_classify_distributed": nb_sql,
+        # pairwise source-vocabulary Jaccard: exact integer set
+        # algebra over distinct (source, token) pairs
+        "q_vocab_overlap": """
+            WITH gt AS (
+              SELECT DISTINCT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+              FROM documents),
+            p AS (SELECT a.source AS src_a, b.source AS src_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM gt a JOIN gt b
+                    ON a.t = b.t AND a.source < b.source
+                  GROUP BY 1, 2),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM gt GROUP BY source)
+            SELECT src_a, src_b, inter,
+                   (za.n + zb.n - inter) AS uni,
+                   (inter * 1000000) // (za.n + zb.n - inter)
+                     AS jaccard_ppm
+            FROM p JOIN sz za ON za.source = p.src_a
+                   JOIN sz zb ON zb.source = p.src_b""",
         # per-source lexical diversity: pure integer counts over the
         # shared tokenizer
         "q_lexical_diversity": """

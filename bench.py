@@ -383,6 +383,7 @@ def run_bench() -> dict:
         ("q_rolling_active", q.q_rolling_active),
         ("q_mutual_info", q.q_mutual_info),
         ("q_pagerank_weighted", q.q_pagerank_weighted),
+        ("q_vocab_overlap", q.q_vocab_overlap),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

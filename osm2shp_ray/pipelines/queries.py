@@ -1740,6 +1740,17 @@ def q_lm_score_distributed(sf_dir: str):
             .to_pandas())
 
 
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources
+    (stages/text.py::vocab_overlap): distinct (source, token) pairs,
+    token-bucket co-group with triangle pair explode (fan bounded by
+    the source count), exact integer intersection/union sizes and
+    ppm Jaccard — the corpus-overlap audit."""
+    return (text.vocab_overlap(
+                _read(sf_dir, "documents", ["source", "text"]))
+            .to_pandas())
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-source lexical-diversity statistics
     (stages/text.py::lexical_diversity): token totals, vocabulary

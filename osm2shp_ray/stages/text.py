@@ -1261,6 +1261,125 @@ def lexical_diversity(ds, group_col: str = "source",
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def vocab_overlap(ds, group_col: str = "source",
+                  text_col: str = "text",
+                  n_buckets: int | None = None):
+    """Pairwise VOCABULARY Jaccard between groups — the
+    corpus-overlap audit (which sources share a lexicon; contamination
+    and near-mirror detection at the vocabulary level, the cheap
+    precursor to document-level dedup).
+
+    Set algebra on exact integers: distinct (group, token) pairs
+    reduce in one exchange; tokens then co-group by token-hash bucket
+    and each token's sorted group list explodes to its (a < b) pairs
+    with the triangle grouped-arange trick (pair fan per token is
+    bounded by the GROUP count — the categorical contract — never by
+    corpus size), pre-combined per batch; per-group vocabulary sizes
+    ride the same distinct table. Output one row per group pair
+    sharing at least one token: ``(src_a, src_b, inter, uni,
+    jaccard_ppm)`` — all int64, ``jaccard_ppm = inter * 1e6 // uni``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .. import config
+    from .util import coalesced
+
+    b = n_buckets or config.DEFAULT_JOIN_BUCKETS
+
+    def gt_partial(t: pa.Table) -> pa.Table:
+        gc = (t[group_col].combine_chunks()
+              if isinstance(t[group_col], pa.ChunkedArray)
+              else t[group_col])
+        long = _token_rows(t[text_col])
+        pairs = pa.table({
+            "g": gc.take(pa.array(long["i"].to_numpy())),
+            "tok": long["tok"].to_arrow().cast(pa.string())})
+        return pairs.group_by(["g", "tok"]).aggregate([])
+
+    from .joins import distinct_rows
+    gt = distinct_rows(
+        coalesced(ds.map_batches(gt_partial, batch_format="pyarrow")),
+        ["g", "tok"], b).materialize()  # consumed twice: sizes + pairs
+
+    sizes = {r["g"]: r["n"] for r in
+             gt.groupby("g").aggregate(Count(alias_name="n"))
+             .take_all()}  # bounded: one row per group
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        g = t["g"].to_numpy(zero_copy_only=False)
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, tok))
+        g, tok = g[order], tok[order]
+        first = np.ones(len(tok), bool)
+        if len(tok) > 1:
+            first[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(tok)))
+        npairs = lens * (lens - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        seg = np.repeat(np.arange(len(lens)), npairs)
+        offs = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+        k = np.arange(total, dtype=np.int64) - np.repeat(offs, npairs)
+        L = lens[seg]
+        # k-th (i < j) pair of an L-element segment, row-major: find
+        # the row by vectorized walking — the iteration count is
+        # bounded by the GROUP count (categorical contract), not data
+        r = np.zeros(total, np.int64)
+        rem = k.copy()
+        width = (L - 1).copy()
+        # at most max(L)-1 iterations; group count is small by contract
+        while True:
+            step = rem >= width
+            if not step.any():
+                break
+            rem[step] -= width[step]
+            r[step] += 1
+            width[step] -= 1
+        ia = starts[seg] + r
+        ib = starts[seg] + r + 1 + rem
+        df = (pl.DataFrame({"a": g[ia], "b": g[ib]})
+              .group_by(["a", "b"]).agg(pl.len().alias("c")))
+        return pa.table({"a": pa.array(df["a"].to_list(), pa.string()),
+                         "b": pa.array(df["b"].to_list(), pa.string()),
+                         "c": pa.array(df["c"].to_numpy()
+                                       .astype(np.int64), pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hash60
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array(md5_hash60(tok) % b, pa.int64()))
+
+    inter = (gt.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: pair_partial(
+                 pa.Table.from_pandas(df[["g", "tok"]],
+                                      preserve_index=False)),
+                         batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Sum("c", alias_name="inter")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        bb = t["b"].to_pylist()
+        it = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = np.array([sizes[x] for x in a], np.int64)
+        sb = np.array([sizes[x] for x in bb], np.int64)
+        uni = sa + sb - it
+        return pa.table({
+            "src_a": pa.array(a, pa.string()),
+            "src_b": pa.array(bb, pa.string()),
+            "inter": pa.array(it, pa.int64()),
+            "uni": pa.array(uni, pa.int64()),
+            "jaccard_ppm": pa.array((it * 1_000_000) // uni, pa.int64())})
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 def json_extract_field(ds, col: str, key: str, out_col: str,
                        as_int: bool = True):
     """Semi-structured column access: extract ``$.key`` from a JSON

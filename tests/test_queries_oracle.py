@@ -199,6 +199,8 @@ SQL_CHECKED = [
     "q_mutual_info",
     # round 5: weighted PageRank (per-edge (r*w)//W integer flow)
     "q_pagerank_weighted",
+    # round 5: pairwise source-vocabulary Jaccard (exact set algebra)
+    "q_vocab_overlap",
 ]
 
 
