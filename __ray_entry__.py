@@ -110,7 +110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style token-repetition quality gate (one-pass map)
         # exact Misra-Gries heavy hitters over exploded bigrams
         # mandated Lance format end-to-end (vendored reader/writer)
-        "q_lance_scan": q.q_lance_scan,
         # full conversion chain over SQL-derivable entities (the same
         # engine stages as the image path, under the hard hash gate)
         "q_convert_pipeline": q.q_convert_pipeline,
@@ -156,9 +155,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank_weighted": q.q_pagerank_weighted,
         # rotated in (round 5): pairwise source-vocabulary Jaccard
         "q_vocab_overlap": q.q_vocab_overlap,
+        # rotated in (round 5): way-segment orientation histogram
+        "q_way_bearings": q.q_way_bearings,
         # --- end of the driver-sampled head (first 50 keys) ---
-        # rotated out (round 5, final): stable near-dup row
+        # rotated out (round 5, final): stable near-dup + lance rows
         "q_ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "q_lance_scan": q.q_lance_scan,
         # rotated out (round 5, final): stable filter/near-dup rows
         "q_phash_near_dup": q.q_phash_near_dup,
         "q_corpus_filter": q.q_corpus_filter,
@@ -2228,6 +2230,33 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(nv) AS BIGINT) AS n_vertices,
                    round(sum(L), 4) AS total_len
             FROM seg GROUP BY layer""",
+        # per-(layer, sector) way-segment orientation histogram:
+        # the identical (dx, dy) CASE chain on identical doubles
+        "q_way_bearings": f"""
+            WITH e AS ({img_entities(entities2k_pq)}),
+            {IMG_WAY_CLS},
+            ways AS (
+              SELECT l.way_id, l.layer,
+                     list(e.lon ORDER BY e.pos) AS xs,
+                     list(e.lat ORDER BY e.pos) AS ys
+              FROM wl l JOIN e USING (way_id)
+              WHERE l.layer IS NOT NULL
+              GROUP BY l.way_id, l.layer),
+            seg AS (
+              SELECT layer, unnest(generate_series(1, len(xs) - 1)) AS j,
+                     xs, ys
+              FROM ways WHERE len(xs) >= 2),
+            d AS (SELECT layer, xs[j + 1] - xs[j] AS dx,
+                         ys[j + 1] - ys[j] AS dy FROM seg),
+            s AS (SELECT layer,
+                         CASE WHEN abs(dx) >= abs(dy)
+                              THEN CASE WHEN dx > 0 THEN 0 ELSE 1 END
+                              ELSE CASE WHEN dy > 0 THEN 2 ELSE 3 END
+                         END AS sector
+                  FROM d WHERE dx <> 0 OR dy <> 0)
+            SELECT layer, CAST(sector AS BIGINT) AS sector,
+                   CAST(count(*) AS BIGINT) AS n_segs
+            FROM s GROUP BY 1, 2""",
         # implicit-ring shoelace area over customer-derived rings:
         # same fold order as the engine (sequential list_sum, wrap
         # term added last), per-ring int64 quantization

@@ -384,6 +384,7 @@ def run_bench() -> dict:
         ("q_mutual_info", q.q_mutual_info),
         ("q_pagerank_weighted", q.q_pagerank_weighted),
         ("q_vocab_overlap", q.q_vocab_overlap),
+        ("q_way_bearings", q.q_way_bearings),
     ]:
         # min-of-2: a single mid-list run can read 3-4x high from
         # first-touch + queue contention (measured: q_ngram 37 s cold

@@ -1122,6 +1122,40 @@ def q_way_length(sf_dir: str):
                        ["total_len"])
 
 
+def q_way_bearings(sf_dir: str):
+    """Per-(layer, compass-sector) segment-orientation histogram over
+    the assembled ways (stages/geometry.py::bearing_partial_batch):
+    the road-network orientation signature, classified by pure
+    (dx, dy) comparisons — no atan2, so the SQL mirror repeats the
+    identical CASE chain. Combiner-first: at most n_layers x 4 rows
+    leave any batch."""
+    from ..sources.fixtures import (cached_entities_parquet,
+                                    cached_images_parquet)
+    from ..stages import geometry
+    from ..stages.classify import classify_ways_batch, layer_name_col
+    from ..stages.join import resolve_ways
+    from . import adapter
+    cached_entities_parquet(POSTPROCESS_IMAGES_N)  # oracle side input
+    images = rd.read_parquet(
+        cached_images_parquet(POSTPROCESS_IMAGES_N, use_ray=False),
+        columns=["image_id", "caption", "phash"])
+    nodes, ways = adapter.adapt_images(images)
+    classified = ways.map_batches(classify_ways_batch,
+                                  batch_format="pyarrow")
+    assembled = resolve_ways(nodes, classified, n_buckets=16)
+    agg = (assembled
+           .map_batches(geometry.bearing_partial_batch,
+                        batch_format="pyarrow")
+           .groupby(["layer_idx", "sector"])
+           .aggregate(Sum("part_segs", alias_name="n_segs"))
+           ).to_pandas()
+    agg["layer"] = layer_name_col(
+        agg["layer_idx"].to_numpy()).to_pylist()
+    out = (agg.groupby(["layer", "sector"], as_index=False)
+           .agg(n_segs=("n_segs", "sum")))
+    return out[["layer", "sector", "n_segs"]]
+
+
 BBOX_CELL = 16.0
 
 

@@ -250,6 +250,55 @@ def length_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def bearing_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-(layer, compass-sector) segment counts over assembled ways
+    ``(way_id, layer_idx, xs, ys)`` — the orientation histogram of a
+    road network (grid-city vs organic-growth signature; the
+    length_partial_batch combiner shape). Segments classify into FOUR
+    half-open sectors by pure comparisons on (dx, dy) — no atan2, so
+    the SQL mirror repeats the identical CASE chain on identical
+    doubles: zero-length segments drop; ``|dx| >= |dy|`` routes to
+    E (dx > 0) or W, else N (dy > 0) or S. At most
+    ``n_layers x 4`` rows leave each batch.
+
+    Output: ``(layer_idx, sector, part_segs)``.
+    """
+    xs = _list_col(batch, "xs")
+    ys = _list_col(batch, "ys")
+    empty = pa.table({"layer_idx": pa.array([], pa.int64()),
+                      "sector": pa.array([], pa.int64()),
+                      "part_segs": pa.array([], pa.int64())})
+    n = len(batch)
+    if n == 0:
+        return empty
+    offsets = xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    fx = xs.flatten().to_numpy(zero_copy_only=False)
+    fy = ys.flatten().to_numpy(zero_copy_only=False)
+    layer_idx = batch["layer_idx"].to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    if len(fx) < 2:
+        return empty
+    dx = np.diff(fx)
+    dy = np.diff(fy)
+    valid = np.ones(len(dx), bool)
+    cross = offsets[1:-1] - 1  # phantom segments spanning ways
+    cross = cross[(cross >= 0) & (cross < len(dx))]
+    valid[cross] = False
+    valid &= (dx != 0) | (dy != 0)
+    sector = np.where(np.abs(dx) >= np.abs(dy),
+                      np.where(dx > 0, 0, 1),
+                      np.where(dy > 0, 2, 3)).astype(np.int64)
+    vert_way = np.repeat(np.arange(n), counts)
+    seg_layer = layer_idx[vert_way[: len(dx)]]
+    key = seg_layer[valid] * 4 + sector[valid]
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "layer_idx": pa.array(uk // 4, pa.int64()),
+        "sector": pa.array(uk % 4, pa.int64()),
+        "part_segs": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
 def ring_area_partial_batch(batch: pa.Table) -> pa.Table:
     """Per-layer implicit-ring shoelace area partial over assembled
     ways (way_id, layer_idx, xs, ys) -> at most n_layers rows per

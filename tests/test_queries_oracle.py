@@ -201,6 +201,9 @@ SQL_CHECKED = [
     "q_pagerank_weighted",
     # round 5: pairwise source-vocabulary Jaccard (exact set algebra)
     "q_vocab_overlap",
+    # round 5: way-segment orientation histogram (comparison-only
+    # sector classification, no atan2)
+    "q_way_bearings",
 ]
 
 
